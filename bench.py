@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced with a cheap count-style action (noop write would add
+I/O variance); timings include plan + execution, excluding session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from weather_data_warehouse_aws_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = get_spark("wdwa-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not first-touch costs
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        start = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "wdwa_spark_query_suite",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""Query registry: every implemented operator from SURVEY.md §2 gets a named
+query (Spark DataFrame builder) and, where ANSI-SQL-expressible, a DuckDB
+oracle string. ``__spark_entry__.py`` re-exports these for the driver.
+
+Each submodule contributes two dicts:
+  QUERIES: dict[name, Callable[[SparkSession, sf_dir], DataFrame]]
+  ORACLE:  dict[name, str]   # DuckDB SQL over views region/nation/.../embeddings
+
+Column names are aliased identically on both sides — the driver sorts columns
+by name before hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from importlib import import_module
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SUBMODULES = [
+    "relational",
+]
+
+
+def collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracle: dict[str, str] = {}
+    for mod_name in _SUBMODULES:
+        mod = import_module(f".{mod_name}", __package__)
+        for key in getattr(mod, "QUERIES", {}):
+            if key in queries:
+                raise ValueError(f"duplicate query name: {key}")
+        queries.update(getattr(mod, "QUERIES", {}))
+        oracle.update(getattr(mod, "ORACLE", {}))
+    return queries, oracle
