@@ -1,0 +1,118 @@
+"""Band-join boundary + equivalence tests (FIXTURES.md F8, SURVEY §2.3 J4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from weather_data_warehouse_aws_spark.operators.band_join import band_join
+
+BASE = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, BASE, "dt0"),
+            (1, BASE + dt.timedelta(seconds=3599), "dt3599"),
+            (1, BASE + dt.timedelta(seconds=3600), "dt3600"),
+            (1, BASE + dt.timedelta(seconds=3601), "dt3601"),
+            (1, BASE - dt.timedelta(seconds=3599), "dt-3599"),
+            (1, BASE - dt.timedelta(seconds=3600), "dt-3600"),
+            (2, BASE, "otherkey"),
+        ],
+        "k bigint, lts timestamp, tag string",
+    )
+    right = spark.createDataFrame([(1, BASE)], "k bigint, rts timestamp")
+    return left, right
+
+
+def test_strict_inequality_boundary(spark):
+    """|Δt| < 3600 strictly — 3599 matches, 3600/3601 don't
+    (reference create_views.sql:112-115)."""
+    left, right = _frames(spark)
+    out = band_join(left, right, on=["k"], left_ts="lts", right_ts="rts", tolerance_sec=3600)
+    tags = sorted(r.tag for r in out.collect())
+    assert tags == ["dt-3599", "dt0", "dt3599", "otherkey"] or tags == [
+        "dt-3599", "dt0", "dt3599",
+    ]
+    # key 2 must only match when the right side has key 2 — it doesn't here
+    assert "otherkey" not in tags
+
+
+def test_many_to_many(spark):
+    left = spark.createDataFrame(
+        [(1, BASE), (1, BASE + dt.timedelta(seconds=10))], "k bigint, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, BASE + dt.timedelta(seconds=5)), (1, BASE + dt.timedelta(seconds=6))],
+        "k bigint, rts timestamp",
+    )
+    out = band_join(left, right, on=["k"], left_ts="lts", right_ts="rts", tolerance_sec=60)
+    assert out.count() == 4  # full many-to-many within the band
+
+
+def test_bucketed_equals_naive(spark, sf_smoke_dir):
+    """The bucketed rewrite must produce the identical pair set as the naive
+    equi+theta condition on real data (events, sf0.001)."""
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("lts"), F.col("event_id").alias("l_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("rts"), F.col("event_id").alias("r_id")
+    )
+    fast = band_join(
+        views, purchases, on=["user_id"], left_ts="lts", right_ts="rts", tolerance_sec=3600
+    )
+    naive = views.join(purchases, "user_id").filter(
+        F.abs(F.unix_timestamp("lts") - F.unix_timestamp("rts")) < 3600
+    )
+    fast_pairs = {(r.l_id, r.r_id) for r in fast.select("l_id", "r_id").collect()}
+    naive_pairs = {(r.l_id, r.r_id) for r in naive.select("l_id", "r_id").collect()}
+    assert fast_pairs == naive_pairs
+    assert len(fast_pairs) > 0
+
+
+def test_accuracy_category_boundaries(spark):
+    """Categories flip at exactly 1/3/5 °C (create_views.sql:98-102) and
+    is_accurate at ≤3 AND condition match (:103-108)."""
+    from weather_data_warehouse_aws_spark.pipeline.views import fact_forecast_accuracy
+
+    def mk_forecast(temp, cond, t):
+        return (1, 20240101, 20240101, 3.0, temp, 50, 5.0, cond, BASE, t)
+
+    cases = [0.9, 1.0, 1.1, 2.9, 3.0, 3.1, 4.9, 5.0, 5.1]
+    f = spark.createDataFrame(
+        [mk_forecast(20.0 + e, "Clear", BASE + dt.timedelta(seconds=i)) for i, e in enumerate(cases)]
+        + [mk_forecast(20.0, "Rain", BASE + dt.timedelta(seconds=100))],
+        "location_key bigint, forecast_created_date_key int, forecast_for_date_key int, "
+        "forecast_horizon_hours double, temperature_celsius_forecast double, "
+        "humidity_percent_forecast bigint, wind_speed_mps_forecast double, "
+        "weather_condition_forecast string, forecast_created_time timestamp, "
+        "forecast_for_time timestamp",
+    )
+    a = spark.createDataFrame(
+        [(1, 20.0, 55, 4.0, "Clear", BASE)],
+        "location_key bigint, temperature_celsius double, humidity_percent bigint, "
+        "wind_speed_mps double, weather_condition string, observation_time timestamp",
+    )
+    acc = fact_forecast_accuracy(f, a)
+    rows = {
+        round(r.temp_absolute_error, 1): r
+        for r in acc.filter(F.col("weather_condition_forecast") == "Clear").collect()
+    }
+    assert rows[0.9].temp_accuracy_category == "Excellent"
+    assert rows[1.0].temp_accuracy_category == "Excellent"  # <= 1 inclusive
+    assert rows[1.1].temp_accuracy_category == "Good"
+    assert rows[3.0].temp_accuracy_category == "Good"
+    assert rows[3.1].temp_accuracy_category == "Fair"
+    assert rows[5.0].temp_accuracy_category == "Fair"
+    assert rows[5.1].temp_accuracy_category == "Poor"
+    assert rows[3.0].is_accurate_forecast and not rows[3.1].is_accurate_forecast
+    # condition mismatch → not accurate even at zero error
+    mismatch = acc.filter(F.col("weather_condition_forecast") == "Rain").collect()[0]
+    assert mismatch.temp_absolute_error == 0.0 and not mismatch.is_accurate_forecast

@@ -1,0 +1,259 @@
+"""Golden tests for the weather-domain pipeline (SURVEY.md §5 strategy #2-4).
+
+Synthetic bronze JSON (FIXTURES.md shapes) through bronze→silver→gold→facts;
+asserts silver schemas, DQ-gate semantics, SCD2 behavior, date-dim
+invariants, band-join boundaries, and idempotent re-ingest.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_data_warehouse_aws_spark.pipeline.generate import CITIES, generate_bronze
+from weather_data_warehouse_aws_spark.pipeline.gold import build_dim_date, build_dim_location
+from weather_data_warehouse_aws_spark.pipeline.run import run_pipeline
+from weather_data_warehouse_aws_spark.pipeline.silver import (
+    build_silver_current,
+    build_silver_forecast,
+    read_bronze,
+    write_silver,
+)
+
+DAYS = 3
+EFFECTIVE = dt.date(2024, 1, 3)
+NOW = dt.datetime(2024, 1, 3, 7, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def bronze_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bronze"))
+    counts = generate_bronze(d, days=DAYS, seed=42)
+    assert counts == {"current": DAYS, "forecast": DAYS}
+    return d
+
+
+@pytest.fixture(scope="module")
+def layers(spark, bronze_dir, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    return run_pipeline(spark, bronze_dir, wh, effective_date=EFFECTIVE, now=NOW)
+
+
+# ---------------------------------------------------------------- silver
+def test_silver_current_dq_gates(spark, bronze_dir):
+    """Out-of-range temp, null temp, and duplicate keys are dropped
+    (reference bronze_to_silver.py:82-88): 8 clean rows per batch survive
+    the 11 generated (8 + 3 violations)."""
+    bronze = read_bronze(spark, bronze_dir, "current")
+    assert bronze.count() == DAYS * 11
+    silver = build_silver_current(bronze)
+    assert silver.count() == DAYS * 8
+
+
+def test_silver_current_schema(layers):
+    expected = {
+        "location_name": "string",
+        "country_code": "string",
+        "latitude": "double",
+        "longitude": "double",
+        "observation_time": "timestamp",
+        "batch_id": "string",
+        "temperature_celsius": "double",
+        "feels_like_celsius": "double",
+        "temp_min_celsius": "double",
+        "temp_max_celsius": "double",
+        "humidity_percent": "bigint",
+        "pressure_hpa": "bigint",
+        "wind_speed_mps": "double",
+        "wind_direction_deg": "bigint",
+        "wind_gust_mps": "double",
+        "cloud_cover_percent": "bigint",
+        "visibility_meters": "bigint",
+        "weather_condition": "string",
+        "weather_description": "string",
+        "timezone_offset_seconds": "bigint",
+        "sunrise_time": "timestamp",
+        "sunset_time": "timestamp",
+        "processed_timestamp": "timestamp",
+        "observation_date": "date",
+        "is_daytime": "boolean",
+        "heat_index_category": "string",
+    }
+    actual = dict(layers["silver_current"].dtypes)
+    assert actual == expected
+
+
+def test_silver_current_derivations(layers):
+    sc = layers["silver_current"]
+    cats = {r[0] for r in sc.select("heat_index_category").distinct().collect()}
+    assert cats <= {"Extreme Heat", "High Heat", "Moderate", "Comfortable", "Cold"}
+    # visibility null → 10000 default
+    assert sc.filter(F.col("visibility_meters").isNull()).count() == 0
+    # observation at 06:00, sunrise 06:00 (inclusive between) → daytime
+    assert sc.filter(~F.col("is_daytime")).count() == 0
+
+
+def test_silver_forecast_explode_and_horizon(layers):
+    sf = layers["silver_forecast"]
+    assert sf.count() == DAYS * 8 * 40  # 40 points per city per batch (X1)
+    horizons = sf.select("forecast_horizon_hours").distinct()
+    hs = sorted(r[0] for r in horizons.collect())
+    assert hs == [3.0 * (i + 1) for i in range(40)]
+    assert sf.filter(F.col("precipitation_probability").isNull()).count() == 0
+
+
+def test_silver_idempotent_rewrite(spark, bronze_dir, tmp_path_factory):
+    """M4 fix: re-processing the same days must not duplicate silver rows."""
+    out = str(tmp_path_factory.mktemp("silver_idem"))
+    silver = build_silver_current(read_bronze(spark, bronze_dir, "current"))
+    n1 = write_silver(silver, out, "observation_date", mode="overwrite_partitions")
+    n2 = write_silver(silver, out, "observation_date", mode="overwrite_partitions")
+    assert n1 == n2 == spark.read.parquet(out).count()
+
+
+# ------------------------------------------------------------------ gold
+def test_dim_date_invariants(spark):
+    dd = build_dim_date(spark).cache()
+    assert dd.count() == 1096  # 2024-01-01..2026-12-31, reference README.md:149
+    assert dd.select("date_key").distinct().count() == 1096
+    row = dd.filter(F.col("full_date") == "2024-01-06").collect()[0]  # a Saturday
+    assert row.date_key == 20240106
+    assert row.day_of_week == 7 and row.is_weekend and row.day_name == "Saturday"
+    assert row.month_name == "January" and row.quarter == 1
+    assert dd.filter(F.col("is_holiday")).count() == 0
+    dd.unpersist()
+
+
+def test_dim_location_initial_load(layers):
+    dl = layers["dim_location"]
+    assert dl.count() == len(CITIES)
+    rows = {r.location_name: r for r in dl.collect()}
+    assert rows["Mumbai"].timezone_name == "IST"
+    assert rows["London"].timezone_name == "GMT"
+    # dense keys 1..8 in location_name order (reference build_dimensions.py:68-73)
+    keys = [r.location_key for r in sorted(rows.values(), key=lambda r: r.location_name)]
+    assert keys == list(range(1, 9))
+    assert all(r.is_current and r.version == 1 for r in rows.values())
+    assert all(str(r.effective_to_date) == "9999-12-31" for r in rows.values())
+
+
+def test_scd2_merge_expire_and_insert(spark, layers):
+    """The merge the reference documents but never implemented
+    (build_dimensions.py:96-97): a timezone change expires v1, inserts v2."""
+    dl = layers["dim_location"]
+    updates = (
+        dl.filter(F.col("is_current"))
+        .select(
+            "location_name", "country_code", "latitude", "longitude",
+            "timezone_offset_seconds", "timezone_name",
+        )
+        .withColumn(
+            "timezone_offset_seconds",
+            F.when(F.col("location_name") == "Mumbai", F.lit(20700)).otherwise(
+                F.col("timezone_offset_seconds")
+            ),
+        )
+        .withColumn(
+            "timezone_name",
+            F.when(F.col("location_name") == "Mumbai", F.lit("UTC")).otherwise(
+                F.col("timezone_name")
+            ),
+        )
+    )
+    eff2 = dt.date(2024, 2, 1)
+    merged = build_dim_location(
+        updates, dl, effective_date=eff2, now=dt.datetime(2024, 2, 1, 7)
+    ).cache()
+
+    assert merged.count() == len(CITIES) + 1
+    mumbai = {r.version: r for r in merged.filter(F.col("location_name") == "Mumbai").collect()}
+    assert set(mumbai) == {1, 2}
+    assert not mumbai[1].is_current and str(mumbai[1].effective_to_date) == str(eff2)
+    assert mumbai[2].is_current and mumbai[2].timezone_offset_seconds == 20700
+    assert str(mumbai[2].effective_from_date) == str(eff2)
+    # unchanged rows keep identity
+    london = merged.filter(F.col("location_name") == "London").collect()
+    assert len(london) == 1 and london[0].is_current and london[0].version == 1
+    # merge is idempotent: re-merging the same snapshot changes nothing
+    again = build_dim_location(
+        updates, merged, effective_date=dt.date(2024, 3, 1), now=dt.datetime(2024, 3, 1)
+    )
+    assert again.count() == merged.count()
+    assert again.filter(F.col("is_current")).count() == len(CITIES)
+    merged.unpersist()
+
+
+def test_scd2_merge_new_key_inserts_v1(spark, layers):
+    dl = layers["dim_location"]
+    new_city = spark.createDataFrame(
+        [("Berlin", "DE", 52.52, 13.405, 3600, "UTC")],
+        "location_name string, country_code string, latitude double, "
+        "longitude double, timezone_offset_seconds bigint, timezone_name string",
+    )
+    updates = dl.filter(F.col("is_current")).select(*new_city.columns).unionByName(new_city)
+    merged = build_dim_location(updates, dl, effective_date=dt.date(2024, 2, 1))
+    berlin = merged.filter(F.col("location_name") == "Berlin").collect()
+    assert len(berlin) == 1 and berlin[0].version == 1 and berlin[0].is_current
+    assert merged.count() == len(CITIES) + 1
+
+
+# ----------------------------------------------------------------- facts
+def test_fact_counts_and_keys(layers):
+    actual = layers["fact_weather_actual"]
+    forecast = layers["fact_weather_forecast"]
+    assert actual.count() == DAYS * 8
+    assert forecast.count() == DAYS * 8 * 40
+    assert actual.select("actual_weather_key").distinct().count() == actual.count()
+    assert forecast.select("forecast_key").distinct().count() == forecast.count()
+
+
+def test_accuracy_fact_semantics(layers):
+    acc = layers["fact_forecast_accuracy"]
+    n = acc.count()
+    assert n > 0
+    # every matched pair is within the strict 1-hour band
+    viol = acc.filter(
+        F.abs(
+            F.unix_timestamp("forecast_for_time")
+            - F.unix_timestamp("actual_observation_time")
+        )
+        >= 3600
+    )
+    assert viol.count() == 0
+    # category ↔ error consistency
+    bad = acc.filter(
+        (
+            (F.col("temp_absolute_error") <= 1) & (F.col("temp_accuracy_category") != "Excellent")
+        )
+        | (
+            (F.col("temp_absolute_error") > 5) & (F.col("temp_accuracy_category") != "Poor")
+        )
+    )
+    assert bad.count() == 0
+    agree = acc.filter(
+        F.col("is_accurate_forecast")
+        != ((F.col("temp_absolute_error") <= 3) & F.col("condition_match"))
+    )
+    assert agree.count() == 0
+
+
+def test_analytics_queries_run(spark, layers):
+    from weather_data_warehouse_aws_spark.pipeline import analytics
+
+    acc = layers["fact_forecast_accuracy"]
+    q1 = analytics.accuracy_by_horizon(acc).collect()
+    assert {r.horizon_bucket for r in q1} <= {
+        "0-24 hours", "24-48 hours", "48-72 hours", "72+ hours",
+    }
+    q2 = analytics.city_performance_ranking(acc, layers["dim_location"]).collect()
+    assert 0 < len(q2) <= 8
+    pcts = [r.accuracy_pct for r in q2]
+    assert pcts == sorted(pcts, reverse=True)
+    q3 = analytics.current_weather_summary(
+        layers["fact_weather_actual"], layers["dim_location"], as_of=dt.date(2024, 1, 2)
+    ).collect()
+    assert len(q3) == 8
+    q4 = analytics.quality_distribution(acc).collect()
+    assert abs(sum(r.percentage for r in q4) - 100.0) < 0.5

@@ -1,0 +1,87 @@
+"""Band (interval/time-proximity) join — SURVEY.md §2.3 J4.
+
+The reference's accuracy view joins forecast↔actual on `location_key`
+equality AND ``ABS(TO_UNIXTIME(f.forecast_for_time) -
+TO_UNIXTIME(a.observation_time)) < 3600`` (reference
+`scripts/sql/create_views.sql:109-115`). Semantics: strict `<`, many-to-many
+(a forecast can match several observations and vice versa).
+
+Naive Spark planning treats the range predicate as a post-join filter on the
+equi-join, which is fine when keys are selective — but at 100 TB with few
+distinct keys (8 cities!) each key-group is huge and the per-key cross
+product explodes. The scale-safe rewrite implemented here:
+
+    bucket both sides by ``floor(epoch/tolerance)``; explode the LEFT side to
+    buckets {b-1, b, b+1}; equi-join on (keys…, bucket); filter |Δt| < tol.
+
+Any pair with |Δt| < tol has right_bucket within ±1 of left_bucket, and each
+(left,right) pair meets at exactly ONE bucket (the right row's own bucket),
+so no dedup is needed. The join becomes a plain hash join on a high-
+cardinality composite key → shuffles partition evenly, AQE handles residual
+skew. Cost: 3× replication of the left side, vs quadratic blowup avoided.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "__band_bucket"
+_LEPOCH = "__band_lepoch"
+_REPOCH = "__band_repoch"
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance_sec: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows whose timestamps differ by strictly less than `tolerance_sec`.
+
+    Matches the reference view's semantics exactly: equi-keys + strict
+    ``|unix(left_ts) - unix(right_ts)| < tolerance_sec`` (second-truncated
+    epochs, as Presto's TO_UNIXTIME on second-precision data). Many-to-many.
+
+    Column name collisions between left and right (other than `on`) must be
+    resolved by the caller (alias/rename) — same contract as `DataFrame.join`.
+    """
+    if how != "inner":
+        raise NotImplementedError("band_join currently supports inner joins only")
+    tol = int(tolerance_sec)
+
+    l_epoch = F.unix_timestamp(F.col(left_ts))
+    r_epoch = F.unix_timestamp(F.col(right_ts))
+
+    lefts = left.withColumn(_LEPOCH, l_epoch).withColumn(
+        _BUCKET,
+        F.explode(
+            F.array(
+                F.floor(F.col(_LEPOCH) / tol) - 1,
+                F.floor(F.col(_LEPOCH) / tol),
+                F.floor(F.col(_LEPOCH) / tol) + 1,
+            )
+        ),
+    )
+    rights = right.withColumn(_REPOCH, r_epoch).withColumn(
+        _BUCKET, F.floor(F.col(_REPOCH) / tol)
+    )
+
+    joined = lefts.join(rights, [*on, _BUCKET], "inner").filter(
+        F.abs(F.col(_LEPOCH) - F.col(_REPOCH)) < tol
+    )
+    return joined.drop(_BUCKET, _LEPOCH, _REPOCH)
+
+
+def band_join_condition(
+    left_key: Column, right_key: Column, left_ts: Column, right_ts: Column, tolerance_sec: int
+) -> Column:
+    """The literal (non-bucketed) join condition, for small inputs/tests."""
+    return (left_key == right_key) & (
+        F.abs(F.unix_timestamp(left_ts) - F.unix_timestamp(right_ts)) < tolerance_sec
+    )

@@ -1,0 +1,177 @@
+"""SCD Type 2 dimension maintenance — SURVEY.md §2.9 X5.
+
+The reference *documents* a full SCD2 dimension (`README.md:17,147,292`) and
+carries the columns for it (`build_dimensions.py:70-91`: effective_from_date,
+effective_to_date='9999-12-31', is_current, version, audit timestamps), but
+only implements the initial load — on any later run it prints "Dimension
+exists, no updates needed" (`build_dimensions.py:96-97`). This module
+implements the real merge:
+
+  for each natural key in the update snapshot
+    - tracked attributes unchanged → keep the current row
+    - changed → EXPIRE the current row (effective_to_date = effective_date,
+      is_current=false, updated_timestamp=now) and INSERT version+1
+    - unseen natural key → INSERT version 1
+  historical (already-expired) rows pass through untouched; keys absent from
+  the snapshot remain current (the reference domain has no deletes).
+
+Scale: one full-outer shuffle join on the natural key + unions — no windows
+over the whole dim, no driver loops. Dimensions are usually broadcast-sized,
+but nothing here breaks if they aren't: the join partitions on the natural
+key. Surrogate keys: `hash` strategy (xxhash64 of natural key + version) is
+pure map-side and the 100 TB default; `dense` reproduces the reference's
+row_number-style compact keys and is guarded by `operators.keys.dense_key`'s
+size ceiling.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HIGH_DATE = "9999-12-31"
+
+
+def scd2_initial_load(
+    updates: DataFrame,
+    natural_key: Sequence[str],
+    key_col: str = "location_key",
+    *,
+    effective_date: _dt.date | None = None,
+    now: _dt.datetime | None = None,
+    key_strategy: str = "dense",
+) -> DataFrame:
+    """First load of an SCD2 dim — parity with `build_dimensions.py:63-94`."""
+    eff = F.lit(effective_date) if effective_date else F.current_date()
+    now_ts = F.lit(now) if now else F.current_timestamp()
+
+    if key_strategy == "dense":
+        w = Window.orderBy(*natural_key)
+        keyed = updates.withColumn(key_col, F.row_number().over(w))
+    elif key_strategy == "hash":
+        keyed = updates.withColumn(key_col, F.xxhash64(*natural_key, F.lit(1)))
+    else:
+        raise ValueError(f"unknown key_strategy: {key_strategy}")
+
+    return (
+        keyed.withColumn("effective_from_date", eff.cast("date"))
+        .withColumn("effective_to_date", F.lit(HIGH_DATE).cast("date"))
+        .withColumn("is_current", F.lit(True))
+        .withColumn("version", F.lit(1))
+        .withColumn("created_timestamp", now_ts.cast("timestamp"))
+        .withColumn("updated_timestamp", now_ts.cast("timestamp"))
+    )
+
+
+def scd2_merge(
+    existing: DataFrame,
+    updates: DataFrame,
+    natural_key: Sequence[str],
+    tracked: Sequence[str],
+    key_col: str = "location_key",
+    *,
+    effective_date: _dt.date | None = None,
+    now: _dt.datetime | None = None,
+    key_strategy: str = "dense",
+) -> DataFrame:
+    """Merge an attribute snapshot into an SCD2 dimension (see module doc).
+
+    `updates` must carry the natural key plus every non-SCD attribute column
+    of `existing`. Returns the full new dimension with `existing`'s column
+    order.
+    """
+    scd_cols = {
+        key_col,
+        "effective_from_date",
+        "effective_to_date",
+        "is_current",
+        "version",
+        "created_timestamp",
+        "updated_timestamp",
+    }
+    attr_cols = [c for c in existing.columns if c not in scd_cols and c not in natural_key]
+    missing = [c for c in attr_cols if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates missing attribute columns: {missing}")
+
+    eff = (F.lit(effective_date) if effective_date else F.current_date()).cast("date")
+    now_ts = (F.lit(now) if now else F.current_timestamp()).cast("timestamp")
+
+    current = existing.filter(F.col("is_current"))
+    history = existing.filter(~F.col("is_current"))
+
+    cur = current.select(
+        *natural_key,
+        *[F.col(c).alias(f"c_{c}") for c in attr_cols],
+        F.col(key_col).alias("c_key"),
+        F.col("effective_from_date").alias("c_from"),
+        F.col("version").alias("c_version"),
+        F.col("created_timestamp").alias("c_created"),
+        F.lit(True).alias("c_exists"),
+    )
+    upd = updates.select(
+        *natural_key,
+        *[F.col(c).alias(f"u_{c}") for c in attr_cols],
+        F.lit(True).alias("u_exists"),
+    )
+    j = cur.join(upd, list(natural_key), "full_outer")
+
+    changed = F.lit(False)
+    for t in tracked:
+        changed = changed | ~F.col(f"c_{t}").eqNullSafe(F.col(f"u_{t}"))
+    matched = F.col("c_exists").isNotNull() & F.col("u_exists").isNotNull()
+
+    def _current_row(df: DataFrame, *, expire: bool) -> DataFrame:
+        return df.select(
+            F.col("c_key").alias(key_col),
+            *natural_key,
+            *[F.col(f"c_{c}").alias(c) for c in attr_cols],
+            F.col("c_from").alias("effective_from_date"),
+            (eff if expire else F.lit(HIGH_DATE).cast("date")).alias("effective_to_date"),
+            F.lit(not expire).alias("is_current"),
+            F.col("c_version").alias("version"),
+            F.col("c_created").alias("created_timestamp"),
+            (now_ts if expire else F.col("c_created")).alias("updated_timestamp"),
+        )
+
+    kept = _current_row(j.filter(matched & ~changed), expire=False)
+    expired = _current_row(j.filter(matched & changed), expire=True)
+
+    inserts = j.filter((matched & changed) | F.col("c_exists").isNull()).select(
+        *natural_key,
+        *[F.col(f"u_{c}").alias(c) for c in attr_cols],
+        (F.coalesce(F.col("c_version"), F.lit(0)) + 1).alias("version"),
+    )
+    if key_strategy == "hash":
+        inserts = inserts.withColumn(key_col, F.xxhash64(*natural_key, F.col("version")))
+    elif key_strategy == "dense":
+        # compact keys continue from the current max; dim-sized relations only
+        max_key = existing.agg(F.max(key_col)).collect()[0][0] or 0
+        w = Window.orderBy(*natural_key)
+        inserts = inserts.withColumn(key_col, F.row_number().over(w) + F.lit(max_key))
+    else:
+        raise ValueError(f"unknown key_strategy: {key_strategy}")
+
+    inserted = inserts.select(
+        key_col,
+        *natural_key,
+        *attr_cols,
+        eff.alias("effective_from_date"),
+        F.lit(HIGH_DATE).cast("date").alias("effective_to_date"),
+        F.lit(True).alias("is_current"),
+        "version",
+        now_ts.alias("created_timestamp"),
+        now_ts.alias("updated_timestamp"),
+    )
+
+    out_cols = existing.columns
+    return (
+        history.select(out_cols)
+        .unionByName(kept.select(out_cols))
+        .unionByName(expired.select(out_cols))
+        .unionByName(inserted.select(out_cols))
+    )

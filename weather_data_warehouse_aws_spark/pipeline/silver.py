@@ -1,0 +1,192 @@
+"""Bronze → Silver transformations (reference `scripts/glue/bronze_to_silver.py`).
+
+Same semantics, re-expressed Spark-first with explicit schemas:
+
+* ``current``: flatten nested JSON (P1-P3), DQ gates (P4-P6), keyed dedup
+  (A4), derived observation_date / is_daytime / heat_index_category (X2,
+  P11), partitioned parquet write (S4).
+* ``forecast``: explode the 40-point `list` (X1), flatten, horizon math
+  (F3/F8/F10), partitioned write.
+
+Scale decisions vs the reference:
+* explicit StructType read (no inference pass over 100 TB of JSON);
+* `dropDuplicates` keys are also the partition-sort keys so the exchange is
+  reused by the write;
+* the reference recomputes the whole plan for its post-write `.count()`
+  (`bronze_to_silver.py:114-119`) — writers here return counts from a single
+  cached evaluation;
+* idempotence fix (SURVEY §2.11 M4): the reference appends while re-reading
+  the FULL bronze glob every run, duplicating silver. `write_silver` supports
+  dynamic partition overwrite so re-processing a day replaces that day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ensure_session_conf
+from .schemas import BRONZE_CURRENT_SCHEMA, BRONZE_FORECAST_SCHEMA
+
+
+def read_bronze(
+    spark: SparkSession, bronze_dir: str, data_type: str, *, infer: bool = False
+) -> DataFrame:
+    """Read the bronze landing zone for one data_type.
+
+    Reference parity: `spark.read.option("multiLine","true").json(glob)`
+    over `raw/<type>/year=/month=/day=/hour=/*.json`
+    (`bronze_to_silver.py:27-30,127-130`). `infer=True` reproduces the
+    reference's schema-inference behavior (needed for its `wind.gust`
+    introspection path); default is the explicit schema.
+    """
+    ensure_session_conf(spark)
+    path = f"{bronze_dir}/raw/{data_type}/*/*/*/*/*.json"
+    reader = spark.read.option("multiLine", "true")
+    if not infer:
+        schema = BRONZE_CURRENT_SCHEMA if data_type == "current" else BRONZE_FORECAST_SCHEMA
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def _wind_gust_col(df: DataFrame):
+    """Optional-field gate, parity with `bronze_to_silver.py:35-42`.
+
+    With the explicit schema the field always exists (null when absent from
+    the JSON), so the static default covers both cases; with an inferred
+    schema the column may be missing entirely — introspect like the
+    reference does.
+    """
+    wind_fields = []
+    if "wind" in df.schema.fieldNames():
+        wind_fields = df.schema["wind"].dataType.fieldNames()
+    if "gust" in wind_fields:
+        return F.coalesce(F.col("wind.gust"), F.lit(0.0))
+    return F.lit(0.0)
+
+
+def build_silver_current(bronze: DataFrame) -> DataFrame:
+    """Flatten + clean current-weather bronze (`bronze_to_silver.py:24-109`)."""
+    silver = bronze.select(
+        F.col("city_name").alias("location_name"),
+        F.col("country").alias("country_code"),
+        F.col("coord.lat").alias("latitude"),
+        F.col("coord.lon").alias("longitude"),
+        F.to_timestamp("extraction_timestamp").alias("observation_time"),
+        F.col("batch_id"),
+        F.col("main.temp").alias("temperature_celsius"),
+        F.col("main.feels_like").alias("feels_like_celsius"),
+        F.col("main.temp_min").alias("temp_min_celsius"),
+        F.col("main.temp_max").alias("temp_max_celsius"),
+        F.col("main.humidity").alias("humidity_percent"),
+        F.col("main.pressure").alias("pressure_hpa"),
+        F.col("wind.speed").alias("wind_speed_mps"),
+        F.col("wind.deg").alias("wind_direction_deg"),
+        _wind_gust_col(bronze).alias("wind_gust_mps"),
+        F.col("clouds.all").alias("cloud_cover_percent"),
+        F.coalesce(F.col("visibility"), F.lit(10000)).alias("visibility_meters"),
+        F.col("weather").getItem(0).getField("main").alias("weather_condition"),
+        F.col("weather").getItem(0).getField("description").alias("weather_description"),
+        F.col("timezone").alias("timezone_offset_seconds"),
+        F.timestamp_seconds(F.col("sys.sunrise")).alias("sunrise_time"),
+        F.timestamp_seconds(F.col("sys.sunset")).alias("sunset_time"),
+        F.current_timestamp().alias("processed_timestamp"),
+    )
+
+    # data-quality gates (`bronze_to_silver.py:82-88`)
+    silver = (
+        silver.filter(F.col("temperature_celsius").isNotNull())
+        .filter(F.col("temperature_celsius").between(-50, 60))
+        .filter(F.col("humidity_percent").between(0, 100))
+        .dropDuplicates(["location_name", "observation_time"])
+    )
+
+    # derived fields (`bronze_to_silver.py:90-109`)
+    return (
+        silver.withColumn("observation_date", F.to_date("observation_time"))
+        .withColumn(
+            "is_daytime",
+            F.when(
+                F.col("observation_time").between(F.col("sunrise_time"), F.col("sunset_time")),
+                True,
+            ).otherwise(False),
+        )
+        .withColumn(
+            "heat_index_category",
+            F.when(F.col("feels_like_celsius") > 40, "Extreme Heat")
+            .when(F.col("feels_like_celsius") > 32, "High Heat")
+            .when(F.col("feels_like_celsius") > 26, "Moderate")
+            .when(F.col("feels_like_celsius") > 10, "Comfortable")
+            .otherwise("Cold"),
+        )
+    )
+
+
+def build_silver_forecast(bronze: DataFrame) -> DataFrame:
+    """Explode + flatten forecast bronze (`bronze_to_silver.py:124-179`)."""
+    exploded = bronze.select(
+        F.col("city_name").alias("location_name"),
+        F.col("country").alias("country_code"),
+        F.to_timestamp("extraction_timestamp").alias("forecast_created_time"),
+        F.col("batch_id"),
+        F.explode("list").alias("fp"),
+    )
+    silver = exploded.select(
+        "location_name",
+        "country_code",
+        "forecast_created_time",
+        "batch_id",
+        F.timestamp_seconds(F.col("fp.dt")).alias("forecast_for_time"),
+        F.col("fp.main.temp").alias("temperature_celsius_forecast"),
+        F.col("fp.main.feels_like").alias("feels_like_celsius_forecast"),
+        F.col("fp.main.humidity").alias("humidity_percent_forecast"),
+        F.col("fp.main.pressure").alias("pressure_hpa_forecast"),
+        F.col("fp.wind.speed").alias("wind_speed_mps_forecast"),
+        F.col("fp.wind.deg").alias("wind_direction_deg_forecast"),
+        F.col("fp.clouds.all").alias("cloud_cover_percent_forecast"),
+        F.coalesce(F.col("fp.pop"), F.lit(0.0)).alias("precipitation_probability"),
+        F.col("fp.weather").getItem(0).getField("main").alias("weather_condition_forecast"),
+        F.current_timestamp().alias("processed_timestamp"),
+    )
+    return (
+        silver.withColumn("forecast_for_date", F.to_date("forecast_for_time"))
+        .withColumn("forecast_created_date", F.to_date("forecast_created_time"))
+        .withColumn(
+            "forecast_horizon_hours",
+            F.round(
+                (
+                    F.unix_timestamp("forecast_for_time")
+                    - F.unix_timestamp("forecast_created_time")
+                )
+                / 3600.0,
+                1,
+            ),
+        )
+    )
+
+
+def write_silver(
+    df: DataFrame, path: str, partition_col: str, *, mode: str = "append"
+) -> int:
+    """Partitioned parquet write (S4); returns written row count.
+
+    `mode="overwrite_partitions"` uses dynamic partition overwrite — the
+    idempotent re-ingest the reference lacks (M4): reprocessing a date
+    replaces exactly that date's partition instead of appending duplicates.
+    """
+    spark = df.sparkSession
+    df = df.persist()
+    try:
+        n = df.count()  # single evaluation; the write reuses the cache
+        if mode == "overwrite_partitions":
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                df.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            df.write.partitionBy(partition_col).mode(mode).parquet(path)
+        return n
+    finally:
+        df.unpersist()

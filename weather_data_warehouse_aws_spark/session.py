@@ -49,4 +49,8 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # the synthetic `events` table carries TIMESTAMP(NANOS) parquet columns,
+    # which vanilla Spark refuses to read; read them as long and convert in
+    # the loader (sources/tables.py) — values are micro-precision in practice
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..session import ensure_session_conf
 
@@ -36,9 +37,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table; accepts `<dir>/<name>.parquet` layout."""
+    """Load one synthetic table; accepts `<dir>/<name>.parquet` layout.
+
+    `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark reads only as
+    long (`spark.sql.legacy.parquet.nanosAsLong`); convert back to a real
+    timestamp here (integer DIV — double division would lose precision on
+    10^18-scale epoch values). The data is micro-precision, so this is
+    lossless and matches DuckDB's TIMESTAMP_NS reads.
+    """
     ensure_session_conf(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
