@@ -25,13 +25,20 @@ def run_oracle(sql: str, sf_dir: str):
 
 def _norm_cell(v):
     if v is None:
-        return None
+        return "\x00NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return "\x00NULL"  # pandas renders SQL NULL as NaN for numerics
+        if v == int(v):
+            return str(int(v))  # 5.0 (float64) == 5 (int64) across engines
         # driver hashes exact values; we allow last-ulp float drift locally
-        return round(v, 9)
-    return str(v)
+        return f"{round(v, 9):.9f}"
+    s = str(v)
+    # pandas renders SQL DATE as midnight Timestamp; strip the zero time so
+    # date columns compare equal across engines (arrow sees date32 on both)
+    if s.endswith(" 00:00:00"):
+        return s[: -len(" 00:00:00")]
+    return s
 
 
 def assert_query_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:

@@ -1,0 +1,96 @@
+"""As-of (nearest-predecessor) join — the ordered cousin of the band join.
+
+The reference's accuracy view matches EVERY observation within ±1 h
+(many-to-many band join, `create_views.sql:109-115`). The as-of variant —
+"the latest right-side row at or before each left row" — is what most
+time-series systems ship (SURVEY §4 item 2 names it as the scale idiom).
+Spark has no built-in; this implements it as a sort-merge-over-union:
+
+    union(left tagged 1, right tagged 0)
+    window PARTITION BY keys ORDER BY (ts, tag) ROWS UNBOUNDED PRECEDING
+    last(right_payload IGNORE NULLS)  →  carried forward to each left row
+
+One shuffle on the keys, one sort per partition — exactly the cost of a
+sort-merge join, with no range-explosion risk. Ordering `(ts, tag)` puts a
+right row BEFORE a left row at equal timestamps, so `t_left == t_right`
+matches (ASOF `>=` semantics, same as DuckDB/Pandas merge_asof backward).
+
+Scale note: parallelism = distinct key groups. A single monster key (one
+user with billions of events) serializes that key's sort; the fix at that
+extreme is time-range chunking with boundary carry-over, not salting (which
+would break the running `last`). Keys like user_id/location_key are fine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_TAG = "__asof_is_left"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    *,
+    tolerance_sec: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left join each left row to the most recent right row with
+    ``right_ts <= left_ts`` within the same key group.
+
+    Right payload columns (everything except keys + right_ts) come back
+    suffixed. Rows with no predecessor keep nulls. `tolerance_sec` drops
+    matches older than the window (match becomes null, row is kept).
+    """
+    on = list(on)
+    right_payload_cols = [c for c in right.columns if c not in on]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in right_payload_cols}
+
+    payload = F.struct(*[F.col(c) for c in right_payload_cols])
+    rhs = right.select(
+        *on,
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(0).alias(_TAG),
+        payload.alias(_PAYLOAD),
+    )
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("__asof_ts"),
+        F.lit(1).alias(_TAG),
+        F.lit(None).cast(rhs.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+    )
+    rhs_aligned = rhs.select(
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) if c not in on else F.col(c) for c in left.columns],
+        "__asof_ts",
+        _TAG,
+        _PAYLOAD,
+    )
+
+    unioned = lhs.unionByName(rhs_aligned)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__asof_ts"), F.col(_TAG))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("__asof_match", F.last(_PAYLOAD, ignorenulls=True).over(w))
+
+    result = carried.filter(F.col(_TAG) == 1)
+    match = F.col("__asof_match")
+    if tolerance_sec is not None:
+        in_window = (
+            F.unix_timestamp("__asof_ts")
+            - F.unix_timestamp(match.getField(right_ts))
+        ) <= tolerance_sec
+        match = F.when(in_window, match)
+    return result.select(
+        *[F.col(c) for c in left.columns],
+        *[match.getField(c).alias(out_names[c]) for c in right_payload_cols],
+    )

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 _SUBMODULES = [
     "relational",
+    "temporal",
+    "joins",
 ]
 
 

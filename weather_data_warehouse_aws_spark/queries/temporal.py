@@ -1,0 +1,307 @@
+"""Temporal queries: band join, as-of join, date spine, windowed event aggs
+(SURVEY §2.3 J4, §2.5, §2.9 X3, §2.10 streaming-equivalent batch).
+
+events.ts is microsecond-precision; every epoch we emit is second-truncated
+(`unix_timestamp` in Spark ≡ `floor(epoch())` in DuckDB) so both engines
+hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.asof_join import asof_join
+from ..operators.band_join import band_join
+from ..sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# q_band_join_events — time-proximity many-to-many join (J4)
+# ---------------------------------------------------------------------------
+def q_band_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast↔actual accuracy-join analog (`create_views.sql:109-115`):
+    match each *view* event to every *purchase* by the same user strictly
+    within 1 hour, exactly the reference's |Δt| < 3600 semantics.
+
+    Runs through the bucketed band-join operator: equi-join on
+    (user_id, hour-bucket) after exploding the left side to adjacent
+    buckets — the plan that survives 8-distinct-key scale (see
+    operators/band_join.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    matched = band_join(
+        views, purchases, on=["user_id"], left_ts="view_ts", right_ts="purchase_ts",
+        tolerance_sec=3600,
+    )
+    return matched.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")).alias("gap_seconds"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
+ORACLE_BAND_JOIN_EVENTS = """
+SELECT
+    v.user_id AS user_id,
+    v.event_id AS view_id,
+    p.event_id AS purchase_id,
+    CAST(FLOOR(epoch(p.ts)) AS BIGINT) - CAST(FLOOR(epoch(v.ts)) AS BIGINT) AS gap_seconds,
+    ROUND(p.value, 2) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND ABS(CAST(FLOOR(epoch(v.ts)) AS BIGINT) - CAST(FLOOR(epoch(p.ts)) AS BIGINT)) < 3600
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_asof_join — nearest-predecessor join (scale idiom for J4, SURVEY §4.2)
+# ---------------------------------------------------------------------------
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the latest click at-or-before it by the same user.
+
+    Spark side: sort-merge-over-union as-of operator (operators/asof_join.py).
+    Oracle: DuckDB's native ASOF JOIN — an independent implementation of the
+    same semantics, which is exactly what makes this a strong differential
+    test. Clicks are pre-deduped per (user, ts) so ties can't differ.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # deterministic tie-break: one click per (user_id, ts), keep max event_id
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", F.col("ts").alias("click_ts"), "click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    joined = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="purchase_ts", right_ts="click_ts"
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias("gap_seconds"),
+    )
+
+
+ORACLE_ASOF_JOIN = """
+WITH clicks AS (
+    SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id, ts
+),
+purchases AS (
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT
+    p.user_id AS user_id,
+    p.purchase_id AS purchase_id,
+    c.click_id AS click_id,
+    CAST(FLOOR(epoch(p.purchase_ts)) AS BIGINT)
+      - CAST(FLOOR(epoch(c.click_ts)) AS BIGINT) AS gap_seconds
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_date_spine — generated date dimension (X3, F6, F7, P9)
+# ---------------------------------------------------------------------------
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension spine over the orders date range — the reference's
+    dim_date (`build_dimensions.py:99-145`) built with SQL `sequence()`
+    instead of a 1096-iteration driver loop.
+
+    Spark `dayofweek` is 1=Sunday; DuckDB's is 0=Sunday → oracle adds 1.
+    All calendar parts cast to int on both sides (DuckDB's default is BIGINT).
+    """
+    from ..pipeline.gold import build_dim_date
+
+    orders = load_table(spark, sf_dir, "orders")
+    lo, hi = orders.agg(
+        F.min(F.to_date("o_orderdate")), F.max(F.to_date("o_orderdate"))
+    ).collect()[0]
+    dd = build_dim_date(spark, str(lo), str(hi))
+    return dd.select(
+        "full_date",
+        "date_key",
+        "year",
+        "quarter",
+        "month",
+        "month_name",
+        "day",
+        "day_of_week",
+        "day_name",
+        "week_of_year",
+        "is_weekend",
+        "is_holiday",
+    )
+
+
+ORACLE_DATE_SPINE = """
+WITH bounds AS (
+    SELECT CAST(MIN(o_orderdate) AS DATE) AS lo, CAST(MAX(o_orderdate) AS DATE) AS hi
+    FROM orders
+),
+spine AS (
+    SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS full_date FROM bounds
+)
+SELECT
+    full_date,
+    CAST(strftime(full_date, '%Y%m%d') AS INT) AS date_key,
+    CAST(year(full_date) AS INT) AS year,
+    CAST(quarter(full_date) AS INT) AS quarter,
+    CAST(month(full_date) AS INT) AS month,
+    monthname(full_date) AS month_name,
+    CAST(day(full_date) AS INT) AS day,
+    CAST(dayofweek(full_date) + 1 AS INT) AS day_of_week,
+    dayname(full_date) AS day_name,
+    CAST(weekofyear(full_date) AS INT) AS week_of_year,
+    (dayofweek(full_date) + 1) IN (1, 7) AS is_weekend,
+    FALSE AS is_holiday
+FROM spine
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_events_hourly — tumbling-window aggregation (streaming-equivalent batch)
+# ---------------------------------------------------------------------------
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over the event stream: the batch twin of the
+    Structured Streaming job in streaming/jobs.py (same logical plan —
+    that's the point of the Dataset API).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count(F.col("user_id")).alias("n_with_user"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT
+    date_trunc('hour', ts) AS window_start,
+    event_type,
+    COUNT(*) AS n_events,
+    ROUND(SUM(value), 2) AS total_value,
+    COUNT(user_id) AS n_with_user
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_sessionize — gap-based session windows (gaps-and-islands)
+# ---------------------------------------------------------------------------
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: per-user sessions,
+    their span and event count. The batch twin of
+    `session_window` in Structured Streaming; expressed as the classic
+    lag + running-sum-of-breaks window chain, which shuffles once on
+    user_id and scales linearly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = 1800
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w_user))
+        .withColumn(
+            "is_break",
+            (
+                F.col("prev_ts").isNull()
+                | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > gap)
+            ).cast("int"),
+        )
+        .withColumn("session_seq", F.sum("is_break").over(w_user))
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
+            F.unix_timestamp(F.max("ts")).alias("session_end_epoch"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH laggy AS (
+    SELECT user_id, ts, event_id, value,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+breaks AS (
+    SELECT *,
+           CASE WHEN prev_ts IS NULL
+                  OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+                THEN 1 ELSE 0 END AS is_break
+    FROM laggy
+),
+sessions AS (
+    SELECT *,
+           SUM(is_break) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM breaks
+)
+SELECT
+    user_id,
+    session_seq,
+    COUNT(*) AS n_events,
+    CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+    CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS session_end_epoch,
+    ROUND(SUM(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+QUERIES = {
+    "band_join_events": q_band_join_events,
+    "asof_join": q_asof_join,
+    "date_spine": q_date_spine,
+    "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
+}
+
+ORACLE = {
+    "band_join_events": ORACLE_BAND_JOIN_EVENTS,
+    "asof_join": ORACLE_ASOF_JOIN,
+    "date_spine": ORACLE_DATE_SPINE,
+    "events_hourly": ORACLE_EVENTS_HOURLY,
+    "sessionize": ORACLE_SESSIONIZE,
+}
