@@ -1,0 +1,137 @@
+"""Operator tests for dedup + similarity beyond the oracle differentials:
+planted ground-truth recovery, LSH recall vs brute force, pigeonhole
+completeness of simhash banding."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather_data_warehouse_aws_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from weather_data_warehouse_aws_spark.operators.similarity import cosine_topk, lsh_topk
+from weather_data_warehouse_aws_spark.queries.dedup import (
+    EXACT_OFFSET,
+    NEAR_OFFSET,
+    SHINGLE_N,
+    planted_documents,
+)
+from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+
+def test_exact_dedup_recovers_planted(spark, sf_dir):
+    docs = planted_documents(spark, sf_dir)
+    pairs = exact_duplicates(docs, "doc_id", "text").collect()
+    planted = {(r.keep_id, r.dup_id) for r in pairs}
+    expected = {
+        (r.doc_id, r.doc_id + EXACT_OFFSET)
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert planted == expected  # exactly the planted copies, nothing else
+
+
+def test_ngram_jaccard_recovers_near_dups(spark, sf_dir):
+    docs = planted_documents(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=SHINGLE_N, threshold=0.6)
+    rows = pairs.collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    near_ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 == 1)
+        .select("doc_id")
+        .collect()
+    ]
+    for i in near_ids:
+        assert (i, i + NEAR_OFFSET) in got, f"missed planted near-dup {i}"
+        assert 0.6 <= got[(i, i + NEAR_OFFSET)] < 1.0
+    exact_ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    for i in exact_ids:
+        assert got.get((i, i + EXACT_OFFSET)) == 1.0
+
+
+def test_minhash_lsh_finds_planted_with_high_recall(spark, sf_dir):
+    docs = planted_documents(spark, sf_dir)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", k=16, bands=4, shingle_n=SHINGLE_N, threshold=0.5
+        ).collect()
+    }
+    exact_ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    # exact copies have identical signatures -> always collide
+    assert all((i, i + EXACT_OFFSET) in pairs for i in exact_ids)
+    near_ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 == 1)
+        .select("doc_id")
+        .collect()
+    ]
+    found = sum((i, i + NEAR_OFFSET) in pairs for i in near_ids)
+    assert found / len(near_ids) >= 0.6  # probabilistic, deterministic seed
+
+
+def test_simhash_pairs_complete_within_distance(spark, sf_dir):
+    """Pigeonhole banding must find EVERY pair with hamming <= max_hamming:
+    compare against brute-force popcount over all pairs."""
+    from weather_data_warehouse_aws_spark.operators.dedup import simhash
+
+    docs = planted_documents(spark, sf_dir)
+    sh = simhash(docs, "doc_id", "text", bits=32).cache()
+    banded = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=3).collect()
+    }
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("d", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("d") <= 3)
+        .collect()
+    }
+    sh.unpersist()
+    assert banded == brute
+    # exact copies share the simhash -> distance 0 pairs must exist
+    assert any(b - a == EXACT_OFFSET for a, b in banded)
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    n_planes = 4
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(queries, emb, k=5, n_planes=n_planes).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random 64-dim vectors are near-orthogonal — the worst case for sign-LSH
+    # — so calibrate against the fraction of the corpus actually probed:
+    # own bucket + n_planes Hamming-1 probes ≈ (1+n)/2^n of the corpus.
+    probed_fraction = (1 + n_planes) / 2**n_planes  # ≈ 0.31
+    assert recall >= probed_fraction, f"LSH recall {recall:.2f} no better than chance"
+    assert len(approx) > 0

@@ -1,0 +1,148 @@
+"""Text-analysis column builders (north-star: LLM-training-data pipeline).
+
+Everything here is JVM-side (`pyspark.sql.functions` + SQL higher-order
+functions) — no Python UDFs in the hot path. Each builder has a matching
+SQL-fragment generator so the DuckDB oracle uses the *same constants*
+(stopword lists, hash constants) — one source of truth, two dialects.
+
+Portable hashing: both engines lack a shared 64-bit hash builtin
+(Spark xxhash64 ≠ DuckDB hash), so cross-engine-checkable hashes are built
+from md5 hex prefixes: Spark ``conv(substring(md5(x),1,15),16,10)`` ==
+DuckDB ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)`` (60 bits, verified
+bit-exact). Engine-internal code that doesn't need oracle parity should
+prefer ``xxhash64`` (faster, no string round-trip).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- constants
+STOPWORDS_EN = ("the", "a", "an", "of", "and", "in", "to", "is", "it", "for")
+
+# marker vocabularies for the lang-id heuristic; deterministic tie-break is
+# the tuple order below (first wins)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "et", "est", "des"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+
+# MinHash: h_i(x) = (a_i * base(x) + b_i) mod P with 31-bit arithmetic so the
+# products stay < 2^62 (DuckDB raises on BIGINT overflow; Spark would wrap).
+MINHASH_P = 2147483647  # 2^31 - 1, prime
+
+
+def minhash_constants(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs shared by Spark and oracle SQL."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P)) for _ in range(k)]
+
+
+# ------------------------------------------------------- portable 60-bit hash
+def portable_hash60(col: Column) -> Column:
+    """md5-prefix hash, bit-identical to `portable_hash60_sql` in DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def portable_hash60_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+# ------------------------------------------------------------------ tokenize
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; trailing/leading whitespace safe."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def tokens_sql(expr: str) -> str:
+    return rf"regexp_split_to_array(trim({expr}), '\s+')"
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"CAST(len({tokens_sql(expr)}) AS INT)"
+
+
+# ------------------------------------------------------------- text metrics
+def punct_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, PUNCT_CLASS, ""))
+
+
+def punct_count_sql(expr: str) -> str:
+    return (
+        f"length({expr}) - length(regexp_replace({expr}, '{PUNCT_CLASS}', '', 'g'))"
+    )
+
+
+def stopword_count_expr(text_expr: str, words: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return F.expr(
+        rf"size(filter(split(trim({text_expr}), '\\s+'), "
+        rf"t -> array_contains(array({arr}), t)))"
+    )
+
+
+def stopword_count_sql(expr: str, words: tuple[str, ...] = STOPWORDS_EN) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CAST(len(list_filter({tokens_sql(expr)}, "
+        f"t -> list_contains([{arr}], t))) AS INT)"
+    )
+
+
+# -------------------------------------------------------------- fingerprint
+def normalized_text(col: Column) -> Column:
+    """lower → strip punctuation → collapse whitespace (rolling-hash-style
+    document fingerprint normalization)."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(col), PUNCT_CLASS, ""), r"\s+", " ")
+    )
+
+
+def normalized_text_sql(expr: str) -> str:
+    return (
+        rf"trim(regexp_replace(regexp_replace(lower({expr}), "
+        rf"'{PUNCT_CLASS}', '', 'g'), '\s+', ' ', 'g'))"
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    return F.md5(normalized_text(col))
+
+
+def fingerprint_sql(expr: str) -> str:
+    return f"md5({normalized_text_sql(expr)})"
+
+
+# ---------------------------------------------------------- word shingles
+def word_shingles(text_expr: str, n: int) -> Column:
+    """Distinct word n-gram shingles as an array column (SQL HOFs only).
+
+    slice() is 1-indexed in both engines; sequence/generate_series bounds
+    chosen so a doc with fewer than n tokens yields a single shingle of all
+    its tokens.
+    """
+    toks = rf"split(trim({text_expr}), '\\s+')"
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n} + 1, 1)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    )
+
+
+def word_shingles_sql(expr: str, n: int) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({toks}) - {n} + 1, 1)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' ')))"
+    )

@@ -1,0 +1,237 @@
+"""Document deduplication operators (north-star: LLM-training-data pipeline).
+
+Five strategies, all pure DataFrame/SQL-HOF plans (no Python in the hot
+path), each designed around the 100 TB shape of the problem — candidate
+generation must be a hash-partitioned equi-join on a derived key, never an
+all-pairs comparison:
+
+* exact          — md5(text) group; one shuffle on the 16-byte digest.
+* ngram Jaccard  — explode word-n-gram shingles → self-join on shingle →
+                   per-pair intersection counts → Jaccard from set sizes.
+                   Only pairs sharing ≥1 shingle are ever materialized.
+* MinHash + LSH  — k hash-permutation minima per doc; band the signature;
+                   docs colliding on a whole band become candidates. Linear
+                   in corpus size; tunable (b, r) precision/recall.
+* SimHash        — 32-bit sign-aggregated token hash; near-dups have small
+                   Hamming distance; banding the bits gives the equi-join.
+* embedding      — cosine ≥ τ within a blocking key (see similarity.py).
+
+All hashes route through functions/text.py's md5-based portable hash so the
+DuckDB oracle can replicate bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    MINHASH_P,
+    fingerprint,
+    minhash_constants,
+    portable_hash60,
+    word_shingles,
+)
+
+
+# ------------------------------------------------------------------- exact
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (keep_id, dup_id) per duplicate row.
+
+    Shuffles on the digest, not the document — at 100 TB the network moves
+    16-byte keys + ids, not text bodies.
+    """
+    hashed = df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h"))
+    keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        hashed.join(keepers, "h")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("keep_id", F.col("doc_id").alias("dup_id"))
+    )
+
+
+def fingerprint_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup after normalization (lower/strip-punct/collapse-ws) —
+    the 'document fingerprinting' variant."""
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    keepers = hashed.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        hashed.join(keepers, "fp")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("keep_id", F.col("doc_id").alias("dup_id"))
+    )
+
+
+# ---------------------------------------------------------- n-gram Jaccard
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, shingle_hash) — one row per DISTINCT shingle per doc."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    ).select("doc_id", portable_hash60(F.col("shingle")).alias("sh"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Candidate pairs (a < b) with exact shingle-set Jaccard ≥ threshold.
+
+    Plan: shingles → self-equi-join on shingle hash → count(*) per pair =
+    |A∩B|; |A∪B| from per-doc set sizes. Jaccard is a ratio of exact
+    integers, so it hashes identically across engines. Frequency-skewed
+    shingles (a shingle in millions of docs) are the scale hazard — cap or
+    drop ultra-frequent shingles upstream for web-scale corpora.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ MinHash + LSH
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 16, shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """k-column MinHash signature per doc: mh_i = min over shingles of
+    (a_i * h(shingle) + b_i) mod P, 31-bit arithmetic (overflow-safe in both
+    engines). One explode + one groupBy — linear, no pairwise work."""
+    consts = minhash_constants(k, seed)
+    sh = shingle_table(df, id_col, text_col, shingle_n).withColumn(
+        "base", F.col("sh") % MINHASH_P
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("base") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 16, bands: int = 4,
+    shingle_n: int = 3, threshold: float = 0.5, seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs + estimated Jaccard (signature agreement rate).
+
+    Bands of r = k/bands rows; docs equal on ALL r components of any band
+    collide. Each band join is a hash equi-join on an (r×31-bit) composite
+    key → shuffle-friendly and linear-ish; the estimate filter then applies
+    sig-agreement ≥ threshold. P(collide) = 1-(1-j^r)^b — with k=16, b=4:
+    ~0.04 at j=0.3, ~0.9 at j=0.8.
+    """
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed)
+    sig_a = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
+    sig_b = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
+
+    candidates = None
+    for band in range(bands):
+        cond = [F.col(f"a{band * r + j}") == F.col(f"b{band * r + j}") for j in range(r)]
+        pred = cond[0]
+        for c in cond[1:]:
+            pred = pred & c
+        cand = sig_a.join(sig_b, pred & (F.col("id_a") < F.col("id_b"))).select("id_a", "id_b")
+        candidates = cand if candidates is None else candidates.unionByName(cand)
+    candidates = candidates.distinct()
+
+    agreement = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k)
+    ) / F.lit(float(k))
+    scored = (
+        candidates.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", F.round(agreement, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return scored
+
+
+# ------------------------------------------------------------------ SimHash
+def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash: bit_j = [ Σ_tokens (bit_j(h(token))·2 − 1) > 0 ].
+
+    Distinct tokens per doc (set semantics). Pure integer arithmetic —
+    oracle-replicable. One explode + one groupBy with `bits` aggregates.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("h", portable_hash60(F.col("tok")))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    value = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)
+    )
+    return sums.select("doc_id", value.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 32, max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the hash into `chunks` bit-ranges; any pair
+    within distance < chunks must agree on ≥1 whole chunk → candidates come
+    from `chunks` equi-joins, then the exact popcount filter runs on
+    candidates only.
+    """
+    if max_hamming >= chunks:
+        raise ValueError("need chunks > max_hamming for pigeonhole completeness")
+    width = bits // chunks
+    sh = simhash(df, id_col, text_col, bits=bits)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+
+    mask = (1 << width) - 1
+    candidates = None
+    for c in range(chunks):
+        cand = a.join(
+            b,
+            (
+                F.shiftright(F.col("ha"), c * width).bitwiseAND(F.lit(mask))
+                == F.shiftright(F.col("hb"), c * width).bitwiseAND(F.lit(mask))
+            )
+            & (F.col("id_a") < F.col("id_b")),
+        ).select("id_a", "id_b", "ha", "hb")
+        candidates = cand if candidates is None else candidates.unionByName(cand)
+    candidates = candidates.distinct()
+
+    xor = F.col("ha").bitwiseXOR(F.col("hb"))
+    hamming = F.bit_count(xor)
+    return (
+        candidates.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

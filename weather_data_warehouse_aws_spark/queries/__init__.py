@@ -21,6 +21,9 @@ _SUBMODULES = [
     "relational",
     "temporal",
     "joins",
+    "text",
+    "dedup",
+    "similarity",
 ]
 
 

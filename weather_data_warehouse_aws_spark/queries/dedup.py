@@ -1,0 +1,240 @@
+"""Deduplication queries over `documents` (north-star: exact, n-gram
+Jaccard, MinHash+LSH, SimHash — SURVEY §7 track b).
+
+The synthetic corpus has no natural duplicates (500 distinct texts at
+sf0.01), so each query PLANTS duplicates deterministically inside the query
+itself — exact copies for doc_id % 100 == 0 (id + 1_000_000) and
+appended-trailer near-dups for doc_id % 100 == 1 (id + 2_000_000). The
+DuckDB oracle constructs the identical planted corpus, making every planted
+pair a ground-truth the differential test must recover.
+
+Shingle width n=5: this corpus has a 31-word vocabulary, so 3-grams collide
+by chance (1.27M candidate pairs at sf0.1) while 5-grams are ~unique
+(13.5k). Real web corpora tune n the same way — wide enough that chance
+collisions don't swamp the candidate join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import MINHASH_P, minhash_constants, portable_hash60_sql
+from ..operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..sources.tables import load_table
+
+EXACT_OFFSET = 1_000_000
+NEAR_OFFSET = 2_000_000
+TRAILER = " zq1 zq2 zq3"
+SHINGLE_N = 5
+
+
+def planted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select((F.col("doc_id") + EXACT_OFFSET).alias("doc_id"), "text")
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 100 == 1)
+        .select(
+            (F.col("doc_id") + NEAR_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(TRAILER)).alias("text"),
+        )
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+PLANTED_SQL = f"""
+planted AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {EXACT_OFFSET}, text FROM documents WHERE doc_id % 100 = 0
+    UNION ALL
+    SELECT doc_id + {NEAR_OFFSET}, text || '{TRAILER}' FROM documents WHERE doc_id % 100 = 1
+)
+"""
+
+_SHINGLES_SQL = rf"""
+shingles AS (
+    SELECT doc_id,
+           {portable_hash60_sql('s')} AS sh
+    FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - {SHINGLE_N} + 1, 1)),
+                   i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + {SHINGLE_N} - 1), ' ')
+               ))) AS s
+        FROM planted
+    )
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_exact_dedup
+# ---------------------------------------------------------------------------
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup: (keep_id, dup_id) for byte-identical texts."""
+    return exact_duplicates(planted_documents(spark, sf_dir), "doc_id", "text").orderBy(
+        "keep_id", "dup_id"
+    )
+
+
+ORACLE_EXACT_DEDUP = f"""
+WITH {PLANTED_SQL.strip()},
+planted_hashed AS (
+    SELECT doc_id, md5(text) AS h FROM planted
+),
+keepers AS (
+    SELECT h, MIN(doc_id) AS keep_id FROM planted_hashed GROUP BY h
+)
+SELECT keep_id, doc_id AS dup_id
+FROM planted_hashed JOIN keepers USING (h)
+WHERE doc_id <> keep_id
+ORDER BY keep_id, dup_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_ngram_jaccard
+# ---------------------------------------------------------------------------
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard ≥ 0.6 over candidate pairs sharing ≥1
+    shingle. Recovers both planted exact pairs (j=1.0) and trailer near-dups
+    (j≈0.8-0.9)."""
+    return ngram_jaccard_pairs(
+        planted_documents(spark, sf_dir), "doc_id", "text", n=SHINGLE_N, threshold=0.6
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH {PLANTED_SQL.strip()},
+{_SHINGLES_SQL.strip()},
+sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_minhash_lsh
+# ---------------------------------------------------------------------------
+_K, _BANDS = 16, 4
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands × 4 rows) candidates with estimated Jaccard
+    ≥ 0.5 — the linear-time scale path for near-dup detection."""
+    return minhash_lsh_pairs(
+        planted_documents(spark, sf_dir),
+        "doc_id",
+        "text",
+        k=_K,
+        bands=_BANDS,
+        shingle_n=SHINGLE_N,
+        threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
+def _oracle_minhash_lsh() -> str:
+    consts = minhash_constants(_K)
+    r = _K // _BANDS
+    mins = ",\n           ".join(
+        f"MIN(({a} * (sh % {MINHASH_P}) + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_joins = " OR ".join(
+        "("
+        + " AND ".join(f"a.mh{band * r + j} = b.mh{band * r + j}" for j in range(r))
+        + ")"
+        for band in range(_BANDS)
+    )
+    agreement = " + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(_K))
+    return f"""
+WITH {PLANTED_SQL.strip()},
+{_SHINGLES_SQL.strip()},
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM shingles
+    GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(({agreement}) / {float(_K)}, 6) AS est_jaccard
+FROM sig a JOIN sig b
+  ON a.doc_id < b.doc_id AND ({band_joins})
+WHERE ({agreement}) / {float(_K)} >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_simhash
+# ---------------------------------------------------------------------------
+_SIMHASH_BITS = 32
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document — a full differential check of the
+    sign-aggregated token-hash construction (pairing is covered by
+    tests/test_dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=_SIMHASH_BITS).orderBy("doc_id")
+
+
+def _oracle_simhash() -> str:
+    h = portable_hash60_sql("tok")
+    sums = ",\n           ".join(
+        f"SUM((({h} >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(_SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIMHASH_BITS)
+    )
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+    FROM documents
+),
+sums AS (
+    SELECT doc_id,
+           {sums}
+    FROM toks
+    GROUP BY doc_id
+)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash
+FROM sums
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+}
+
+ORACLE = {
+    "exact_dedup": ORACLE_EXACT_DEDUP,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "minhash_lsh": _oracle_minhash_lsh(),
+    "simhash": _oracle_simhash(),
+}
