@@ -1,0 +1,92 @@
+"""Structured Streaming tests: the streaming jobs must agree with their
+batch twins when the stream is fully drained (availableNow)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_data_warehouse_aws_spark.sources.tables import load_table
+from weather_data_warehouse_aws_spark.streaming.jobs import (
+    hourly_event_counts,
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_smoke_dir, tmp_path_factory):
+    """Re-land events as a multi-file parquet directory (a stream source
+    needs a directory it can discover files in)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_smoke_dir, "events").repartition(8).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def test_streaming_hourly_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    result = run_to_memory(hourly_event_counts(stream), "hourly_counts")
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    got = {(r.window_start, r.event_type): (r.n_events, r.total_value) for r in result.collect()}
+    want = {(r.window_start, r.event_type): (r.n_events, r.total_value) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_session_windows(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    result = run_to_memory(session_windows(stream, gap="30 minutes"), "session_counts")
+    rows = result.collect()
+    assert len(rows) > 0
+    # session windows are disjoint per user and each holds >= 1 event
+    assert all(r.n_events >= 1 for r in rows)
+    per_user_total = {}
+    for r in rows:
+        per_user_total[r.user_id] = per_user_total.get(r.user_id, 0) + r.n_events
+    batch_counts = {
+        r.user_id: r.n
+        for r in spark.read.parquet(events_dir).groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_user_total == batch_counts
+
+
+def test_session_window_agrees_with_gaps_and_islands(spark, events_dir):
+    """The built-in session_window (batch mode) and the SQL gaps-and-islands
+    sessionization must carve identical sessions (same start/end/count)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(events_dir)
+    builtin = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("start"), "n_events")
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    manual = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w_user))
+        .withColumn(
+            "is_break",
+            (
+                F.col("prev_ts").isNull()
+                | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > 1800)
+            ).cast("int"),
+        )
+        .withColumn("session_seq", F.sum("is_break").over(w_user))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("start"), F.count("*").alias("n_events"))
+        .select("user_id", "start", "n_events")
+    )
+    got = {(r.user_id, r.start): r.n_events for r in builtin.collect()}
+    want = {(r.user_id, r.start): r.n_events for r in manual.collect()}
+    assert got == want

@@ -24,6 +24,7 @@ _SUBMODULES = [
     "text",
     "dedup",
     "similarity",
+    "multimodal",
 ]
 
 

@@ -1,0 +1,88 @@
+"""Structured Streaming variants of the batch aggregations (SURVEY §2.10).
+
+The reference is strictly daily batch (EventBridge cron, `README.md:55-59`);
+its bronze layer, though, is *naturally* a file-arrival stream, and the
+driver's `events` table invites windowed aggregation. These jobs are the
+streaming twins of the batch queries in queries/temporal.py — same logical
+plan through the Dataset API, which is exactly Spark's pitch: write once,
+run batch or incremental.
+
+Scale notes:
+* watermarks bound state: `1 hour` watermark + 1-hour tumbling windows keeps
+  O(#active windows × #groups) state per executor;
+* `availableNow` trigger gives incremental batch (catch-up without a
+  long-running cluster) — used by the tests;
+* session windows use the built-in `session_window` (state-store-backed,
+  mergeable) rather than the gaps-and-islands window chain, which doesn't
+  stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ensure_session_conf
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a directory of parquet event files."""
+    ensure_session_conf(spark)
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+
+
+def hourly_event_counts(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of queries/temporal.q_events_hourly: tumbling 1-hour
+    windows with late-data tolerance = `watermark`."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def session_windows(events: DataFrame, *, gap: str = "30 minutes",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization via the built-in mergeable session window —
+    the stateful twin of queries/temporal.q_sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, *, timeout_sec: int = 120) -> DataFrame:
+    """Drain a stream with the availableNow trigger into an in-memory table
+    (complete mode) and return the result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stream_df.sparkSession.table(name)
