@@ -39,6 +39,9 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - start, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # queries may persist internal intermediates (e.g. minhash signatures);
+        # drop them so queries are timed independently
+        spark.catalog.clearCache()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

@@ -84,7 +84,9 @@ def ngram_jaccard_pairs(
     shingles (a shingle in millions of docs) are the scale hazard — cap or
     drop ultra-frequent shingles upstream for web-scale corpora.
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    # the shingle table feeds three consumers (sizes + both join sides);
+    # persist so the explode+md5 pass runs once, not three times
+    sh = shingle_table(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
     a = sh.select(F.col("doc_id").alias("id_a"), "sh")
@@ -143,7 +145,9 @@ def minhash_lsh_pairs(
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed)
+    # signatures feed 2 sides × `bands` joins + the agreement scorer —
+    # persist or the shingle scan + 16 min-aggs re-run up to 10 times
+    sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed).persist()
     sig_a = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
     sig_b = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
 
@@ -210,7 +214,7 @@ def simhash_pairs(
     if max_hamming >= chunks:
         raise ValueError("need chunks > max_hamming for pigeonhole completeness")
     width = bits // chunks
-    sh = simhash(df, id_col, text_col, bits=bits)
+    sh = simhash(df, id_col, text_col, bits=bits).persist()
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
 

@@ -25,6 +25,7 @@ _SUBMODULES = [
     "dedup",
     "similarity",
     "multimodal",
+    "semistructured",
 ]
 
 
