@@ -21,8 +21,13 @@ _QUERIES, _ORACLE = _registry.collect()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    weather_e2e drives the reference's whole semantic core in one plan:
+    the bucketed band join, error/category/accuracy expressions, horizon
+    bucketing, and boolean-rate aggregation (see queries/weather_e2e.py).
+    """
+    return _QUERIES["weather_e2e"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,176 @@
+"""Skew-operator equivalence + hypothesis property tests for the custom
+join/merge operators (SURVEY §5 item 4: property tests)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from weather_data_warehouse_aws_spark.operators.asof_join import asof_join
+from weather_data_warehouse_aws_spark.operators.band_join import band_join
+from weather_data_warehouse_aws_spark.operators.skew import salted_agg, salted_broadcast_join
+
+BASE = dt.datetime(2024, 1, 1)
+
+# hypothesis drives Spark jobs — keep examples few and deadline off
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=20_000),  # offset seconds
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(left=_events, right=_events, tol=st.sampled_from([1, 60, 3600]))
+@_SETTINGS
+def test_band_join_matches_bruteforce(spark, left, right, tol):
+    """Bucketed band join ≡ brute-force |Δt|<tol filter, for arbitrary keyed
+    timestamp multisets and tolerances."""
+    ldf = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left)],
+        "k bigint, lts timestamp, lid bigint",
+    )
+    rdf = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(right)],
+        "k bigint, rts timestamp, rid bigint",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in band_join(ldf, rdf, on=["k"], left_ts="lts", right_ts="rts", tolerance_sec=tol).collect()
+    }
+    want = {
+        (i, j)
+        for i, (lk, ls) in enumerate(left)
+        for j, (rk, rs) in enumerate(right)
+        if lk == rk and abs(ls - rs) < tol
+    }
+    assert got == want
+
+
+@given(left=_events, right=_events)
+@_SETTINGS
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """As-of join ≡ per-row max(right_ts ≤ left_ts) brute force."""
+    ldf = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left)],
+        "k bigint, lts timestamp, lid bigint",
+    )
+    # dedupe right per (k, ts): asof picks the greatest ts; attribute ties
+    # are resolved by keeping max rid (mirrors queries/temporal.py)
+    seen: dict[tuple[int, int], int] = {}
+    for j, (rk, rs) in enumerate(right):
+        seen[(rk, rs)] = max(seen.get((rk, rs), -1), j)
+    rrows = [(k, BASE + dt.timedelta(seconds=s), rid) for (k, s), rid in seen.items()]
+    rdf = spark.createDataFrame(rrows, "k bigint, rts timestamp, rid bigint")
+
+    got = {
+        r.lid: r.rid
+        for r in asof_join(ldf, rdf, on=["k"], left_ts="lts", right_ts="rts").collect()
+    }
+    want = {}
+    for i, (lk, ls) in enumerate(left):
+        best = None
+        for (rk, rs), rid in seen.items():
+            if rk == lk and rs <= ls and (best is None or rs > best[0]):
+                best = (rs, rid)
+        want[i] = best[1] if best else None
+    assert got == want
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        (r.event_type,): (r.n, round(r.total, 2), round(r.avg_v, 6), r.mx)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.avg("value").alias("avg_v"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.event_type,): (r.n, round(r.total, 2), round(r.avg_v, 6), r.mx)
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            {
+                "n": ("*", "count"),
+                "total": ("value", "sum"),
+                "avg_v": ("value", "avg"),
+                "mx": ("value", "max"),
+            },
+            salt_cols=["event_id"],
+            buckets=16,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_broadcast_join_equals_plain_join(spark, sf_dir):
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    plain = {
+        (r.c_custkey, r.n_name)
+        for r in customer.join(nation, "c_nationkey").select("c_custkey", "n_name").collect()
+    }
+    salted = {
+        (r.c_custkey, r.n_name)
+        for r in salted_broadcast_join(
+            customer, nation, ["c_nationkey"], salt_cols=["c_custkey"], buckets=4
+        )
+        .select("c_custkey", "n_name")
+        .collect()
+    }
+    assert salted == plain
+
+
+@pytest.mark.parametrize("n_changes", [0, 1, 3])
+def test_scd2_row_conservation(spark, n_changes):
+    """SCD2 merge invariants: every natural key has exactly one current row;
+    expired rows never resurrect; version numbers are dense per key."""
+    from weather_data_warehouse_aws_spark.operators.scd2 import (
+        scd2_initial_load,
+        scd2_merge,
+    )
+
+    base = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(6)], "nk string, attr string"
+    )
+    dim = scd2_initial_load(
+        base, ["nk"], "key", effective_date=dt.date(2024, 1, 1), now=dt.datetime(2024, 1, 1)
+    )
+    updates = spark.createDataFrame(
+        [(f"k{i}", f"v{i}_new" if i < n_changes else f"v{i}") for i in range(6)],
+        "nk string, attr string",
+    )
+    merged = scd2_merge(
+        dim, updates, ["nk"], ["attr"], "key",
+        effective_date=dt.date(2024, 2, 1), now=dt.datetime(2024, 2, 1),
+    ).cache()
+    assert merged.count() == 6 + n_changes
+    current = merged.filter(F.col("is_current"))
+    assert current.count() == 6
+    assert current.select("nk").distinct().count() == 6
+    versions = merged.groupBy("nk").agg(
+        F.max("version").alias("vmax"), F.count("*").alias("cnt")
+    )
+    assert versions.filter(F.col("vmax") != F.col("cnt")).count() == 0
+    merged.unpersist()

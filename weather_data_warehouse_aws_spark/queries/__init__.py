@@ -26,6 +26,7 @@ _SUBMODULES = [
     "similarity",
     "multimodal",
     "semistructured",
+    "weather_e2e",
 ]
 
 
