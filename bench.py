@@ -43,6 +43,32 @@ def main() -> None:
         # drop them so queries are timed independently
         spark.catalog.clearCache()
 
+    # end-to-end weather pipeline (bronze JSON → silver → gold/SCD2 → band-
+    # join accuracy fact): the reference's entire workload, vs its "<5 min
+    # per Glue job" budget (BASELINE.md). 30 days × 2 extractions × 8 cities.
+    import shutil
+    import tempfile
+
+    from weather_data_warehouse_aws_spark.pipeline.generate import generate_bronze
+    from weather_data_warehouse_aws_spark.pipeline.run import run_pipeline
+
+    tmp = tempfile.mkdtemp(prefix="wdwa_bench_")
+    try:
+        bronze = os.path.join(tmp, "bronze")
+        generate_bronze(bronze, days=30, extractions_per_day=2, seed=42)
+        start = time.perf_counter()
+        layers = run_pipeline(spark, bronze, os.path.join(tmp, "wh"))
+        n_acc = layers["fact_forecast_accuracy"].count()
+        timings["weather_pipeline"] = round(time.perf_counter() - start, 3)
+        print(
+            f"# weather_pipeline: {timings['weather_pipeline']:.3f}s "
+            f"({n_acc} accuracy rows)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.catalog.clearCache()
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)

@@ -145,21 +145,33 @@ def minhash_lsh_pairs(
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
-    # signatures feed 2 sides × `bands` joins + the agreement scorer —
-    # persist or the shingle scan + 16 min-aggs re-run up to 10 times
+    # signatures feed the band explode + 2 joins for the agreement scorer —
+    # persist or the shingle scan + k min-aggs re-run for each consumer
     sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed).persist()
     sig_a = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
     sig_b = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
 
-    candidates = None
-    for band in range(bands):
-        cond = [F.col(f"a{band * r + j}") == F.col(f"b{band * r + j}") for j in range(r)]
-        pred = cond[0]
-        for c in cond[1:]:
-            pred = pred & c
-        cand = sig_a.join(sig_b, pred & (F.col("id_a") < F.col("id_b"))).select("id_a", "id_b")
-        candidates = cand if candidates is None else candidates.unionByName(cand)
-    candidates = candidates.distinct()
+    # ONE equi-join on (band_index, band_key) instead of `bands` separate
+    # self-joins + union: posexplode the banded signature so every (doc,
+    # band) is a row, then hash-join band buckets. Linear shuffle volume,
+    # and the band index in the key keeps different bands from colliding.
+    band_structs = F.array(
+        *[
+            F.struct(*[F.col(f"mh{band * r + j}").alias(f"c{j}") for j in range(r)])
+            for band in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(band_structs).alias("band_idx", "band_key")
+    )
+    lhs = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
+    rhs = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key")
+    candidates = (
+        lhs.join(rhs, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
     agreement = sum(
         (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k)
