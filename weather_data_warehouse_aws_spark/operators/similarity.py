@@ -98,16 +98,25 @@ def blocked_neardup(
     The self-join is an equi-join on the block key — shuffle partitions by
     block, compare within. Quadratic only in block size, never corpus size.
     """
-    a = df.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    # hoist the norm: computed once per VECTOR before the join, not twice per
+    # PAIR inside it — same float ops on the same values (bit-identical
+    # result), at 1/|block| of the arithmetic
+    normed = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        _norm(vec_col).alias("nrm"),
     )
-    b = df.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    a = normed.select(
+        "blk", F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = normed.select(
+        "blk", F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine("va", "vb"), 6))
+        .withColumn("cos", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos") >= threshold)
         .select(F.col("blk").alias(block_col), "id_a", "id_b", "cos")
     )
