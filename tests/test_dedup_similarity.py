@@ -12,7 +12,11 @@ from weather_data_warehouse_aws_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from weather_data_warehouse_aws_spark.operators.similarity import cosine_topk, lsh_topk
+from weather_data_warehouse_aws_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
 from weather_data_warehouse_aws_spark.queries.dedup import (
     EXACT_OFFSET,
     NEAR_OFFSET,
@@ -135,3 +139,19 @@ def test_lsh_topk_recall(spark, sf_dir):
     probed_fraction = (1 + n_planes) / 2**n_planes  # ≈ 0.31
     assert recall >= probed_fraction, f"LSH recall {recall:.2f} no better than chance"
     assert len(approx) > 0
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    n_cells, nprobe = 16, 4
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(queries, emb, k=5, n_cells=n_cells, nprobe=nprobe).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    probed_fraction = nprobe / n_cells  # 0.25 of the corpus searched
+    assert recall >= probed_fraction, f"IVF recall {recall:.2f} no better than chance"

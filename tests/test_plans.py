@@ -6,6 +6,7 @@ products, partitioned (never global) windows in data paths."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 from weather_data_warehouse_aws_spark.plans.inspect import (
@@ -93,3 +94,34 @@ def test_scan_pruning_documents(spark, sf_dir):
     cols = scan_columns(plan)
     assert "doc_id" in cols and "text" in cols
     assert "source" not in cols and "n_chars" not in cols
+
+
+def test_partitioned_silver_prunes_partitions(spark, tmp_path_factory):
+    """Hive-style date partitioning (the reference's #1 hand-tuned layout
+    choice) must show PartitionFilters in the scan — a date filter reads
+    one directory, not the table."""
+    import datetime as dt
+
+    from weather_data_warehouse_aws_spark.pipeline.generate import generate_bronze
+    from weather_data_warehouse_aws_spark.pipeline.silver import (
+        build_silver_current,
+        read_bronze,
+        write_silver,
+    )
+
+    bronze = str(tmp_path_factory.mktemp("bronze_prune"))
+    generate_bronze(bronze, days=3, seed=11)
+    out = str(tmp_path_factory.mktemp("silver_prune"))
+    write_silver(
+        build_silver_current(read_bronze(spark, bronze, "current")),
+        out,
+        "observation_date",
+        mode="overwrite_partitions",
+    )
+    filtered = spark.read.parquet(out).filter(
+        F.col("observation_date") == dt.date(2024, 1, 2)
+    )
+    plan = physical_plan(filtered)
+    assert "PartitionFilters" in plan
+    assert "observation_date" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert filtered.count() == 8  # one day's cities only

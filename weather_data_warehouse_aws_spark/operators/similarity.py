@@ -141,6 +141,75 @@ def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into cells around
+    centroids, search only the query's `nprobe` nearest cells.
+
+    Centroids here are deterministically sampled corpus vectors (the
+    lowest-id representative per id-stripe) — one Lloyd iteration away from
+    k-means, which is the production upgrade. The structure is what matters
+    at scale: assignment is a map-side pass against BROADCAST centroids,
+    candidates come from an equi-join on cell_id, and exact cosine rescoring
+    touches |corpus|·nprobe/n_cells vectors instead of |corpus|.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # deterministic centroid sample: first vector of each of n_cells id-stripes
+    w = Window.partitionBy("cell").orderBy("neighbor_id")
+    centroids = (
+        c.withColumn("cell", F.pmod(F.xxhash64("neighbor_id"), F.lit(n_cells)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("cell").alias("cent_id"), F.col("cv").alias("cent_vec"))
+    )
+    cent = F.broadcast(centroids)
+
+    def _assign(df: DataFrame, vcol: str, out: str, probes: int) -> DataFrame:
+        scored = df.crossJoin(cent).withColumn(
+            "__sim",
+            F.round(
+                F.expr(
+                    f"aggregate(zip_with({vcol}, cent_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+                ),
+                9,
+            ),
+        )
+        ww = Window.partitionBy(df.columns[0]).orderBy(
+            F.col("__sim").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(ww))
+            .filter(F.col("__r") <= probes)
+            .select(*df.columns, F.col("cent_id").alias(out))
+        )
+
+    corpus_cells = _assign(c, "cv", "cell_id", 1)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    query_cells = _assign(q, "qv", "cell_id", nprobe)
+
+    scored = (
+        query_cells.join(corpus_cells, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+        .withColumn("cos", F.round(cosine("qv", "cv"), 6))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

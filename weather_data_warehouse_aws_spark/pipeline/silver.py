@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.weather import heat_index_category, is_daytime
 from ..session import ensure_session_conf
 from .schemas import BRONZE_CURRENT_SCHEMA, BRONZE_FORECAST_SCHEMA
 
@@ -106,18 +107,11 @@ def build_silver_current(bronze: DataFrame) -> DataFrame:
         silver.withColumn("observation_date", F.to_date("observation_time"))
         .withColumn(
             "is_daytime",
-            F.when(
-                F.col("observation_time").between(F.col("sunrise_time"), F.col("sunset_time")),
-                True,
-            ).otherwise(False),
+            is_daytime(F.col("observation_time"), F.col("sunrise_time"), F.col("sunset_time")),
         )
         .withColumn(
             "heat_index_category",
-            F.when(F.col("feels_like_celsius") > 40, "Extreme Heat")
-            .when(F.col("feels_like_celsius") > 32, "High Heat")
-            .when(F.col("feels_like_celsius") > 26, "Moderate")
-            .when(F.col("feels_like_celsius") > 10, "Comfortable")
-            .otherwise("Cold"),
+            heat_index_category(F.col("feels_like_celsius")),
         )
     )
 

@@ -27,6 +27,7 @@ _SUBMODULES = [
     "multimodal",
     "semistructured",
     "weather_e2e",
+    "weather_enrich",
     "setops",
 ]
 
