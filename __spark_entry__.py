@@ -11,11 +11,18 @@ only adapts them to the driver contract.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from weather_data_warehouse_aws_spark import queries as _registry
+# the driver may import this file from any cwd; the package lives next to it
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from weather_data_warehouse_aws_spark import queries as _registry  # noqa: E402
 
 _QUERIES, _ORACLE = _registry.collect()
 

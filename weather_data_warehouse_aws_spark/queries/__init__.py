@@ -29,6 +29,7 @@ _SUBMODULES = [
     "weather_e2e",
     "weather_enrich",
     "setops",
+    "analytics_extra",
 ]
 
 

@@ -1,0 +1,137 @@
+"""Analytics extensions: pivot, exact quantiles, and the Arrow-vectorized
+scalar-UDF path (additive beyond the reference's surface, standard for any
+warehouse user).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..sources.tables import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# ---------------------------------------------------------------------------
+# q_pivot — wide event-type counts per user cohort
+# ---------------------------------------------------------------------------
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pivot` with an EXPLICIT value list — at scale never omit it: without
+    the list Spark runs an extra distinct-values job over the full table
+    before it can even plan."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("cohort", (F.col("user_id") % 10).cast("int"))
+        .groupBy("cohort")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("cohort")
+    )
+
+
+ORACLE_PIVOT = """
+SELECT
+    CAST(user_id % 10 AS INT) AS cohort,
+    COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS click,
+    COALESCE(SUM(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS error,
+    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+    COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN 1 END), 0) AS signup,
+    COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS view
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_exact_quantiles — interpolated median/p90 (exact, not sketched)
+# ---------------------------------------------------------------------------
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`). At 100 TB the tool is `approx_percentile` (KLL/GK
+    sketch, one pass, mergeable) — kept out of the oracle because sketches
+    are engine-specific; the exact form is the semantics anchor."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_EXACT_QUANTILES = """
+SELECT
+    o_orderstatus,
+    ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+    ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+    COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_vectorized_udf — Arrow scalar pandas_udf (the sanctioned Python path)
+# ---------------------------------------------------------------------------
+def _engagement_score_udf():
+    """Vectorized polynomial score — numpy float64 ops are bit-identical to
+    SQL double arithmetic, so the oracle can replicate it exactly. This is
+    the template for real Python scoring models (Arrow batches in, Arrow
+    batches out, ~10-100× over row-at-a-time UDFs). Built lazily: the
+    decorator parses its return type through the active SparkSession."""
+
+    @pandas_udf("double")
+    def _engagement_score(value: pd.Series) -> pd.Series:
+        v = value.fillna(0.0)
+        return (v * v - v) / 10000.0
+
+    return _engagement_score
+
+
+def q_vectorized_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    score = _engagement_score_udf()
+    return (
+        ev.withColumn("score", score(F.col("value")))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("score"), 4).alias("total_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VECTORIZED_UDF = """
+SELECT
+    event_type,
+    ROUND(SUM((v * v - v) / 10000.0), 4) AS total_score,
+    ROUND(MAX((v * v - v) / 10000.0), 6) AS max_score,
+    COUNT(*) AS n
+FROM (SELECT event_type, COALESCE(value, 0.0) AS v FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "pivot": q_pivot,
+    "exact_quantiles": q_exact_quantiles,
+    "vectorized_udf": q_vectorized_udf,
+}
+
+ORACLE = {
+    "pivot": ORACLE_PIVOT,
+    "exact_quantiles": ORACLE_EXACT_QUANTILES,
+    "vectorized_udf": ORACLE_VECTORIZED_UDF,
+}
