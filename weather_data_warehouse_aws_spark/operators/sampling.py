@@ -1,0 +1,57 @@
+"""Deterministic sampling & dataset splitting (north-star: training-data
+pipelines need STABLE samples and train/val/test splits — `df.sample()` is
+seed-dependent per partitioning and not reproducible across engines or
+re-partitioned re-runs).
+
+Everything keys off the md5-portable hash of the row's id: the same row
+lands in the same split in every engine, at every scale factor, under any
+partitioning — the property that makes splits auditable and leak-free.
+Map-side only; no shuffle, no state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash60, portable_hash60_sql
+
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, salt: str = "") -> Column:
+    """Stable bucket in [0, 10000) from the id (+ optional salt namespace)."""
+    return F.pmod(portable_hash60(F.concat(F.lit(salt), id_col.cast("string"))), F.lit(BUCKETS))
+
+
+def hash_bucket_sql(id_expr: str, salt: str = "") -> str:
+    h = portable_hash60_sql(f"'{salt}' || CAST({id_expr} AS VARCHAR)")
+    return f"(({h} % {BUCKETS}) + {BUCKETS}) % {BUCKETS}"
+
+
+def deterministic_sample(df: DataFrame, id_col: str, fraction: float, *, salt: str = "") -> DataFrame:
+    """Keep ~fraction of rows, stably."""
+    return df.filter(hash_bucket(F.col(id_col), salt) < int(fraction * BUCKETS))
+
+
+def split_by_hash(
+    df: DataFrame, id_col: str, weights: Sequence[float], labels: Sequence[str], *, salt: str = ""
+) -> DataFrame:
+    """Assign each row to exactly one split with ~`weights` proportions.
+
+    Cumulative bucket thresholds ⇒ splits are disjoint and exhaustive by
+    construction; adding data never moves an existing row between splits.
+    """
+    if len(weights) != len(labels):
+        raise ValueError("weights and labels must align")
+    total = sum(weights)
+    bucket = hash_bucket(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    for w, label in zip(weights, labels):
+        acc += w / total
+        cond = bucket < int(round(acc * BUCKETS))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return df.withColumn("split", expr.otherwise(labels[-1]))

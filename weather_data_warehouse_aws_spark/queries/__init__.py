@@ -30,6 +30,7 @@ _SUBMODULES = [
     "weather_enrich",
     "setops",
     "analytics_extra",
+    "pipeline_ops",
 ]
 
 

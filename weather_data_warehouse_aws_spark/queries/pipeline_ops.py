@@ -1,0 +1,161 @@
+"""Pipeline-utility queries: deterministic splits, column profiling, and a
+grouped `applyInPandas` custom operator — the remaining Spark-native
+execution shapes a training-data pipeline leans on.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sampling import hash_bucket_sql, split_by_hash
+from ..sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# q_dataset_split — stable train/val/test assignment
+# ---------------------------------------------------------------------------
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split of documents by portable id-hash: reproducible in any
+    engine at any scale — the property that keeps eval sets leak-free when
+    the corpus grows."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = split_by_hash(docs, "doc_id", [0.8, 0.1, 0.1], ["train", "val", "test"])
+    return (
+        split.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_BUCKET = hash_bucket_sql("doc_id")
+
+ORACLE_DATASET_SPLIT = f"""
+SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM (
+    SELECT lang, n_chars,
+           CASE WHEN {_BUCKET} < 8000 THEN 'train'
+                WHEN {_BUCKET} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_profile — column profiling (the DQ-gate precursor)
+# ---------------------------------------------------------------------------
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass profile of lineitem's measure columns: null rates, distinct
+    counts, min/max/avg — the numbers the reference's hand-written DQ
+    filters (`bronze_to_silver.py:82-88`) were derived from. One aggregate
+    row per metric via an unpivot-shaped union of partial aggs is the
+    generic form; here a single wide agg row is reshaped with stack()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            e
+            for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+            for e in (
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                F.countDistinct(c).alias(f"{c}__distinct"),
+                F.round(F.min(c), 4).alias(f"{c}__min"),
+                F.round(F.max(c), 4).alias(f"{c}__max"),
+                F.round(F.avg(c), 4).alias(f"{c}__avg"),
+            )
+        ],
+    )
+    stacked = wide.selectExpr(
+        "n_rows",
+        "stack(4, "
+        + ", ".join(
+            f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__avg"
+            for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        )
+        + ") AS (column_name, n_nulls, n_distinct, min_val, max_val, avg_val)",
+    )
+    return stacked.select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val", "avg_val"
+    ).orderBy("column_name")
+
+
+def _profile_branch(c: str) -> str:
+    return f"""
+SELECT '{c}' AS column_name,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       ROUND(MIN({c}), 4) AS min_val,
+       ROUND(MAX({c}), 4) AS max_val,
+       ROUND(AVG({c}), 4) AS avg_val
+FROM lineitem
+"""
+
+
+ORACLE_PROFILE = (
+    " UNION ALL ".join(
+        _profile_branch(c) for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    )
+    + " ORDER BY column_name"
+)
+
+
+# ---------------------------------------------------------------------------
+# q_grouped_zscore — applyInPandas grouped custom operator
+# ---------------------------------------------------------------------------
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers via grouped `applyInPandas` — the
+    batch-grouped Python escape hatch (complementing mapInPandas for
+    per-partition and applyInPandasWithState for streaming state). The
+    arithmetic is pure float64, so the oracle replicates it with window
+    SQL; outliers = |z| > 3 with a deterministic output order."""
+
+    def _zscores(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].astype("float64")
+        mu = v.mean()
+        sd = v.std(ddof=1)
+        z = (v - mu) / sd
+        out = pdf.loc[(z.abs() > 3), ["event_type", "event_id"]].copy()
+        out["zscore"] = z[z.abs() > 3].round(4)
+        return out
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return (
+        ev.groupBy("event_type")
+        .applyInPandas(_zscores, "event_type string, event_id bigint, zscore double")
+        .orderBy("event_type", "event_id")
+    )
+
+
+ORACLE_GROUPED_ZSCORE = """
+SELECT event_type, event_id,
+       ROUND((value - mu) / sd, 4) AS zscore
+FROM (
+    SELECT event_type, event_id, value,
+           AVG(value) OVER (PARTITION BY event_type) AS mu,
+           stddev_samp(value) OVER (PARTITION BY event_type) AS sd
+    FROM events
+)
+WHERE ABS((value - mu) / sd) > 3
+ORDER BY event_type, event_id
+"""
+
+
+QUERIES = {
+    "dataset_split": q_dataset_split,
+    "profile": q_profile,
+    "grouped_zscore": q_grouped_zscore,
+}
+
+ORACLE = {
+    "dataset_split": ORACLE_DATASET_SPLIT,
+    "profile": ORACLE_PROFILE,
+    "grouped_zscore": ORACLE_GROUPED_ZSCORE,
+}
