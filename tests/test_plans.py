@@ -5,7 +5,6 @@ products, partitioned (never global) windows in data paths."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod

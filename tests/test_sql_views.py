@@ -7,7 +7,6 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
-from pyspark.sql import functions as F
 
 from weather_data_warehouse_aws_spark.pipeline import analytics
 from weather_data_warehouse_aws_spark.pipeline.generate import generate_bronze

@@ -3,8 +3,6 @@ batch twins when the stream is fully drained (availableNow)."""
 
 from __future__ import annotations
 
-import os
-import shutil
 
 import pytest
 from pyspark.sql import functions as F

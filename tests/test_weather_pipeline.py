@@ -17,7 +17,6 @@ from weather_data_warehouse_aws_spark.pipeline.gold import build_dim_date, build
 from weather_data_warehouse_aws_spark.pipeline.run import run_pipeline
 from weather_data_warehouse_aws_spark.pipeline.silver import (
     build_silver_current,
-    build_silver_forecast,
     read_bronze,
     write_silver,
 )

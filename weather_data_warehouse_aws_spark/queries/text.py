@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     LANG_MARKERS,
-    STOPWORDS_EN,
     fingerprint,
     fingerprint_sql,
     punct_count,
