@@ -155,3 +155,40 @@ def test_ivf_topk_recall(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     probed_fraction = nprobe / n_cells  # 0.25 of the corpus searched
     assert recall >= probed_fraction, f"IVF recall {recall:.2f} no better than chance"
+
+
+def test_lloyd_refine_improves_objective(spark, sf_dir):
+    """One Lloyd iteration must not decrease the k-means objective proxy
+    (mean best-centroid dot product over the corpus)."""
+    from weather_data_warehouse_aws_spark.operators.similarity import lloyd_refine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("neighbor_id").orderBy(F.col("__sim").desc(), F.col("cent_id"))
+
+    def objective(cents):
+        scored = c.crossJoin(F.broadcast(cents)).withColumn(
+            "__sim",
+            F.expr(
+                "aggregate(zip_with(cv, cent_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+            ),
+        )
+        best = scored.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") == 1)
+        return best.agg(F.avg("__sim")).collect()[0][0]
+
+    from weather_data_warehouse_aws_spark.operators.similarity import normalize_vectors
+
+    init = (
+        c.withColumn("cell", F.pmod(F.xxhash64("neighbor_id"), F.lit(8)))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("cell").orderBy("neighbor_id")))
+        .filter(F.col("rn") == 1)
+        .select(F.col("cell").alias("cent_id"), F.col("cv").alias("cent_vec"))
+    )
+    # spherical k-means compares unit centroids against unit centroids
+    init = normalize_vectors(init, "cent_vec")
+    before = objective(init)
+    refined = lloyd_refine(c, init, iterations=1)
+    after = objective(refined)
+    assert after >= before - 1e-9, (before, after)

@@ -124,3 +124,42 @@ def test_partitioned_silver_prunes_partitions(spark, tmp_path_factory):
     assert "PartitionFilters" in plan
     assert "observation_date" in plan.split("PartitionFilters")[1].split("]")[0]
     assert filtered.count() == 8  # one day's cities only
+
+
+def test_dynamic_partition_pruning(spark, tmp_path_factory):
+    """Joining a partitioned fact to a filtered dim must trigger DPP: the
+    fact scan carries a dynamicpruning subquery on the partition column, so
+    only dim-selected partitions are read (at 100 TB this is the difference
+    between scanning 3 days and 3 years)."""
+    import datetime as dt
+
+    from weather_data_warehouse_aws_spark.pipeline.generate import generate_bronze
+    from weather_data_warehouse_aws_spark.pipeline.gold import build_dim_date
+    from weather_data_warehouse_aws_spark.pipeline.silver import (
+        build_silver_current,
+        read_bronze,
+        write_silver,
+    )
+
+    bronze = str(tmp_path_factory.mktemp("bronze_dpp"))
+    generate_bronze(bronze, days=4, seed=13)
+    out = str(tmp_path_factory.mktemp("silver_dpp"))
+    write_silver(
+        build_silver_current(read_bronze(spark, bronze, "current")),
+        out,
+        "observation_date",
+        mode="overwrite_partitions",
+    )
+    fact = spark.read.parquet(out)
+    dim = build_dim_date(spark, "2024-01-01", "2024-12-31").filter(
+        F.col("is_weekend") & (F.col("month") == 1)
+    )
+    joined = fact.join(dim, fact.observation_date == dim.full_date).select(
+        "observation_date", "temperature_celsius", "date_key"
+    )
+    plan = physical_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    # weekend days in the 4-day window: 2024-01-06 is the first Saturday —
+    # generated days 01-01..01-04 are all weekdays, so the join is empty,
+    # but ONLY after pruning decided which partitions to read
+    assert joined.count() == 0

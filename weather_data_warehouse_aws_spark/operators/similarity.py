@@ -141,6 +141,71 @@ def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def lloyd_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "cv",
+    iterations: int = 1,
+) -> DataFrame:
+    """K-means (Lloyd) refinement of IVF centroids, pure DataFrame ops.
+
+    Per iteration: assign every vector to its max-dot-product centroid
+    (broadcast), then rebuild each centroid as the element-wise mean of its
+    members (posexplode → groupBy(cell, dim) → re-assemble). Iterative
+    algorithms on Spark keep the loop on the DRIVER over small state
+    (centroids) while each step is one distributed pass — the standard
+    shape for EM/k-means/PageRank-style jobs.
+    """
+    cents = centroids
+    for _ in range(iterations):
+        bc = F.broadcast(cents)
+        assigned = (
+            corpus.crossJoin(bc)
+            .withColumn(
+                "__sim",
+                F.expr(
+                    f"aggregate(zip_with({vec_col}, cent_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+                ),
+            )
+        )
+        w = Window.partitionBy(corpus.columns[0]).orderBy(
+            F.col("__sim").desc(), F.col("cent_id")
+        )
+        best = (
+            assigned.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select(F.col("cent_id").alias("cell"), F.col(vec_col).alias("v"))
+        )
+        dims = best.select("cell", F.posexplode(F.col("v")).alias("d", "x"))
+        means = dims.groupBy("cell", "d").agg(F.avg("x").alias("m"))
+        # spherical k-means: the dot-product objective is only guaranteed
+        # non-decreasing when the updated centroid is the UNIT-normalized
+        # mean (argmax_c Σ x·c s.t. |c|=1 is mean/|mean|)
+        cents = (
+            means.groupBy("cell")
+            .agg(F.sort_array(F.collect_list(F.struct("d", "m"))).alias("dm"))
+            .select(
+                F.col("cell").alias("cent_id"),
+                F.expr(
+                    "transform(dm, e -> CAST(e.m / sqrt(aggregate(transform(dm, q -> q.m * q.m), 0.0D, (a, v) -> a + v)) AS FLOAT))"
+                ).alias("cent_vec"),
+            )
+        )
+    return cents
+
+
+def normalize_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Unit-normalize an array<float/double> column (double math)."""
+    return df.withColumn(
+        vec_col,
+        F.expr(
+            f"transform({vec_col}, x -> CAST(CAST(x AS DOUBLE) / "
+            f"sqrt(aggregate(transform({vec_col}, q -> CAST(q AS DOUBLE) * CAST(q AS DOUBLE)), 0.0D, (a, v) -> a + v)) AS FLOAT))"
+        ),
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -150,6 +215,7 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
+    lloyd_iterations: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into cells around
     centroids, search only the query's `nprobe` nearest cells.
@@ -170,6 +236,8 @@ def ivf_topk(
         .filter(F.col("rn") == 1)
         .select(F.col("cell").alias("cent_id"), F.col("cv").alias("cent_vec"))
     )
+    if lloyd_iterations:
+        centroids = lloyd_refine(c, centroids, iterations=lloyd_iterations)
     cent = F.broadcast(centroids)
 
     def _assign(df: DataFrame, vcol: str, out: str, probes: int) -> DataFrame:

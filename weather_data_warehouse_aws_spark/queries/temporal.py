@@ -305,3 +305,51 @@ ORACLE = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "sessionize": ORACLE_SESSIONIZE,
 }
+
+
+# ---------------------------------------------------------------------------
+# q_moving_avg — windowed frame spec (ROWS BETWEEN), dashboard-trend shape
+# ---------------------------------------------------------------------------
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily totals + 3-day trailing moving average per event type — the
+    'last-N-days trend' panel the reference builds in QuickSight
+    (SURVEY §2.5 notes the dashboards imply time-ordered slices). Frame
+    windows partition by type: parallel across groups, ordered scan within.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.round(F.sum("value"), 2).alias("daily_total"), F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        daily.withColumn("ma3", F.round(F.avg("daily_total").over(w), 4))
+        .select("day", "event_type", "daily_total", "n", "ma3")
+        .orderBy("day", "event_type")
+    )
+
+
+ORACLE_MOVING_AVG = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           ROUND(SUM(value), 2) AS daily_total,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT day, event_type, daily_total, n,
+       ROUND(AVG(daily_total) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ), 4) AS ma3
+FROM daily
+ORDER BY day, event_type
+"""
+
+
+QUERIES["moving_avg"] = q_moving_avg
+ORACLE["moving_avg"] = ORACLE_MOVING_AVG
