@@ -36,11 +36,11 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PIVOT = """
 SELECT
     CAST(user_id % 10 AS INT) AS cohort,
-    COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS click,
-    COALESCE(SUM(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS error,
-    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
-    COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN 1 END), 0) AS signup,
-    COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS view
+    CAST(COALESCE(SUM(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS BIGINT) AS click,
+    CAST(COALESCE(SUM(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS BIGINT) AS error,
+    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+    CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'   THEN 1 END), 0) AS BIGINT) AS signup,
+    CAST(COALESCE(SUM(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS BIGINT) AS view
 FROM events
 GROUP BY 1
 ORDER BY 1

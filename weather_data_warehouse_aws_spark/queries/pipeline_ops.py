@@ -35,7 +35,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKET = hash_bucket_sql("doc_id")
 
 ORACLE_DATASET_SPLIT = f"""
-SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM (
     SELECT lang, n_chars,
            CASE WHEN {_BUCKET} < 8000 THEN 'train'
@@ -90,7 +90,7 @@ def _profile_branch(c: str) -> str:
     return f"""
 SELECT '{c}' AS column_name,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT {c}) AS n_distinct,
        ROUND(MIN({c}), 4) AS min_val,
        ROUND(MAX({c}), 4) AS max_val,

@@ -271,10 +271,10 @@ breaks AS (
 ),
 sessions AS (
     SELECT *,
-           SUM(is_break) OVER (
+           CAST(SUM(is_break) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS session_seq
+           ) AS BIGINT) AS session_seq
     FROM breaks
 )
 SELECT
