@@ -14,13 +14,17 @@ import duckdb
 from weather_data_warehouse_aws_spark.sources.tables import TABLES
 
 
-def run_oracle(sql: str, sf_dir: str):
+def run_oracle_connection(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    return con.execute(sql).df()
+    return con
+
+
+def run_oracle(sql: str, sf_dir: str):
+    return run_oracle_connection(sf_dir).execute(sql).df()
 
 
 def _norm_cell(v):

@@ -89,3 +89,49 @@ def test_sql_band_join_strictness(spark, layers):
         """
     ).collect()[0].n
     assert viol == 0
+
+
+def test_condition_distribution_and_trend(spark, layers):
+    """New dashboard-panel analytics: per-city percentages sum to 100 and
+    the trend window matches a hand-rolled SQL equivalent."""
+    from weather_data_warehouse_aws_spark.pipeline.analytics import (
+        condition_distribution,
+        daily_temperature_trend,
+    )
+
+    dist = condition_distribution(
+        layers["fact_weather_actual"], layers["dim_location"]
+    )
+    sums = (
+        dist.groupBy("location_name")
+        .sum("pct_of_city")
+        .collect()
+    )
+    assert all(abs(r[1] - 100.0) < 0.5 for r in sums)
+
+    trend = daily_temperature_trend(
+        layers["fact_weather_actual"], layers["dim_location"], window_days=5
+    )
+    trend.createOrReplaceTempView("trend_df")
+    rows = trend.collect()
+    assert len(rows) > 0
+    sql = spark.sql(
+        """
+        WITH daily AS (
+            SELECT dl.location_name, to_date(fa.observation_time) AS day,
+                   ROUND(AVG(fa.temperature_celsius), 2) AS avg_temp
+            FROM fact_weather_actual fa
+            JOIN dim_location dl ON fa.location_key = dl.location_key AND dl.is_current
+            GROUP BY 1, 2
+        )
+        SELECT location_name, day,
+               ROUND(AVG(avg_temp) OVER (
+                   PARTITION BY location_name ORDER BY day
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ), 2) AS trend_temp
+        FROM daily
+        """
+    )
+    want = {(r.location_name, str(r.day)): r.trend_temp for r in sql.collect()}
+    got = {(r.location_name, str(r.day)): r.trend_temp for r in rows}
+    assert got == want

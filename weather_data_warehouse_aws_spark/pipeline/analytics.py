@@ -112,3 +112,52 @@ def quality_distribution(fact_forecast_accuracy: DataFrame) -> DataFrame:
         .orderBy(order_rank)
         .select("temp_accuracy_category", "forecast_count", "percentage")
     )
+
+
+def condition_distribution(fact_weather_actual: DataFrame, dim_location: DataFrame) -> DataFrame:
+    """Dashboard panel: weather-condition mix per city (the reference's
+    QuickSight condition-distribution chart, `dashboards/images/*.jpg`)."""
+    dl = F.broadcast(
+        dim_location.filter(F.col("is_current")).select("location_key", "location_name")
+    )
+    counts = (
+        fact_weather_actual.join(dl, "location_key", "inner")
+        .groupBy("location_name", "weather_condition")
+        .agg(F.count("*").alias("n_observations"))
+    )
+    per_city = Window.partitionBy("location_name")
+    return (
+        counts.withColumn(
+            "pct_of_city",
+            F.round(F.col("n_observations") * 100.0 / F.sum("n_observations").over(per_city), 1),
+        )
+        .orderBy("location_name", F.col("n_observations").desc(), "weather_condition")
+    )
+
+
+def daily_temperature_trend(
+    fact_weather_actual: DataFrame, dim_location: DataFrame, *, window_days: int = 5
+) -> DataFrame:
+    """Dashboard panel: daily average temperature per city with a trailing
+    N-day moving average (the 'last 5 days' trend line the reference draws
+    in QuickSight — SURVEY §2.5 notes it's built outside SQL there)."""
+    dl = F.broadcast(
+        dim_location.filter(F.col("is_current")).select("location_key", "location_name")
+    )
+    daily = (
+        fact_weather_actual.join(dl, "location_key", "inner")
+        .groupBy("location_name", F.to_date("observation_time").alias("day"))
+        .agg(
+            F.round(F.avg("temperature_celsius"), 2).alias("avg_temp"),
+            F.count("*").alias("n_obs"),
+        )
+    )
+    w = (
+        Window.partitionBy("location_name")
+        .orderBy("day")
+        .rowsBetween(-(window_days - 1), Window.currentRow)
+    )
+    return (
+        daily.withColumn("trend_temp", F.round(F.avg("avg_temp").over(w), 2))
+        .orderBy("location_name", "day")
+    )
