@@ -88,3 +88,75 @@ def test_session_window_agrees_with_gaps_and_islands(spark, events_dir):
     got = {(r.user_id, r.start): r.n_events for r in builtin.collect()}
     want = {(r.user_id, r.start): r.n_events for r in manual.collect()}
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path_factory):
+    """Append-mode windowed agg with a 1-hour watermark: a row arriving
+    after the watermark passed its window must NOT change emitted results —
+    the bounded-state guarantee that makes 100 TB streams feasible."""
+    import datetime as dt
+    import os
+
+    src = str(tmp_path_factory.mktemp("late_src"))
+    out = str(tmp_path_factory.mktemp("late_out")) + "/res"
+    ckpt = str(tmp_path_factory.mktemp("late_ckpt"))
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    B = dt.datetime(2024, 6, 1, 10, 0, 0)
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        # append mode requires grouping on the window STRUCT itself —
+        # projecting .start before the agg severs event-time tracking
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("w"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: on-time rows across 10:00 and 11:00 windows, max ts 13:30
+    write_batch("b1", [
+        (1, B, 1, "view", 1.0, "{}"),
+        (2, B + dt.timedelta(minutes=30), 1, "view", 1.0, "{}"),
+        (3, B + dt.timedelta(hours=1, minutes=10), 1, "view", 1.0, "{}"),
+        (4, B + dt.timedelta(hours=3, minutes=30), 1, "view", 1.0, "{}"),
+    ])
+    run()
+    emitted1 = {
+        (str(r.w), r.n) for r in spark.read.parquet(out).collect()
+    }
+    # watermark after batch1 = 13:30 - 1h = 12:30 → windows ending ≤ 12:30
+    # (the 10:00 and 11:00 windows) are final and emitted
+    assert (str(B), 2) in emitted1
+    assert (str(B + dt.timedelta(hours=1)), 1) in emitted1
+
+    # batch 2: a LATE row for the already-final 10:00 window + a fresh row
+    # advancing the watermark
+    write_batch("b2", [
+        (5, B + dt.timedelta(minutes=45), 1, "view", 1.0, "{}"),  # late, dropped
+        (6, B + dt.timedelta(hours=6), 1, "view", 1.0, "{}"),
+    ])
+    run()
+    final = {str(r.w): r.n for r in spark.read.parquet(out).collect()}
+    assert final[str(B)] == 2, "late row leaked into a finalized window"

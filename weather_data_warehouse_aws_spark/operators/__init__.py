@@ -1,0 +1,26 @@
+"""Scale-safe operator primitives (see each module's docstring for the
+100 TB design rationale and reference citations)."""
+
+from .asof_join import asof_join  # noqa: F401
+from .band_join import band_join, band_join_condition  # noqa: F401
+from .dedup import (  # noqa: F401
+    exact_duplicates,
+    fingerprint_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from .keys import dense_key, hash_key  # noqa: F401
+from .maintenance import compact_partitions  # noqa: F401
+from .sampling import deterministic_sample, split_by_hash  # noqa: F401
+from .scd2 import scd2_initial_load, scd2_merge  # noqa: F401
+from .similarity import (  # noqa: F401
+    blocked_neardup,
+    cosine_topk,
+    ivf_topk,
+    lloyd_refine,
+    lsh_topk,
+)
+from .skew import salted_agg, salted_broadcast_join  # noqa: F401

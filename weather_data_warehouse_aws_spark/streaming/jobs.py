@@ -42,14 +42,20 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
 
 def hourly_event_counts(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
     """Streaming twin of queries/temporal.q_events_hourly: tumbling 1-hour
-    windows with late-data tolerance = `watermark`."""
+    windows with late-data tolerance = `watermark`.
+
+    Groups on the window STRUCT and projects `.start` after the agg —
+    extracting the field before aggregation severs event-time tracking and
+    makes append mode (the finalize-and-emit mode) illegal.
+    """
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"), "event_type")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
 
 
