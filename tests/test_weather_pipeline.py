@@ -256,3 +256,35 @@ def test_analytics_queries_run(spark, layers):
     assert len(q3) == 8
     q4 = analytics.quality_distribution(acc).collect()
     assert abs(sum(r.percentage for r in q4) - 100.0) < 0.5
+
+
+def test_inferred_schema_gust_introspection(spark, tmp_path_factory):
+    """X4 parity: with schema INFERENCE (the reference's mode), a bronze
+    batch with no `wind.gust` anywhere lacks the column entirely —
+    `_wind_gust_col` must fall back to lit(0.0) via introspection
+    (reference bronze_to_silver.py:35-42)."""
+    import json
+    import os
+    import random
+
+    from weather_data_warehouse_aws_spark.pipeline.generate import (
+        CITIES,
+        _bronze_key,
+        _current_payload,
+    )
+
+    d = str(tmp_path_factory.mktemp("bronze_nogust"))
+    rng = random.Random(7)
+    batch_ts = dt.datetime(2024, 3, 1, 6, 0, 0)
+    payloads = [_current_payload(rng, c, batch_ts, include_gust=False) for c in CITIES]
+    path = _bronze_key(d, "current", batch_ts)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(payloads, f)
+
+    bronze = read_bronze(spark, d, "current", infer=True)
+    assert "gust" not in bronze.schema["wind"].dataType.fieldNames()
+    silver = build_silver_current(bronze)
+    rows = silver.select("wind_gust_mps").collect()
+    assert len(rows) == len(CITIES)
+    assert all(r.wind_gust_mps == 0.0 for r in rows)

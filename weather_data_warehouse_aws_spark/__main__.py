@@ -1,0 +1,104 @@
+"""CLI entry points — `python -m weather_data_warehouse_aws_spark <cmd>`.
+
+A reference user drives their system with a Lambda trigger + two Glue jobs +
+Athena console; the equivalent local surface:
+
+    generate   --out DIR [--days N] [--seed N]      synthetic bronze feed
+    pipeline   --bronze DIR --warehouse DIR          full batch load
+    ingest     --bronze DIR --silver DIR --ckpt DIR  incremental (streaming)
+    query      --sf-dir DIR NAME                     run a registry query
+    list-queries                                     show the registry
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="weather_data_warehouse_aws_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write a synthetic bronze landing zone")
+    g.add_argument("--out", required=True)
+    g.add_argument("--days", type=int, default=3)
+    g.add_argument("--start", default="2024-01-01")
+    g.add_argument("--seed", type=int, default=42)
+
+    p = sub.add_parser("pipeline", help="bronze → silver → gold → facts")
+    p.add_argument("--bronze", required=True)
+    p.add_argument("--warehouse", required=True)
+
+    i = sub.add_parser("ingest", help="checkpointed incremental bronze→silver")
+    i.add_argument("--bronze", required=True)
+    i.add_argument("--silver", required=True)
+    i.add_argument("--ckpt", required=True)
+
+    q = sub.add_parser("query", help="run one registry query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+
+    sub.add_parser("list-queries", help="list the query registry")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "generate":
+        from .pipeline.generate import generate_bronze
+
+        counts = generate_bronze(
+            args.out,
+            start=dt.date.fromisoformat(args.start),
+            days=args.days,
+            seed=args.seed,
+        )
+        print(f"wrote {counts} batches under {args.out}")
+        return 0
+
+    if args.cmd == "list-queries":
+        from . import queries as registry
+
+        qs, oracle = registry.collect()
+        for name in sorted(qs):
+            marker = "oracle" if name in oracle else "rows-only"
+            print(f"{name:24s} [{marker}]")
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark("wdwa-cli")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.cmd == "pipeline":
+        from .pipeline.run import run_pipeline
+
+        layers = run_pipeline(spark, args.bronze, args.warehouse)
+        for name, df in layers.items():
+            print(f"{name}: {df.count()} rows")
+        return 0
+
+    if args.cmd == "ingest":
+        from .streaming.ingest import run_silver_ingest
+
+        run_silver_ingest(spark, args.bronze, args.silver, args.ckpt)
+        print(f"silver rows: {spark.read.parquet(args.silver).count()}")
+        return 0
+
+    if args.cmd == "query":
+        from . import queries as registry
+
+        qs, _ = registry.collect()
+        if args.name not in qs:
+            print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
+            return 2
+        df = qs[args.name](spark, args.sf_dir)
+        df.show(args.limit, truncate=False)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
