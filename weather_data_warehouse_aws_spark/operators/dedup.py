@@ -66,10 +66,19 @@ def fingerprint_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFra
 
 # ---------------------------------------------------------- n-gram Jaccard
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(doc_id, shingle_hash) — one row per DISTINCT shingle per doc."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    """(doc_id, shingle_hash) — one row per DISTINCT shingle per doc.
+
+    Repartitions on the id first: a small corpus file reads as 1-3 splits,
+    which would serialize the shingle+hash work onto as many cores. The
+    pre-explode shuffle moves compact text rows once; at real scale the
+    source has enough splits and AQE coalesces this to a no-op-sized
+    exchange.
+    """
+    spread = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    return spread.select(
+        "doc_id",
+        F.explode(word_shingles("__text", n)).alias("shingle"),
     ).select("doc_id", portable_hash60(F.col("shingle")).alias("sh"))
 
 
@@ -193,10 +202,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> Dat
     Distinct tokens per doc (set semantics). Pure integer arithmetic —
     oracle-replicable. One explode + one groupBy with `bits` aggregates.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
+    spread = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    toks = spread.select(
+        "doc_id",
         F.explode(
-            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+            F.array_distinct(F.split(F.trim(F.col("__text")), r"\s+"))
         ).alias("tok"),
     ).withColumn("h", portable_hash60(F.col("tok")))
     aggs = [

@@ -72,6 +72,8 @@ def cosine_topk(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # a single-file corpus reads as 1-3 splits; spread the dot-product work
+    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism, "neighbor_id")
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -106,15 +108,24 @@ def blocked_neardup(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         _norm(vec_col).alias("nrm"),
-    )
+    ).persist()  # feeds both join sides — compute the norm pass once
+    # few blocks ⇒ a shuffled block equi-join has ≤ #blocks populated
+    # partitions, serializing the quadratic dot-product work. Instead:
+    # repartition the probe side by id (full-width parallelism) and
+    # broadcast the build side — every core gets an even slice of the
+    # pairwise work. When a single block outgrows one executor's share at
+    # real scale, fall back to operators/skew.salted_broadcast_join.
+    par = normed.sparkSession.sparkContext.defaultParallelism
     a = normed.select(
         "blk", F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    b = normed.select(
-        "blk", F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    ).repartition(par, "id_a")
+    b = F.broadcast(
+        normed.select(
+            "blk", F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        )
     )
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos") >= threshold)
