@@ -18,6 +18,13 @@ all-pairs comparison:
 
 All hashes route through functions/text.py's md5-based portable hash so the
 DuckDB oracle can replicate bit-for-bit.
+
+Algorithms (public literature): MinHash resemblance sketching — Broder,
+"On the resemblance and containment of documents" (SEQUENCES 1997); LSH
+banding — Indyk & Motwani (STOC 1998) / Leskovec-Rajaraman-Ullman, "Mining
+of Massive Datasets" ch.3; SimHash — Charikar, "Similarity estimation
+techniques from rounding algorithms" (STOC 2002), applied to web dedup in
+Manku et al. (WWW 2007).
 """
 
 from __future__ import annotations
