@@ -116,3 +116,65 @@ def test_accuracy_category_boundaries(spark):
     # condition mismatch → not accurate even at zero error
     mismatch = acc.filter(F.col("weather_condition_forecast") == "Rain").collect()[0]
     assert mismatch.temp_absolute_error == 0.0 and not mismatch.is_accurate_forecast
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """tolerance_sec: a predecessor older than the window keeps the row but
+    nulls the match (left-join semantics preserved)."""
+    from weather_data_warehouse_aws_spark.operators.asof_join import asof_join
+
+    left = spark.createDataFrame(
+        [(1, BASE + dt.timedelta(seconds=100), "fresh"),
+         (1, BASE + dt.timedelta(seconds=5000), "stale")],
+        "k bigint, lts timestamp, tag string",
+    )
+    right = spark.createDataFrame([(1, BASE, 99)], "k bigint, rts timestamp, rid bigint")
+    out = {r.tag: r.rid for r in asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts", tolerance_sec=600
+    ).collect()}
+    assert out == {"fresh": 99, "stale": None}
+
+
+def test_dense_key_guard(spark):
+    from weather_data_warehouse_aws_spark.operators.keys import dense_key
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="one task"):
+        dense_key(df, "key", ["k"], max_rows=10)
+    ok = dense_key(df, "key", ["k"], max_rows=1000)
+    keys = sorted(r.key for r in ok.collect())
+    assert keys == list(range(1, 101))
+
+
+def test_scd2_hash_key_strategy(spark):
+    import datetime as _dt
+
+    from weather_data_warehouse_aws_spark.operators.scd2 import (
+        scd2_initial_load,
+        scd2_merge,
+    )
+
+    base = spark.createDataFrame([("a", "x"), ("b", "y")], "nk string, attr string")
+    dim = scd2_initial_load(
+        base, ["nk"], "key", key_strategy="hash",
+        effective_date=_dt.date(2024, 1, 1), now=_dt.datetime(2024, 1, 1),
+    )
+    keys1 = {r.nk: r.key for r in dim.collect()}
+    # deterministic across invocations
+    keys2 = {
+        r.nk: r.key
+        for r in scd2_initial_load(
+            base, ["nk"], "key", key_strategy="hash",
+            effective_date=_dt.date(2024, 1, 1), now=_dt.datetime(2024, 1, 1),
+        ).collect()
+    }
+    assert keys1 == keys2 and len(set(keys1.values())) == 2
+    updates = spark.createDataFrame([("a", "x2"), ("b", "y")], "nk string, attr string")
+    merged = scd2_merge(
+        dim, updates, ["nk"], ["attr"], "key", key_strategy="hash",
+        effective_date=_dt.date(2024, 2, 1), now=_dt.datetime(2024, 2, 1),
+    )
+    a_rows = {r.version: r.key for r in merged.filter("nk = 'a'").collect()}
+    assert set(a_rows) == {1, 2} and a_rows[1] != a_rows[2]  # new version, new key

@@ -174,3 +174,26 @@ def test_scd2_row_conservation(spark, n_changes):
     )
     assert versions.filter(F.col("vmax") != F.col("cnt")).count() == 0
     merged.unpersist()
+
+
+def test_split_by_hash_stable_under_repartitioning(spark, sf_dir):
+    """The split label depends only on the id — identical under any
+    physical layout (the leak-free-eval-set property)."""
+    from weather_data_warehouse_aws_spark.operators.sampling import split_by_hash
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    s1 = {
+        r.doc_id: r.split
+        for r in split_by_hash(docs, "doc_id", [0.8, 0.1, 0.1], ["train", "val", "test"]).collect()
+    }
+    s2 = {
+        r.doc_id: r.split
+        for r in split_by_hash(
+            docs.repartition(7), "doc_id", [0.8, 0.1, 0.1], ["train", "val", "test"]
+        ).collect()
+    }
+    assert s1 == s2
+    assert set(s1.values()) == {"train", "val", "test"}
+    frac = sum(1 for v in s1.values() if v == "train") / len(s1)
+    assert 0.7 < frac < 0.9
