@@ -31,6 +31,7 @@ _SUBMODULES = [
     "setops",
     "analytics_extra",
     "pipeline_ops",
+    "chunking",
 ]
 
 
