@@ -160,3 +160,51 @@ def test_watermark_drops_late_data(spark, tmp_path_factory):
     run()
     final = {str(r.w): r.n for r in spark.read.parquet(out).collect()}
     assert final[str(B)] == 2, "late row leaked into a finalized window"
+
+
+def test_stream_static_enrichment_join(spark, events_dir):
+    """Stream-static broadcast join: every streamed event carries its dim
+    attributes; dim misses stay null (left join)."""
+    from weather_data_warehouse_aws_spark.streaming.jobs import (
+        enriched_event_stream,
+        run_to_memory,
+    )
+
+    users = spark.createDataFrame(
+        [(i, f"tier{i % 3}") for i in range(0, 120)], "user_id bigint, tier string"
+    )
+    stream = read_events_stream(spark, events_dir)
+    enriched = enriched_event_stream(stream, users)
+    agg = enriched.groupBy("tier").count()
+    got = {r.tier: r["count"] for r in run_to_memory(agg, "enriched_counts").collect()}
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .join(F.broadcast(users), "user_id", "left")
+        .groupBy("tier")
+        .count()
+    )
+    want = {r.tier: r["count"] for r in batch.collect()}
+    assert got == want
+    assert None in want or set(want) >= {"tier0", "tier1", "tier2"}
+
+
+def test_foreachbatch_upsert_sink(spark, events_dir, tmp_path_factory):
+    """foreachBatch keyed upsert: micro-batches touching the SAME partitions
+    merge instead of clobbering (the naive per-batch overwrite loses rows);
+    checkpointed re-runs are no-ops."""
+    import pyspark.sql.functions as SF
+
+    from weather_data_warehouse_aws_spark.streaming.jobs import run_upsert_foreachbatch
+
+    out = str(tmp_path_factory.mktemp("feb_out")) + "/silver"
+    ckpt = str(tmp_path_factory.mktemp("feb_ckpt"))
+    stream = read_events_stream(spark, events_dir).withColumn("day", SF.to_date("ts"))
+    # 8 source files, maxFilesPerTrigger=4 -> 2 micro-batches over the same days
+    run_upsert_foreachbatch(stream, out, ckpt, "day", ["event_id"])
+    n1 = spark.read.parquet(out).count()
+    assert n1 == spark.read.parquet(events_dir).count()
+    assert spark.read.parquet(out).select("event_id").distinct().count() == n1
+    # re-run: checkpoint marks everything processed -> no-op, no duplicates
+    run_upsert_foreachbatch(stream, out, ckpt, "day", ["event_id"])
+    assert spark.read.parquet(out).count() == n1

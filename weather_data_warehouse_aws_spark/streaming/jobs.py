@@ -92,3 +92,69 @@ def run_to_memory(stream_df: DataFrame, name: str, *, timeout_sec: int = 120) ->
     )
     q.awaitTermination(timeout_sec)
     return stream_df.sparkSession.table(name)
+
+
+def enriched_event_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream against a (broadcast)
+    dimension snapshot. The static side is re-resolved per micro-batch, so
+    a dim refresh is picked up without restarting the query — the streaming
+    twin of the fact-view dim joins (pipeline/views.py)."""
+    return events.join(F.broadcast(dim), "user_id", "left")
+
+
+def run_upsert_foreachbatch(
+    stream_df: DataFrame,
+    silver_path: str,
+    checkpoint_path: str,
+    partition_col: str,
+    key_cols: list[str],
+    *,
+    timeout_sec: int = 180,
+) -> None:
+    """foreachBatch UPSERT sink: merge each micro-batch into the target by
+    key, rewriting only affected partitions.
+
+    The plain file sink appends exactly-once but can't update; a naive
+    per-batch dynamic overwrite LOSES rows when two micro-batches touch the
+    same partition (the second replaces the first). The correct merge:
+    existing rows in affected partitions that don't collide on the key are
+    kept (left_anti), batch rows win, and only affected partitions rewrite.
+    This is vanilla Spark's spelling of Delta MERGE / JDBC upsert, riding
+    streaming's checkpointed progress tracking.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            affected = [r[0] for r in batch_df.select(partition_col).distinct().collect()]
+            if not affected:
+                return
+            try:
+                existing = spark.read.parquet(silver_path).filter(
+                    F.col(partition_col).isin(affected)
+                )
+                merged = existing.join(
+                    batch_df.select(*key_cols), key_cols, "left_anti"
+                ).unionByName(batch_df)
+                # materialize BEFORE the write: `merged` reads the very
+                # partitions the overwrite is about to replace
+                merged = merged.localCheckpoint(eager=True)
+            except Exception:  # first batch — nothing to merge yet
+                merged = batch_df
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                merged.write.partitionBy(partition_col).mode("overwrite").parquet(silver_path)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
