@@ -121,3 +121,40 @@ ORACLE = {
     "rollup": ORACLE_ROLLUP,
     "distinct_stats": ORACLE_DISTINCT_STATS,
 }
+
+
+# ---------------------------------------------------------------------------
+# q_cube — full cross-dimensional subtotals
+# ---------------------------------------------------------------------------
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(orderstatus, orderpriority): all 4 grouping combinations in one
+    Expand+agg pass (rollup's big sibling — same single-scan property)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.grouping("o_orderstatus").cast("int").alias("g_st"),
+            F.grouping("o_orderpriority").cast("int").alias("g_pr"),
+        )
+        .orderBy("g_st", "g_pr", "o_orderstatus", "o_orderpriority")
+    )
+
+
+ORACLE_CUBE = """
+SELECT
+    o_orderstatus,
+    o_orderpriority,
+    COUNT(*) AS n,
+    ROUND(SUM(o_totalprice), 2) AS total,
+    CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+    CAST(GROUPING(o_orderpriority) AS INT) AS g_pr
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority
+"""
+
+
+QUERIES["cube"] = q_cube
+ORACLE["cube"] = ORACLE_CUBE

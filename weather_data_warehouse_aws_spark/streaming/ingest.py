@@ -60,3 +60,44 @@ def run_silver_ingest(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def stream_bronze_forecast(spark: SparkSession, bronze_dir: str) -> DataFrame:
+    """File stream over the forecast bronze zone — the `explode(list)`
+    flattening (X1) runs statelessly inside the stream."""
+    from ..pipeline.schemas import BRONZE_FORECAST_SCHEMA
+
+    ensure_session_conf(spark)
+    return (
+        spark.readStream.schema(BRONZE_FORECAST_SCHEMA)
+        .option("multiLine", "true")
+        .option("maxFilesPerTrigger", 8)
+        .json(f"{bronze_dir}/raw/forecast/*/*/*/*/*.json")
+    )
+
+
+def run_forecast_ingest(
+    spark: SparkSession,
+    bronze_dir: str,
+    silver_path: str,
+    checkpoint_path: str,
+    *,
+    timeout_sec: int = 180,
+) -> None:
+    """Forecast twin of run_silver_ingest: 40-point explode + flatten +
+    horizon math per micro-batch, checkpointed exactly-once into
+    partitioned parquet. Same transformation function as the batch path."""
+    from ..pipeline.silver import build_silver_forecast
+
+    bronze = stream_bronze_forecast(spark, bronze_dir)
+    silver = build_silver_forecast(bronze)
+    q = (
+        silver.writeStream.format("parquet")
+        .option("path", silver_path)
+        .option("checkpointLocation", checkpoint_path)
+        .partitionBy("forecast_created_date")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
