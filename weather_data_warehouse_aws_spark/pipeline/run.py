@@ -52,12 +52,18 @@ def run_pipeline(
     dim_location = build_dim_location(
         silver_current, existing, effective_date=effective_date, now=now
     )
-    # materialize so the SCD2 state persists across runs; localCheckpoint-like
-    # read-back avoids overwrite-while-reading
-    tmp = dim_location_path + "__new"
-    dim_location.write.mode("overwrite").parquet(tmp)
-    dim_location = spark.read.parquet(tmp)
-    dim_location.write.mode("overwrite").parquet(dim_location_path)
+    if existing is None:
+        # first run: nothing being read from the target — write directly
+        dim_location.write.mode("overwrite").parquet(dim_location_path)
+    else:
+        # merge reads the existing dim: stage, swap, clean (no
+        # overwrite-while-reading, no leftover staging dir)
+        import shutil
+
+        tmp = dim_location_path + "__new"
+        dim_location.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(dim_location_path)
+        shutil.rmtree(tmp, ignore_errors=True)
     dim_location = spark.read.parquet(dim_location_path)
 
     dim_date = build_dim_date(spark, *dim_date_range)
