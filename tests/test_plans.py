@@ -163,3 +163,51 @@ def test_dynamic_partition_pruning(spark, tmp_path_factory):
     # generated days 01-01..01-04 are all weekdays, so the join is empty,
     # but ONLY after pruning decided which partitions to read
     assert joined.count() == 0
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """AQE skew-join handling (SURVEY §4.5): a join with one monster key
+    must show skew-split partitions in the final adaptive plan. Thresholds
+    are lowered so local data sizes trigger the optimization."""
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    confs = {
+        # thresholds sized for kilobyte-scale test shuffles (prod defaults
+        # are 256MB/64MB); partition coalescing disabled because it runs
+        # first and absorbs small-scale skew before the detector sees it
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        # one hot key: 80% of left rows collapse onto user_id 1. The input
+        # must span multiple MAP tasks (repartition(16)) — a skewed reduce
+        # partition is split along mapper boundaries, so a single-mapper
+        # input is unsplittable no matter how skewed.
+        left = (
+            ev.repartition(16)
+            .withColumn(
+                "k", F.when(F.col("event_id") % 5 != 0, F.lit(1)).otherwise(F.col("user_id"))
+            )
+            .select("k", "event_id", "value", "props")
+        )
+        right = ev.repartition(16).select(
+            F.col("user_id").alias("k"), F.col("event_id").alias("rid")
+        )
+        joined = left.join(right, "k").select("k", "rid")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

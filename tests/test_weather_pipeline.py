@@ -288,3 +288,17 @@ def test_inferred_schema_gust_introspection(spark, tmp_path_factory):
     rows = silver.select("wind_gust_mps").collect()
     assert len(rows) == len(CITIES)
     assert all(r.wind_gust_mps == 0.0 for r in rows)
+
+
+def test_write_silver_compact_single_file_per_partition(spark, bronze_dir, tmp_path_factory):
+    import os
+
+    out = str(tmp_path_factory.mktemp("silver_compact"))
+    silver = build_silver_current(read_bronze(spark, bronze_dir, "current"))
+    n = write_silver(silver, out, "observation_date", mode="overwrite_partitions", compact=True)
+    assert n == spark.read.parquet(out).count()
+    for part in os.listdir(out):
+        if "=" not in part:
+            continue
+        files = [f for f in os.listdir(os.path.join(out, part)) if f.endswith(".parquet")]
+        assert len(files) == 1, (part, files)

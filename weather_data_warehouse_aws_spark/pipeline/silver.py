@@ -160,15 +160,23 @@ def build_silver_forecast(bronze: DataFrame) -> DataFrame:
 
 
 def write_silver(
-    df: DataFrame, path: str, partition_col: str, *, mode: str = "append"
+    df: DataFrame, path: str, partition_col: str, *, mode: str = "append",
+    compact: bool = False,
 ) -> int:
     """Partitioned parquet write (S4); returns written row count.
 
     `mode="overwrite_partitions"` uses dynamic partition overwrite — the
     idempotent re-ingest the reference lacks (M4): reprocessing a date
     replaces exactly that date's partition instead of appending duplicates.
+
+    `compact=True` repartitions on the partition column first so every
+    hive partition lands as ONE file instead of one-per-task — the write-
+    time alternative to `operators/maintenance.compact_partitions` when a
+    day's data fits one task comfortably (this domain: KBs/day).
     """
     spark = df.sparkSession
+    if compact:
+        df = df.repartition(partition_col)
     df = df.persist()
     try:
         n = df.count()  # single evaluation; the write reuses the cache
