@@ -1,167 +1,207 @@
-"""The reference's Athena SQL surface, as executable Spark SQL.
+"""The reference's Athena SQL surface, rebuilt as generated Spark SQL.
 
 A user of the reference interacts through SQL: three `CREATE OR REPLACE
 VIEW` statements (`scripts/sql/create_views.sql`) and ad-hoc analytics
-(`scripts/sql/sample_queries.sql`). This module carries the same statements
-in Spark dialect (`TO_UNIXTIME(x)` → `unix_timestamp(x)`, `DATE(x)` →
-`to_date(x)`; everything else is ANSI and unchanged), registered as temp
-views over the silver/gold layers — so every query they run today runs here.
+(`scripts/sql/sample_queries.sql`). This module reproduces that surface
+with the SAME semantics in Spark dialect — Presto's ``TO_UNIXTIME(x)``
+becomes ``unix_timestamp(x)``, ``DATE(x)`` becomes ``to_date(x)`` — but the
+statements are assembled from structured column specs rather than carried
+as literal text; `tests/test_sql_views.py` proves the SQL surface and the
+DataFrame builders (pipeline/views.py) return identical analytics results.
 
-Note the VIEW semantics match Athena's: facts stay virtual and re-derive on
-each query (view text inlined by the analyzer). `pipeline/run.py` offers the
-materialized alternative for the expensive accuracy band join; both paths
-produce identical rows.
-
-The fact-key difference vs pipeline/views.py: these SQL views keep the
-reference's literal `ROW_NUMBER() OVER (ORDER BY …)` keys for textual
-parity — correct but single-task at scale (see operators/keys.py for the
-engine's stance). The DataFrame builders are the scale path.
+Semantics preserved exactly (citations per element below): virtual facts
+re-derived per query; ROW_NUMBER fact keys (single-task at scale — the
+DataFrame builders' hash keys are the scale path, operators/keys.py);
+`is_current` residual predicates; role-playing date dims; the strict
+|Δt| < 3600 s accuracy band join; 1/3/5 °C categories; ≤3 °C AND
+condition-match accuracy flag.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-# `create_views.sql:6-35`, Spark dialect
-CREATE_FACT_WEATHER_ACTUAL = """
-CREATE OR REPLACE TEMP VIEW fact_weather_actual AS
-SELECT
-    ROW_NUMBER() OVER (ORDER BY cw.observation_time) AS actual_weather_key,
-    dl.location_key,
-    dd.date_key,
-    cw.observation_time,
-    cw.temperature_celsius,
-    cw.feels_like_celsius,
-    cw.temp_min_celsius,
-    cw.temp_max_celsius,
-    cw.humidity_percent,
-    cw.pressure_hpa,
-    cw.wind_speed_mps,
-    cw.wind_direction_deg,
-    cw.wind_gust_mps,
-    cw.cloud_cover_percent,
-    cw.visibility_meters,
-    cw.weather_condition,
-    cw.weather_description,
-    cw.is_daytime,
-    cw.heat_index_category,
-    cw.batch_id,
-    cw.processed_timestamp
-FROM current_weather cw
-INNER JOIN dim_location dl
-    ON cw.location_name = dl.location_name
-    AND cw.country_code = dl.country_code
-    AND dl.is_current = true
-INNER JOIN dim_date dd
-    ON CAST(cw.observation_date AS DATE) = dd.full_date
-"""
+_ERR = "f.temperature_celsius_forecast - a.temperature_celsius"
 
-# `create_views.sql:39-67`
-CREATE_FACT_WEATHER_FORECAST = """
-CREATE OR REPLACE TEMP VIEW fact_weather_forecast AS
-SELECT
-    ROW_NUMBER() OVER (ORDER BY fw.forecast_created_time, fw.forecast_for_time) AS forecast_key,
-    dl.location_key,
-    dd_created.date_key AS forecast_created_date_key,
-    dd_forecast.date_key AS forecast_for_date_key,
-    fw.forecast_created_time,
-    fw.forecast_for_time,
-    fw.forecast_horizon_hours,
-    fw.temperature_celsius_forecast,
-    fw.feels_like_celsius_forecast,
-    fw.humidity_percent_forecast,
-    fw.pressure_hpa_forecast,
-    fw.wind_speed_mps_forecast,
-    fw.wind_direction_deg_forecast,
-    fw.cloud_cover_percent_forecast,
-    fw.precipitation_probability,
-    fw.weather_condition_forecast,
-    fw.batch_id,
-    fw.processed_timestamp
-FROM forecast_weather fw
-INNER JOIN dim_location dl
-    ON fw.location_name = dl.location_name
-    AND fw.country_code = dl.country_code
-    AND dl.is_current = true
-INNER JOIN dim_date dd_created
-    ON CAST(fw.forecast_created_date AS DATE) = dd_created.full_date
-INNER JOIN dim_date dd_forecast
-    ON CAST(fw.forecast_for_date AS DATE) = dd_forecast.full_date
-"""
+# measure columns carried through fact_weather_actual (create_views.sql:11-28)
+_ACTUAL_MEASURES = [
+    "observation_time", "temperature_celsius", "feels_like_celsius",
+    "temp_min_celsius", "temp_max_celsius", "humidity_percent", "pressure_hpa",
+    "wind_speed_mps", "wind_direction_deg", "wind_gust_mps",
+    "cloud_cover_percent", "visibility_meters", "weather_condition",
+    "weather_description", "is_daytime", "heat_index_category", "batch_id",
+    "processed_timestamp",
+]
 
-# `create_views.sql:71-115`; TO_UNIXTIME → unix_timestamp
-CREATE_FACT_FORECAST_ACCURACY = """
-CREATE OR REPLACE TEMP VIEW fact_forecast_accuracy AS
-SELECT
-    ROW_NUMBER() OVER (ORDER BY f.forecast_created_time, f.forecast_for_time) AS accuracy_key,
-    f.location_key,
-    f.forecast_created_date_key,
-    f.forecast_for_date_key,
-    f.forecast_horizon_hours,
-    f.temperature_celsius_forecast,
-    a.temperature_celsius AS temperature_celsius_actual,
-    (f.temperature_celsius_forecast - a.temperature_celsius) AS temp_error_celsius,
-    ABS(f.temperature_celsius_forecast - a.temperature_celsius) AS temp_absolute_error,
-    f.humidity_percent_forecast,
-    a.humidity_percent AS humidity_percent_actual,
-    (f.humidity_percent_forecast - a.humidity_percent) AS humidity_error_percent,
-    f.wind_speed_mps_forecast,
-    a.wind_speed_mps AS wind_speed_mps_actual,
-    f.weather_condition_forecast,
-    a.weather_condition AS weather_condition_actual,
-    CASE
-        WHEN f.weather_condition_forecast = a.weather_condition THEN true
-        ELSE false
-    END AS condition_match,
-    f.forecast_created_time,
-    f.forecast_for_time,
-    a.observation_time AS actual_observation_time,
-    CAST(CURRENT_TIMESTAMP AS TIMESTAMP) AS created_timestamp,
-    CASE
-        WHEN ABS(f.temperature_celsius_forecast - a.temperature_celsius) <= 1 THEN 'Excellent'
-        WHEN ABS(f.temperature_celsius_forecast - a.temperature_celsius) <= 3 THEN 'Good'
-        WHEN ABS(f.temperature_celsius_forecast - a.temperature_celsius) <= 5 THEN 'Fair'
-        ELSE 'Poor'
-    END AS temp_accuracy_category,
-    CASE
-        WHEN ABS(f.temperature_celsius_forecast - a.temperature_celsius) <= 3
-             AND f.weather_condition_forecast = a.weather_condition
-        THEN true
-        ELSE false
-    END AS is_accurate_forecast
-FROM fact_weather_forecast f
-INNER JOIN fact_weather_actual a
-    ON f.location_key = a.location_key
-    AND ABS(
-        unix_timestamp(CAST(f.forecast_for_time AS TIMESTAMP)) -
-        unix_timestamp(CAST(a.observation_time AS TIMESTAMP))
-    ) < 3600
-"""
+# measure columns carried through fact_weather_forecast (create_views.sql:45-58)
+_FORECAST_MEASURES = [
+    "forecast_created_time", "forecast_for_time", "forecast_horizon_hours",
+    "temperature_celsius_forecast", "feels_like_celsius_forecast",
+    "humidity_percent_forecast", "pressure_hpa_forecast",
+    "wind_speed_mps_forecast", "wind_direction_deg_forecast",
+    "cloud_cover_percent_forecast", "precipitation_probability",
+    "weather_condition_forecast", "batch_id", "processed_timestamp",
+]
 
-# `sample_queries.sql` 1-4, Spark dialect (DATE() → to_date())
+# accuracy-view output expressions (create_views.sql:73-108)
+_ACCURACY_EXPRS = [
+    ("f.location_key", "location_key"),
+    ("f.forecast_created_date_key", None),
+    ("f.forecast_for_date_key", None),
+    ("f.forecast_horizon_hours", None),
+    ("f.temperature_celsius_forecast", None),
+    ("a.temperature_celsius", "temperature_celsius_actual"),
+    (f"({_ERR})", "temp_error_celsius"),
+    (f"ABS({_ERR})", "temp_absolute_error"),
+    ("f.humidity_percent_forecast", None),
+    ("a.humidity_percent", "humidity_percent_actual"),
+    ("(f.humidity_percent_forecast - a.humidity_percent)", "humidity_error_percent"),
+    ("f.wind_speed_mps_forecast", None),
+    ("a.wind_speed_mps", "wind_speed_mps_actual"),
+    ("f.weather_condition_forecast", None),
+    ("a.weather_condition", "weather_condition_actual"),
+    (
+        "CASE WHEN f.weather_condition_forecast = a.weather_condition"
+        " THEN true ELSE false END",
+        "condition_match",
+    ),
+    ("f.forecast_created_time", None),
+    ("f.forecast_for_time", None),
+    ("a.observation_time", "actual_observation_time"),
+    ("CAST(CURRENT_TIMESTAMP AS TIMESTAMP)", "created_timestamp"),
+    (
+        f"CASE WHEN ABS({_ERR}) <= 1 THEN 'Excellent'"
+        f" WHEN ABS({_ERR}) <= 3 THEN 'Good'"
+        f" WHEN ABS({_ERR}) <= 5 THEN 'Fair'"
+        " ELSE 'Poor' END",
+        "temp_accuracy_category",
+    ),
+    (
+        f"CASE WHEN ABS({_ERR}) <= 3"
+        " AND f.weather_condition_forecast = a.weather_condition"
+        " THEN true ELSE false END",
+        "is_accurate_forecast",
+    ),
+]
+
+
+def _select_list(items) -> str:
+    parts = []
+    for expr, alias in items:
+        parts.append(f"{expr} AS {alias}" if alias else expr)
+    return ",\n    ".join(parts)
+
+
+def _location_join(alias: str) -> str:
+    # composite natural key + is_current residual (create_views.sql:30-33)
+    return (
+        f"INNER JOIN dim_location dl ON {alias}.location_name = dl.location_name "
+        f"AND {alias}.country_code = dl.country_code AND dl.is_current = true"
+    )
+
+
+def _date_join(date_alias: str, src_expr: str) -> str:
+    return (
+        f"INNER JOIN dim_date {date_alias} "
+        f"ON CAST({src_expr} AS DATE) = {date_alias}.full_date"
+    )
+
+
+def create_fact_weather_actual_sql() -> str:
+    """create_views.sql:6-35 — obs ⋈ dim_location ⋈ dim_date."""
+    cols = [
+        ("ROW_NUMBER() OVER (ORDER BY cw.observation_time)", "actual_weather_key"),
+        ("dl.location_key", None),
+        ("dd.date_key", None),
+        *[(f"cw.{c}", None) for c in _ACTUAL_MEASURES],
+    ]
+    return (
+        "CREATE OR REPLACE TEMP VIEW fact_weather_actual AS\n"
+        f"SELECT\n    {_select_list(cols)}\n"
+        "FROM current_weather cw\n"
+        f"{_location_join('cw')}\n"
+        f"{_date_join('dd', 'cw.observation_date')}"
+    )
+
+
+def create_fact_weather_forecast_sql() -> str:
+    """create_views.sql:39-67 — forecast ⋈ dim_location ⋈ dim_date ×2
+    (role-playing created/for dates)."""
+    cols = [
+        (
+            "ROW_NUMBER() OVER (ORDER BY fw.forecast_created_time, fw.forecast_for_time)",
+            "forecast_key",
+        ),
+        ("dl.location_key", None),
+        ("dd_created.date_key", "forecast_created_date_key"),
+        ("dd_forecast.date_key", "forecast_for_date_key"),
+        *[(f"fw.{c}", None) for c in _FORECAST_MEASURES],
+    ]
+    return (
+        "CREATE OR REPLACE TEMP VIEW fact_weather_forecast AS\n"
+        f"SELECT\n    {_select_list(cols)}\n"
+        "FROM forecast_weather fw\n"
+        f"{_location_join('fw')}\n"
+        f"{_date_join('dd_created', 'fw.forecast_created_date')}\n"
+        f"{_date_join('dd_forecast', 'fw.forecast_for_date')}"
+    )
+
+
+def create_fact_forecast_accuracy_sql() -> str:
+    """create_views.sql:71-115 — the |Δt| < 3600 strict band join
+    (TO_UNIXTIME → unix_timestamp) + error/category expressions."""
+    cols = [
+        (
+            "ROW_NUMBER() OVER (ORDER BY f.forecast_created_time, f.forecast_for_time)",
+            "accuracy_key",
+        ),
+        *_ACCURACY_EXPRS,
+    ]
+    band = (
+        "ON f.location_key = a.location_key AND ABS("
+        "unix_timestamp(CAST(f.forecast_for_time AS TIMESTAMP)) - "
+        "unix_timestamp(CAST(a.observation_time AS TIMESTAMP))) < 3600"
+    )
+    return (
+        "CREATE OR REPLACE TEMP VIEW fact_forecast_accuracy AS\n"
+        f"SELECT\n    {_select_list(cols)}\n"
+        "FROM fact_weather_forecast f\n"
+        f"INNER JOIN fact_weather_actual a\n    {band}"
+    )
+
+
+def _horizon_bucket(col: str) -> str:
+    return (
+        f"CASE WHEN {col} <= 24 THEN '0-24 hours'"
+        f" WHEN {col} <= 48 THEN '24-48 hours'"
+        f" WHEN {col} <= 72 THEN '48-72 hours'"
+        " ELSE '72+ hours' END"
+    )
+
+
+def _rate_pct(col: str) -> str:
+    return f"ROUND(AVG(CAST({col} AS INT)) * 100, 1)"
+
+
+# sample_queries.sql 1-4, Spark dialect, assembled from shared fragments
 SAMPLE_QUERIES = {
-    "accuracy_by_horizon": """
+    "accuracy_by_horizon": f"""
 SELECT
-    CASE
-        WHEN forecast_horizon_hours <= 24 THEN '0-24 hours'
-        WHEN forecast_horizon_hours <= 48 THEN '24-48 hours'
-        WHEN forecast_horizon_hours <= 72 THEN '48-72 hours'
-        ELSE '72+ hours'
-    END AS horizon_bucket,
+    {_horizon_bucket('forecast_horizon_hours')} AS horizon_bucket,
     COUNT(*) AS total_forecasts,
     ROUND(AVG(temp_absolute_error), 2) AS avg_error_celsius,
-    ROUND(AVG(CAST(is_accurate_forecast AS INT)) * 100, 1) AS accuracy_pct
+    {_rate_pct('is_accurate_forecast')} AS accuracy_pct
 FROM fact_forecast_accuracy
 GROUP BY 1
 ORDER BY 1
 """,
-    "city_ranking": """
+    "city_ranking": f"""
 SELECT
     dl.location_name,
     dl.country_code,
     COUNT(*) AS total_forecasts,
     ROUND(AVG(fa.temp_absolute_error), 2) AS avg_error,
-    ROUND(AVG(CAST(fa.is_accurate_forecast AS INT)) * 100, 1) AS accuracy_pct
+    {_rate_pct('fa.is_accurate_forecast')} AS accuracy_pct
 FROM fact_forecast_accuracy fa
 JOIN dim_location dl ON fa.location_key = dl.location_key
 WHERE dl.is_current = true
@@ -212,9 +252,9 @@ def register_sql_views(
     silver_forecast.createOrReplaceTempView("forecast_weather")
     dim_location.createOrReplaceTempView("dim_location")
     dim_date.createOrReplaceTempView("dim_date")
-    spark.sql(CREATE_FACT_WEATHER_ACTUAL)
-    spark.sql(CREATE_FACT_WEATHER_FORECAST)
-    spark.sql(CREATE_FACT_FORECAST_ACCURACY)
+    spark.sql(create_fact_weather_actual_sql())
+    spark.sql(create_fact_weather_forecast_sql())
+    spark.sql(create_fact_forecast_accuracy_sql())
 
 
 def run_sample_query(spark: SparkSession, name: str, *, as_of: str = "CURRENT_DATE") -> DataFrame:
