@@ -32,6 +32,7 @@ _SUBMODULES = [
     "analytics_extra",
     "pipeline_ops",
     "chunking",
+    "scd2_oracle",
 ]
 
 
