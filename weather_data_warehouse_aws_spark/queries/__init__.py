@@ -33,6 +33,7 @@ _SUBMODULES = [
     "pipeline_ops",
     "chunking",
     "scd2_oracle",
+    "scalars",
 ]
 
 
