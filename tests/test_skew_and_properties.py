@@ -197,3 +197,21 @@ def test_split_by_hash_stable_under_repartitioning(spark, sf_dir):
     assert set(s1.values()) == {"train", "val", "test"}
     frac = sum(1 for v in s1.values() if v == "train") / len(s1)
     assert 0.7 < frac < 0.9
+
+
+def test_approx_sketches_within_tolerance(spark, sf_dir):
+    """The 100 TB aggregation tools — HLL count-distinct and KLL/GK
+    percentile sketches — must land within their documented error bands of
+    the exact answers (sketches are engine-specific, so they're pytest-
+    bounded rather than oracle-hashed)."""
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_cd"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_cd"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_med"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_med"),
+    ).collect()[0]
+    assert abs(row.approx_cd - row.exact_cd) / row.exact_cd < 0.05
+    assert abs(row.approx_med - row.exact_med) / row.exact_med < 0.02
