@@ -227,6 +227,7 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     lloyd_iterations: int = 0,
+    stripe_fn=None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into cells around
     centroids, search only the query's `nprobe` nearest cells.
@@ -237,12 +238,18 @@ def ivf_topk(
     at scale: assignment is a map-side pass against BROADCAST centroids,
     candidates come from an equi-join on cell_id, and exact cosine rescoring
     touches |corpus|·nprobe/n_cells vectors instead of |corpus|.
+
+    `stripe_fn(id_col: Column) -> Column` overrides the centroid-seeding
+    stripe hash (default xxhash64); the oracle-checked registry entry passes
+    the md5-portable hash so DuckDB can replicate centroid selection exactly.
     """
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    if stripe_fn is None:
+        stripe_fn = lambda ids: F.pmod(F.xxhash64(ids), F.lit(n_cells))  # noqa: E731
     # deterministic centroid sample: first vector of each of n_cells id-stripes
     w = Window.partitionBy("cell").orderBy("neighbor_id")
     centroids = (
-        c.withColumn("cell", F.pmod(F.xxhash64("neighbor_id"), F.lit(n_cells)))
+        c.withColumn("cell", stripe_fn(F.col("neighbor_id")))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(F.col("cell").alias("cent_id"), F.col("cv").alias("cent_vec"))

@@ -12,13 +12,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import COSINE_SQL, blocked_neardup, cosine_topk
+from ..functions.text import portable_hash60, portable_hash60_sql
+from ..operators.similarity import COSINE_SQL, DOT_SQL, blocked_neardup, cosine_topk, ivf_topk
 from ..sources.tables import load_table
 
 TOPK_K = 5
 N_QUERIES = 10
 NEARDUP_OFFSET = 1_000_000
 NEARDUP_THRESHOLD = 0.9
+IVF_CELLS = 16
+IVF_NPROBE = 4
 
 
 # ---------------------------------------------------------------------------
@@ -90,12 +93,219 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q_ivf_ann — IVF (inverted-file) approximate nearest neighbor, oracle-checked
+# ---------------------------------------------------------------------------
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 for the first 10 vectors — the 100 TB scale path for
+    similarity search, with the ENTIRE index construction oracle-checked:
+    centroid seeding (lowest-id vector per md5-hash stripe), nearest-centroid
+    cell assignment (broadcast, map-side), nprobe=4 probing, and exact cosine
+    rescoring restricted to probed cells. Rescoring touches ~nprobe/n_cells
+    of the corpus instead of all of it; every phase is an equi-join or a
+    broadcast, so the plan has no cross product on the corpus side.
+
+    The stripe hash is the md5-portable hash (not xxhash64) precisely so the
+    DuckDB oracle replicates centroid selection bit-for-bit — an APPROXIMATE
+    algorithm under an EXACT differential test.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    def stripe(ids):
+        return F.pmod(portable_hash60(ids.cast("string")), F.lit(IVF_CELLS))
+
+    return ivf_topk(
+        queries,
+        emb,
+        k=TOPK_K,
+        n_cells=IVF_CELLS,
+        nprobe=IVF_NPROBE,
+        stripe_fn=stripe,
+    ).orderBy("query_id", "rank")
+
+
+_HASH_CELL = portable_hash60_sql("CAST(vec_id AS VARCHAR)") + f" % {IVF_CELLS}"
+
+ORACLE_IVF_ANN = f"""
+WITH c AS (
+    SELECT vec_id AS neighbor_id, embedding AS cv, {_HASH_CELL} AS cell
+    FROM embeddings
+),
+centroids AS (
+    SELECT cell AS cent_id, cv AS cent_vec FROM (
+        SELECT cell, cv,
+               ROW_NUMBER() OVER (PARTITION BY cell ORDER BY neighbor_id) AS rn
+        FROM c
+    ) WHERE rn = 1
+),
+corpus_cells AS (
+    SELECT neighbor_id, cv, cent_id AS cell_id FROM (
+        SELECT s.neighbor_id, s.cv, t.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.neighbor_id
+                   ORDER BY ROUND({DOT_SQL.format(a='s.cv', b='t.cent_vec')}, 9) DESC,
+                            t.cent_id
+               ) AS r
+        FROM c s CROSS JOIN centroids t
+    ) WHERE r = 1
+),
+query_cells AS (
+    SELECT query_id, qv, cell_id FROM (
+        SELECT q.neighbor_id AS query_id, q.cv AS qv, t.cent_id AS cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.neighbor_id
+                   ORDER BY ROUND({DOT_SQL.format(a='q.cv', b='t.cent_vec')}, 9) DESC,
+                            t.cent_id
+               ) AS r
+        FROM c q CROSS JOIN centroids t
+        WHERE q.neighbor_id < {N_QUERIES}
+    ) WHERE r <= {IVF_NPROBE}
+),
+cand AS (
+    SELECT DISTINCT qc.query_id, qc.qv, cc.neighbor_id, cc.cv
+    FROM query_cells qc JOIN corpus_cells cc USING (cell_id)
+    WHERE qc.query_id <> cc.neighbor_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           ROUND({COSINE_SQL.format(a='qv', b='cv')}, 6) AS cos
+    FROM cand
+)
+SELECT query_id, rank, neighbor_id, cos FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) AS rank
+    FROM scored
+) WHERE rank <= {TOPK_K}
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_ivf_ann_refined — IVF with one spherical-k-means (Lloyd) refinement step,
+# the ENTIRE iteration replicated in the DuckDB oracle (unrolled, not
+# recursive): assign → per-cell element-wise mean → unit-normalize → float
+# quantize → re-probe. Float quantization (CAST AS FLOAT/REAL) on centroid
+# components absorbs cross-engine summation-order drift in the means; the
+# norm is a sequential fold over the d-ordered list on BOTH sides
+# (Spark `aggregate(sort_array(...))` ≡ DuckDB `list_dot_product(ms, ms)`).
+# ---------------------------------------------------------------------------
+def q_ivf_ann_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-refined IVF ANN: same probe/rescore structure as `ivf_ann` but
+    centroids are improved by one k-means iteration first (assignment is a
+    broadcast map-side pass; the mean is a posexplode → groupBy(cell, dim)
+    shuffle sized |corpus|·dim — the standard distributed-EM shape where the
+    DRIVER loops over tiny state and each step is one distributed pass)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    def stripe(ids):
+        return F.pmod(portable_hash60(ids.cast("string")), F.lit(IVF_CELLS))
+
+    return ivf_topk(
+        queries,
+        emb,
+        k=TOPK_K,
+        n_cells=IVF_CELLS,
+        nprobe=IVF_NPROBE,
+        lloyd_iterations=1,
+        stripe_fn=stripe,
+    ).orderBy("query_id", "rank")
+
+
+ORACLE_IVF_ANN_REFINED = f"""
+WITH c AS (
+    SELECT vec_id AS neighbor_id, embedding AS cv, {_HASH_CELL} AS cell
+    FROM embeddings
+),
+seed_centroids AS (
+    SELECT cell AS cent_id, cv AS cent_vec FROM (
+        SELECT cell, cv,
+               ROW_NUMBER() OVER (PARTITION BY cell ORDER BY neighbor_id) AS rn
+        FROM c
+    ) WHERE rn = 1
+),
+-- one unrolled Lloyd iteration: nearest-seed assignment by raw dot product
+lloyd_assign AS (
+    SELECT neighbor_id, cv, cell FROM (
+        SELECT s.neighbor_id, s.cv, t.cent_id AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.neighbor_id
+                   ORDER BY {DOT_SQL.format(a='s.cv', b='t.cent_vec')} DESC,
+                            t.cent_id
+               ) AS r
+        FROM c s CROSS JOIN seed_centroids t
+    ) WHERE r = 1
+),
+dims AS (
+    SELECT cell, generate_subscripts(cv, 1) AS d, CAST(unnest(cv) AS DOUBLE) AS x
+    FROM lloyd_assign
+),
+means AS (
+    SELECT cell, d, AVG(x) AS m FROM dims GROUP BY cell, d
+),
+mean_lists AS (
+    SELECT cell, list(m ORDER BY d) AS ms FROM means GROUP BY cell
+),
+centroids AS (
+    SELECT cell AS cent_id,
+           list_transform(ms, m -> CAST(m / sqrt(list_dot_product(ms, ms)) AS REAL)) AS cent_vec
+    FROM mean_lists
+),
+corpus_cells AS (
+    SELECT neighbor_id, cv, cent_id AS cell_id FROM (
+        SELECT s.neighbor_id, s.cv, t.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.neighbor_id
+                   ORDER BY ROUND({DOT_SQL.format(a='s.cv', b='t.cent_vec')}, 9) DESC,
+                            t.cent_id
+               ) AS r
+        FROM c s CROSS JOIN centroids t
+    ) WHERE r = 1
+),
+query_cells AS (
+    SELECT query_id, qv, cell_id FROM (
+        SELECT q.neighbor_id AS query_id, q.cv AS qv, t.cent_id AS cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.neighbor_id
+                   ORDER BY ROUND({DOT_SQL.format(a='q.cv', b='t.cent_vec')}, 9) DESC,
+                            t.cent_id
+               ) AS r
+        FROM c q CROSS JOIN centroids t
+        WHERE q.neighbor_id < {N_QUERIES}
+    ) WHERE r <= {IVF_NPROBE}
+),
+cand AS (
+    SELECT DISTINCT qc.query_id, qc.qv, cc.neighbor_id, cc.cv
+    FROM query_cells qc JOIN corpus_cells cc USING (cell_id)
+    WHERE qc.query_id <> cc.neighbor_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           ROUND({COSINE_SQL.format(a='qv', b='cv')}, 6) AS cos
+    FROM cand
+)
+SELECT query_id, rank, neighbor_id, cos FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) AS rank
+    FROM scored
+) WHERE rank <= {TOPK_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
+    "ivf_ann": q_ivf_ann,
+    "ivf_ann_refined": q_ivf_ann_refined,
 }
 
 ORACLE = {
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "ivf_ann": ORACLE_IVF_ANN,
+    "ivf_ann_refined": ORACLE_IVF_ANN_REFINED,
 }
