@@ -34,6 +34,7 @@ _SUBMODULES = [
     "chunking",
     "scd2_oracle",
     "scalars",
+    "subqueries",
 ]
 
 
