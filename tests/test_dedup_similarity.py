@@ -192,3 +192,30 @@ def test_lloyd_refine_improves_objective(spark, sf_dir):
     refined = lloyd_refine(c, init, iterations=1)
     after = objective(refined)
     assert after >= before - 1e-9, (before, after)
+
+
+def test_decontamination_recovers_planted(spark, sf_dir):
+    """Every planted exact-copy and trailer-extended eval doc must be
+    flagged (all their original 5-grams exist in the train corpus); the
+    flag set may additionally contain reversed docs whose reversed 5-grams
+    collide by chance in the 31-word vocabulary — that's real overlap."""
+    from weather_data_warehouse_aws_spark.queries.dedup import (
+        EVAL_EXACT_OFFSET,
+        EVAL_TRAILER_OFFSET,
+        q_decontamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_exact = docs.filter(F.col("doc_id") % 100 == 0).count()
+    n_trailer = docs.filter(F.col("doc_id") % 100 == 1).count()
+
+    flagged = q_decontamination(spark, sf_dir).collect()
+    ids = {r.eval_id for r in flagged}
+    exact_flagged = sum(1 for i in ids if EVAL_EXACT_OFFSET <= i < EVAL_TRAILER_OFFSET)
+    trailer_flagged = sum(
+        1 for i in ids if EVAL_TRAILER_OFFSET <= i < EVAL_TRAILER_OFFSET + 10**6
+    )
+    assert exact_flagged == n_exact
+    assert trailer_flagged == n_trailer
+    # contaminated docs must report at least themselves as a source
+    assert all(r.n_train_sources >= 1 and r.n_shared_shingles >= 1 for r in flagged)

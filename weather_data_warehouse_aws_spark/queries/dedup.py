@@ -225,11 +225,111 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q_decontamination — cross-corpus n-gram overlap (train/eval hygiene)
+# ---------------------------------------------------------------------------
+# Benchmark-decontamination is the containment-side twin of dedup: flag eval
+# documents sharing any word-n-gram with the training corpus (the method
+# popularized by the GPT-2/GPT-3 papers' 8/13-gram overlap filters; n=5 here
+# for the same vocabulary-width reason as ngram_jaccard above).
+EVAL_EXACT_OFFSET = 3_000_000
+EVAL_TRAILER_OFFSET = 4_000_000
+EVAL_CLEAN_OFFSET = 5_000_000
+
+
+def eval_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic eval set with known contamination status: exact copies
+    (every 100th doc), trailer-extended copies (every 100th+1 — all original
+    shingles retained, so still contaminated), and token-REVERSED texts
+    (every 100th+2 — word order destroyed, so shingle-clean)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + EVAL_EXACT_OFFSET).alias("doc_id"), "text"
+    )
+    trailer = docs.filter(F.col("doc_id") % 100 == 1).select(
+        (F.col("doc_id") + EVAL_TRAILER_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(TRAILER)).alias("text"),
+    )
+    clean = docs.filter(F.col("doc_id") % 100 == 2).select(
+        (F.col("doc_id") + EVAL_CLEAN_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split(F.trim(F.col("text")), r"\s+"))).alias("text"),
+    )
+    return exact.unionByName(trailer).unionByName(clean)
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per contaminated eval doc: how many train docs share a 5-gram and how
+    many distinct shingles leak. Plan shape: shingle both corpora (linear),
+    equi-join on the 8-byte shingle hash — contamination detection at 100 TB
+    is exactly the dedup candidate join, with the eval side typically 1000×
+    smaller (benchmarks, not corpora), so the eval shingle table broadcasts
+    and the train side never shuffles at all."""
+    from ..operators.dedup import shingle_table
+
+    train = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = eval_benchmark(spark, sf_dir)
+    train_sh = shingle_table(train, "doc_id", "text", SHINGLE_N).withColumnRenamed(
+        "doc_id", "train_id"
+    )
+    eval_sh = shingle_table(ev, "doc_id", "text", SHINGLE_N).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    return (
+        eval_sh.join(train_sh, "sh")
+        .groupBy("eval_id")
+        .agg(
+            F.countDistinct("train_id").alias("n_train_sources"),
+            F.countDistinct("sh").alias("n_shared_shingles"),
+        )
+        .orderBy("eval_id")
+    )
+
+
+def _shingles_over_sql(relation: str, id_alias: str) -> str:
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    return rf"""
+    SELECT doc_id AS {id_alias}, {portable_hash60_sql('s')} AS sh
+    FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len({toks}) - {SHINGLE_N} + 1, 1)),
+                   i -> array_to_string(list_slice({toks}, i, i + {SHINGLE_N} - 1), ' ')
+               ))) AS s
+        FROM {relation}
+    )"""
+
+
+ORACLE_DECONTAMINATION = rf"""
+WITH eval_docs AS (
+    SELECT doc_id + {EVAL_EXACT_OFFSET} AS doc_id, text
+    FROM documents WHERE doc_id % 100 = 0
+    UNION ALL
+    SELECT doc_id + {EVAL_TRAILER_OFFSET}, text || '{TRAILER}'
+    FROM documents WHERE doc_id % 100 = 1
+    UNION ALL
+    SELECT doc_id + {EVAL_CLEAN_OFFSET},
+           array_to_string(list_reverse(regexp_split_to_array(trim(text), '\s+')), ' ')
+    FROM documents WHERE doc_id % 100 = 2
+),
+train_sh AS ({_shingles_over_sql('documents', 'train_id')}
+),
+eval_sh AS ({_shingles_over_sql('eval_docs', 'eval_id')}
+)
+SELECT eval_id,
+       COUNT(DISTINCT train_id) AS n_train_sources,
+       COUNT(DISTINCT sh) AS n_shared_shingles
+FROM eval_sh JOIN train_sh USING (sh)
+GROUP BY eval_id
+ORDER BY eval_id
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "decontamination": q_decontamination,
 }
 
 ORACLE = {
@@ -237,4 +337,5 @@ ORACLE = {
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "minhash_lsh": _oracle_minhash_lsh(),
     "simhash": _oracle_simhash(),
+    "decontamination": ORACLE_DECONTAMINATION,
 }
