@@ -353,3 +353,92 @@ ORDER BY day, event_type
 
 QUERIES["moving_avg"] = q_moving_avg
 ORACLE["moving_avg"] = ORACLE_MOVING_AVG
+
+
+# ---------------------------------------------------------------------------
+# q_gap_fill — dense time spine + forward fill (time-series repair)
+# ---------------------------------------------------------------------------
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly avg(value) per event_type over a DENSE hour spine, with empty
+    hours forward-filled from the last observed hour (`last(ignorenulls)`
+    over an UNBOUNDED PRECEDING frame) — the standard sensor/observation
+    repair the weather domain needs when a station misses a reading.
+
+    Scale: the spine is `sequence()` (generated distributed, never a driver
+    loop) crossed with the tiny type dim; the fact side aggregates once on
+    (type, hour). The fill window partitions by event_type ordered by hour —
+    bounded rows per partition after aggregation, no raw-row windows. At
+    petabyte scale partition the window by (type, day) with a boundary
+    carry-over pass if a single type's history outgrows one task.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(
+            # ROUND(SUM, 2) snaps to the 2dp grid identically in both engines
+            # (values are 2dp; sums never approach a .005 boundary); dividing
+            # the snapped sum by the exact count is deterministic IEEE, so
+            # the quotient is bit-identical WITHOUT further rounding — per-row
+            # round(avg, k) would disagree at half boundaries (e.g. 51.51125).
+            (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    spine = spark.sql(
+        "SELECT explode(sequence(timestamp'2024-01-01 00:00:00', "
+        "timestamp'2024-01-30 23:00:00', interval 1 hour)) AS hour"
+    )
+    types = ev.select("event_type").distinct()
+    dense = spine.crossJoin(types)
+
+    fill_w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dense.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias("n_events"),
+            F.col("avg_value").isNull().alias("is_gap"),
+            F.last("avg_value", ignorenulls=True).over(fill_w).alias("filled_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+ORACLE_GAP_FILL = """
+WITH hourly AS (
+    SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           ROUND(SUM(value), 2) / COUNT(*) AS avg_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+),
+spine AS (
+    SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                  TIMESTAMP '2024-01-30 23:00:00',
+                                  INTERVAL 1 HOUR)) AS hour
+),
+dense AS (
+    SELECT t.event_type, s.hour
+    FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT d.event_type, d.hour,
+       COALESCE(h.n_events, 0) AS n_events,
+       h.avg_value IS NULL AS is_gap,
+       LAST_VALUE(h.avg_value IGNORE NULLS) OVER (
+           PARTITION BY d.event_type ORDER BY d.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value
+FROM dense d LEFT JOIN hourly h ON d.event_type = h.event_type AND d.hour = h.hour
+ORDER BY d.event_type, d.hour
+"""
+
+QUERIES["gap_fill"] = q_gap_fill
+ORACLE["gap_fill"] = ORACLE_GAP_FILL
