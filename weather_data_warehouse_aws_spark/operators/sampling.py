@@ -15,6 +15,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import portable_hash60, portable_hash60_sql
 
@@ -55,3 +56,27 @@ def split_by_hash(
         cond = bucket < int(round(acc * BUCKETS))
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     return df.withColumn("split", expr.otherwise(labels[-1]))
+
+
+def stratified_sample(
+    df: DataFrame, group_col: str, id_col: str, k: int, *, salt: str = ""
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, deterministically: the k
+    smallest (hash_bucket, id) per group — a seedless reproducible stratified
+    sample (the data-mixing/balancing primitive: cap each language/source at
+    k docs).
+
+    Scale: one shuffle on group_col + per-group sort. For huge groups,
+    pre-filter with `hash_bucket < ceil(k/|group| * BUCKETS * safety)` first
+    so the window sorts a k-proportional sliver instead of the full group —
+    the uniform hash makes the sliver a superset of the answer with
+    overwhelming probability, and the window then takes exactly k.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -148,14 +148,45 @@ ORDER BY event_type, event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q_stratified_sample — per-group deterministic quota sample (data mixing)
+# ---------------------------------------------------------------------------
+STRATA_K = 20
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every language at 20 docs, deterministically: the 20 smallest
+    (id-hash, id) per lang — the balancing step a multilingual training mix
+    uses so high-resource languages don't drown the rest. Seedless and
+    engine-independent, so the same corpus always yields the same sample."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stratified_sample(docs, "lang", "doc_id", STRATA_K).orderBy("lang", "doc_id")
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, n_chars FROM (
+    SELECT doc_id, lang, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY {_BUCKET}, doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= {STRATA_K}
+ORDER BY lang, doc_id
+"""
+
+
 QUERIES = {
     "dataset_split": q_dataset_split,
     "profile": q_profile,
     "grouped_zscore": q_grouped_zscore,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLE = {
     "dataset_split": ORACLE_DATASET_SPLIT,
     "profile": ORACLE_PROFILE,
     "grouped_zscore": ORACLE_GROUPED_ZSCORE,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
 }
