@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from weather_data_warehouse_aws_spark.operators.maintenance import (
     compact_partitions,
     list_partitions,
+    recover_compaction,
 )
 from weather_data_warehouse_aws_spark.sources.tables import load_table
 
@@ -43,3 +44,35 @@ def test_compaction_preserves_data(spark, sf_smoke_dir, tmp_path_factory):
     one_day = parts[0].split("=", 1)[1]
     pruned = after.filter(F.col("day") == one_day)
     assert pruned.count() > 0
+
+
+def test_compaction_crash_recovery(spark, sf_smoke_dir, tmp_path_factory):
+    """Every interrupted-swap state must repair on the next run with no data
+    loss and no bogus partition visible to discovery."""
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("crash")) + "/events"
+    ev = load_table(spark, sf_smoke_dir, "events").withColumn("day", F.to_date("ts"))
+    ev.repartition(6).write.partitionBy("day").mode("overwrite").parquet(out)
+    before_rows = spark.read.parquet(out).count()
+    parts = list_partitions(out)
+    stage = out + "__compact_stage"
+
+    # state (a): stale tmp output, original intact
+    os.makedirs(os.path.join(stage, parts[0]))
+    # state (b): partition moved out, replacement never moved in
+    os.rename(os.path.join(out, parts[1]), os.path.join(stage, parts[1] + "__old"))
+    # state (c): replacement in place, old copy undeleted
+    shutil.copytree(os.path.join(out, parts[2]), os.path.join(stage, parts[2] + "__old"))
+
+    actions = recover_compaction(out)
+    assert len(actions) == 3
+    assert not os.path.exists(stage), "stage dir must be cleaned up"
+    assert list_partitions(out) == parts, "all partitions restored, none extra"
+    assert spark.read.parquet(out).count() == before_rows
+
+    # compaction after recovery works and is itself re-runnable
+    results = compact_partitions(spark, out, target_files=1)
+    assert results
+    assert spark.read.parquet(out).count() == before_rows
+    assert compact_partitions(spark, out, target_files=1) == {}

@@ -184,6 +184,32 @@ def test_scd2_merge_expire_and_insert(spark, layers):
     merged.unpersist()
 
 
+def test_scd2_merge_partial_snapshot_keeps_absent_keys(spark, layers):
+    """A partial updates snapshot (one city) must not drop the other current
+    rows — keys absent from the snapshot remain current, unchanged."""
+    dl = layers["dim_location"]
+    partial = (
+        dl.filter(F.col("is_current") & (F.col("location_name") == "Mumbai"))
+        .select(
+            "location_name", "country_code", "latitude", "longitude",
+            "timezone_offset_seconds", "timezone_name",
+        )
+        .withColumn("timezone_offset_seconds", F.lit(20700))
+    )
+    eff = dt.date(2024, 2, 1)
+    merged = build_dim_location(
+        partial, dl, effective_date=eff, now=dt.datetime(2024, 2, 1, 7)
+    ).cache()
+    # Mumbai expired + re-inserted; every other city still present and current
+    assert merged.count() == len(CITIES) + 1
+    assert merged.filter(F.col("is_current")).count() == len(CITIES)
+    london = merged.filter(F.col("location_name") == "London").collect()
+    assert len(london) == 1 and london[0].is_current and london[0].version == 1
+    mumbai = {r.version: r for r in merged.filter(F.col("location_name") == "Mumbai").collect()}
+    assert set(mumbai) == {1, 2} and mumbai[2].timezone_offset_seconds == 20700
+    merged.unpersist()
+
+
 def test_scd2_merge_new_key_inserts_v1(spark, layers):
     dl = layers["dim_location"]
     new_city = spark.createDataFrame(

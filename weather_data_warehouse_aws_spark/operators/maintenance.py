@@ -7,9 +7,11 @@ file; parquet footers dominate I/O). Compaction rewrites each partition to
 a target file count while preserving the partition layout, so downstream
 pruning is unaffected.
 
-Idempotent and crash-safe per partition: rewrites go to a sibling temp
-directory first, then swap — a failed run leaves the original partition
-intact.
+Idempotent and crash-safe per partition: all staging lives in a sibling
+directory OUTSIDE the table root (`<table>__compact_stage/`), so Spark's
+partition discovery never sees half-swapped state, and every run starts by
+recovering whatever a previous crash left behind — a missing partition is
+restored from its staged original, stale staging output is deleted.
 """
 
 from __future__ import annotations
@@ -19,6 +21,8 @@ import shutil
 
 from pyspark.sql import SparkSession
 
+_OLD_SUFFIX = "__old"
+
 
 def list_partitions(path: str) -> list[str]:
     """Immediate hive-style partition directories (`col=value`)."""
@@ -26,6 +30,51 @@ def list_partitions(path: str) -> list[str]:
         d for d in os.listdir(path)
         if "=" in d and os.path.isdir(os.path.join(path, d))
     )
+
+
+def _stage_root(path: str) -> str:
+    return path.rstrip("/") + "__compact_stage"
+
+
+def recover_compaction(path: str) -> list[str]:
+    """Repair interrupted `compact_partitions` runs; returns actions taken.
+
+    The swap sequence is: write tmp → move partition to `<stage>/<part>__old`
+    → move tmp into place → delete the old copy. A crash can therefore leave
+    (a) a stale tmp with the original intact — delete the tmp; (b) the
+    partition moved out but the tmp not yet moved in — restore the original;
+    (c) the new partition in place with the old copy undeleted — delete the
+    old copy. All staging is outside the table root, so none of these states
+    is ever visible to partition discovery.
+    """
+    stage = _stage_root(path)
+    if not os.path.isdir(stage):
+        return []
+    actions: list[str] = []
+    entries = sorted(os.listdir(stage))
+    # pass 1: settle saved originals (restore if the partition is missing)
+    for entry in entries:
+        if not entry.endswith(_OLD_SUFFIX):
+            continue
+        part = entry[: -len(_OLD_SUFFIX)]
+        part_dir = os.path.join(path, part)
+        saved = os.path.join(stage, entry)
+        if os.path.isdir(part_dir):
+            shutil.rmtree(saved)
+            actions.append(f"dropped stale original for {part}")
+        else:
+            os.rename(saved, part_dir)
+            actions.append(f"restored {part} from staged original")
+    # pass 2: stale tmp outputs are always safe to drop (the partition is
+    # intact either originally or via the pass-1 restore)
+    for entry in sorted(os.listdir(stage)):
+        if entry.endswith(_OLD_SUFFIX):
+            continue
+        shutil.rmtree(os.path.join(stage, entry))
+        actions.append(f"dropped incomplete compaction output for {entry}")
+    if not os.listdir(stage):
+        os.rmdir(stage)
+    return actions
 
 
 def compact_partitions(
@@ -38,27 +87,32 @@ def compact_partitions(
     """Rewrite every partition having more than `min_files` data files down
     to `target_files`. Returns {partition: (files_before, files_after)}.
 
-    Runs partition-at-a-time so peak temp space is one partition, and a
-    crash can only affect the partition mid-swap (whose original is still
-    on disk until the final rename).
+    Runs partition-at-a-time so peak temp space is one partition. Crash-safe:
+    recovers prior interrupted runs on entry, stages outside the table root,
+    and keeps the original partition until the replacement is in place.
     """
+    recover_compaction(path)
+    stage = _stage_root(path)
     results: dict[str, tuple[int, int]] = {}
     for part in list_partitions(path):
         part_dir = os.path.join(path, part)
         files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
         if len(files) < max(min_files, target_files + 1):
             continue
-        tmp_dir = part_dir + "__compact"
+        os.makedirs(stage, exist_ok=True)
+        tmp_dir = os.path.join(stage, part)
         (
             spark.read.parquet(part_dir)
             .repartition(target_files)
             .write.mode("overwrite")
             .parquet(tmp_dir)
         )
-        old_dir = part_dir + "__old"
+        old_dir = os.path.join(stage, part + _OLD_SUFFIX)
         os.rename(part_dir, old_dir)
         os.rename(tmp_dir, part_dir)
         shutil.rmtree(old_dir)
         after = len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
         results[part] = (len(files), after)
+    if os.path.isdir(stage) and not os.listdir(stage):
+        os.rmdir(stage)
     return results

@@ -138,7 +138,13 @@ def scd2_merge(
             (now_ts if expire else F.col("c_created")).alias("updated_timestamp"),
         )
 
-    kept = _current_row(j.filter(matched & ~changed), expire=False)
+    # kept = unchanged matches PLUS current rows absent from the snapshot —
+    # absent keys remain current (partial snapshots must not drop dimension
+    # rows; the reference domain has no deletes)
+    kept = _current_row(
+        j.filter(F.col("c_exists").isNotNull() & (F.col("u_exists").isNull() | ~changed)),
+        expire=False,
+    )
     expired = _current_row(j.filter(matched & changed), expire=True)
 
     inserts = j.filter((matched & changed) | F.col("c_exists").isNull()).select(

@@ -15,6 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..session import ensure_session_conf
+from ..sources.tables import read_parquet_if_exists
 from .gold import build_dim_date, build_dim_location
 from .silver import build_silver_current, build_silver_forecast, read_bronze, write_silver
 from .views import register_fact_views
@@ -44,11 +45,10 @@ def run_pipeline(
     silver_forecast = spark.read.parquet(fc_path)
 
     dim_location_path = os.path.join(warehouse_dir, "gold", "dim_location")
-    existing = None
-    try:
-        existing = spark.read.parquet(dim_location_path)
-    except Exception:
-        pass  # first run — initial load (reference build_dimensions.py:52-58)
+    # path-missing → first run → initial load (reference build_dimensions.py:
+    # 52-58); any OTHER read failure re-raises — falling through to the
+    # initial-load overwrite on a transient error would destroy SCD2 history
+    existing = read_parquet_if_exists(spark, dim_location_path)
     dim_location = build_dim_location(
         silver_current, existing, effective_date=effective_date, now=now
     )

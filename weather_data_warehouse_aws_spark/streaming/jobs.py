@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import ensure_session_conf
+from ..sources.tables import read_parquet_if_exists
 
 EVENTS_STREAM_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
@@ -130,18 +131,21 @@ def run_upsert_foreachbatch(
             affected = [r[0] for r in batch_df.select(partition_col).distinct().collect()]
             if not affected:
                 return
-            try:
-                existing = spark.read.parquet(silver_path).filter(
-                    F.col(partition_col).isin(affected)
-                )
+            # path-missing → first batch, nothing to merge. Any OTHER read
+            # error re-raises: treating a transient failure as first-batch
+            # would let the dynamic overwrite replace affected partitions
+            # with only the batch rows, silently losing existing data.
+            target = read_parquet_if_exists(spark, silver_path)
+            if target is None:
+                merged = batch_df
+            else:
+                existing = target.filter(F.col(partition_col).isin(affected))
                 merged = existing.join(
                     batch_df.select(*key_cols), key_cols, "left_anti"
                 ).unionByName(batch_df)
                 # materialize BEFORE the write: `merged` reads the very
                 # partitions the overwrite is about to replace
                 merged = merged.localCheckpoint(eager=True)
-            except Exception:  # first batch — nothing to merge yet
-                merged = batch_df
             prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             try:
