@@ -165,6 +165,25 @@ def test_dynamic_partition_pruning(spark, tmp_path_factory):
     assert joined.count() == 0
 
 
+def test_no_expand_in_distinct_heavy_queries(spark, sf_dir):
+    """Multiple exact COUNT(DISTINCT) in one agg forces Catalyst's Expand
+    (input multiplied per distinct group) — the registry data paths must
+    plan per-column/two-level distinct aggregates instead. Expand is only
+    legitimate for grouping sets (rollup/cube)."""
+    for name in ("profile", "decontamination"):
+        plan = physical_plan(_QUERIES[name](spark, sf_dir))
+        assert count_op(plan, "Expand") == 0, f"{name} plans an Expand"
+
+
+def test_grouped_zscore_is_jvm_window(spark, sf_dir):
+    """The registry z-score path must be the streaming window formulation —
+    no whole-group pandas materialization anywhere in the data path."""
+    plan = physical_plan(_QUERIES["grouped_zscore"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+    assert "event_type" in plan  # partitioned, never global
+
+
 def test_aqe_splits_skewed_join(spark, sf_dir):
     """AQE skew-join handling (SURVEY §4.5): a join with one monster key
     must show skew-split partitions in the final adaptive plan. Thresholds

@@ -274,15 +274,24 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_sh = shingle_table(ev, "doc_id", "text", SHINGLE_N).withColumnRenamed(
         "doc_id", "eval_id"
     )
-    return (
-        eval_sh.join(train_sh, "sh")
+    # two COUNT(DISTINCT) in one agg would Expand the (large) join output
+    # 2×; instead each distinct count is its own two-level aggregate over
+    # compact int pairs, and the shared join is persisted so the shingle
+    # equi-join runs once
+    hits = eval_sh.join(train_sh, "sh").persist()
+    sources = (
+        hits.select("eval_id", "train_id")
+        .distinct()
         .groupBy("eval_id")
-        .agg(
-            F.countDistinct("train_id").alias("n_train_sources"),
-            F.countDistinct("sh").alias("n_shared_shingles"),
-        )
-        .orderBy("eval_id")
+        .agg(F.count("*").alias("n_train_sources"))
     )
+    shared = (
+        hits.select("eval_id", "sh")
+        .distinct()
+        .groupBy("eval_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+    return sources.join(shared, "eval_id").orderBy("eval_id")
 
 
 def _shingles_over_sql(relation: str, id_alias: str) -> str:

@@ -8,6 +8,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.sampling import hash_bucket_sql, split_by_hash
 from ..sources.tables import load_table
@@ -51,21 +52,57 @@ ORDER BY split, lang
 # ---------------------------------------------------------------------------
 # q_profile — column profiling (the DQ-gate precursor)
 # ---------------------------------------------------------------------------
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass profile of lineitem's measure columns: null rates, distinct
+    """Per-column profile of lineitem's measures: null rates, distinct
     counts, min/max/avg — the numbers the reference's hand-written DQ
-    filters (`bronze_to_silver.py:82-88`) were derived from. One aggregate
-    row per metric via an unpivot-shaped union of partial aggs is the
-    generic form; here a single wide agg row is reshaped with stack()."""
+    filters (`bronze_to_silver.py:82-88`) were derived from.
+
+    Scale shape: one aggregate PASS PER COLUMN, unioned. Packing four exact
+    COUNT(DISTINCT) into one wide agg forces Catalyst's Expand (input rows
+    multiplied 5×) — measurably the slowest pure query in round 1. Per-column
+    passes each prune the scan to a single parquet column and plan a plain
+    two-phase distinct aggregate, so total bytes read ≈ the one-wide-scan
+    plan WITHOUT the 5× row blowup (tests/test_plans.py asserts no Expand).
+    At 100 TB the sketch path (`approx_count_distinct`, HLL, one pass for
+    all columns) replaces exactness — engine-specific, so the oracle anchors
+    the exact form and `profile_approx` (pytest) covers the sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    branches = [
+        li.select(F.col(c)).agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.round(F.min(c), 4).alias("min_val"),
+            F.round(F.max(c), 4).alias("max_val"),
+            F.round(F.avg(c), 4).alias("avg_val"),
+        ).select(F.lit(c).alias("column_name"), "*")
+        for c in PROFILE_COLS
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val", "avg_val"
+    ).orderBy("column_name")
+
+
+def profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant: all columns in ONE pass with HLL sketches
+    (`approx_count_distinct`) — no Expand, no per-column rescans. Kept out
+    of the oracle registry because sketch estimates are engine-specific;
+    tests bound its error against the exact profile."""
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.agg(
         F.count("*").alias("n_rows"),
         *[
             e
-            for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+            for c in PROFILE_COLS
             for e in (
                 F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-                F.countDistinct(c).alias(f"{c}__distinct"),
+                F.approx_count_distinct(c).alias(f"{c}__distinct"),
                 F.round(F.min(c), 4).alias(f"{c}__min"),
                 F.round(F.max(c), 4).alias(f"{c}__max"),
                 F.round(F.avg(c), 4).alias(f"{c}__avg"),
@@ -77,7 +114,7 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, "
         + ", ".join(
             f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__avg"
-            for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+            for c in PROFILE_COLS
         )
         + ") AS (column_name, n_nulls, n_distinct, min_val, max_val, avg_val)",
     )
@@ -108,14 +145,36 @@ ORACLE_PROFILE = (
 
 
 # ---------------------------------------------------------------------------
-# q_grouped_zscore — applyInPandas grouped custom operator
+# q_grouped_zscore — per-group standardization, window formulation
 # ---------------------------------------------------------------------------
 def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type z-score outliers via grouped `applyInPandas` — the
-    batch-grouped Python escape hatch (complementing mapInPandas for
-    per-partition and applyInPandasWithState for streaming state). The
-    arithmetic is pure float64, so the oracle replicates it with window
-    SQL; outliers = |z| > 3 with a deterministic output order."""
+    """Per-event-type z-score outliers (|z| > 3) via JVM-side window
+    aggregates — avg/stddev_samp OVER (PARTITION BY event_type).
+
+    This is the scale-correct formulation: windows stream within each sorted
+    partition, so no group is ever materialized in memory. The equivalent
+    grouped `applyInPandas` (kept as `grouped_zscore_pandas_demo` below, with
+    a pytest proving equality) pulls an ENTIRE event_type group into one
+    pandas frame — with a handful of event types at 100 TB that's terabytes
+    per group = executor OOM. Demo the escape hatch; ship the window."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    # window exprs can't sit in WHERE — project z first, filter the column
+    scored = ev.select("event_type", "event_id", z.alias("__z"))
+    return (
+        scored.filter(F.abs("__z") > 3)
+        .select("event_type", "event_id", F.round("__z", 4).alias("zscore"))
+        .orderBy("event_type", "event_id")
+    )
+
+
+def grouped_zscore_pandas_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped `applyInPandas` escape-hatch shape (batch-grouped Python,
+    complementing mapInPandas per-partition and applyInPandasWithState for
+    streaming state). NOT the registry data path: it materializes each
+    whole group as one pandas frame, which does not survive skewed/huge
+    groups — use the window formulation (`q_grouped_zscore`) for data."""
 
     def _zscores(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"].astype("float64")

@@ -122,7 +122,9 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     mov3 = by_month.rowsBetween(-2, Window.currentRow)
     run = by_month.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     full = by_month.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    by_rev = Window.partitionBy("segment").orderBy("revenue")
+    # (revenue, month) — month breaks revenue ties so ntile/percent_rank/
+    # cume_dist are total-order deterministic across engines
+    by_rev = Window.partitionBy("segment").orderBy("revenue", "month")
 
     return monthly.select(
         "segment",
@@ -153,9 +155,9 @@ SELECT segment, month, revenue,
        ROUND(SUM(revenue) OVER (
            PARTITION BY segment ORDER BY month
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-       NTILE(4) OVER (PARTITION BY segment ORDER BY revenue) AS rev_quartile,
-       ROUND(PERCENT_RANK() OVER (PARTITION BY segment ORDER BY revenue), 6) AS rev_pct_rank,
-       ROUND(CUME_DIST() OVER (PARTITION BY segment ORDER BY revenue), 6) AS rev_cume_dist,
+       NTILE(4) OVER (PARTITION BY segment ORDER BY revenue, month) AS rev_quartile,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY segment ORDER BY revenue, month), 6) AS rev_pct_rank,
+       ROUND(CUME_DIST() OVER (PARTITION BY segment ORDER BY revenue, month), 6) AS rev_cume_dist,
        FIRST_VALUE(revenue) OVER (
            PARTITION BY segment ORDER BY month
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_month_rev,
