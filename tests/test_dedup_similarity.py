@@ -40,6 +40,30 @@ def test_exact_dedup_recovers_planted(spark, sf_dir):
     assert planted == expected  # exactly the planted copies, nothing else
 
 
+def test_hot_shingle_cap_kills_quadratic_candidates(spark):
+    """One planted stop-shingle shared by EVERY doc must not generate
+    all-pairs candidates once the df cap is on: uncapped, n docs sharing a
+    shingle produce C(n,2) candidate pairs; capped, only true near-dups
+    survive candidate generation."""
+    n = 24
+    stop = "alpha beta gamma delta epsilon"  # one 5-gram in every doc
+    rows = [(i, f"{stop} unique{i}a unique{i}b unique{i}c unique{i}d unique{i}e") for i in range(n)]
+    # one true near-dup pair: doc n shares doc 0's whole tail
+    rows.append((n, rows[0][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=5, threshold=0.0, max_doc_freq=None
+    )
+    assert uncapped.count() == (n + 1) * n // 2  # quadratic blowup: all pairs
+
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=5, threshold=0.0, max_doc_freq=5
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(0, n)}  # only the true duplicate pair ever materializes
+
+
 def test_ngram_jaccard_recovers_near_dups(spark, sf_dir):
     docs = planted_documents(spark, sf_dir)
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=SHINGLE_N, threshold=0.6)

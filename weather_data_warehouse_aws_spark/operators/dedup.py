@@ -89,20 +89,51 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     ).select("doc_id", portable_hash60(F.col("shingle")).alias("sh"))
 
 
+def cap_hot_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles whose doc-frequency exceeds `max_doc_freq`.
+
+    A single ultra-frequent shingle ("in the" at web scale) lands every
+    containing doc on ONE join key, making the candidate self-join quadratic
+    in its doc-frequency. Stop-shingles also carry no dedup signal, so the
+    standard fix is to drop them before candidate generation.
+
+    Shape: doc-frequency is one map-side-combined count over (sh); the hot
+    set is tiny BY CONSTRUCTION (only keys with df > cap), so the removal
+    is a broadcast left-anti join — the big shingle table never reshuffles.
+    """
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("sh")
+    )
+    return sh.join(F.broadcast(hot), "sh", "left_anti")
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """Candidate pairs (a < b) with exact shingle-set Jaccard ≥ threshold.
 
-    Plan: shingles → self-equi-join on shingle hash → count(*) per pair =
-    |A∩B|; |A∪B| from per-doc set sizes. Jaccard is a ratio of exact
-    integers, so it hashes identically across engines. Frequency-skewed
-    shingles (a shingle in millions of docs) are the scale hazard — cap or
-    drop ultra-frequent shingles upstream for web-scale corpora.
+    Plan: shingles → doc-frequency cap (`cap_hot_shingles`, on by default —
+    one stop-shingle would otherwise blow up the self-join quadratically)
+    → self-equi-join on shingle hash → count(*) per pair = |A∩B|; |A∪B|
+    from per-doc set sizes over the SAME capped shingle set, so Jaccard
+    stays a consistent ratio of exact integers and hashes identically
+    across engines. Pass ``max_doc_freq=None`` to disable the cap.
     """
-    # the shingle table feeds three consumers (sizes + both join sides);
-    # persist so the explode+md5 pass runs once, not three times
-    sh = shingle_table(df, id_col, text_col, n).persist()
+    sh = shingle_table(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        sh = cap_hot_shingles(sh, max_doc_freq)
+    # the capped shingle table feeds three consumers (sizes + both join
+    # sides); persist so the explode+md5+cap pass runs once, not three times
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
     a = sh.select(F.col("doc_id").alias("id_a"), "sh")

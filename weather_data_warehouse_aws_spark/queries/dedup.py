@@ -32,6 +32,11 @@ EXACT_OFFSET = 1_000_000
 NEAR_OFFSET = 2_000_000
 TRAILER = " zq1 zq2 zq3"
 SHINGLE_N = 5
+# doc-frequency cap for candidate-generating shingles (see
+# operators/dedup.cap_hot_shingles): no natural 5-gram reaches it in this
+# corpus (planted dups peak at df=3), so the oracle result is unchanged
+# while the cap MECHANISM is differential-tested on both engines
+MAX_SHINGLE_DF = 50
 
 
 def planted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,22 +111,34 @@ ORDER BY keep_id, dup_id
 # ---------------------------------------------------------------------------
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard ≥ 0.6 over candidate pairs sharing ≥1
-    shingle. Recovers both planted exact pairs (j=1.0) and trailer near-dups
-    (j≈0.8-0.9)."""
+    shingle (hot shingles capped at df ≤ 50 before the self-join). Recovers
+    both planted exact pairs (j=1.0) and trailer near-dups (j≈0.8-0.9)."""
     return ngram_jaccard_pairs(
-        planted_documents(spark, sf_dir), "doc_id", "text", n=SHINGLE_N, threshold=0.6
+        planted_documents(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=SHINGLE_N,
+        threshold=0.6,
+        max_doc_freq=MAX_SHINGLE_DF,
     ).orderBy("id_a", "id_b")
 
 
 ORACLE_NGRAM_JACCARD = f"""
 WITH {PLANTED_SQL.strip()},
 {_SHINGLES_SQL.strip()},
+capped AS (  -- same df ≤ {MAX_SHINGLE_DF} hot-shingle cap as the engine
+    SELECT s.doc_id, s.sh
+    FROM shingles s
+    JOIN (
+        SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ) keep USING (sh)
+),
 sizes AS (
-    SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id
+    SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id
 ),
 inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,
@@ -264,13 +281,16 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly the dedup candidate join, with the eval side typically 1000×
     smaller (benchmarks, not corpora), so the eval shingle table broadcasts
     and the train side never shuffles at all."""
-    from ..operators.dedup import shingle_table
+    from ..operators.dedup import cap_hot_shingles, shingle_table
 
     train = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ev = eval_benchmark(spark, sf_dir)
-    train_sh = shingle_table(train, "doc_id", "text", SHINGLE_N).withColumnRenamed(
-        "doc_id", "train_id"
-    )
+    # hot-shingle cap on the big (train) side: a corpus-wide stop-shingle
+    # would otherwise multiply the contamination join by its doc-frequency;
+    # stop-shingles are also not contamination evidence
+    train_sh = cap_hot_shingles(
+        shingle_table(train, "doc_id", "text", SHINGLE_N), MAX_SHINGLE_DF
+    ).withColumnRenamed("doc_id", "train_id")
     eval_sh = shingle_table(ev, "doc_id", "text", SHINGLE_N).withColumnRenamed(
         "doc_id", "eval_id"
     )
@@ -320,7 +340,14 @@ WITH eval_docs AS (
            array_to_string(list_reverse(regexp_split_to_array(trim(text), '\s+')), ' ')
     FROM documents WHERE doc_id % 100 = 2
 ),
-train_sh AS ({_shingles_over_sql('documents', 'train_id')}
+train_sh_raw AS ({_shingles_over_sql('documents', 'train_id')}
+),
+train_sh AS (  -- same df ≤ {MAX_SHINGLE_DF} hot-shingle cap as the engine
+    SELECT t.train_id, t.sh
+    FROM train_sh_raw t
+    JOIN (
+        SELECT sh FROM train_sh_raw GROUP BY sh HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ) keep USING (sh)
 ),
 eval_sh AS ({_shingles_over_sql('eval_docs', 'eval_id')}
 )
