@@ -41,6 +41,59 @@ def test_strict_inequality_boundary(spark):
     assert "otherkey" not in tags
 
 
+def test_left_band_join_boundary_and_unmatched(spark):
+    """how='left': 3599 matches, 3600/3601 keep the row with null right;
+    exactly one null-extended row per unmatched left (no bucket-explosion
+    duplicates); off-key left rows survive too."""
+    left, right = _frames(spark)
+    out = band_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        tolerance_sec=3600, how="left",
+    )
+    rows = out.collect()
+    by_tag = {}
+    for r in rows:
+        by_tag.setdefault(r.tag, []).append(r)
+    # every left row appears exactly once (single right row, many-to-one)
+    assert {t: len(v) for t, v in by_tag.items()} == {
+        "dt0": 1, "dt3599": 1, "dt3600": 1, "dt3601": 1,
+        "dt-3599": 1, "dt-3600": 1, "otherkey": 1,
+    }
+    matched = {t for t, v in by_tag.items() if v[0].rts is not None}
+    assert matched == {"dt0", "dt3599", "dt-3599"}  # strict |Δt| < 3600
+    assert by_tag["dt3600"][0].rts is None and by_tag["otherkey"][0].rts is None
+
+
+def test_left_band_join_equals_naive_left(spark, sf_smoke_dir):
+    """Bucketed left rewrite ≡ naive left theta-join on real data."""
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("lts"), F.col("event_id").alias("l_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("rts"),
+        F.col("event_id").alias("r_id"),
+    )
+    fast = band_join(
+        views, purchases.withColumnRenamed("r_user", "user_id"),
+        on=["user_id"], left_ts="lts", right_ts="rts",
+        tolerance_sec=3600, how="left",
+    )
+    naive = views.join(
+        purchases,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.abs(F.unix_timestamp("lts") - F.unix_timestamp("rts")) < 3600),
+        "left",
+    )
+    fast_pairs = sorted((r.l_id, r.r_id) for r in fast.select("l_id", "r_id").collect())
+    naive_pairs = sorted((r.l_id, r.r_id) for r in naive.select("l_id", "r_id").collect())
+    assert fast_pairs == naive_pairs
+    assert any(b is None for _, b in fast_pairs)  # unmatched views exist
+    assert any(b is not None for _, b in fast_pairs)
+
+
 def test_many_to_many(spark):
     left = spark.createDataFrame(
         [(1, BASE), (1, BASE + dt.timedelta(seconds=10))], "k bigint, lts timestamp"

@@ -46,14 +46,15 @@ def test_dim_joins_broadcast(spark, sf_dir):
 def test_band_join_is_equi_join(spark, sf_dir):
     """The |Δt| predicate must ride an equi-join (hash or sort-merge on
     (key, bucket)), never a nested-loop/cartesian theta join."""
-    plan = physical_plan(_QUERIES["band_join_events"](spark, sf_dir))
-    assert not has_cartesian(plan)
-    assert (
-        count_op(plan, "BroadcastHashJoin")
-        + count_op(plan, "SortMergeJoin")
-        + count_op(plan, "ShuffledHashJoin")
-        >= 1
-    )
+    for name in ("band_join_events", "band_join_left"):
+        plan = physical_plan(_QUERIES[name](spark, sf_dir))
+        assert not has_cartesian(plan), name
+        assert (
+            count_op(plan, "BroadcastHashJoin")
+            + count_op(plan, "SortMergeJoin")
+            + count_op(plan, "ShuffledHashJoin")
+            >= 1
+        ), name
 
 
 def test_weather_e2e_no_cartesian(spark, sf_dir):

@@ -48,34 +48,71 @@ def band_join(
     ``|unix(left_ts) - unix(right_ts)| < tolerance_sec`` (second-truncated
     epochs, as Presto's TO_UNIXTIME on second-precision data). Many-to-many.
 
+    `how="left"` keeps unmatched left rows (right columns null) — the
+    "unmatched forecasts" extension of the reference's inner-only accuracy
+    view. Implementation difference: the OUTER variant explodes the RIGHT
+    side to adjacent buckets and puts the |Δt| residual INSIDE the join
+    condition, so each left row appears exactly once per true match (a pair
+    meets at the left row's single bucket) and exactly once, null-extended,
+    when nothing matches. Catalyst still plans an equi-join on
+    (keys…, bucket) with the residual as join filter — no nested loop.
+
     Column name collisions between left and right (other than `on`) must be
     resolved by the caller (alias/rename) — same contract as `DataFrame.join`.
     """
-    if how != "inner":
-        raise NotImplementedError("band_join currently supports inner joins only")
+    if how not in ("inner", "left"):
+        raise NotImplementedError("band_join supports how='inner' and how='left'")
     tol = int(tolerance_sec)
 
     l_epoch = F.unix_timestamp(F.col(left_ts))
     r_epoch = F.unix_timestamp(F.col(right_ts))
 
+    if how == "inner":
+        lefts = left.withColumn(_LEPOCH, l_epoch).withColumn(
+            _BUCKET,
+            F.explode(
+                F.array(
+                    F.floor(F.col(_LEPOCH) / tol) - 1,
+                    F.floor(F.col(_LEPOCH) / tol),
+                    F.floor(F.col(_LEPOCH) / tol) + 1,
+                )
+            ),
+        )
+        rights = right.withColumn(_REPOCH, r_epoch).withColumn(
+            _BUCKET, F.floor(F.col(_REPOCH) / tol)
+        )
+        joined = lefts.join(rights, [*on, _BUCKET], "inner").filter(
+            F.abs(F.col(_LEPOCH) - F.col(_REPOCH)) < tol
+        )
+        return joined.drop(_BUCKET, _LEPOCH, _REPOCH)
+
+    # left outer: single bucket on the left, exploded buckets + renamed
+    # keys on the right; equi-keys AND the residual together form the join
+    # condition, so "no qualifying right row" → one null-extended left row
+    rbucket = _BUCKET + "_r"
+    rkeys = {k: f"__band_r_{k}" for k in on}
     lefts = left.withColumn(_LEPOCH, l_epoch).withColumn(
-        _BUCKET,
+        _BUCKET, F.floor(F.col(_LEPOCH) / tol)
+    )
+    rights = right.withColumn(_REPOCH, r_epoch).withColumn(
+        rbucket,
         F.explode(
             F.array(
-                F.floor(F.col(_LEPOCH) / tol) - 1,
-                F.floor(F.col(_LEPOCH) / tol),
-                F.floor(F.col(_LEPOCH) / tol) + 1,
+                F.floor(F.col(_REPOCH) / tol) - 1,
+                F.floor(F.col(_REPOCH) / tol),
+                F.floor(F.col(_REPOCH) / tol) + 1,
             )
         ),
     )
-    rights = right.withColumn(_REPOCH, r_epoch).withColumn(
-        _BUCKET, F.floor(F.col(_REPOCH) / tol)
-    )
-
-    joined = lefts.join(rights, [*on, _BUCKET], "inner").filter(
+    for k, rk in rkeys.items():
+        rights = rights.withColumnRenamed(k, rk)
+    cond = (F.col(_BUCKET) == F.col(rbucket)) & (
         F.abs(F.col(_LEPOCH) - F.col(_REPOCH)) < tol
     )
-    return joined.drop(_BUCKET, _LEPOCH, _REPOCH)
+    for k, rk in rkeys.items():
+        cond = cond & (F.col(k) == F.col(rk))
+    joined = lefts.join(rights, cond, "left")
+    return joined.drop(_BUCKET, rbucket, _LEPOCH, _REPOCH, *rkeys.values())
 
 
 def band_join_condition(

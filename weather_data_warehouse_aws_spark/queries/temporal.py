@@ -55,6 +55,57 @@ def q_band_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q_band_join_left — outer band join: unmatched left rows survive (J4 ext.)
+# ---------------------------------------------------------------------------
+def q_band_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`band_join(how="left")`: every view keeps a row even when no purchase
+    lands within the hour — the "keep unmatched forecasts" extension of the
+    reference's inner-only accuracy view (`create_views.sql:109-115`). The
+    bucketed rewrite (right side exploded, residual inside the outer join
+    condition) is differential-tested here against DuckDB's LITERAL left
+    band join, proving rewrite ≡ semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    matched = band_join(
+        views, purchases, on=["user_id"], left_ts="view_ts", right_ts="purchase_ts",
+        tolerance_sec=3600, how="left",
+    )
+    return matched.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")).alias("gap_seconds"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+        F.col("purchase_id").isNotNull().alias("matched"),
+    )
+
+
+ORACLE_BAND_JOIN_LEFT = """
+SELECT
+    v.user_id AS user_id,
+    v.event_id AS view_id,
+    p.event_id AS purchase_id,
+    CAST(FLOOR(epoch(p.ts)) AS BIGINT) - CAST(FLOOR(epoch(v.ts)) AS BIGINT) AS gap_seconds,
+    ROUND(p.value, 2) AS purchase_value,
+    p.event_id IS NOT NULL AS matched
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND ABS(CAST(FLOOR(epoch(v.ts)) AS BIGINT) - CAST(FLOOR(epoch(p.ts)) AS BIGINT)) < 3600
+"""
+
+
 ORACLE_BAND_JOIN_EVENTS = """
 SELECT
     v.user_id AS user_id,
@@ -292,6 +343,7 @@ ORDER BY user_id, session_seq
 
 QUERIES = {
     "band_join_events": q_band_join_events,
+    "band_join_left": q_band_join_left,
     "asof_join": q_asof_join,
     "date_spine": q_date_spine,
     "events_hourly": q_events_hourly,
@@ -300,6 +352,7 @@ QUERIES = {
 
 ORACLE = {
     "band_join_events": ORACLE_BAND_JOIN_EVENTS,
+    "band_join_left": ORACLE_BAND_JOIN_LEFT,
     "asof_join": ORACLE_ASOF_JOIN,
     "date_spine": ORACLE_DATE_SPINE,
     "events_hourly": ORACLE_EVENTS_HOURLY,
