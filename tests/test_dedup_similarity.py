@@ -154,7 +154,7 @@ def test_lsh_topk_recall(spark, sf_dir):
     n_planes = 4
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in lsh_topk(queries, emb, k=5, n_planes=n_planes).collect()
+        for r in lsh_topk(queries, emb, k=5, n_planes=n_planes, dim=64).collect()
     }
     recall = len(exact & approx) / len(exact)
     # random 64-dim vectors are near-orthogonal — the worst case for sign-LSH

@@ -16,7 +16,7 @@ import pytest
 import __spark_entry__ as entrymod
 from tests.oracle import assert_query_matches_oracle
 
-SENSITIVE = ["window_rank", "dedup_latest", "ivf_ann_refined", "gap_fill", "minhash_lsh"]
+SENSITIVE = ["window_rank", "dedup_latest", "ivf_ann_refined", "gap_fill", "pair_dedup"]
 
 
 @pytest.mark.parametrize("partitions", ["7", "200"])

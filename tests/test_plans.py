@@ -65,7 +65,7 @@ def test_weather_e2e_no_cartesian(spark, sf_dir):
 def test_dedup_queries_no_cartesian(spark, sf_dir):
     """Candidate generation must be equi-join-shaped for every dedup
     strategy (all-pairs comparison would 'work' here and die at scale)."""
-    for name in ("exact_dedup", "ngram_jaccard", "minhash_lsh", "embedding_neardup"):
+    for name in ("pair_dedup", "embedding_neardup", "decontamination"):
         plan = physical_plan(_QUERIES[name](spark, sf_dir))
         assert not has_cartesian(plan), f"{name} plans a cartesian product"
 
@@ -73,7 +73,7 @@ def test_dedup_queries_no_cartesian(spark, sf_dir):
 def test_topk_crossjoin_is_intentional_and_bounded(spark, sf_dir):
     """cosine_topk is the one deliberate cross join — its left side must be
     a broadcast (the bounded query set), making it a map-side pass."""
-    plan = physical_plan(_QUERIES["embedding_topk"](spark, sf_dir))
+    plan = physical_plan(_QUERIES["ann_methods"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
     assert "BroadcastExchange" in plan
 
@@ -89,8 +89,9 @@ def test_windows_in_data_paths_are_partitioned(spark, sf_dir):
 
 
 def test_scan_pruning_documents(spark, sf_dir):
-    """text_stats reads 2 of 5 document columns."""
-    plan = physical_plan(_QUERIES["text_stats"](spark, sf_dir))
+    """doc_profile reads only the document columns it uses (doc_id, text,
+    lang) — never source or the precomputed n_chars."""
+    plan = physical_plan(_QUERIES["doc_profile"](spark, sf_dir))
     cols = scan_columns(plan)
     assert "doc_id" in cols and "text" in cols
     assert "source" not in cols and "n_chars" not in cols

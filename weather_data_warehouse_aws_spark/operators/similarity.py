@@ -305,7 +305,7 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     seed: int = 42,
-    dim: int | None = None,
+    dim: int,
 ) -> DataFrame:
     """Approximate top-k: exact rescoring restricted to LSH-bucket collisions.
 
@@ -313,9 +313,11 @@ def lsh_topk(
     multi-probe is approximated by also joining buckets at Hamming distance 1
     (n_planes extra probes). Recall vs `cosine_topk` is data-dependent —
     measured in tests; raise n_planes for precision, probes for recall.
+
+    `dim` is required (keyword-only): inferring it would cost a driver-side
+    job over the corpus just to measure one array — the caller always knows
+    its embedding dimensionality.
     """
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
 
     c = corpus.select(

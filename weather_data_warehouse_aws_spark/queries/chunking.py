@@ -148,12 +148,13 @@ ORDER BY doc_id
 """
 
 
+# repetition_stats is folded into the per-document profile
+# (queries/text.py::q_doc_profile); q_repetition_stats stays exported for
+# direct use and unit tests.
 QUERIES = {
     "chunk_documents": q_chunk_documents,
-    "repetition_stats": q_repetition_stats,
 }
 
 ORACLE = {
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
-    "repetition_stats": ORACLE_REPETITION_STATS,
 }

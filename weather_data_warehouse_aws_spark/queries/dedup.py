@@ -360,18 +360,54 @@ ORDER BY eval_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q_pair_dedup — exact + n-gram-Jaccard + MinHash-LSH pairs in one relation
+# ---------------------------------------------------------------------------
+def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three pair-producing dedup strategies over the same planted
+    corpus, tagged and unioned so one driver CORRECTNESS row covers all
+    three candidate-generation plans (digest groupBy / capped shingle
+    self-join / banded signature join). `score` is 1.0 for exact duplicates,
+    exact Jaccard for ngram, signature-agreement estimate for minhash."""
+    exact = q_exact_dedup(spark, sf_dir).select(
+        F.lit("exact").alias("method"),
+        F.col("keep_id").alias("id_a"),
+        F.col("dup_id").alias("id_b"),
+        F.lit(1.0).alias("score"),
+    )
+    ngram = q_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram").alias("method"), "id_a", "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    minhash = q_minhash_lsh(spark, sf_dir).select(
+        F.lit("minhash").alias("method"), "id_a", "id_b",
+        F.col("est_jaccard").alias("score"),
+    )
+    return (
+        exact.unionByName(ngram).unionByName(minhash).orderBy("method", "id_a", "id_b")
+    )
+
+
+def _oracle_pair_dedup() -> str:
+    return f"""
+SELECT 'exact' AS method, keep_id AS id_a, dup_id AS id_b, 1.0::DOUBLE AS score
+FROM ({ORACLE_EXACT_DEDUP})
+UNION ALL
+SELECT 'ngram' AS method, id_a, id_b, jaccard AS score
+FROM ({ORACLE_NGRAM_JACCARD})
+UNION ALL
+SELECT 'minhash' AS method, id_a, id_b, est_jaccard AS score
+FROM ({_oracle_minhash_lsh()})
+ORDER BY method, id_a, id_b
+"""
+
+
 QUERIES = {
-    "exact_dedup": q_exact_dedup,
-    "ngram_jaccard": q_ngram_jaccard,
-    "minhash_lsh": q_minhash_lsh,
-    "simhash": q_simhash,
+    "pair_dedup": q_pair_dedup,
     "decontamination": q_decontamination,
 }
 
 ORACLE = {
-    "exact_dedup": ORACLE_EXACT_DEDUP,
-    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
-    "minhash_lsh": _oracle_minhash_lsh(),
-    "simhash": _oracle_simhash(),
+    "pair_dedup": _oracle_pair_dedup(),
     "decontamination": ORACLE_DECONTAMINATION,
 }

@@ -112,13 +112,12 @@ ORDER BY o_orderpriority
 
 QUERIES = {
     "set_ops": q_set_ops,
-    "rollup": q_rollup,
+    "rollup_cube": None,  # bound below, after q_cube is defined
     "distinct_stats": q_distinct_stats,
 }
 
 ORACLE = {
     "set_ops": ORACLE_SET_OPS,
-    "rollup": ORACLE_ROLLUP,
     "distinct_stats": ORACLE_DISTINCT_STATS,
 }
 
@@ -156,5 +155,44 @@ ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority
 """
 
 
-QUERIES["cube"] = q_cube
-ORACLE["cube"] = ORACLE_CUBE
+# ---------------------------------------------------------------------------
+# q_rollup_cube — both grouping-set shapes, tagged, in one relation
+# ---------------------------------------------------------------------------
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(lineitem) + CUBE(orders) unioned under a generic schema
+    (d1, d2, n, total, g1, g2, op) — one driver CORRECTNESS row covers both
+    Expand-based grouping-set operators, each still a single-scan pass."""
+    r = q_rollup(spark, sf_dir).select(
+        F.lit("rollup").alias("op"),
+        F.col("l_returnflag").alias("d1"),
+        F.col("l_linestatus").alias("d2"),
+        "n",
+        F.col("sum_qty").alias("total"),
+        F.col("g_rf").alias("g1"),
+        F.col("g_ls").alias("g2"),
+    )
+    c = q_cube(spark, sf_dir).select(
+        F.lit("cube").alias("op"),
+        F.col("o_orderstatus").alias("d1"),
+        F.col("o_orderpriority").alias("d2"),
+        "n",
+        F.col("total"),
+        F.col("g_st").alias("g1"),
+        F.col("g_pr").alias("g2"),
+    )
+    return r.unionByName(c).orderBy("op", "g1", "g2", "d1", "d2")
+
+
+ORACLE_ROLLUP_CUBE = f"""
+SELECT 'rollup' AS op, l_returnflag AS d1, l_linestatus AS d2,
+       n, sum_qty AS total, g_rf AS g1, g_ls AS g2
+FROM ({ORACLE_ROLLUP})
+UNION ALL
+SELECT 'cube' AS op, o_orderstatus AS d1, o_orderpriority AS d2,
+       n, total, g_st AS g1, g_pr AS g2
+FROM ({ORACLE_CUBE})
+ORDER BY op, g1, g2, d1, d2
+"""
+
+QUERIES["rollup_cube"] = q_rollup_cube
+ORACLE["rollup_cube"] = ORACLE_ROLLUP_CUBE

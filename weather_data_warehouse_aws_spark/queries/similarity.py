@@ -13,7 +13,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import portable_hash60, portable_hash60_sql
-from ..operators.similarity import COSINE_SQL, DOT_SQL, blocked_neardup, cosine_topk, ivf_topk
+from ..operators.similarity import (
+    COSINE_SQL,
+    DOT_SQL,
+    blocked_neardup,
+    cosine_topk,
+    hyperplanes,
+    ivf_topk,
+    lsh_topk,
+)
 from ..sources.tables import load_table
 
 TOPK_K = 5
@@ -22,6 +30,9 @@ NEARDUP_OFFSET = 1_000_000
 NEARDUP_THRESHOLD = 0.9
 IVF_CELLS = 16
 IVF_NPROBE = 4
+EMB_DIM = 64  # synthetic embeddings.embedding dimensionality (TESTDATA.md)
+LSH_PLANES = 8
+LSH_SEED = 42
 
 
 # ---------------------------------------------------------------------------
@@ -296,16 +307,109 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# q_ann_methods — brute / IVF / sign-LSH top-k in one driver-visible relation
+# ---------------------------------------------------------------------------
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN top-5: seeded hyperplane sign-bits bucket the corpus,
+    candidates come from the bucket equi-join (+ Hamming-1 multiprobe),
+    exact cosine rescores candidates only. Deterministic planes make the
+    whole index SQL-replicable — an approximate algorithm under an exact
+    differential test, like `ivf_ann`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return lsh_topk(
+        queries, emb, k=TOPK_K, n_planes=LSH_PLANES, seed=LSH_SEED, dim=EMB_DIM
+    ).orderBy("query_id", "rank")
+
+
+def _oracle_lsh_topk() -> str:
+    planes = hyperplanes(EMB_DIM, LSH_PLANES, LSH_SEED)
+
+    def bucket_expr(v: str) -> str:
+        terms = []
+        for j, plane in enumerate(planes):
+            arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product(CAST({v} AS DOUBLE[]), {arr}) > 0 "
+                f"THEN {1 << j} ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    shifts = [0] + [1 << j for j in range(LSH_PLANES)]
+    return f"""
+WITH c AS (
+    SELECT vec_id AS neighbor_id, embedding AS cv,
+           {bucket_expr('embedding')} AS bucket
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS qv,
+           {bucket_expr('embedding')} AS qbucket
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+probes AS (  -- own bucket + all Hamming-1 buckets
+    SELECT query_id, qv, xor(qbucket, s) AS bucket
+    FROM q, UNNEST([{", ".join(map(str, shifts))}]) AS t(s)
+),
+cand AS (
+    SELECT DISTINCT p.query_id, p.qv, c.neighbor_id, c.cv
+    FROM probes p JOIN c USING (bucket)
+    WHERE p.query_id <> c.neighbor_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           ROUND({COSINE_SQL.format(a='qv', b='cv')}, 6) AS cos
+    FROM cand
+)
+SELECT query_id, rank, neighbor_id, cos FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) AS rank
+    FROM scored
+) WHERE rank <= {TOPK_K}
+ORDER BY query_id, rank
+"""
+
+
+def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three ANN tiers over the same queries, tagged and unioned so one
+    driver CORRECTNESS row covers the exact baseline (`brute`), the
+    inverted-file scale path (`ivf`), and the hyperplane-LSH scale path
+    (`lsh`) — every index construction fully SQL-replicated in the oracle."""
+    brute = q_embedding_topk(spark, sf_dir).withColumn("method", F.lit("brute"))
+    ivf = q_ivf_ann(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    lsh = q_lsh_topk(spark, sf_dir).withColumn("method", F.lit("lsh"))
+    return (
+        brute.unionByName(ivf)
+        .unionByName(lsh)
+        .select("method", "query_id", "rank", "neighbor_id", "cos")
+        .orderBy("method", "query_id", "rank")
+    )
+
+
+def _oracle_ann_methods() -> str:
+    return f"""
+SELECT 'brute' AS method, query_id, rank, neighbor_id, cos
+FROM ({ORACLE_EMBEDDING_TOPK})
+UNION ALL
+SELECT 'ivf' AS method, query_id, rank, neighbor_id, cos
+FROM ({ORACLE_IVF_ANN})
+UNION ALL
+SELECT 'lsh' AS method, query_id, rank, neighbor_id, cos
+FROM ({_oracle_lsh_topk()})
+ORDER BY method, query_id, rank
+"""
+
+
 QUERIES = {
-    "embedding_topk": q_embedding_topk,
+    "ann_methods": q_ann_methods,
     "embedding_neardup": q_embedding_neardup,
-    "ivf_ann": q_ivf_ann,
     "ivf_ann_refined": q_ivf_ann_refined,
 }
 
 ORACLE = {
-    "embedding_topk": ORACLE_EMBEDDING_TOPK,
+    "ann_methods": _oracle_ann_methods(),
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
-    "ivf_ann": ORACLE_IVF_ANN,
     "ivf_ann_refined": ORACLE_IVF_ANN_REFINED,
 }

@@ -178,16 +178,169 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# q_doc_profile — the full per-document profile in ONE relation
+# ---------------------------------------------------------------------------
+# Merges what were five separate per-doc queries (text_stats, lang_id,
+# doc_fingerprint, repetition_stats, simhash) into one: every per-row metric
+# rides a SINGLE scan + projection (no shuffle), and only the two genuinely
+# aggregate signals — top-bigram count and the 32-bit SimHash — join back on
+# doc_id. Three scans + two equi-joins instead of five scans + four joins,
+# and one driver CORRECTNESS row covers the whole text-analysis surface.
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document: quality metrics (length/token/punct/stopword +
+    composite score), marker-vocabulary lang-id, normalization fingerprint,
+    Gopher-style repetition fractions, and SimHash."""
+    from ..operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    sw = stopword_count_expr("text")
+    langs = list(LANG_MARKERS)
+    toks = r"split(trim(text), '\\s+')"
+
+    per_row = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        punct_count(F.col("text")).alias("n_punct"),
+        sw.alias("n_stopwords"),
+        F.round(F.length("text") / n_tok, 4).alias("avg_token_len"),
+        F.round(sw / n_tok, 4).alias("stopword_ratio"),
+        F.round(
+            0.5 * (sw / n_tok) + 0.5 * (F.least(n_tok, F.lit(100)) / 100.0), 4
+        ).alias("quality_score"),
+        *[
+            stopword_count_expr("text", LANG_MARKERS[lg]).alias(f"s_{lg}")
+            for lg in langs
+        ],
+        fingerprint(F.col("text")).alias("fp"),
+        (fingerprint(F.col("text")) == F.md5("text")).alias("was_normal_form"),
+        F.expr(f"size(array_distinct({toks}))").alias("__n_distinct"),
+    )
+    pred = None
+    for i, lg in enumerate(langs):
+        cond = F.lit(True)
+        for other in langs[i + 1 :]:
+            cond = cond & (F.col(f"s_{lg}") >= F.col(f"s_{other}"))
+        pred = F.when(cond, lg) if pred is None else pred.when(cond, lg)
+    per_row = per_row.withColumn("predicted_lang", pred.otherwise(langs[-1]))
+
+    # aggregate branch 1: most-frequent-bigram count (explode → two-level agg)
+    spread = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    bigrams_expr = (
+        f"transform(sequence(1, greatest(size({toks}) - 1, 1)), "
+        f"i -> concat_ws(' ', slice({toks}, i, 2)))"
+    )
+    top_bigram = (
+        spread.select("doc_id", F.explode(F.expr(bigrams_expr)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("__top_bg"))
+    )
+    # aggregate branch 2: SimHash (explode distinct tokens → sign sums)
+    sh = simhash(docs, "doc_id", "text", bits=32)
+
+    return (
+        per_row.join(top_bigram, "doc_id")
+        .join(sh, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "n_tokens",
+            "n_punct",
+            "n_stopwords",
+            "avg_token_len",
+            "stopword_ratio",
+            "quality_score",
+            "predicted_lang",
+            (F.col("predicted_lang") == F.col("lang")).alias("is_match"),
+            "fp",
+            "was_normal_form",
+            F.round(
+                1.0 - F.col("__n_distinct") / F.col("n_tokens").cast("double"), 6
+            ).alias("repeated_token_frac"),
+            F.round(
+                F.col("__top_bg") / (F.col("n_tokens") - 1).cast("double"), 6
+            ).alias("top_bigram_frac"),
+            "simhash",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_doc_profile() -> str:
+    from .dedup import _oracle_simhash  # self-contained simhash-over-documents SQL
+
+    n_tok = token_count_sql("text")
+    sw = stopword_count_sql("text")
+    langs = list(LANG_MARKERS)
+    score_cols = ",\n        ".join(
+        f"{stopword_count_sql('text', LANG_MARKERS[lg])} AS s_{lg}" for lg in langs
+    )
+    branches = []
+    for i, lg in enumerate(langs):
+        conds = [f"s_{lg} >= s_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        branches.append(f"WHEN {cond} THEN '{lg}'")
+    case = "CASE " + " ".join(branches[:-1]) + f" ELSE '{langs[-1]}' END"
+    fp = fingerprint_sql("text")
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    bigrams = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 1, 1)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 1), ' '))"
+    )
+    return f"""
+WITH per_row AS (
+    SELECT doc_id, lang,
+        CAST(length(text) AS INT) AS n_chars,
+        {n_tok} AS n_tokens,
+        CAST({punct_count_sql('text')} AS INT) AS n_punct,
+        {sw} AS n_stopwords,
+        ROUND(length(text) / {n_tok}, 4) AS avg_token_len,
+        ROUND({sw} / CAST({n_tok} AS DOUBLE), 4) AS stopword_ratio,
+        ROUND(0.5 * ({sw} / CAST({n_tok} AS DOUBLE))
+            + 0.5 * (LEAST({n_tok}, 100) / 100.0), 4) AS quality_score,
+        {score_cols},
+        {fp} AS fp,
+        {fp} = md5(text) AS was_normal_form,
+        len(list_distinct({toks})) AS n_distinct
+    FROM documents
+),
+top_bg AS (
+    SELECT doc_id, MAX(c) AS top_bg FROM (
+        SELECT doc_id, bg, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest({bigrams}) AS bg FROM documents)
+        GROUP BY doc_id, bg
+    ) GROUP BY doc_id
+),
+sh AS ({_oracle_simhash()})
+SELECT p.doc_id AS doc_id, p.lang AS lang, n_chars, n_tokens, n_punct,
+       n_stopwords, avg_token_len, stopword_ratio, quality_score,
+       {case} AS predicted_lang,
+       ({case}) = p.lang AS is_match,
+       fp, was_normal_form,
+       ROUND(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 6) AS repeated_token_frac,
+       ROUND(t.top_bg / CAST(n_tokens - 1 AS DOUBLE), 6) AS top_bigram_frac,
+       sh.simhash AS simhash
+FROM per_row p
+JOIN top_bg t ON p.doc_id = t.doc_id
+JOIN sh ON p.doc_id = sh.doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
-    "text_stats": q_text_stats,
-    "lang_id": q_lang_id,
+    "doc_profile": q_doc_profile,
     "token_topk": q_token_topk,
-    "doc_fingerprint": q_fingerprint,
 }
 
 ORACLE = {
-    "text_stats": _oracle_text_stats(),
-    "lang_id": _oracle_lang_id(),
+    "doc_profile": _oracle_doc_profile(),
     "token_topk": ORACLE_TOKEN_TOPK,
-    "doc_fingerprint": _oracle_fingerprint(),
 }
