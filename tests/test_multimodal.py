@@ -1,5 +1,5 @@
 """Multimodal plumbing tests: binary schema, Arrow batch path, frame
-sampling cardinality, decode stub gating."""
+sampling cardinality, real BMP/PPM decode."""
 
 from __future__ import annotations
 
@@ -7,11 +7,14 @@ import pytest
 from pyspark.sql import functions as F
 
 from weather_data_warehouse_aws_spark.operators.multimodal import (
-    HAS_IMAGE_LIBS,
     attach_payload,
     decode_image,
+    encode_bmp,
+    encode_ppm,
     extract_features,
+    extract_image_features,
     sample_frames,
+    synth_images,
 )
 from weather_data_warehouse_aws_spark.sources.tables import load_table
 
@@ -54,8 +57,94 @@ def test_sample_frames_cardinality(media):
     assert per_doc.filter(F.col("k") != 4).count() == 0
 
 
-def test_decode_stub_gated():
-    if HAS_IMAGE_LIBS:
-        pytest.skip("image libs present; stub not applicable")
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+# ---------------------------------------------------------------------------
+# real codec: gradient images catch pixel-order / padding / channel bugs
+# ---------------------------------------------------------------------------
+
+def _gradient(w, h):
+    return [
+        [((x * 3 + y * 7) % 256, (x * 5 + y) % 256, (x + y * 11) % 256) for x in range(w)]
+        for y in range(h)
+    ]
+
+
+@pytest.mark.parametrize("w,h", [(7, 5), (8, 3), (1, 1), (13, 14)])
+@pytest.mark.parametrize("enc,fmt", [(encode_bmp, "bmp"), (encode_ppm, "ppm")])
+def test_decode_gradient_roundtrip(w, h, enc, fmt):
+    rows = _gradient(w, h)
+    n = w * h
+    expected = tuple(
+        sum(rows[y][x][c] for y in range(h) for x in range(w)) / n for c in range(3)
+    )
+    got_fmt, gw, gh, mr, mg, mb = decode_image(enc(w, h, rows))
+    assert (got_fmt, gw, gh) == (fmt, w, h)
+    # integer-sum / count is exact — no float tolerance needed
+    assert (mr, mg, mb) == expected
+
+
+def test_decode_bmp_top_down():
+    # negative height = top-down row order; channel means must not change
+    w, h = 6, 4
+    rows = _gradient(w, h)
+    raw = bytearray(encode_bmp(w, h, rows))
+    import struct
+
+    struct.pack_into("<i", raw, 22, -h)  # flip height sign in the info header
+    # re-order pixel rows top-down to keep the image equivalent
+    stride = w * 3 + ((-w * 3) % 4)
+    off = 54
+    body = raw[off:]
+    flipped = bytearray()
+    for i in reversed(range(h)):
+        flipped += body[i * stride : (i + 1) * stride]
+    raw[off:] = flipped
+    a = decode_image(bytes(raw))
+    b = decode_image(encode_bmp(w, h, rows))
+    assert a == b
+
+
+def test_decode_ppm_with_comment():
+    w, h = 3, 2
+    rows = _gradient(w, h)
+    payload = encode_ppm(w, h, rows)
+    commented = payload.replace(b"P6\n", b"P6\n# made by a test\n", 1)
+    assert decode_image(commented) == decode_image(payload)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"\x89PNG\r\n\x1a\n....",  # wrong magic
+        b"BM" + b"\x00" * 20,  # truncated BMP header
+        b"P6\n4 4\n255\n" + b"\x00" * 5,  # truncated PPM pixels
+        b"P6\n4 4\n65535\n" + b"\x00" * 96,  # unsupported maxval
+    ],
+)
+def test_decode_rejects_bad_payloads(payload):
+    with pytest.raises(ValueError):
+        decode_image(payload)
+
+
+def test_extract_image_features_spark_path(spark, sf_smoke_dir):
+    docs = load_table(spark, sf_smoke_dir, "documents").limit(40)
+    feats = extract_image_features(synth_images(docs)).collect()
+    assert len(feats) == 40
+    for r in feats:
+        d = r.doc_id
+        assert r.fmt == ("bmp" if d % 2 == 0 else "ppm")
+        assert (r.width, r.height) == (4 + d % 13, 4 + d % 11)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (
+            float(d * 37 % 256),
+            float(d * 59 % 256),
+            float(d * 83 % 256),
+        )
+
+
+def test_extract_image_features_tags_errors(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(2, 2, _gradient(2, 2)))), (2, bytearray(b"garbage"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r.doc_id: r for r in extract_image_features(df).collect()}
+    assert rows[1].fmt == "ppm"
+    assert rows[2].fmt == "error" and rows[2].width is None

@@ -1,10 +1,13 @@
 """Multimodal column plumbing (north-star: image/audio/video as opaque
 binary columns with typed metadata).
 
-The container has no image/audio libraries, so the DECODE step is stubbed
-(clearly marked, import-gated) — but everything Spark-side is real and
-tested: the binary column schema, Arrow batch shape through `mapInPandas`,
-partition-preserving feature extraction, and frame-sampling explode.
+The decode step is REAL: pure-Python/numpy codecs for 24-bit BMP and binary
+P6 PPM (`decode_image`), with matching encoders for planting deterministic
+test images. No PIL/opencv needed for these formats; exotic formats raise
+ValueError and are tagged fmt='error' rather than failing the batch.
+Everything Spark-side is likewise real and tested: the binary column
+schema, Arrow batch shape through `mapInPandas`, partition-preserving
+feature extraction, and frame-sampling explode.
 
 Design for 100 TB of media:
 * payloads stay opaque `binary`; metadata (mime, n_bytes, checksum) lives in
@@ -23,15 +26,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-try:  # decode gate: real image decoding would need PIL — not in container
-    import PIL  # noqa: F401
-
-    HAS_IMAGE_LIBS = True
-except ImportError:
-    HAS_IMAGE_LIBS = False
+import struct
 
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes int, header_hex string, fake_width int, fake_height int"
+)
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
 )
 FRAME_SCHEMA = "doc_id bigint, frame_index int, frame_checksum string"
 
@@ -48,14 +50,163 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):
-    """STUB — real decoding requires an image library absent from this
-    container. The Spark-side plumbing around it is real and tested."""
-    if not HAS_IMAGE_LIBS:
-        raise NotImplementedError(
-            "image decoding requires PIL/opencv; not available in this environment"
-        )
-    raise NotImplementedError("wire PIL.Image.open here when libs are present")
+# ---------------------------------------------------------------------------
+# Real pure-Python image codecs (no PIL/opencv in the container, none needed
+# for these formats). BMP: 24-bit uncompressed (BI_RGB), the classic
+# bottom-up row order with 4-byte row padding, top-down (negative height)
+# also handled. PPM: binary P6, maxval 255. Together they make the
+# mapInPandas media path END-TO-END real: header parse, padded pixel walk,
+# BGR→RGB channel order, per-channel statistics.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """24-bit BI_RGB BMP from RGB rows (rows[0] = top row). Bottom-up pixel
+    array, rows padded to 4 bytes — the standard layout."""
+    pad = (-width * 3) % 4
+    body = bytearray()
+    for row in reversed(rows):  # bottom-up
+        for r, g, b in row:
+            body += bytes((b, g, r))  # BMP stores BGR
+        body += b"\x00" * pad
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header + info + body)
+
+
+def encode_ppm(width: int, height: int, rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Binary P6 PPM from RGB rows (top-down, no padding)."""
+    body = bytearray()
+    for row in rows:
+        for r, g, b in row:
+            body += bytes((r, g, b))
+    return b"P6\n%d %d\n255\n" % (width, height) + bytes(body)
+
+
+def decode_image(payload: bytes) -> tuple[str, int, int, float, float, float]:
+    """Decode a BMP (24-bit BI_RGB) or PPM (P6) payload.
+
+    Returns (fmt, width, height, mean_r, mean_g, mean_b) where means are
+    exact integer-sum / pixel-count doubles (deterministic — no float
+    accumulation order). Raises ValueError on anything unrecognized, so
+    callers can tag undecodable payloads instead of crashing the batch.
+    """
+    raw = bytes(payload)
+    if raw[:2] == b"BM":
+        return ("bmp",) + _decode_bmp(raw)
+    if raw[:2] == b"P6":
+        return ("ppm",) + _decode_ppm(raw)
+    raise ValueError("unrecognized image format (expected BMP or P6 PPM)")
+
+
+def _decode_bmp(raw: bytes) -> tuple[int, int, float, float, float]:
+    if len(raw) < 54:
+        raise ValueError("truncated BMP header")
+    pixel_offset = struct.unpack_from("<I", raw, 10)[0]
+    header_size, width, height = struct.unpack_from("<Iii", raw, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", raw, 26)
+    if header_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed (BI_RGB) BMP supported")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("bad BMP dimensions")
+    stride = width * 3 + ((-width * 3) % 4)
+    if pixel_offset + stride * height > len(raw):
+        raise ValueError("truncated BMP pixel array")
+    import numpy as np
+
+    arr = np.frombuffer(raw, np.uint8, stride * height, pixel_offset)
+    # drop row padding, reshape to (pixels, BGR); integer sums are exact
+    px = arr.reshape(height, stride)[:, : width * 3].reshape(-1, 3).astype(np.int64)
+    sb, sg, sr = (int(s) for s in px.sum(axis=0))
+    n = width * height
+    # top_down only flips row order, which is irrelevant to channel sums
+    del top_down
+    return width, height, sr / n, sg / n, sb / n
+
+
+def _decode_ppm(raw: bytes) -> tuple[int, int, float, float, float]:
+    # header: "P6" <ws> width <ws> height <ws> maxval <single ws> pixels;
+    # '#' comments allowed between tokens
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(raw) and raw[pos : pos + 1] == b"#":
+            while pos < len(raw) and raw[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(raw[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if width <= 0 or height <= 0 or maxval != 255:
+        raise ValueError("only maxval-255 P6 PPM supported")
+    n = width * height
+    if pos + 3 * n > len(raw):
+        raise ValueError("truncated PPM pixel data")
+    import numpy as np
+
+    px = np.frombuffer(raw, np.uint8, 3 * n, pos).reshape(-1, 3).astype(np.int64)
+    sr, sg, sb = (int(s) for s in px.sum(axis=0))
+    return width, height, sr / n, sg / n, sb / n
+
+
+def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic solid-color test images keyed by id: even ids encode as
+    BMP, odd as PPM; size and color are closed-form functions of the id so a
+    SQL oracle can predict what the decoder must recover. Runs in
+    mapInPandas — the same Arrow batch path real media ingestion uses."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 4 + d % 13, 4 + d % 11
+                color = (d * 37 % 256, d * 59 % 256, d * 83 % 256)
+                rows = [[color] * w for _ in range(h)]
+                enc = encode_bmp if d % 2 == 0 else encode_ppm
+                payloads.append(enc(w, h, rows))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        _batches, "doc_id bigint, payload binary"
+    )
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """REAL decode over binary payloads: parse BMP/PPM headers and pixels in
+    Arrow-batched mapInPandas, emit fixed-width features (format, dims,
+    exact per-channel means). Undecodable payloads get fmt='error' with null
+    features rather than failing the batch — at 100 TB some blobs are
+    always corrupt."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "fmt", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    fmt, w, h, mr, mg, mb = decode_image(payload)
+                except ValueError:
+                    fmt, w, h, mr, mg, mb = "error", None, None, None, None, None
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(mr)
+                out["mean_g"].append(mg)
+                out["mean_b"].append(mb)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(_batches, IMAGE_FEATURE_SCHEMA)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
