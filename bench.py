@@ -6,6 +6,15 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced with a cheap count-style action (noop write would add
 I/O variance); timings include plan + execution, excluding session startup.
+
+Extra keys in the JSON line (additive, for scale-slope evidence):
+- "iters": best-of-N per query (default 2 — steady-state numbers with
+  JIT/codegen caches warm, so per-query times are comparable run to run
+  instead of the alphabetically-first query eating JVM warmup).
+- "sweep_sf"/"sweep_queries": one best-of-1 pass at a smaller SF
+  (default sf0.01 when benching sf0.1), same session.
+- "slopes": per-query time ratio primary/sweep on 10x the data — ~1-4 =
+  overhead-dominated or sublinear, ~10 = linear, >10 flagged super-linear.
 """
 
 from __future__ import annotations
@@ -21,26 +30,22 @@ from weather_data_warehouse_aws_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-# iterations per query; >1 reports the best run (steady-state timing with
-# JIT/codegen caches warm — use for optimization work, driver uses default 1)
-ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "1")))
+# iterations per query; best run is reported
+ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")))
+# secondary scale factor for the slope sweep: "auto" picks sf0.01 when the
+# primary is sf0.1; "off" disables; any path benches that dir
+SWEEP = os.environ.get("SPARK_GRAFT_BENCH_SWEEP", "auto")
 
 
-def main() -> None:
-    spark = get_spark("wdwa-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    queries = entrymod.queries()
-
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not first-touch costs
-    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
-
+def run_suite(spark, queries, sf_dir: str, iters: int) -> dict[str, float]:
+    # warm parquet footers so per-query numbers measure the query
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     timings: dict[str, float] = {}
     for name in sorted(queries):
         best, n = None, 0
-        for _ in range(ITERS):
+        for _ in range(iters):
             start = time.perf_counter()
-            df = queries[name](spark, SF_DIR)
+            df = queries[name](spark, sf_dir)
             n = df.count()
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
@@ -49,6 +54,15 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    return timings
+
+
+def main() -> None:
+    spark = get_spark("wdwa-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    timings = run_suite(spark, queries, SF_DIR, ITERS)
 
     # end-to-end weather pipeline (bronze JSON → silver → gold/SCD2 → band-
     # join accuracy fact): the reference's entire workload, vs its "<5 min
@@ -76,22 +90,41 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
     spark.catalog.clearCache()
 
-    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "wdwa_spark_query_suite",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    def sf_of(path: str):
+        raw = os.path.basename(path.rstrip("/")).replace("sf", "")
+        try:
+            return float(raw)
+        except ValueError:
+            return raw
+
+    result = {
+        "metric": "wdwa_spark_query_suite",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(SF_DIR),
+        "iters": ITERS,
+    }
+
+    sweep_dir = None
+    if SWEEP == "auto":
+        cand = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+        if os.path.basename(SF_DIR.rstrip("/")) == "sf0.1" and os.path.isdir(cand):
+            sweep_dir = cand
+    elif SWEEP not in ("off", ""):
+        sweep_dir = SWEEP
+    if sweep_dir:
+        print(f"# --- sweep at {sweep_dir} ---", file=sys.stderr)
+        sweep_timings = run_suite(spark, queries, sweep_dir, 1)
+        result["sweep_sf"] = sf_of(sweep_dir)
+        result["sweep_queries"] = sweep_timings
+        result["slopes"] = {
+            name: round(timings[name] / t, 2)
+            for name, t in sweep_timings.items()
+            if name in timings and t > 0
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
