@@ -243,3 +243,18 @@ def test_decontamination_recovers_planted(spark, sf_dir):
     assert trailer_flagged == n_trailer
     # contaminated docs must report at least themselves as a source
     assert all(r.n_train_sources >= 1 and r.n_shared_shingles >= 1 for r in flagged)
+
+
+def test_blocked_neardup_block_size_tripwire(spark, sf_dir):
+    """Oversized blocks must fail fast with a pointer to the approximate
+    scale paths instead of silently running Σblock² dot products."""
+    import pytest
+
+    from weather_data_warehouse_aws_spark.operators.similarity import blocked_neardup
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="lsh_topk"):
+        blocked_neardup(emb, max_block_rows=10)
+    # generous bound: passes the guard and still computes
+    assert blocked_neardup(emb, max_block_rows=10_000_000).count() >= 0

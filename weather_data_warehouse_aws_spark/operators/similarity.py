@@ -94,12 +94,35 @@ def blocked_neardup(
     vec_col: str = "embedding",
     block_col: str = "label",
     threshold: float = 0.95,
+    max_block_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs (cosine ≥ τ) within each block.
 
     The self-join is an equi-join on the block key — shuffle partitions by
     block, compare within. Quadratic only in block size, never corpus size.
+
+    EXACT all-pairs is intrinsically Ω(Σ block²): if blocks grow with the
+    corpus (fixed label cardinality), cost grows quadratically — measured
+    super-linear in the amplified-SF sweep (SCALE.md). `max_block_rows` is
+    the tripwire: any block above it raises with a pointer to the
+    approximate scale paths (sign-LSH / IVF in this module, MinHash for
+    text) whose candidate generation stays equi-join-linear. Set it None
+    only when block sizes are known-bounded.
     """
+    if max_block_rows is not None:
+        biggest = (
+            df.groupBy(F.col(block_col))
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        if biggest is not None and biggest > max_block_rows:
+            raise ValueError(
+                f"blocked_neardup: largest '{block_col}' block has {biggest} rows "
+                f"(> {max_block_rows}); exact all-pairs would do ~{biggest}^2/2 "
+                "dot products in one block. Use lsh_topk/ivf_topk (vectors) or "
+                "minhash_lsh_pairs (text), or raise max_block_rows deliberately."
+            )
     # hoist the norm: computed once per VECTOR before the join, not twice per
     # PAIR inside it — same float ops on the same values (bit-identical
     # result), at 1/|block| of the arithmetic
