@@ -16,7 +16,14 @@ import pytest
 import __spark_entry__ as entrymod
 from tests.oracle import assert_query_matches_oracle
 
-SENSITIVE = ["window_rank", "dedup_latest", "ivf_ann_refined", "gap_fill", "pair_dedup"]
+SENSITIVE = [
+    "window_rank",
+    "dedup_latest",
+    "ivf_ann_refined",
+    "gap_fill",
+    "pair_dedup",
+    "chunk_documents",  # per-shard window cumsum feeding pack arithmetic
+]
 
 
 @pytest.mark.parametrize("partitions", ["7", "200"])

@@ -109,20 +109,6 @@ def blocked_neardup(
     text) whose candidate generation stays equi-join-linear. Set it None
     only when block sizes are known-bounded.
     """
-    if max_block_rows is not None:
-        biggest = (
-            df.groupBy(F.col(block_col))
-            .count()
-            .agg(F.max("count"))
-            .first()[0]
-        )
-        if biggest is not None and biggest > max_block_rows:
-            raise ValueError(
-                f"blocked_neardup: largest '{block_col}' block has {biggest} rows "
-                f"(> {max_block_rows}); exact all-pairs would do ~{biggest}^2/2 "
-                "dot products in one block. Use lsh_topk/ivf_topk (vectors) or "
-                "minhash_lsh_pairs (text), or raise max_block_rows deliberately."
-            )
     # hoist the norm: computed once per VECTOR before the join, not twice per
     # PAIR inside it — same float ops on the same values (bit-identical
     # result), at 1/|block| of the arithmetic
@@ -132,6 +118,17 @@ def blocked_neardup(
         F.col(vec_col).alias("v"),
         _norm(vec_col).alias("nrm"),
     ).persist()  # feeds both join sides — compute the norm pass once
+    if max_block_rows is not None:
+        # guard action doubles as the cache materialization the join was
+        # going to pay anyway — the tripwire is ~free
+        biggest = normed.groupBy("blk").count().agg(F.max("count")).first()[0]
+        if biggest is not None and biggest > max_block_rows:
+            raise ValueError(
+                f"blocked_neardup: largest '{block_col}' block has {biggest} rows "
+                f"(> {max_block_rows}); exact all-pairs would do ~{biggest}^2/2 "
+                "dot products in one block. Use lsh_topk/ivf_topk (vectors) or "
+                "minhash_lsh_pairs (text), or raise max_block_rows deliberately."
+            )
     # few blocks ⇒ a shuffled block equi-join has ≤ #blocks populated
     # partitions, serializing the quadratic dot-product work. Instead:
     # repartition the probe side by id (full-width parallelism) and

@@ -9,21 +9,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import portable_hash60_sql
+from ..operators.packing import concat_cut_sql, pack_concat_cut, shard_of
 from ..sources.tables import load_table
 
 CHUNK_TOKENS = 50
 CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+PACK_BUDGET = 128  # tokens per training pack (concat-and-cut)
+PACK_SHARDS = 8  # parallelism unit; thousands on a real cluster
 
 
 # ---------------------------------------------------------------------------
 # q_chunk_documents — overlapping fixed-size token windows
 # ---------------------------------------------------------------------------
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split each document into 50-token chunks at a 40-token stride (10
-    overlap) — the standard pre-tokenization windowing for LLM training.
-    One explode, no Python, no shuffle until the final sort: the shape that
-    chunks 100 TB in a single map pass. Chunk text is emitted as md5 so the
-    value hash stays compact."""
+    """Chunk + pack: split each document into 50-token chunks at a 40-token
+    stride (the standard pre-tokenization windowing), then assemble the
+    chunks into 128-token training packs by concat-and-cut (GPT-style: each
+    shard's chunk stream is cut at exact budget boundaries; a chunk spanning
+    a boundary emits one segment row per pack).
+
+    Chunking is one explode in a single map pass; packing is a per-shard
+    window cumsum + explode — all JVM, sharded by portable doc-id hash so
+    parallelism = PACK_SHARDS and no global order exists anywhere. The
+    oracle replays BOTH stages in SQL, so segment arithmetic (seg_start/
+    seg_len/pack_offset) is differential-tested."""
     docs = load_table(spark, sf_dir, "documents")
     toks = r"split(trim(text), '\\s+')"
     n_chunks = f"greatest(CAST(ceil((size({toks}) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}) AS INT) + 1, 1)"
@@ -32,7 +42,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> struct(i AS chunk_index, "
         f"concat_ws(' ', slice({toks}, i * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS})) AS chunk_text))"
     )
-    return (
+    items = (
         docs.select("doc_id", F.explode(chunks).alias("c"))
         .select(
             "doc_id",
@@ -40,13 +50,20 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.col("c.chunk_text"), r"\s+")).alias("chunk_tokens"),
             F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
         )
-        .orderBy("doc_id", "chunk_index")
+        .withColumn("shard_id", shard_of("doc_id", n_shards=PACK_SHARDS))
     )
+    return pack_concat_cut(
+        items,
+        ["doc_id", "chunk_index"],
+        "chunk_tokens",
+        budget=PACK_BUDGET,
+        n_shards=PACK_SHARDS,
+    ).orderBy("doc_id", "chunk_index", "pack_id")
 
 
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 
-ORACLE_CHUNK_DOCUMENTS = rf"""
+_CHUNK_ITEMS_SQL = rf"""
 WITH chunks AS (
     SELECT doc_id,
            unnest(list_transform(
@@ -62,10 +79,21 @@ WITH chunks AS (
 SELECT doc_id,
        CAST(c.chunk_index AS INT) AS chunk_index,
        CAST(len(regexp_split_to_array(c.chunk_text, '\s+')) AS INT) AS chunk_tokens,
-       md5(c.chunk_text) AS chunk_md5
+       md5(c.chunk_text) AS chunk_md5,
+       CAST({portable_hash60_sql('CAST(doc_id AS VARCHAR)')} % {PACK_SHARDS} AS INT) AS shard_id
 FROM chunks
-ORDER BY doc_id, chunk_index
 """
+
+ORACLE_CHUNK_DOCUMENTS = (
+    concat_cut_sql(
+        _CHUNK_ITEMS_SQL,
+        ["doc_id", "chunk_index"],
+        "chunk_tokens",
+        budget=PACK_BUDGET,
+        shard_col="shard_id",
+    )
+    + "ORDER BY doc_id, chunk_index, pack_id"
+)
 
 
 # ---------------------------------------------------------------------------
