@@ -146,3 +146,40 @@ def word_shingles_sql(expr: str, n: int) -> str:
         f"list_distinct(list_transform(generate_series(1, greatest(len({toks}) - {n} + 1, 1)), "
         f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' ')))"
     )
+
+
+# ------------------------------------------------------------- PII scrubbing
+# Patterns stay inside the Java-regex ∩ RE2 intersection (char classes, \d,
+# bounded repeats, \b; NO lookaround, NO backrefs) so Spark and DuckDB match
+# the same spans. Ordered dict: redaction applies in this order, and ip
+# before phone so '10.0.42.42' is consumed as an IP, not half-eaten digits.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern — JVM regexp_count."""
+    return F.regexp_count(col, F.lit(PII_PATTERNS[kind])).cast("int")
+
+
+def pii_count_sql(expr: str, kind: str) -> str:
+    pat = PII_PATTERNS[kind].replace("'", "''")
+    return f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS INT)"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII span with a typed placeholder like <EMAIL>."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def redact_pii_sql(expr: str) -> str:
+    out = expr
+    for kind, pat in PII_PATTERNS.items():
+        out = f"regexp_replace({out}, '{pat.replace(chr(39), chr(39)*2)}', '<{kind.upper()}>', 'g')"
+    return out

@@ -15,8 +15,12 @@ from ..functions.text import (
     LANG_MARKERS,
     fingerprint,
     fingerprint_sql,
+    pii_count,
+    pii_count_sql,
     punct_count,
     punct_count_sql,
+    redact_pii,
+    redact_pii_sql,
     stopword_count_expr,
     stopword_count_sql,
     token_count,
@@ -190,7 +194,13 @@ FROM documents
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document: quality metrics (length/token/punct/stopword +
     composite score), marker-vocabulary lang-id, normalization fingerprint,
-    Gopher-style repetition fractions, and SimHash."""
+    Gopher-style repetition fractions, SimHash, and PII scrubbing.
+
+    The corpus has no natural PII, so — like the dedup planting — PII is
+    planted deterministically inside the query (doc_id%7 picks an email /
+    IPv4 / phone trailer built from doc_id) and detection runs over the
+    planted text: counts per kind plus md5 of the redacted text, so a
+    single mis-redacted span anywhere flips the hash gate."""
     from ..operators.dedup import simhash
 
     docs = load_table(spark, sf_dir, "documents")
@@ -198,6 +208,35 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = stopword_count_expr("text")
     langs = list(LANG_MARKERS)
     toks = r"split(trim(text), '\\s+')"
+
+    d = F.col("doc_id")
+    pii_txt = F.concat(
+        F.col("text"),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com now")),
+        )
+        .when(
+            d % 7 == 1,
+            F.concat(
+                F.lit(" node at 10."),
+                (d % 256).cast("string"),
+                F.lit(".0."),
+                (d % 200).cast("string"),
+                F.lit(" up"),
+            ),
+        )
+        .when(
+            d % 7 == 2,
+            F.concat(
+                F.lit(" call 555-"),
+                (d % 900 + 100).cast("string"),
+                F.lit("-"),
+                (d % 9000 + 1000).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
 
     per_row = docs.select(
         "doc_id",
@@ -218,6 +257,10 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint(F.col("text")).alias("fp"),
         (fingerprint(F.col("text")) == F.md5("text")).alias("was_normal_form"),
         F.expr(f"size(array_distinct({toks}))").alias("__n_distinct"),
+        pii_count(pii_txt, "email").alias("n_emails"),
+        pii_count(pii_txt, "ipv4").alias("n_ipv4"),
+        pii_count(pii_txt, "phone").alias("n_phones"),
+        F.md5(redact_pii(pii_txt)).alias("redacted_fp"),
     )
     pred = None
     for i, lg in enumerate(langs):
@@ -269,6 +312,10 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("__top_bg") / (F.col("n_tokens") - 1).cast("double"), 6
             ).alias("top_bigram_frac"),
             "simhash",
+            "n_emails",
+            "n_ipv4",
+            "n_phones",
+            "redacted_fp",
         )
         .orderBy("doc_id")
     )
@@ -290,6 +337,11 @@ def _oracle_doc_profile() -> str:
         branches.append(f"WHEN {cond} THEN '{lg}'")
     case = "CASE " + " ".join(branches[:-1]) + f" ELSE '{langs[-1]}' END"
     fp = fingerprint_sql("text")
+    pii_txt = """(text || CASE
+        WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        WHEN doc_id % 7 = 1 THEN ' node at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 200 AS VARCHAR) || ' up'
+        WHEN doc_id % 7 = 2 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        ELSE '' END)"""
     toks = r"regexp_split_to_array(trim(text), '\s+')"
     bigrams = (
         f"list_transform(generate_series(1, greatest(len({toks}) - 1, 1)), "
@@ -309,7 +361,11 @@ WITH per_row AS (
         {score_cols},
         {fp} AS fp,
         {fp} = md5(text) AS was_normal_form,
-        len(list_distinct({toks})) AS n_distinct
+        len(list_distinct({toks})) AS n_distinct,
+        {pii_count_sql(pii_txt, 'email')} AS n_emails,
+        {pii_count_sql(pii_txt, 'ipv4')} AS n_ipv4,
+        {pii_count_sql(pii_txt, 'phone')} AS n_phones,
+        md5({redact_pii_sql(pii_txt)}) AS redacted_fp
     FROM documents
 ),
 top_bg AS (
@@ -327,7 +383,8 @@ SELECT p.doc_id AS doc_id, p.lang AS lang, n_chars, n_tokens, n_punct,
        fp, was_normal_form,
        ROUND(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 6) AS repeated_token_frac,
        ROUND(t.top_bg / CAST(n_tokens - 1 AS DOUBLE), 6) AS top_bigram_frac,
-       sh.simhash AS simhash
+       sh.simhash AS simhash,
+       n_emails, n_ipv4, n_phones, redacted_fp
 FROM per_row p
 JOIN top_bg t ON p.doc_id = t.doc_id
 JOIN sh ON p.doc_id = sh.doc_id
