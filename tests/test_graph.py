@@ -1,0 +1,76 @@
+"""Connected-components operator (operators/graph.py) unit tests.
+
+The registry query `dedup_clusters` proves cross-engine parity of the
+pairs→clusters pipeline (test_registry_oracle.py); these units exercise the
+shapes the planted corpus can't — long chains (multi-round convergence),
+disjoint components, and the non-convergence guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_data_warehouse_aws_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_chain_converges_to_single_component(spark):
+    # path graph 10-9-8-...-0: min label 0 must travel the full diameter
+    comp = connected_components(_edges(spark, [(i, i + 1) for i in range(10)]))
+    rows = {r["node"]: r["component"] for r in comp.collect()}
+    assert rows == {i: 0 for i in range(11)}
+
+
+def test_disjoint_components_and_edge_direction(spark):
+    # two components; edge direction must not matter
+    comp = connected_components(
+        _edges(spark, [(5, 3), (3, 4), (100, 101), (102, 101)])
+    )
+    rows = {r["node"]: r["component"] for r in comp.collect()}
+    assert rows == {3: 3, 4: 3, 5: 3, 100: 100, 101: 100, 102: 100}
+
+
+def test_triangle_with_duplicate_edges(spark):
+    comp = connected_components(
+        _edges(spark, [(1, 2), (2, 3), (1, 3), (2, 1), (1, 2)])
+    )
+    assert {r["component"] for r in comp.collect()} == {1}
+
+
+def test_empty_edges(spark):
+    comp = connected_components(_edges(spark, []))
+    assert comp.count() == 0
+    assert set(comp.columns) == {"node", "component"}
+
+
+def test_max_iter_guard(spark):
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(_edges(spark, [(i, i + 1) for i in range(6)]), max_iter=2)
+
+
+def test_dedup_clusters_canonicals(spark):
+    out = dedup_clusters(_edges(spark, [(7, 2), (2, 9), (40, 41)])).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 5
+    assert by_id[2]["is_canonical"] and by_id[40]["is_canonical"]
+    assert not by_id[7]["is_canonical"] and not by_id[9]["is_canonical"]
+    assert by_id[7]["cluster_id"] == 2 and by_id[7]["cluster_size"] == 3
+    assert by_id[41]["cluster_id"] == 40 and by_id[41]["cluster_size"] == 2
+
+
+def test_survivor_filter_shape(spark):
+    """Keep-one-per-cluster = anti-join corpus against non-canonical rows."""
+    corpus = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    clusters = dedup_clusters(_edges(spark, [(1, 11), (2, 12), (12, 13)]))
+    drop = clusters.filter(~F.col("is_canonical")).select("doc_id")
+    kept = corpus.join(drop, "doc_id", "left_anti")
+    assert kept.count() == 17  # 11, 12, 13 dropped; 1 and 2 survive
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert {11, 12, 13}.isdisjoint(kept_ids) and {1, 2} <= kept_ids

@@ -1,0 +1,119 @@
+"""Connected components over a pair/edge relation (dedup clustering).
+
+Near-dup detection (operators/dedup.py) emits PAIRS; an LLM-data pipeline
+needs CLUSTERS — "these 7 documents are all the same article; keep one".
+Pairs → clusters is connected components on the pair graph, and the member
+with the smallest id becomes the cluster's canonical survivor.
+
+Algorithm: iterative min-label propagation. Every vertex starts labeled
+with its own id; each round every vertex takes the minimum label among
+itself and its neighbors; at the fixpoint every vertex carries the minimum
+vertex id reachable from it — exactly the component id. Each round is one
+hash equi-join (labels ⋈ edges on the vertex) plus one groupBy-min, both
+shuffle-partitioned on the vertex id, so a round costs O(|E|) shuffle and
+the loop runs `diameter` rounds. Dedup graphs are near-cliques of
+near-identical documents (tiny diameter), so 2-4 rounds is typical; the
+O(log n)-round star-contraction variants (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014) only pay off on
+long-path graphs, which dedup output is not.
+
+Driver-side per round: one scalar aggregate (the label-sum convergence
+check). Min-propagation only ever DECREASES labels, so the total label sum
+is strictly decreasing until the fixpoint — comparing two driver-side
+scalars detects convergence without a change-count join.
+
+Lineage: each round's labels are localCheckpoint()ed — without truncation
+the plan doubles per iteration and the driver, not the data, becomes the
+bottleneck. On a real cluster with an unreliable-executor concern, swap
+for `checkpoint()` against a durable checkpoint dir; the call site is the
+single `_truncate` hop below.
+
+Reference parity: the reference engine has no graph operator at all —
+its dedup story stops at `dropDuplicates` (bronze_to_silver.py:87). This
+closes the pairs→clusters gap a training-data user hits immediately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _truncate(df: DataFrame) -> DataFrame:
+    """Materialize + cut lineage between iterations (see module docstring)."""
+    return df.localCheckpoint(eager=True)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every vertex of `edges`; component = min
+    reachable vertex id. Vertices must be non-null integral/comparable ids.
+
+    Raises RuntimeError if the fixpoint is not reached in `max_iter`
+    rounds (rounds needed = graph diameter; 25 covers any plausible dedup
+    graph — a path that long means the similarity threshold is broken).
+    """
+    sym = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .distinct()
+    )
+    sym = _truncate(sym)
+
+    labels = sym.select("node").distinct().withColumn("component", F.col("node"))
+    labels = _truncate(labels)
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    if prev_sum is None:  # empty edge set
+        return labels
+
+    for _ in range(max_iter):
+        # neighbor labels flow along edges; keep own label via the union
+        msgs = sym.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "component")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        new_labels = _truncate(new_labels)
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_clusters(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster view of a near-dup pair relation:
+    (doc_id, cluster_id, cluster_size, is_canonical), one row per clustered
+    document. `cluster_id` = min doc_id of the cluster; `is_canonical`
+    marks the survivor a keep-one-per-cluster filter would retain.
+    Singleton documents (no pair) are by construction absent — at 100 TB
+    the clustered set is orders of magnitude smaller than the corpus, so
+    the survivor filter is an anti-join of corpus against the non-canonical
+    rows of this (small) relation.
+    """
+    comp = connected_components(edges, src, dst, max_iter=max_iter)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_canonical"),
+        )
+    )

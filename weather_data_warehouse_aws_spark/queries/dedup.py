@@ -402,12 +402,104 @@ ORDER BY method, id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q_dedup_clusters — pairs → connected components → canonical survivors
+# ---------------------------------------------------------------------------
+# A second exact copy (offset 6M) of every %100==0 doc turns those planted
+# groups into 3-cliques, so the component labeling must merge >1 edge per
+# cluster; long-chain convergence is covered by tests/test_graph.py.
+CLUSTER_OFFSET = 6_000_000
+
+_CLUSTER_PLANTED_SQL = f"""
+planted AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {EXACT_OFFSET}, text FROM documents WHERE doc_id % 100 = 0
+    UNION ALL
+    SELECT doc_id + {NEAR_OFFSET}, text || '{TRAILER}' FROM documents WHERE doc_id % 100 = 1
+    UNION ALL
+    SELECT doc_id + {CLUSTER_OFFSET}, text FROM documents WHERE doc_id % 100 = 0
+)
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: n-gram-Jaccard pairs fed through distributed
+    connected components (operators/graph.py min-label propagation), one row
+    per clustered doc with its cluster id, size, and canonical-survivor flag.
+    The keep-one-per-cluster corpus filter is then `corpus LEFT ANTI JOIN
+    (this WHERE NOT is_canonical)`."""
+    from ..operators.graph import dedup_clusters
+
+    docs = planted_documents(spark, sf_dir)
+    extra = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select((F.col("doc_id") + CLUSTER_OFFSET).alias("doc_id"), "text")
+    )
+    corpus = docs.unionByName(extra)
+    pairs = ngram_jaccard_pairs(
+        corpus, "doc_id", "text",
+        n=SHINGLE_N, threshold=0.6, max_doc_freq=MAX_SHINGLE_DF,
+    )
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
+# Oracle: identical pair SQL, then transitive closure via recursive CTE —
+# min reachable id per node ≡ the engine's min-label fixpoint.
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_CLUSTER_PLANTED_SQL.strip()},
+{_SHINGLES_SQL.strip()},
+capped AS (
+    SELECT s.doc_id, s.sh
+    FROM shingles s
+    JOIN (
+        SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ) keep USING (sh)
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ) inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.6
+),
+edges AS (
+    SELECT id_a AS node, id_b AS nbr FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach (node, lbl) AS (
+    SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+    UNION
+    SELECT e.node, r.lbl FROM edges e JOIN reach r ON e.nbr = r.node
+),
+labels AS (
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM labels
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pair_dedup": q_pair_dedup,
+    "dedup_clusters": q_dedup_clusters,
     "decontamination": q_decontamination,
 }
 
 ORACLE = {
     "pair_dedup": _oracle_pair_dedup(),
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "decontamination": ORACLE_DECONTAMINATION,
 }

@@ -136,6 +136,39 @@ ORDER BY c_nationkey
 
 
 # ---------------------------------------------------------------------------
+# q_semi_anti_join — both existence-join plans under one driver row
+# ---------------------------------------------------------------------------
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi + left_anti aggregations, tagged and unioned to one relation
+    (same 50-entry-registry consolidation as pair_dedup/ann_methods). The
+    group key is stringified to a common column; avg_acctbal only exists on
+    the anti side and is NULL for semi rows."""
+    anti = q_anti_join(spark, sf_dir).select(
+        F.lit("anti").alias("variant"),
+        F.col("c_mktsegment").alias("group_key"),
+        "n_customers",
+        "avg_acctbal",
+    )
+    semi = q_semi_join(spark, sf_dir).select(
+        F.lit("semi").alias("variant"),
+        F.col("c_nationkey").cast("string").alias("group_key"),
+        "n_customers",
+        F.lit(None).cast("double").alias("avg_acctbal"),
+    )
+    return anti.unionByName(semi).orderBy("variant", "group_key")
+
+
+ORACLE_SEMI_ANTI_JOIN = f"""
+SELECT 'anti' AS variant, c_mktsegment AS group_key, n_customers, avg_acctbal
+FROM ({ORACLE_ANTI_JOIN})
+UNION ALL
+SELECT 'semi', CAST(c_nationkey AS VARCHAR), n_customers, CAST(NULL AS DOUBLE)
+FROM ({ORACLE_SEMI_JOIN})
+ORDER BY variant, group_key
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_dedup_latest — deterministic keyed dedup (A4, scale-safe variant)
 # ---------------------------------------------------------------------------
 def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,8 +319,7 @@ ORDER BY c_nationkey, c_mktsegment
 
 QUERIES = {
     "role_playing_nation": q_role_playing_nation,
-    "anti_join": q_anti_join,
-    "semi_join": q_semi_join,
+    "semi_anti_join": q_semi_anti_join,
     "dedup_latest": q_dedup_latest,
     "window_rank": q_window_rank,
     "sort_by_case": q_sort_by_case,
@@ -296,8 +328,7 @@ QUERIES = {
 
 ORACLE = {
     "role_playing_nation": ORACLE_ROLE_PLAYING_NATION,
-    "anti_join": ORACLE_ANTI_JOIN,
-    "semi_join": ORACLE_SEMI_JOIN,
+    "semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
     "dedup_latest": ORACLE_DEDUP_LATEST,
     "window_rank": ORACLE_WINDOW_RANK,
     "sort_by_case": ORACLE_SORT_BY_CASE,
