@@ -1,0 +1,109 @@
+"""Corpus relevance scoring: TF-IDF and BM25, pure DataFrame plans.
+
+Training-data pipelines rank/filter documents against keyword probes
+constantly (quality heuristics, topic filters, retrieval-style audits).
+Both scorers here are classic IR statistics (Robertson & Spärck Jones;
+BM25 as in Robertson et al., TREC-3 1994) computed with built-in
+aggregates only — no Python in the hot path, every intermediate an
+equi-keyed aggregate or a broadcast join:
+
+* token table    — one explode; reused by tf, dl, and df.
+* tf (doc,term)  — groupBy count; the only |corpus|-sized shuffle.
+* dl, avgdl, N   — per-doc count + ONE 1-row global aggregate that
+                   broadcast-cross-joins back (never `.collect()`ed).
+* df (term)      — groupBy over the tf table (already distinct per doc).
+* BM25           — query terms are a literal handful: the term list, the
+                   per-term df, and the global stats all BROADCAST, so
+                   scoring is a map-side pass over tf.
+
+At 100 TB: tf/dl partition by doc_id (aligned, reused), df by term; the
+only data-sized exchange is the initial (doc_id, tok) shuffle. Skewed
+stop-tokens inflate a single df key by count, not by pairs — df is a
+map-side-combined count, so no quadratic hazard (contrast the dedup
+self-join, operators/dedup.py::cap_hot_shingles).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def token_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, tok) with multiplicity — whitespace tokenization, the same
+    convention as functions/text.py (oracle: regexp_split_to_array '\\s+')."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+
+
+def term_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, tok, tf)."""
+    return (
+        token_table(df, id_col, text_col)
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, tok, tf, tfidf) with tfidf = tf · ln(N/df_t), full precision
+    (callers round at presentation). N and df_t ride broadcast joins."""
+    tf = term_freq(df, id_col, text_col)
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))  # 1 row
+    return (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+        .select("doc_id", "tok", "tf", "tfidf")
+    )
+
+
+def bm25(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, score, n_hit_terms) — BM25 of each document against a fixed
+    term set; only docs containing ≥1 query term appear.
+
+    idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))   (Lucene's nonnegative form)
+    score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    """
+    spark = df.sparkSession
+    toks = token_table(df, id_col, text_col)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )  # 1 row
+    qt = spark.createDataFrame([(t,) for t in query_terms], "tok string")
+    dfreq_q = (
+        tf.join(F.broadcast(qt), "tok").groupBy("tok").agg(F.count("*").alias("df"))
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq_q), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_score", idf * norm)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("term_score").alias("score"),
+            F.count("*").alias("n_hit_terms"),
+        )
+    )

@@ -34,6 +34,7 @@ _SUBMODULES = [
     "dedup",
     "similarity",
     "multimodal",
+    "relevance",
     "semistructured",
     "weather_e2e",
     "weather_enrich",

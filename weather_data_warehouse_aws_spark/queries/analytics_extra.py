@@ -124,14 +124,63 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q_order_stats — exact quantiles + exact count-distinct spread, one relation
+# ---------------------------------------------------------------------------
+def q_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`exact_quantiles` (by o_orderstatus) and `distinct_stats` (by
+    o_orderpriority) tagged and unioned under one driver row — both are
+    per-group spread summaries of `orders` (50-entry-registry
+    consolidation; columns absent from a variant are NULL)."""
+    from .setops import q_distinct_stats
+
+    quant = q_exact_quantiles(spark, sf_dir).select(
+        F.lit("quantiles").alias("variant"),
+        F.col("o_orderstatus").alias("group_key"),
+        "median_price",
+        "p90_price",
+        F.lit(None).cast("long").alias("n_customers"),
+        F.lit(None).cast("double").alias("price_stddev"),
+        "n",
+    )
+    dist = q_distinct_stats(spark, sf_dir).select(
+        F.lit("distincts").alias("variant"),
+        F.col("o_orderpriority").alias("group_key"),
+        F.lit(None).cast("double").alias("median_price"),
+        F.lit(None).cast("double").alias("p90_price"),
+        "n_customers",
+        "price_stddev",
+        F.col("n_orders").alias("n"),
+    )
+    return quant.unionByName(dist).orderBy("variant", "group_key")
+
+
+def _oracle_order_stats() -> str:
+    from .setops import ORACLE_DISTINCT_STATS
+
+    return f"""
+SELECT 'quantiles' AS variant, o_orderstatus AS group_key,
+       median_price, p90_price,
+       CAST(NULL AS BIGINT) AS n_customers, CAST(NULL AS DOUBLE) AS price_stddev,
+       n
+FROM ({ORACLE_EXACT_QUANTILES})
+UNION ALL
+SELECT 'distincts', o_orderpriority,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       n_customers, price_stddev, n_orders
+FROM ({ORACLE_DISTINCT_STATS})
+ORDER BY variant, group_key
+"""
+
+
 QUERIES = {
     "pivot": q_pivot,
-    "exact_quantiles": q_exact_quantiles,
+    "order_stats": q_order_stats,
     "vectorized_udf": q_vectorized_udf,
 }
 
 ORACLE = {
     "pivot": ORACLE_PIVOT,
-    "exact_quantiles": ORACLE_EXACT_QUANTILES,
+    "order_stats": _oracle_order_stats(),
     "vectorized_udf": ORACLE_VECTORIZED_UDF,
 }

@@ -113,12 +113,10 @@ ORDER BY o_orderpriority
 QUERIES = {
     "set_ops": q_set_ops,
     "rollup_cube": None,  # bound below, after q_cube is defined
-    "distinct_stats": q_distinct_stats,
 }
 
 ORACLE = {
     "set_ops": ORACLE_SET_OPS,
-    "distinct_stats": ORACLE_DISTINCT_STATS,
 }
 
 
