@@ -80,3 +80,77 @@ def stratified_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_col: str,
+    budgets: DataFrame,
+    *,
+    salt: str = "",
+    n_buckets: int = 50,
+) -> DataFrame:
+    """Fill each group's token budget in deterministic hash-priority order:
+    keep a row iff its group's cumulative token count — over the total order
+    (hash_bucket(id), id) — stays ≤ that group's budget. The data-mixing
+    primitive: "sample each domain down to its mixture weight's token count".
+
+    Semantically this is ONE window:
+        SUM(tokens) OVER (PARTITION BY group ORDER BY h, id) <= budget
+    but a per-group window sorts each whole group in a single task — the
+    classic million-row-domain bottleneck. The scale shape here is the
+    two-phase prefix sum:
+
+      1. coarse bucket = h DIV (BUCKETS/n_buckets) — contiguous hash ranges,
+         so ordering by (bucket, h, id) IS the ordering by (h, id);
+      2. per-(group, bucket) token sums — a map-side-combined aggregate of
+         |groups|·n_buckets rows;
+      3. exclusive prefix sum over that TINY table (the only window over a
+         whole group, at 1/|bucket-range|-th the rows), broadcast back;
+      4. buckets that fit entirely or overshoot entirely are decided with NO
+         sort; only the one boundary bucket per group sorts — 1/n_buckets of
+         the group per task.
+
+    `budgets` is a (group_col, budget) relation — computed or literal; it is
+    broadcast. Choose n_buckets so |largest group|/n_buckets fits a task.
+    """
+    range_width = BUCKETS // n_buckets
+    h = hash_bucket(F.col(id_col), salt)
+    with_h = df.withColumn("__h", h).withColumn(
+        "__bkt", (F.col("__h") / range_width).cast("int")
+    )
+
+    per_bucket = with_h.groupBy(group_col, "__bkt").agg(
+        F.sum(token_col).alias("__bkt_tokens")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.withColumn(
+        "__before", F.coalesce(F.sum("__bkt_tokens").over(w), F.lit(0))
+    )
+
+    staged = with_h.join(
+        F.broadcast(offsets), [group_col, "__bkt"]
+    ).join(F.broadcast(budgets), group_col)
+
+    fits = staged.filter(F.col("__before") + F.col("__bkt_tokens") <= F.col("budget"))
+    boundary = staged.filter(
+        (F.col("__before") <= F.col("budget"))
+        & (F.col("__before") + F.col("__bkt_tokens") > F.col("budget"))
+    )
+    wl = (
+        Window.partitionBy(group_col, "__bkt")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boundary_kept = boundary.withColumn(
+        "__cum", F.col("__before") + F.sum(token_col).over(wl)
+    ).filter(F.col("__cum") <= F.col("budget"))
+
+    out_cols = df.columns + ["budget"]
+    return fits.select(*out_cols).unionByName(boundary_kept.select(*out_cols))

@@ -50,6 +50,108 @@ ORDER BY split, lang
 
 
 # ---------------------------------------------------------------------------
+# q_corpus_sampling — train/val/test split + token-budget domain mixture
+# ---------------------------------------------------------------------------
+# Mixture weights vary by domain parity so the budget cut is exercised at
+# two different fill fractions; budgets derive from each domain's own token
+# total, so the query stays meaningful at every scale factor.
+_EVEN_FRAC, _ODD_FRAC = 0.4, 0.8
+
+
+def q_corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two corpus-sampling summaries under one driver row (50-entry
+    consolidation): the stable 80/10/10 split census, and the per-domain
+    token-budget mixture fill (operators/sampling.py::token_budget_sample —
+    the two-phase prefix-sum quota cut). `units` is chars for split rows,
+    tokens for mixture rows; budget/fill_pct are NULL on the split side."""
+    from ..operators.sampling import token_budget_sample
+
+    split_rows = q_dataset_split(spark, sf_dir).select(
+        F.lit("split").alias("variant"),
+        F.concat_ws("/", "split", "lang").alias("group_key"),
+        "n_docs",
+        F.col("total_chars").alias("units"),
+        F.lit(None).cast("long").alias("budget"),
+        F.lit(None).cast("double").alias("fill_pct"),
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split(F.trim("text"), r"\s+")).alias("tokens")
+    )
+    frac = F.when(
+        F.expr("CAST(substring(source, 4) AS INT)") % 2 == 0, F.lit(_EVEN_FRAC)
+    ).otherwise(F.lit(_ODD_FRAC))
+    budgets = (
+        docs.groupBy("source")
+        .agg(F.sum("tokens").alias("__total"))
+        .select("source", F.floor(frac * F.col("__total")).alias("budget"))
+    )
+    kept = token_budget_sample(docs, "source", "doc_id", "tokens", budgets)
+    mixture_rows = (
+        kept.groupBy("source", "budget")
+        .agg(F.count("*").alias("n_docs"), F.sum("tokens").alias("units"))
+        .select(
+            F.lit("mixture").alias("variant"),
+            F.col("source").alias("group_key"),
+            "n_docs",
+            "units",
+            "budget",
+            # floor-quantize, not round: identical doubles floor identically
+            (F.floor(F.col("units") / F.col("budget") * 10000) / 10000).alias(
+                "fill_pct"
+            ),
+        )
+    )
+    return split_rows.unionByName(mixture_rows).orderBy("variant", "group_key")
+
+
+ORACLE_CORPUS_SAMPLING = rf"""
+WITH toks AS (
+    SELECT doc_id, source, {_BUCKET} AS h,
+           len(regexp_split_to_array(trim(text), '\s+')) AS tokens
+    FROM documents
+),
+budgets AS (
+    SELECT source,
+           CAST(FLOOR(
+               CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0
+                    THEN {_EVEN_FRAC} ELSE {_ODD_FRAC} END * SUM(tokens)
+           ) AS BIGINT) AS budget
+    FROM toks GROUP BY source
+),
+cum AS (
+    SELECT source, tokens,
+           SUM(tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS c
+    FROM toks
+),
+kept AS (
+    SELECT cum.source, tokens, budget
+    FROM cum JOIN budgets USING (source)
+    WHERE c <= budget
+),
+mixture AS (
+    SELECT 'mixture' AS variant, source AS group_key,
+           COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS units, budget,
+           FLOOR(CAST(SUM(tokens) AS DOUBLE) / budget * 10000) / 10000 AS fill_pct
+    FROM kept GROUP BY source, budget
+),
+split_side AS (
+    SELECT 'split' AS variant, split || '/' || lang AS group_key,
+           n_docs, total_chars AS units,
+           CAST(NULL AS BIGINT) AS budget, CAST(NULL AS DOUBLE) AS fill_pct
+    FROM ({ORACLE_DATASET_SPLIT})
+)
+SELECT variant, group_key, n_docs, units, budget, fill_pct FROM split_side
+UNION ALL
+SELECT variant, group_key, n_docs, units, budget, fill_pct FROM mixture
+ORDER BY variant, group_key
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_profile — column profiling (the DQ-gate precursor)
 # ---------------------------------------------------------------------------
 PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -237,14 +339,14 @@ ORDER BY lang, doc_id
 
 
 QUERIES = {
-    "dataset_split": q_dataset_split,
+    "corpus_sampling": q_corpus_sampling,
     "profile": q_profile,
     "grouped_zscore": q_grouped_zscore,
     "stratified_sample": q_stratified_sample,
 }
 
 ORACLE = {
-    "dataset_split": ORACLE_DATASET_SPLIT,
+    "corpus_sampling": ORACLE_CORPUS_SAMPLING,
     "profile": ORACLE_PROFILE,
     "grouped_zscore": ORACLE_GROUPED_ZSCORE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
