@@ -177,6 +177,46 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def band_table(sig: DataFrame, *, k: int, bands: int) -> DataFrame:
+    """(doc_id, band_idx, band_key) — posexplode the banded signature so
+    every (doc, band) is ONE row and all bands share ONE equi-join, instead
+    of `bands` separate self-joins + union. The band index rides inside the
+    join key so different bands never collide."""
+    r = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(*[F.col(f"mh{band * r + j}").alias(f"c{j}") for j in range(r)])
+            for band in range(bands)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.posexplode(band_structs).alias("band_idx", "band_key")
+    )
+
+
+def score_candidate_pairs(
+    candidates: DataFrame, sig: DataFrame, *, k: int, threshold: float
+) -> DataFrame:
+    """Attach the signature-agreement Jaccard estimate to (id_a, id_b)
+    candidates and keep pairs ≥ threshold."""
+    sig_a = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)]
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)]
+    )
+    agreement = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k)
+    ) / F.lit(float(k))
+    return (
+        candidates.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", F.round(agreement, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str, *, k: int = 16, bands: int = 4,
     shingle_n: int = 3, threshold: float = 0.5, seed: int = 42,
@@ -191,26 +231,10 @@ def minhash_lsh_pairs(
     """
     if k % bands:
         raise ValueError("k must be divisible by bands")
-    r = k // bands
     # signatures feed the band explode + 2 joins for the agreement scorer —
     # persist or the shingle scan + k min-aggs re-run for each consumer
     sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed).persist()
-    sig_a = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
-    sig_b = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
-
-    # ONE equi-join on (band_index, band_key) instead of `bands` separate
-    # self-joins + union: posexplode the banded signature so every (doc,
-    # band) is a row, then hash-join band buckets. Linear shuffle volume,
-    # and the band index in the key keeps different bands from colliding.
-    band_structs = F.array(
-        *[
-            F.struct(*[F.col(f"mh{band * r + j}").alias(f"c{j}") for j in range(r)])
-            for band in range(bands)
-        ]
-    )
-    banded = sig.select(
-        "doc_id", F.posexplode(band_structs).alias("band_idx", "band_key")
-    )
+    banded = band_table(sig, k=k, bands=bands)
     lhs = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
     rhs = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key")
     candidates = (
@@ -219,18 +243,77 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    return score_candidate_pairs(candidates, sig, k=k, threshold=threshold)
 
-    agreement = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k)
-    ) / F.lit(float(k))
-    scored = (
-        candidates.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .withColumn("est_jaccard", F.round(agreement, 6))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+
+def incremental_minhash_pairs(
+    store: DataFrame | None,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental corpus dedup: pairs TOUCHING the new batch, plus the
+    updated signature store. Returns `(pairs, new_store)`.
+
+    The production shape at 100 TB: signatures are computed once per doc and
+    PERSISTED (the store — a parquet table of doc_id + k ints, ~100 B/doc);
+    each ingest batch only shingles its own documents and band-joins against
+    the store. Work per ingest ∝ |batch| + collisions, never |corpus|² and
+    never a corpus re-shingle. Old×old pairs were emitted by earlier runs
+    and are not re-emitted, so over any batch sequence the union of emitted
+    pairs equals the one-shot `minhash_lsh_pairs` of the full corpus
+    (asserted by tests/test_incremental_dedup.py).
+
+    The batch side of both the band join and the score joins is typically
+    tiny relative to the store — Spark/AQE broadcasts it, so the store
+    shuffles nothing. Store rows never change (signatures are content-pure),
+    so `new_store` is an append — dedupe ingest bookkeeping upstream if a
+    doc can re-arrive.
+    """
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    sig_new = minhash_signatures(
+        batch, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed
+    ).persist()
+    banded_new = band_table(sig_new, k=k, bands=bands)
+
+    new_l = banded_new.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
+    new_r = banded_new.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key")
+    new_new = new_l.join(new_r, ["band_idx", "band_key"]).filter(
+        F.col("id_a") < F.col("id_b")
     )
-    return scored
+
+    if store is not None:
+        banded_old = band_table(store, k=k, bands=bands)
+        old_side = banded_old.select(
+            F.col("doc_id").alias("id_a"), "band_idx", "band_key"
+        )
+        # orient (old, new) as (id_a, id_b) when old < new, else flipped —
+        # normalized so id_a < id_b like every other pair relation
+        old_new = (
+            old_side.join(new_r, ["band_idx", "band_key"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+        )
+        candidates = new_new.select("id_a", "id_b").unionByName(old_new).distinct()
+        all_sig = store.unionByName(sig_new)
+        new_store = all_sig
+    else:
+        candidates = new_new.select("id_a", "id_b").distinct()
+        all_sig = sig_new
+        new_store = sig_new
+
+    pairs = score_candidate_pairs(candidates, all_sig, k=k, threshold=threshold)
+    return pairs, new_store
 
 
 # ------------------------------------------------------------------ SimHash

@@ -79,9 +79,10 @@ def bm25(
     score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
     """
     spark = df.sparkSession
-    toks = token_table(df, id_col, text_col)
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # one explode; dl re-aggregates tf (Σ tf per doc ≡ token count) so the
+    # corpus is scanned and shuffled once, not twice
+    tf = term_freq(df, id_col, text_col)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )  # 1 row

@@ -383,8 +383,31 @@ def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("minhash").alias("method"), "id_a", "id_b",
         F.col("est_jaccard").alias("score"),
     )
+    # incremental path: signature store built from the originals (< 1M),
+    # then one ingest of the planted copies — must emit exactly the pairs
+    # touching the new batch (id_b ≥ 1M, since id_a < id_b)
+    from ..operators.dedup import incremental_minhash_pairs
+
+    corpus = planted_documents(spark, sf_dir)
+    b1 = corpus.filter(F.col("doc_id") < EXACT_OFFSET)
+    b2 = corpus.filter(F.col("doc_id") >= EXACT_OFFSET)
+    _, store = incremental_minhash_pairs(
+        None, b1, "doc_id", "text", k=_K, bands=_BANDS, shingle_n=SHINGLE_N,
+        threshold=0.5,
+    )
+    incr_pairs, _ = incremental_minhash_pairs(
+        store, b2, "doc_id", "text", k=_K, bands=_BANDS, shingle_n=SHINGLE_N,
+        threshold=0.5,
+    )
+    incr = incr_pairs.select(
+        F.lit("minhash_incr").alias("method"), "id_a", "id_b",
+        F.col("est_jaccard").alias("score"),
+    )
     return (
-        exact.unionByName(ngram).unionByName(minhash).orderBy("method", "id_a", "id_b")
+        exact.unionByName(ngram)
+        .unionByName(minhash)
+        .unionByName(incr)
+        .orderBy("method", "id_a", "id_b")
     )
 
 
@@ -398,6 +421,12 @@ FROM ({ORACLE_NGRAM_JACCARD})
 UNION ALL
 SELECT 'minhash' AS method, id_a, id_b, est_jaccard AS score
 FROM ({_oracle_minhash_lsh()})
+UNION ALL
+-- incremental ingest of the copies over a store of the originals emits
+-- exactly the full-corpus pairs that touch the new batch (max id ≥ 1M)
+SELECT 'minhash_incr' AS method, id_a, id_b, est_jaccard AS score
+FROM ({_oracle_minhash_lsh()})
+WHERE id_b >= {EXACT_OFFSET}
 ORDER BY method, id_a, id_b
 """
 
