@@ -232,3 +232,58 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dedup_clusters_no_cartesian(spark, sf_dir):
+    """Pair generation AND the label-propagation join must both stay
+    equi-join-shaped (the components loop runs eagerly, so inspect the
+    edge-building plan plus one propagation round)."""
+    from weather_data_warehouse_aws_spark.operators.graph import connected_components
+    from weather_data_warehouse_aws_spark.queries.dedup import (
+        MAX_SHINGLE_DF,
+        SHINGLE_N,
+        planted_documents,
+    )
+    from weather_data_warehouse_aws_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        planted_documents(spark, sf_dir), "doc_id", "text",
+        n=SHINGLE_N, threshold=0.6, max_doc_freq=MAX_SHINGLE_DF,
+    )
+    assert not has_cartesian(physical_plan(pairs))
+    comp = connected_components(pairs)
+    assert not has_cartesian(physical_plan(comp))
+
+
+def test_text_relevance_broadcasts_small_sides(spark, sf_dir):
+    """BM25's term list, per-term df, and 1-row stats must broadcast; the
+    only corpus-sized exchange is the (doc_id, tok) shuffle."""
+    plan = physical_plan(_QUERIES["text_relevance"](spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_windows_are_bucket_scoped(spark, sf_dir):
+    """The quota cut may window over (group, bucket) slivers and over the
+    tiny per-bucket stats table — never over a bare whole-group data path."""
+    from weather_data_warehouse_aws_spark.operators.sampling import (
+        token_budget_sample,
+    )
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split(F.trim("text"), r"\s+")).alias("tokens")
+    )
+    budgets = docs.groupBy("source").agg(
+        (F.sum("tokens") / 2).cast("long").alias("budget")
+    )
+    plan = physical_plan(token_budget_sample(docs, "source", "doc_id", "tokens", budgets))
+    # every window over row data carries both keys; offsets broadcast back
+    data_windows = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line and "tokens" in line and "__h" in line
+    ]
+    assert data_windows, "expected the boundary-bucket cumulative window"
+    assert all("__bkt" in w for w in data_windows), "window not bucket-scoped"
+    assert plan.count("BroadcastExchange") >= 2
