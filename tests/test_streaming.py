@@ -208,3 +208,26 @@ def test_foreachbatch_upsert_sink(spark, events_dir, tmp_path_factory):
     # re-run: checkpoint marks everything processed -> no-op, no duplicates
     run_upsert_foreachbatch(stream, out, ckpt, "day", ["event_id"])
     assert spark.read.parquet(out).count() == n1
+
+
+def test_streaming_dedup_exactly_once(spark, events_dir, tmp_path_factory):
+    """An at-least-once source (every file landed twice, replicas split
+    across micro-batches) must drain to exactly-once per event_id."""
+    from weather_data_warehouse_aws_spark.streaming.jobs import deduped_event_stream
+
+    d = str(tmp_path_factory.mktemp("events_dup"))
+    ev = spark.read.parquet(events_dir)
+    ev.repartition(4).write.mode("append").parquet(d)
+    ev.repartition(4).write.mode("append").parquet(d)
+
+    stream = read_events_stream(spark, d)
+    # watermark far beyond the data's span: no replica is ever "too late",
+    # so dedup must be total
+    result = run_to_memory(
+        deduped_event_stream(stream, watermark="3650 days"),
+        "dedup_events",
+        mode="append",
+    )
+    got = result.groupBy("event_id").agg(F.count("*").alias("n")).collect()
+    assert all(r.n == 1 for r in got), "a duplicate survived the dedup"
+    assert len(got) == ev.select("event_id").distinct().count()

@@ -81,18 +81,40 @@ def session_windows(events: DataFrame, *, gap: str = "30 minutes",
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, *, timeout_sec: int = 120) -> DataFrame:
+def run_to_memory(stream_df: DataFrame, name: str, *, timeout_sec: int = 120,
+                  mode: str = "complete") -> DataFrame:
     """Drain a stream with the availableNow trigger into an in-memory table
-    (complete mode) and return the result as a batch DataFrame."""
+    and return the result as a batch DataFrame. `complete` for aggregations;
+    `append` for row streams (dedup, enrichment)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(timeout_sec)
     return stream_df.sparkSession.table(name)
+
+
+def deduped_event_stream(
+    events: DataFrame, *, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once event delivery over an at-least-once source: drop rows
+    repeating a key within the watermark horizon — the streaming twin of the
+    batch keyed dedup (queries/joins.q_dedup_latest) and the standard fix
+    for replayed file drops / producer retries.
+
+    State design: `dropDuplicatesWithinWatermark` keeps one state entry per
+    key and EVICTS entries older than the watermark — bounded state, unlike
+    streaming `dropDuplicates`, whose key set grows forever. Duplicates
+    arriving later than the watermark horizon are therefore not guaranteed
+    to dedup: size the watermark to the source's replay window, not to the
+    data's lateness.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
 
 
 def enriched_event_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
