@@ -76,3 +76,35 @@ def test_compaction_crash_recovery(spark, sf_smoke_dir, tmp_path_factory):
     assert results
     assert spark.read.parquet(out).count() == before_rows
     assert compact_partitions(spark, out, target_files=1) == {}
+
+
+def test_write_sorted_produces_disjoint_key_ranges(spark, sf_dir, tmp_path_factory):
+    """Clustered layout: per-file [min,max] of the sort key must be pairwise
+    disjoint (this is what lets parquet footer stats skip files); an
+    unsorted write of the same data must NOT have that property."""
+    from weather_data_warehouse_aws_spark.operators.maintenance import (
+        file_key_ranges,
+        write_sorted,
+    )
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+
+    sorted_dir = str(tmp_path_factory.mktemp("ev_sorted"))
+    write_sorted(ev, sorted_dir, ["user_id"], n_files=6)
+    ranges = sorted(file_key_ranges(sorted_dir, "user_id"))
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
+
+    unsorted_dir = str(tmp_path_factory.mktemp("ev_unsorted"))
+    ev.repartition(6).write.mode("overwrite").parquet(unsorted_dir)
+    u = sorted(file_key_ranges(unsorted_dir, "user_id"))
+    overlaps = sum(1 for (a, b), (c, d) in zip(u, u[1:]) if b > c)
+    assert overlaps > 0, "hash-partitioned files were accidentally disjoint"
+
+    # content is unchanged by the re-layout
+    assert (
+        spark.read.parquet(sorted_dir).orderBy("event_id").collect()
+        == ev.orderBy("event_id").collect()
+    )

@@ -116,3 +116,60 @@ def compact_partitions(
     if os.path.isdir(stage) and not os.listdir(stage):
         os.rmdir(stage)
     return results
+
+
+def write_sorted(
+    df,
+    path: str,
+    sort_cols: list[str],
+    *,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster a table on `sort_cols` for data skipping: range-partition the
+    rows across `n_files` output files, then sort within each file.
+
+    Why this layout wins at 100 TB: parquet stores min/max statistics per
+    row group, and Spark's scan skips row groups (and whole files, via
+    footer stats) whose [min, max] cannot satisfy a pushed predicate. After
+    an unsorted write every file spans ~the full key range, so NOTHING
+    skips; after `repartitionByRange + sortWithinPartitions` the per-file
+    key ranges are narrow and pairwise disjoint, so a point or range
+    predicate touches the few files that can match (verified on real
+    footers by tests/test_maintenance.py).
+
+    The range partitioner samples the sort key to build balanced bounds —
+    one extra pass at write time, bought back on every subsequent scan.
+    This is the vanilla-Spark spelling of DB-style CLUSTER BY / Delta
+    OPTIMIZE ZORDER's single-column case; true multi-column interleaving
+    needs a space-filling-curve key, out of scope.
+    """
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def file_key_ranges(path: str, column: str) -> list[tuple]:
+    """(min, max) of `column` per parquet data file, straight from the
+    footers — the same statistics a scan's skipping logic consults."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    st = col.statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            out.append((lo, hi))
+    return out
