@@ -1,0 +1,96 @@
+"""Declarative DQ gate (operators/quality.py): split correctness, metric
+counts, single-pass plan shape, and parity with the silver layer's
+hand-written gates on the same rule set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather_data_warehouse_aws_spark.operators.quality import (
+    accepted_values,
+    in_range,
+    matches,
+    not_null,
+    unique,
+    validate,
+)
+from weather_data_warehouse_aws_spark.plans.inspect import physical_plan
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 25.0, "NY", "a@b.com"),
+            (2, None, "NY", "bad-email"),      # null temp + bad email
+            (3, 99.0, "??", "c@d.org"),        # out of range + bad city
+            (4, 10.0, "LA", "e@f.io"),
+            (4, 11.0, "LA", "g@h.co"),         # duplicate id (both rows)
+        ],
+        "id long, temp double, city string, email string",
+    )
+
+
+def _rules():
+    return [
+        not_null("temp"),
+        in_range("temp", -50.0, 60.0),
+        accepted_values("city", ["NY", "LA", "SF"]),
+        matches("email", r"^[^@]+@[^@]+\.[^@]+$"),
+    ]
+
+
+def test_split_and_tags(spark):
+    passed, quarantined, _ = validate(_df(spark), _rules())
+    assert {r["id"] for r in passed.collect()} == {1, 4}
+    q = {r["id"]: set(r["dq_violations"]) for r in quarantined.collect()}
+    assert q[2] == {"not_null_temp", "matches_email"}
+    assert q[3] == {"in_range_temp", "accepted_city"}
+
+
+def test_metrics_counts(spark):
+    _, _, metrics = validate(_df(spark), _rules())
+    m = {r["rule"]: r["n_violations"] for r in metrics.collect()}
+    assert m["_rows"] == 5
+    assert m["not_null_temp"] == 1
+    assert m["in_range_temp"] == 1
+    assert m["accepted_city"] == 1
+    assert m["matches_email"] == 1
+
+
+def test_unique_rule_flags_all_copies(spark):
+    passed, quarantined, _ = validate(_df(spark), [unique("id")])
+    assert {r["id"] for r in passed.collect()} == {1, 2, 3}
+    assert [r["id"] for r in quarantined.collect()] == [4, 4]
+
+
+def test_row_rules_are_shuffle_free(spark):
+    """The pass/fail split over row-local rules must plan zero Exchanges —
+    a pure map-side pass no matter how many rules."""
+    passed, quarantined, _ = validate(_df(spark), _rules())
+    for side in (passed, quarantined):
+        assert "Exchange" not in physical_plan(side)
+
+
+def test_parity_with_silver_hand_written_gates(spark, sf_dir):
+    """The declarative gate reproduces the reference-style filter chain
+    (non-null key + physical ranges) row for row on real data."""
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    rules = [
+        not_null("value"),
+        in_range("value", 0.0, 500.0),
+        accepted_values("event_type", ["click", "view", "purchase"]),
+    ]
+    passed, quarantined, metrics = validate(ev, rules)
+    hand = ev.filter(
+        F.col("value").isNotNull()
+        & F.col("value").between(0.0, 500.0)
+        & F.col("event_type").isin("click", "view", "purchase")
+    )
+    assert passed.count() == hand.count()
+    assert passed.exceptAll(hand).count() == 0
+    assert passed.count() + quarantined.count() == ev.count()
+    m = {r["rule"]: r["n_violations"] for r in metrics.collect()}
+    assert m["_rows"] == ev.count()

@@ -1,0 +1,104 @@
+"""Declarative data-quality gate: validate → (passed, quarantined, metrics).
+
+Generalizes the reference's hand-written silver DQ filters
+(bronze_to_silver.py:82-88 — null checks and physical-range gates written
+as one-off `.filter()` chains) into a rule-driven operator with a
+quarantine channel, the pattern every production pipeline converges on:
+bad rows are NEVER dropped silently — they land in a quarantine relation
+with the violated rule names attached, and per-rule violation counts come
+back for monitoring/alerting.
+
+Scale design: all row-local rules evaluate in ONE map-side pass — each rule
+contributes a `CASE WHEN violated THEN 'name' END` to an array_compact'd
+array column, so a 100-rule gate is still zero shuffles for the pass/fail
+split. Metrics aggregate the same boolean expressions (`SUM(CAST(...))`)
+in one partial-agg pass — no explode, no per-rule jobs. The only rule that
+must shuffle is `unique`, a count window over the key — declared
+separately so callers pay that shuffle knowingly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+VIOLATIONS_COL = "dq_violations"
+
+
+@dataclass(frozen=True)
+class Rule:
+    """name + a Column predicate that is True when the row VIOLATES it."""
+
+    name: str
+    violated: Column
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null_{col}", F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    """Violated when non-null and outside [lo, hi] — nullness is its own
+    rule; a range rule that also fired on nulls would double-count."""
+    c = F.col(col)
+    return Rule(f"in_range_{col}", c.isNotNull() & ~c.between(lo, hi))
+
+
+def matches(col: str, pattern: str) -> Rule:
+    c = F.col(col)
+    return Rule(f"matches_{col}", c.isNotNull() & ~c.rlike(pattern))
+
+
+def accepted_values(col: str, values) -> Rule:
+    c = F.col(col)
+    return Rule(f"accepted_{col}", c.isNotNull() & ~c.isin(list(values)))
+
+
+def unique(*cols: str) -> Rule:
+    """Violated for EVERY row of a key appearing more than once. Costs one
+    shuffle on the key — the count window, not a self-join."""
+    w = Window.partitionBy(*cols)
+    return Rule("unique_" + "_".join(cols), F.count("*").over(w) > 1)
+
+
+def validate(
+    df: DataFrame, rules: list[Rule]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(passed, quarantined, metrics).
+
+    passed      — input rows violating no rule, original schema;
+    quarantined — violating rows + `dq_violations: array<string>`;
+    metrics     — one row per rule: (rule, n_violations) + a `_rows` total.
+    """
+    tags = F.array_compact(
+        F.array(*[F.when(r.violated, F.lit(r.name)) for r in rules])
+    )
+    tagged = df.withColumn(VIOLATIONS_COL, tags)
+    passed = tagged.filter(F.size(VIOLATIONS_COL) == 0).drop(VIOLATIONS_COL)
+    quarantined = tagged.filter(F.size(VIOLATIONS_COL) > 0)
+
+    # aggregate over the materialized tag column (not the raw predicates):
+    # window-backed rules like `unique` are legal here, and every rule still
+    # reduces in the same single partial-agg pass
+    counts = tagged.agg(
+        F.count("*").alias("_rows"),
+        *[
+            F.sum(F.array_contains(VIOLATIONS_COL, r.name).cast("long")).alias(r.name)
+            for r in rules
+        ],
+    )
+    metrics = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r.name).alias("rule"), F.col(r.name).alias("n_violations"))
+                    for r in rules
+                ],
+                F.struct(F.lit("_rows").alias("rule"), F.col("_rows").alias("n_violations")),
+            )
+        ).alias("m")
+    ).select("m.rule", "m.n_violations")
+    return passed, quarantined, metrics
