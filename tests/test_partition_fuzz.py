@@ -23,6 +23,9 @@ SENSITIVE = [
     "gap_fill",
     "pair_dedup",
     "chunk_documents",  # per-shard window cumsum feeding pack arithmetic
+    "dedup_clusters",  # iterative label propagation + recursive-CTE oracle
+    "corpus_sampling",  # two-phase prefix-sum quota cut vs one-window oracle
+    "text_relevance",  # full-precision rank + LIMIT across partitions
 ]
 
 

@@ -74,6 +74,24 @@ def token_count_sql(expr: str) -> str:
     return f"CAST(len({tokens_sql(expr)}) AS INT)"
 
 
+# BPE-style pretokenizer (GPT-2's pattern family), restricted to the
+# Java-regex ∩ RE2 subset both engines share: common contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs. No lookahead
+# (RE2 lacks it), ASCII classes (not \p{L}) so both engines agree on every
+# byte. Counting these pretokens approximates LLM token budgets far better
+# than whitespace words (punctuation and contractions split out).
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_pretoken_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(BPE_PRETOKEN_RE))
+
+
+def bpe_pretoken_count_sql(expr: str) -> str:
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS INT)"
+
+
 # ------------------------------------------------------------- text metrics
 def punct_count(col: Column) -> Column:
     return F.length(col) - F.length(F.regexp_replace(col, PUNCT_CLASS, ""))

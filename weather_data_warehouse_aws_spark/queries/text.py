@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    bpe_pretoken_count,
+    bpe_pretoken_count_sql,
     LANG_MARKERS,
     fingerprint,
     fingerprint_sql,
@@ -243,6 +245,7 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.length("text").alias("n_chars"),
         n_tok.alias("n_tokens"),
+        bpe_pretoken_count(F.col("text")).alias("n_pretokens"),
         punct_count(F.col("text")).alias("n_punct"),
         sw.alias("n_stopwords"),
         F.round(F.length("text") / n_tok, 4).alias("avg_token_len"),
@@ -296,6 +299,7 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_chars",
             "n_tokens",
+            "n_pretokens",
             "n_punct",
             "n_stopwords",
             "avg_token_len",
@@ -352,6 +356,7 @@ WITH per_row AS (
     SELECT doc_id, lang,
         CAST(length(text) AS INT) AS n_chars,
         {n_tok} AS n_tokens,
+        {bpe_pretoken_count_sql('text')} AS n_pretokens,
         CAST({punct_count_sql('text')} AS INT) AS n_punct,
         {sw} AS n_stopwords,
         ROUND(length(text) / {n_tok}, 4) AS avg_token_len,
@@ -376,7 +381,8 @@ top_bg AS (
     ) GROUP BY doc_id
 ),
 sh AS ({_oracle_simhash()})
-SELECT p.doc_id AS doc_id, p.lang AS lang, n_chars, n_tokens, n_punct,
+SELECT p.doc_id AS doc_id, p.lang AS lang, n_chars, n_tokens, n_pretokens,
+       n_punct,
        n_stopwords, avg_token_len, stopword_ratio, quality_score,
        {case} AS predicted_lang,
        ({case}) = p.lang AS is_match,
