@@ -1,0 +1,117 @@
+"""Interval-join boundary + equivalence tests (generalized J4 — the
+asymmetric point-in-range form; operator in operators/interval_join.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from weather_data_warehouse_aws_spark.operators.interval_join import interval_join
+
+BASE = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _sec(s: float) -> dt.datetime:
+    return BASE + dt.timedelta(seconds=s)
+
+
+def _frames(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _sec(-1), "before"),
+            (1, _sec(0), "at_start"),
+            (1, _sec(500), "inside"),
+            (1, _sec(3599), "last_in"),
+            (1, _sec(3600), "at_end"),
+            (1, _sec(4000), "after"),
+            (2, _sec(500), "wrong_key"),
+        ],
+        "k bigint, pts timestamp, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, _sec(0), _sec(3600), "iv1")],
+        "k bigint, ivs timestamp, ive timestamp, iv string",
+    )
+    return points, intervals
+
+
+def test_half_open_boundaries(spark):
+    """start inclusive, end exclusive, equi-key respected — at every
+    bucket width, including widths that split the interval."""
+    points, intervals = _frames(spark)
+    for b in (100, 3600, 7200, 86400):
+        out = interval_join(
+            points, intervals, on=["k"], point_ts="pts",
+            start_ts="ivs", end_ts="ive", bucket_sec=b,
+        )
+        tags = sorted(r.tag for r in out.collect())
+        assert tags == ["at_start", "inside", "last_in"], f"bucket_sec={b}"
+
+
+def test_no_dup_when_interval_spans_buckets(spark):
+    """An interval covering many buckets must still match each point exactly
+    once (the pair meets only at the point's own bucket)."""
+    points, intervals = _frames(spark)
+    out = interval_join(
+        points, intervals, on=["k"], point_ts="pts",
+        start_ts="ivs", end_ts="ive", bucket_sec=10,
+    )
+    rows = out.collect()
+    assert len(rows) == len({r.tag for r in rows}) == 3
+
+
+def test_left_outer_preserves_points(spark):
+    points, intervals = _frames(spark)
+    out = interval_join(
+        points, intervals, on=["k"], point_ts="pts",
+        start_ts="ivs", end_ts="ive", bucket_sec=3600, how="left",
+    )
+    rows = {r.tag: r.iv for r in out.collect()}
+    assert len(rows) == 7  # every point survives exactly once
+    assert {t for t, iv in rows.items() if iv is not None} == {
+        "at_start", "inside", "last_in",
+    }
+
+
+def test_overlapping_intervals_many_to_many(spark):
+    """A point inside two overlapping intervals matches both."""
+    points = spark.createDataFrame(
+        [(1, _sec(100), "p")], "k bigint, pts timestamp, tag string"
+    )
+    intervals = spark.createDataFrame(
+        [(1, _sec(0), _sec(3600), "a"), (1, _sec(50), _sec(200), "b")],
+        "k bigint, ivs timestamp, ive timestamp, iv string",
+    )
+    out = interval_join(
+        points, intervals, on=["k"], point_ts="pts",
+        start_ts="ivs", end_ts="ive", bucket_sec=60,
+    )
+    assert sorted(r.iv for r in out.collect()) == ["a", "b"]
+
+
+def test_bucketed_equals_naive(spark, sf_dir):
+    """Rewrite ≡ literal inequality join on real event data."""
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    fast = interval_join(
+        clicks, windows, on=["user_id"], point_ts="click_ts",
+        start_ts="win_start", end_ts="win_end", bucket_sec=1800,
+    ).select("purchase_id", "click_id")
+    naive = clicks.alias("c").join(
+        windows.alias("w"),
+        (F.col("c.user_id") == F.col("w.user_id"))
+        & (F.col("c.click_ts") >= F.col("w.win_start"))
+        & (F.col("c.click_ts") < F.col("w.win_end")),
+    ).select("purchase_id", "click_id")
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))

@@ -44,9 +44,10 @@ def test_dim_joins_broadcast(spark, sf_dir):
 
 
 def test_band_join_is_equi_join(spark, sf_dir):
-    """The |Δt| predicate must ride an equi-join (hash or sort-merge on
-    (key, bucket)), never a nested-loop/cartesian theta join."""
-    for name in ("band_join_events", "band_join_left"):
+    """Every range predicate (symmetric band AND asymmetric interval) must
+    ride an equi-join (hash or sort-merge on (key, bucket)), never a
+    nested-loop/cartesian theta join."""
+    for name in ("band_joins", "interval_join"):
         plan = physical_plan(_QUERIES[name](spark, sf_dir))
         assert not has_cartesian(plan), name
         assert (

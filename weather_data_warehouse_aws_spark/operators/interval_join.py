@@ -1,0 +1,103 @@
+"""Interval (point-in-range) join — the general form of the band join.
+
+The reference's only range predicate is the symmetric |Δt| < 3600 band
+(`scripts/sql/create_views.sql:109-115`, handled by operators/band_join.py).
+Real pipelines also need the ASYMMETRIC form: match each point-in-time row
+to every interval `[start, end)` that contains it — attribution windows,
+validity periods, maintenance outages, IP-range lookups on a numeric axis.
+
+Naive Spark planning turns `p.ts >= i.start AND p.ts < i.end` into a
+post-join filter on the key equi-join (or, with no keys, a broadcast
+nested-loop join) — quadratic per key group at scale. The rewrite here is
+the same family as the band join's, generalized to arbitrary-length
+intervals:
+
+    pick a bucket width B (≈ the typical interval length);
+    points get ONE bucket  floor(epoch(ts)/B);
+    intervals EXPLODE to every bucket they overlap,
+        sequence(floor(epoch(start)/B), floor(epoch(end)/B));
+    equi-join on (keys…, bucket); residual `start <= ts < end`.
+
+Each (point, interval) pair meets at exactly one bucket — the point's own —
+so no dedup is needed, for any interval length. Replication cost is
+`len(interval)/B + 1` buckets per interval row (the points side, usually the
+big one, is never replicated). Buckets compare second-truncated epochs
+(monotonic under truncation, so containment survives), while the residual
+compares the raw timestamps at full precision.
+
+Scale notes:
+- B trades interval-side replication (long intervals / small B) against
+  per-bucket fan-in (short intervals / large B). For mixed workloads, split
+  the interval table by length and run two joins with different B.
+- The composite (keys…, bucket) key is high-cardinality → even shuffle;
+  AQE absorbs residual hot buckets.
+- `how="left"` preserves every point (interval columns null) by moving the
+  residual into the outer join condition, same trick as band_join's outer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "__iv_bucket"
+_PBUCKET = "__iv_pbucket"
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_sec: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to the interval rows that contain it.
+
+    Semantics: equi-join on `on` AND ``start_ts <= point_ts < end_ts``
+    (half-open, full timestamp precision, many-to-many). `how` is
+    ``"inner"`` or ``"left"`` (left = points preserved, interval columns
+    null when no interval contains the point).
+
+    `bucket_sec` is the bucketing width B of the scale rewrite (see module
+    docstring) — it affects only the plan, never the result. Column name
+    collisions outside `on` must be resolved by the caller, same contract
+    as `DataFrame.join`.
+    """
+    if how not in ("inner", "left"):
+        raise NotImplementedError("interval_join supports how='inner' and how='left'")
+    b = int(bucket_sec)
+    if b <= 0:
+        raise ValueError("bucket_sec must be positive")
+
+    pb = F.floor(F.unix_timestamp(F.col(point_ts)) / b)
+    ivb = F.explode(
+        F.sequence(
+            F.floor(F.unix_timestamp(F.col(start_ts)) / b),
+            F.floor(F.unix_timestamp(F.col(end_ts)) / b),
+        )
+    )
+    residual = (F.col(point_ts) >= F.col(start_ts)) & (
+        F.col(point_ts) < F.col(end_ts)
+    )
+
+    if how == "inner":
+        p = points.withColumn(_BUCKET, pb)
+        iv = intervals.withColumn(_BUCKET, ivb)
+        return p.join(iv, [*on, _BUCKET], "inner").filter(residual).drop(_BUCKET)
+
+    # left outer: keys + bucket + residual all inside the join condition so
+    # an uncovered point yields exactly one null-extended row
+    rkeys = {k: f"__iv_r_{k}" for k in on}
+    p = points.withColumn(_PBUCKET, pb)
+    iv = intervals.withColumn(_BUCKET, ivb)
+    for k, rk in rkeys.items():
+        iv = iv.withColumnRenamed(k, rk)
+    cond = (F.col(_PBUCKET) == F.col(_BUCKET)) & residual
+    for k, rk in rkeys.items():
+        cond = cond & (F.col(k) == F.col(rk))
+    return p.join(iv, cond, "left").drop(_PBUCKET, _BUCKET, *rkeys.values())

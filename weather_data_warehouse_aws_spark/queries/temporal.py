@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from ..operators.asof_join import asof_join
 from ..operators.band_join import band_join
+from ..operators.interval_join import interval_join
 from ..sources.tables import load_table
 
 
@@ -89,6 +90,80 @@ def q_band_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("purchase_value", 2).alias("purchase_value"),
         F.col("purchase_id").isNotNull().alias("matched"),
     )
+
+
+def q_band_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner and left band join in one tagged relation, so a single driver
+    CORRECTNESS row covers the reference's strict-inner accuracy semantics
+    (J4, `create_views.sql:109-115`) AND the keep-unmatched outer extension —
+    both running through the bucketed rewrite in operators/band_join.py
+    (50-entry-registry consolidation, like `ann_methods`)."""
+    inner = (
+        q_band_join_events(spark, sf_dir)
+        .withColumn("variant", F.lit("inner"))
+        .withColumn("matched", F.lit(True))
+    )
+    left = q_band_join_left(spark, sf_dir).withColumn("variant", F.lit("left"))
+    return (
+        inner.unionByName(left)
+        .select(
+            "variant", "user_id", "view_id", "purchase_id",
+            "gap_seconds", "purchase_value", "matched",
+        )
+        .orderBy("variant", "user_id", "view_id", "purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_interval_join — asymmetric point-in-range join (attribution windows)
+# ---------------------------------------------------------------------------
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution windows: each purchase opens a half-open 2-hour interval
+    `[ts, ts+2h)`; match every same-user click inside it. The asymmetric
+    generalization of the J4 band join — arbitrary-length intervals, strict
+    half-open bounds — through the bucket-explode equi rewrite
+    (operators/interval_join.py). The oracle is DuckDB's LITERAL inequality
+    join, proving rewrite ≡ semantics including both boundary edges."""
+    ev = load_table(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    matched = interval_join(
+        clicks, windows, on=["user_id"], point_ts="click_ts",
+        start_ts="win_start", end_ts="win_end", bucket_sec=7200,
+    )
+    return matched.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("win_start")).alias(
+            "secs_into_window"
+        ),
+    ).orderBy("user_id", "purchase_id", "click_id")
+
+
+ORACLE_INTERVAL_JOIN = """
+SELECT
+    c.user_id AS user_id,
+    p.event_id AS purchase_id,
+    c.event_id AS click_id,
+    CAST(FLOOR(epoch(c.ts)) AS BIGINT)
+      - CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS secs_into_window
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts
+ AND c.ts < p.ts + INTERVAL 2 HOUR
+ORDER BY user_id, purchase_id, click_id
+"""
 
 
 ORACLE_BAND_JOIN_LEFT = """
@@ -341,9 +416,21 @@ ORDER BY user_id, session_seq
 """
 
 
+ORACLE_BAND_JOINS = f"""
+SELECT 'inner' AS variant, user_id, view_id, purchase_id,
+       gap_seconds, purchase_value, TRUE AS matched
+FROM ({ORACLE_BAND_JOIN_EVENTS})
+UNION ALL
+SELECT 'left' AS variant, user_id, view_id, purchase_id,
+       gap_seconds, purchase_value, matched
+FROM ({ORACLE_BAND_JOIN_LEFT})
+ORDER BY variant, user_id, view_id, purchase_id
+"""
+
+
 QUERIES = {
-    "band_join_events": q_band_join_events,
-    "band_join_left": q_band_join_left,
+    "band_joins": q_band_joins,
+    "interval_join": q_interval_join,
     "asof_join": q_asof_join,
     "date_spine": q_date_spine,
     "events_hourly": q_events_hourly,
@@ -351,8 +438,8 @@ QUERIES = {
 }
 
 ORACLE = {
-    "band_join_events": ORACLE_BAND_JOIN_EVENTS,
-    "band_join_left": ORACLE_BAND_JOIN_LEFT,
+    "band_joins": ORACLE_BAND_JOINS,
+    "interval_join": ORACLE_INTERVAL_JOIN,
     "asof_join": ORACLE_ASOF_JOIN,
     "date_spine": ORACLE_DATE_SPINE,
     "events_hourly": ORACLE_EVENTS_HOURLY,
