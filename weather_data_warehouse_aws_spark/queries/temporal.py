@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from ..operators.asof_join import asof_join
 from ..operators.band_join import band_join
 from ..operators.interval_join import interval_join
+from ..operators.rollup_time import cascade_rollup, tagged_union
 from ..sources.tables import load_table
 
 
@@ -346,6 +347,63 @@ ORDER BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# q_events_rollup — cascading hour→day→month rollup (continuous aggregates)
+# ---------------------------------------------------------------------------
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour, day, and month grains in one tagged relation — the hourly grain
+    is the reference's agg-view analog (`create_views.sql:39-68`), and the
+    coarser grains are re-aggregated FROM the hourly partials
+    (operators/rollup_time.py), never from raw. The oracle computes every
+    grain DIRECTLY from raw rows, so the driver hash proves
+    cascade-from-partials ≡ direct — the invariant that makes continuous
+    aggregates trustworthy. Sums stay raw through the cascade and round
+    only here; avg divides the snapped sum by the exact count (both
+    engines deterministic on the 2dp grid, see gap_fill)."""
+    ev = load_table(spark, sf_dir, "events")
+    grains = cascade_rollup(
+        ev, ts_col="ts", keys=["event_type"],
+        sum_cols=["value"], count_cols=["user_id"],
+        grains=("hour", "day", "month"),
+    )
+    return (
+        tagged_union(grains)
+        .select(
+            "grain",
+            "grain_start",
+            "event_type",
+            F.col("n_rows").alias("n_events"),
+            F.round("sum_value", 2).alias("total_value"),
+            (F.round("sum_value", 2) / F.col("n_rows")).alias("avg_value"),
+            F.col("n_user_id").alias("n_with_user"),
+        )
+        .orderBy("grain", "grain_start", "event_type")
+    )
+
+
+def _oracle_grain(g: str) -> str:
+    return f"""
+SELECT '{g}' AS grain,
+       date_trunc('{g}', ts) AS grain_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value,
+       ROUND(SUM(value), 2) / COUNT(*) AS avg_value,
+       COUNT(user_id) AS n_with_user
+FROM events
+GROUP BY 1, 2, 3"""
+
+
+ORACLE_EVENTS_ROLLUP = f"""
+{_oracle_grain('hour')}
+UNION ALL
+{_oracle_grain('day')}
+UNION ALL
+{_oracle_grain('month')}
+ORDER BY grain, grain_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_sessionize — gap-based session windows (gaps-and-islands)
 # ---------------------------------------------------------------------------
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,7 +491,7 @@ QUERIES = {
     "interval_join": q_interval_join,
     "asof_join": q_asof_join,
     "date_spine": q_date_spine,
-    "events_hourly": q_events_hourly,
+    "events_rollup": q_events_rollup,
     "sessionize": q_sessionize,
 }
 
@@ -442,7 +500,7 @@ ORACLE = {
     "interval_join": ORACLE_INTERVAL_JOIN,
     "asof_join": ORACLE_ASOF_JOIN,
     "date_spine": ORACLE_DATE_SPINE,
-    "events_hourly": ORACLE_EVENTS_HOURLY,
+    "events_rollup": ORACLE_EVENTS_ROLLUP,
     "sessionize": ORACLE_SESSIONIZE,
 }
 
