@@ -277,23 +277,38 @@ def eval_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per contaminated eval doc: how many train docs share a 5-gram and how
     many distinct shingles leak. Plan shape: shingle both corpora (linear),
-    equi-join on the 8-byte shingle hash — contamination detection at 100 TB
-    is exactly the dedup candidate join, with the eval side typically 1000×
-    smaller (benchmarks, not corpora), so the eval shingle table broadcasts
-    and the train side never shuffles at all."""
+    Bloom-prune the train side against the (small) eval shingle set at the
+    map stage, THEN the doc-frequency cap's groupBy and the contamination
+    equi-join — so the only train-side shuffles move ~|eval ∩ train| + FPR
+    rows instead of the whole corpus' shingles. Bloom false positives are
+    removed by the exact join, so the result — and the oracle — are
+    unchanged (the hash gate is what proves `bloom prune → exact join` ≡
+    exact join). The df cap commutes with the prune because a shingle's
+    doc-frequency only counts its own group, which the prune keeps or
+    drops whole."""
+    from ..operators.bloom import bloom_prune
     from ..operators.dedup import cap_hot_shingles, shingle_table
 
     train = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ev = eval_benchmark(spark, sf_dir)
+    eval_sh = (
+        shingle_table(ev, "doc_id", "text", SHINGLE_N)
+        .withColumnRenamed("doc_id", "eval_id")
+        .persist()  # reused: bloom build (count + bitmap) and the join probe
+    )
+    pruned = bloom_prune(
+        shingle_table(train, "doc_id", "text", SHINGLE_N).withColumnRenamed(
+            "doc_id", "train_id"
+        ),
+        "sh",
+        eval_sh,
+        "sh",
+        fpr=0.01,
+    )
     # hot-shingle cap on the big (train) side: a corpus-wide stop-shingle
     # would otherwise multiply the contamination join by its doc-frequency;
     # stop-shingles are also not contamination evidence
-    train_sh = cap_hot_shingles(
-        shingle_table(train, "doc_id", "text", SHINGLE_N), MAX_SHINGLE_DF
-    ).withColumnRenamed("doc_id", "train_id")
-    eval_sh = shingle_table(ev, "doc_id", "text", SHINGLE_N).withColumnRenamed(
-        "doc_id", "eval_id"
-    )
+    train_sh = cap_hot_shingles(pruned, MAX_SHINGLE_DF)
     # two COUNT(DISTINCT) in one agg would Expand the (large) join output
     # 2×; instead each distinct count is its own two-level aggregate over
     # compact int pairs, and the shared join is persisted so the shingle
