@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.pairing import negative_pairs_ranked_sql
 from ..operators.sampling import hash_bucket_sql, split_by_hash
 from ..sources.tables import load_table
 
@@ -58,12 +59,21 @@ ORDER BY split, lang
 _EVEN_FRAC, _ODD_FRAC = 0.4, 0.8
 
 
+PAIR_K = 2
+PAIR_BUCKETS = 64
+
+
 def q_corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two corpus-sampling summaries under one driver row (50-entry
-    consolidation): the stable 80/10/10 split census, and the per-domain
+    """Three corpus-sampling summaries under one driver row (50-entry
+    consolidation): the stable 80/10/10 split census, the per-domain
     token-budget mixture fill (operators/sampling.py::token_budget_sample —
-    the two-phase prefix-sum quota cut). `units` is chars for split rows,
-    tokens for mixture rows; budget/fill_pct are NULL on the split side."""
+    the two-phase prefix-sum quota cut), and the deterministic contrastive
+    negative-pairing census (operators/pairing.py::negative_pairs). `units`
+    is chars for split rows, tokens for mixture rows, and the SUM of the
+    assigned negatives' doc_ids for pair rows — a checksum that pins the
+    exact partner assignment, not just the pair count, under the hash
+    gate. budget/fill_pct are NULL outside the mixture side."""
+    from ..operators.pairing import negative_pairs
     from ..operators.sampling import token_budget_sample
 
     split_rows = q_dataset_split(spark, sf_dir).select(
@@ -102,7 +112,32 @@ def q_corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return split_rows.unionByName(mixture_rows).orderBy("variant", "group_key")
+    pairs = negative_pairs(
+        docs.select("doc_id"), "doc_id", k=PAIR_K, n_buckets=PAIR_BUCKETS
+    )
+    langs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("anchor_id"), "lang"
+    )
+    pair_rows = (
+        pairs.join(langs, "anchor_id")
+        .groupBy("j", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("negative_id").alias("units"))
+        .select(
+            F.lit("pairs").alias("variant"),
+            F.concat_ws("", F.lit("j"), F.col("j"), F.lit("/"), F.col("lang")).alias(
+                "group_key"
+            ),
+            "n_docs",
+            "units",
+            F.lit(None).cast("long").alias("budget"),
+            F.lit(None).cast("double").alias("fill_pct"),
+        )
+    )
+    return (
+        split_rows.unionByName(mixture_rows)
+        .unionByName(pair_rows)
+        .orderBy("variant", "group_key")
+    )
 
 
 ORACLE_CORPUS_SAMPLING = rf"""
@@ -143,10 +178,28 @@ split_side AS (
            n_docs, total_chars AS units,
            CAST(NULL AS BIGINT) AS budget, CAST(NULL AS DOUBLE) AS fill_pct
     FROM ({ORACLE_DATASET_SPLIT})
+),
+pair_ranked AS ({negative_pairs_ranked_sql("documents", "doc_id", n_buckets=PAIR_BUCKETS)}
+),
+pair_join AS (
+    SELECT a.pid AS anchor_id, p.pid AS negative_id, js.j
+    FROM pair_ranked a
+    CROSS JOIN (SELECT unnest(generate_series(1, {PAIR_K})) AS j) js
+    JOIN pair_ranked p ON p.__b = a.__b AND p.__rn = a.__rn + js.j
+),
+pair_side AS (
+    SELECT 'pairs' AS variant,
+           'j' || pj.j || '/' || d.lang AS group_key,
+           COUNT(*) AS n_docs, CAST(SUM(pj.negative_id) AS BIGINT) AS units,
+           CAST(NULL AS BIGINT) AS budget, CAST(NULL AS DOUBLE) AS fill_pct
+    FROM pair_join pj JOIN documents d ON d.doc_id = pj.anchor_id
+    GROUP BY pj.j, d.lang
 )
 SELECT variant, group_key, n_docs, units, budget, fill_pct FROM split_side
 UNION ALL
 SELECT variant, group_key, n_docs, units, budget, fill_pct FROM mixture
+UNION ALL
+SELECT variant, group_key, n_docs, units, budget, fill_pct FROM pair_side
 ORDER BY variant, group_key
 """
 

@@ -407,11 +407,15 @@ ORDER BY grain, grain_start, event_type
 # q_sessionize — gap-based session windows (gaps-and-islands)
 # ---------------------------------------------------------------------------
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization with a 30-minute inactivity gap: per-user sessions,
-    their span and event count. The batch twin of
-    `session_window` in Structured Streaming; expressed as the classic
-    lag + running-sum-of-breaks window chain, which shuffles once on
-    user_id and scales linearly.
+    """Sessionization with a 30-minute inactivity gap, computed BOTH ways
+    and emitted under one hash gate: the classic lag + running-sum-of-breaks
+    window chain, and Spark's built-in `session_window` grouping (the batch
+    form of the Structured Streaming operator). Both shuffle once on
+    user_id and scale linearly; their boundary semantics agree exactly
+    (events spaced exactly `gap` apart merge; strictly more closes the
+    session — verified empirically and pinned by the union hashing equal).
+    The oracle is the gaps-and-islands SQL twice, so a driver hash match
+    certifies the built-in operator against first-principles SQL.
     """
     ev = load_table(spark, sf_dir, "events")
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -427,15 +431,38 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("session_seq", F.sum("is_break").over(w_user))
     )
-    return (
-        sessions.groupBy("user_id", "session_seq")
+    manual = sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("session_end_epoch"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+    by_start = Window.partitionBy("user_id").orderBy("session_start_epoch")
+    builtin = (
+        ev.groupBy("user_id", F.session_window("ts", f"{gap} seconds").alias("sw"))
         .agg(
             F.count("*").alias("n_events"),
             F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
             F.unix_timestamp(F.max("ts")).alias("session_end_epoch"),
             F.round(F.sum("value"), 2).alias("session_value"),
         )
-        .orderBy("user_id", "session_seq")
+        .drop("sw")
+        .withColumn("session_seq", F.row_number().over(by_start).cast("long"))
+    )
+    cols = [
+        "method",
+        "user_id",
+        "session_seq",
+        "n_events",
+        "session_start_epoch",
+        "session_end_epoch",
+        "session_value",
+    ]
+    return (
+        manual.withColumn("method", F.lit("manual"))
+        .select(cols)
+        .unionByName(builtin.withColumn("method", F.lit("session_window")).select(cols))
+        .orderBy("method", "user_id", "session_seq")
     )
 
 
@@ -460,17 +487,24 @@ sessions AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS session_seq
     FROM breaks
+),
+agg AS (
+    SELECT
+        user_id,
+        session_seq,
+        COUNT(*) AS n_events,
+        CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+        CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS session_end_epoch,
+        ROUND(SUM(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_seq
 )
-SELECT
-    user_id,
-    session_seq,
-    COUNT(*) AS n_events,
-    CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
-    CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS session_end_epoch,
-    ROUND(SUM(value), 2) AS session_value
-FROM sessions
-GROUP BY user_id, session_seq
-ORDER BY user_id, session_seq
+-- the engine emits the same sessions from the manual window chain AND the
+-- built-in session_window operator; a hash match certifies both
+SELECT 'manual' AS method, * FROM agg
+UNION ALL
+SELECT 'session_window' AS method, * FROM agg
+ORDER BY method, user_id, session_seq
 """
 
 
