@@ -258,3 +258,51 @@ def test_blocked_neardup_block_size_tripwire(spark, sf_dir):
         blocked_neardup(emb, max_block_rows=10)
     # generous bound: passes the guard and still computes
     assert blocked_neardup(emb, max_block_rows=10_000_000).count() >= 0
+
+
+def test_semantic_dedup_drops_planted_copies(spark, sf_dir):
+    """SemDeDup: planted identical copies (same vector, higher id) must land
+    in their original's cell (identical scores, same tie-break) and be
+    dropped by the greedy keep-lowest-id filter; originals survive."""
+    from weather_data_warehouse_aws_spark.operators.similarity import (
+        semantic_dedup_pairs,
+        semantic_dedup_survivors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    offset = 1_000_000
+    planted = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+    )
+    allv = emb.unionByName(planted)
+    pairs = semantic_dedup_pairs(allv, n_cells=16, threshold=0.95)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {
+        (r.vec_id, r.vec_id + offset)
+        for r in emb.filter(F.col("vec_id") % 100 == 0).collect()
+    }
+    assert expected <= got, f"missing planted pairs: {sorted(expected - got)[:5]}"
+
+    survivors = {r.vec_id for r in semantic_dedup_survivors(allv, pairs).collect()}
+    planted_ids = {i + offset for i, _ in ((r.vec_id, None) for r in emb.filter(F.col("vec_id") % 100 == 0).collect())}
+    assert planted_ids.isdisjoint(survivors), "a planted copy survived"
+    assert {r.vec_id for r in emb.filter(F.col("vec_id") % 100 == 0).collect()} <= survivors
+
+
+def test_semantic_dedup_pairs_no_cartesian(spark, sf_dir):
+    """Candidate generation must stay equi-join-shaped: the only cross join
+    is the broadcast centroid assignment (bounded by n_cells), never a
+    corpus×corpus product."""
+    from tests.test_plans import has_cartesian, physical_plan
+    from weather_data_warehouse_aws_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plan = physical_plan(semantic_dedup_pairs(emb, n_cells=16, threshold=0.9))
+    # the centroid assignment is a broadcast nested loop against ≤ n_cells
+    # rows — assert the pair join itself is hash/equi, i.e. no cartesian on
+    # two corpus-sized sides: BroadcastNestedLoopJoin appears only with the
+    # tiny centroid build side, and the cell_id pair join is a hash join
+    assert not has_cartesian(plan) or "cent_vec" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

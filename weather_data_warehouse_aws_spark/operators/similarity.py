@@ -237,6 +237,134 @@ def normalize_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+def assign_cells(
+    df: DataFrame, centroids: DataFrame, vcol: str, out: str, probes: int
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid relation,
+    score every row map-side, keep the `probes` best cells per row. The
+    first column of `df` is the row identity (used for the per-row window).
+    Dots are rounded to 9 dp before ranking so Spark and a SQL oracle break
+    near-ties identically."""
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim",
+        F.round(
+            F.expr(
+                f"aggregate(zip_with({vcol}, cent_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+            ),
+            9,
+        ),
+    )
+    ww = Window.partitionBy(df.columns[0]).orderBy(F.col("__sim").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(ww))
+        .filter(F.col("__r") <= probes)
+        .select(*df.columns, F.col("cent_id").alias(out))
+    )
+
+
+def stripe_centroids(
+    c: DataFrame, *, n_cells: int, stripe_fn=None
+) -> DataFrame:
+    """Deterministic centroid seed: the lowest-id vector of each of
+    `n_cells` id-hash stripes of the corpus (columns: neighbor_id, cv).
+    `stripe_fn` overrides the hash (the oracle-checked queries pass the
+    md5-portable hash so DuckDB replicates selection exactly)."""
+    if stripe_fn is None:
+        stripe_fn = lambda ids: F.pmod(F.xxhash64(ids), F.lit(n_cells))  # noqa: E731
+    w = Window.partitionBy("cell").orderBy("neighbor_id")
+    return (
+        c.withColumn("cell", stripe_fn(F.col("neighbor_id")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("cell").alias("cent_id"), F.col("cv").alias("cent_vec"))
+    )
+
+
+def semantic_cells(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    lloyd_iterations: int = 0,
+    stripe_fn=None,
+) -> DataFrame:
+    """Geometry-derived blocking key for SemDeDup: centroids (deterministic
+    stripe seed, optionally Lloyd-refined) are broadcast and every vector
+    gets its nearest cell in one map-side pass — zero shuffle on the corpus.
+    Returns the corpus' (id, vector) plus `cell_id`."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    centroids = stripe_centroids(c, n_cells=n_cells, stripe_fn=stripe_fn)
+    if lloyd_iterations:
+        centroids = lloyd_refine(c, centroids, iterations=lloyd_iterations)
+    return assign_cells(c, centroids, "cv", "cell_id", 1).select(
+        F.col("neighbor_id").alias(id_col), F.col("cv").alias(vec_col), "cell_id"
+    )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    lloyd_iterations: int = 0,
+    stripe_fn=None,
+    max_cell_rows: int | None = 1_000_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public literature): k-means-cluster the embedding
+    space, then compare pairs ONLY within a cluster.
+
+    Where `blocked_neardup` needs a caller-supplied blocking key, this
+    DERIVES the blocks from the geometry via `semantic_cells`, then runs the
+    same within-block equi-join comparison — quadratic only within a cell,
+    and cell population is governed by n_cells, the caller's knob (√n cells
+    is the usual web-scale heuristic; `max_cell_rows` is the same tripwire
+    `blocked_neardup` carries). The corpus-sized work is one broadcast
+    assignment pass plus the within-cell join; no all-pairs anywhere.
+
+    Returns (cell_id, id_a, id_b, cos) with id_a < id_b and cos ≥ threshold.
+    Transitive resolution (pairs → clusters → one survivor per component) is
+    `operators/graph.dedup_clusters` downstream; the greedy keep-lowest-id
+    filter is `semantic_dedup_survivors`.
+    """
+    cells = semantic_cells(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        lloyd_iterations=lloyd_iterations,
+        stripe_fn=stripe_fn,
+    )
+    return blocked_neardup(
+        cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cell_id",
+        threshold=threshold,
+        max_block_rows=max_cell_rows,
+    )
+
+
+def semantic_dedup_survivors(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy keep-lowest-id SemDeDup filter: drop a row iff some SMALLER id
+    in its cell sits within the threshold (a pair (id_a, id_b) condemns
+    id_b). One broadcast anti-join of the (small) dropped-id set against the
+    corpus — the corpus itself is never shuffled. Deterministic and
+    engine-replicable (EXISTS semantics); for one-survivor-per-connected-
+    component semantics feed `pairs` to graph.dedup_clusters instead."""
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(F.broadcast(dropped), id_col, "left_anti")
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -264,42 +392,13 @@ def ivf_topk(
     the md5-portable hash so DuckDB can replicate centroid selection exactly.
     """
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    if stripe_fn is None:
-        stripe_fn = lambda ids: F.pmod(F.xxhash64(ids), F.lit(n_cells))  # noqa: E731
-    # deterministic centroid sample: first vector of each of n_cells id-stripes
-    w = Window.partitionBy("cell").orderBy("neighbor_id")
-    centroids = (
-        c.withColumn("cell", stripe_fn(F.col("neighbor_id")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("cell").alias("cent_id"), F.col("cv").alias("cent_vec"))
-    )
+    centroids = stripe_centroids(c, n_cells=n_cells, stripe_fn=stripe_fn)
     if lloyd_iterations:
         centroids = lloyd_refine(c, centroids, iterations=lloyd_iterations)
-    cent = F.broadcast(centroids)
 
-    def _assign(df: DataFrame, vcol: str, out: str, probes: int) -> DataFrame:
-        scored = df.crossJoin(cent).withColumn(
-            "__sim",
-            F.round(
-                F.expr(
-                    f"aggregate(zip_with({vcol}, cent_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
-                ),
-                9,
-            ),
-        )
-        ww = Window.partitionBy(df.columns[0]).orderBy(
-            F.col("__sim").desc(), F.col("cent_id")
-        )
-        return (
-            scored.withColumn("__r", F.row_number().over(ww))
-            .filter(F.col("__r") <= probes)
-            .select(*df.columns, F.col("cent_id").alias(out))
-        )
-
-    corpus_cells = _assign(c, "cv", "cell_id", 1)
+    corpus_cells = assign_cells(c, centroids, "cv", "cell_id", 1)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    query_cells = _assign(q, "qv", "cell_id", nprobe)
+    query_cells = assign_cells(q, centroids, "qv", "cell_id", nprobe)
 
     scored = (
         query_cells.join(corpus_cells, "cell_id")

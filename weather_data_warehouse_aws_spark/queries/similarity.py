@@ -21,6 +21,7 @@ from ..operators.similarity import (
     hyperplanes,
     ivf_topk,
     lsh_topk,
+    semantic_cells,
 )
 from ..sources.tables import load_table
 
@@ -71,22 +72,83 @@ ORDER BY query_id, rank
 # ---------------------------------------------------------------------------
 # q_embedding_neardup — cosine near-dup pairs within a blocking key
 # ---------------------------------------------------------------------------
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs (cos ≥ 0.9) within each `label` block. Random
-    embeddings have cos ≈ N(0, 1/√64), so planted copies (vec_id % 100 == 0,
-    id + 1M, identical vector ⇒ cos = 1.0) are the recoverable ground truth.
-    Blocking makes the join quadratic in block size, not corpus size."""
+SEM_CELLS = 16
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus planted exact copies (vec_id % 100 == 0, id + 1M,
+    identical vector ⇒ cos = 1.0) — the recoverable near-dup ground truth;
+    random embeddings have cos ≈ N(0, 1/√64)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     planted = emb.filter(F.col("vec_id") % 100 == 0).select(
         (F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"), "embedding", "label"
     )
-    return (
-        blocked_neardup(
-            emb.unionByName(planted), threshold=NEARDUP_THRESHOLD
-        )
-        .orderBy("id_a", "id_b")
+    return emb.unionByName(planted)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate detection, three variants under one driver
+    row (50-entry consolidation), each a row tagged `variant`:
+
+    * `blocked` — pairs (cos ≥ 0.9) within a CALLER-supplied block (`label`):
+      `operators/similarity.blocked_neardup`, quadratic in block size only.
+    * `semdedup` — SemDeDup (Abbas et al. 2023): blocks DERIVED from the
+      embedding geometry — k-means cells via broadcast nearest-centroid
+      assignment (`semantic_cells`, md5-stripe seeded so DuckDB replicates
+      centroid choice), then the same within-cell pair join.
+    * `census` — the greedy keep-lowest-id survivor census per cell
+      (`semantic_dedup_survivors` semantics): id_a = survivor count,
+      id_b = SUM of surviving vec_ids — a checksum pinning the exact
+      survivor SET, not just its size, under the hash gate.
+
+    Planted identical copies always share a cell (identical vectors score
+    identically, ties broken by cent_id), so every planted pair is
+    recovered by BOTH variants and every planted copy (higher id) is
+    dropped from the census."""
+    allv = _planted_corpus(spark, sf_dir)
+    blocked = blocked_neardup(allv, threshold=NEARDUP_THRESHOLD).select(
+        F.lit("blocked").alias("variant"),
+        F.col("label").cast("bigint").alias("block"),
+        "id_a",
+        "id_b",
+        "cos",
     )
 
+    def stripe(ids):
+        return F.pmod(portable_hash60(ids.cast("string")), F.lit(SEM_CELLS))
+
+    cells = semantic_cells(allv, n_cells=SEM_CELLS, stripe_fn=stripe)
+    pairs = blocked_neardup(
+        cells, block_col="cell_id", threshold=NEARDUP_THRESHOLD, max_block_rows=None
+    )
+    sem = pairs.select(
+        F.lit("semdedup").alias("variant"),
+        F.col("cell_id").cast("bigint").alias("block"),
+        "id_a",
+        "id_b",
+        "cos",
+    )
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    census = (
+        cells.join(F.broadcast(dropped), "vec_id", "left_anti")
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("id_a"), F.sum("vec_id").alias("id_b"))
+        .select(
+            F.lit("census").alias("variant"),
+            F.col("cell_id").cast("bigint").alias("block"),
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            F.lit(None).cast("double").alias("cos"),
+        )
+    )
+    return (
+        blocked.unionByName(sem)
+        .unionByName(census)
+        .orderBy("variant", "block", "id_a", "id_b")
+    )
+
+
+_SEM_STRIPE = portable_hash60_sql("CAST(vec_id AS VARCHAR)") + f" % {SEM_CELLS}"
 
 ORACLE_EMBEDDING_NEARDUP = f"""
 WITH planted AS (
@@ -94,13 +156,56 @@ WITH planted AS (
     UNION ALL
     SELECT vec_id + {NEARDUP_OFFSET}, embedding, label
     FROM embeddings WHERE vec_id % 100 = 0
+),
+blocked_pairs AS (
+    SELECT CAST(a.label AS BIGINT) AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cos
+    FROM planted a
+    JOIN planted b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= {NEARDUP_THRESHOLD}
+),
+striped AS (
+    SELECT vec_id, embedding, {_SEM_STRIPE} AS stripe FROM planted
+),
+centroids AS (
+    SELECT stripe AS cent_id, embedding AS cent_vec FROM (
+        SELECT stripe, embedding,
+               ROW_NUMBER() OVER (PARTITION BY stripe ORDER BY vec_id) AS rn
+        FROM striped
+    ) WHERE rn = 1
+),
+cells AS (
+    SELECT vec_id, embedding, cent_id AS cell_id FROM (
+        SELECT s.vec_id, s.embedding, t.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id
+                   ORDER BY ROUND({DOT_SQL.format(a='s.embedding', b='t.cent_vec')}, 9) DESC,
+                            t.cent_id
+               ) AS r
+        FROM striped s CROSS JOIN centroids t
+    ) WHERE r = 1
+),
+sem_pairs AS (
+    SELECT CAST(a.cell_id AS BIGINT) AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cos
+    FROM cells a
+    JOIN cells b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    WHERE ROUND({COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= {NEARDUP_THRESHOLD}
+),
+census AS (
+    SELECT CAST(cell_id AS BIGINT) AS block,
+           COUNT(*) AS id_a, CAST(SUM(vec_id) AS BIGINT) AS id_b
+    FROM cells
+    WHERE vec_id NOT IN (SELECT DISTINCT id_b FROM sem_pairs)
+    GROUP BY cell_id
 )
-SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND({COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cos
-FROM planted a
-JOIN planted b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND({COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= {NEARDUP_THRESHOLD}
-ORDER BY id_a, id_b
+SELECT 'blocked' AS variant, block, id_a, id_b, cos FROM blocked_pairs
+UNION ALL
+SELECT 'semdedup' AS variant, block, id_a, id_b, cos FROM sem_pairs
+UNION ALL
+SELECT 'census' AS variant, block, id_a, id_b, CAST(NULL AS DOUBLE) AS cos
+FROM census
+ORDER BY variant, block, id_a, id_b
 """
 
 
