@@ -91,3 +91,53 @@ def test_budget_cut_is_prefix_of_hash_order(spark):
     ]
     prefix = set(ordered[: len(kept)])
     assert kept == prefix
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (priority sampling) properties
+# ---------------------------------------------------------------------------
+def test_weighted_sample_partitioning_invariant(spark):
+    """Selection must depend only on (id, weight), never on physical layout."""
+    from weather_data_warehouse_aws_spark.operators.sampling import weighted_sample
+
+    rows = [(i, f"g{i % 3}", 10 + (i * 7) % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "tokens"])
+    pick = lambda d: sorted(
+        (r.grp, r.doc_id)
+        for r in weighted_sample(d, "doc_id", "tokens", 10, group_col="grp").collect()
+    )
+    a = pick(df.repartition(1))
+    b = pick(df.repartition(17, "tokens"))
+    assert a == b and len(a) == 30  # exactly k per group, layout-independent
+
+
+def test_weighted_sample_heavy_row_always_selected(spark):
+    """Priority p = w/u: a row whose weight dwarfs the rest has higher
+    priority than any rival for EVERY u — it must appear under any salt."""
+    from weather_data_warehouse_aws_spark.operators.sampling import (
+        BUCKETS,
+        weighted_sample,
+    )
+
+    rows = [(i, 1 + i % 5) for i in range(500)] + [(999, 10 * BUCKETS * BUCKETS)]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    for salt in ("", "a", "b", "c"):
+        got = {r.doc_id for r in weighted_sample(df, "doc_id", "tokens", 5, salt=salt).collect()}
+        assert 999 in got, f"heavy row missed under salt={salt!r}"
+
+
+def test_weighted_sample_respects_weights_statistically(spark):
+    """Across many salts, a 50×-weight row must be selected far more often
+    than a 1×-weight row (inclusion probability ∝ min(w/τ, 1))."""
+    from weather_data_warehouse_aws_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 50 if i < 20 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"]).cache()
+    heavy_hits = light_hits = 0
+    for salt in [str(s) for s in range(8)]:
+        got = {r.doc_id for r in weighted_sample(df, "doc_id", "tokens", 40, salt=salt).collect()}
+        heavy_hits += sum(1 for i in range(20) if i in got)
+        light_hits += sum(1 for i in range(20, 400) if i in got)
+    heavy_rate = heavy_hits / (8 * 20)
+    light_rate = light_hits / (8 * 380)
+    assert heavy_rate > 5 * light_rate, (heavy_rate, light_rate)

@@ -82,6 +82,70 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    group_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: priority
+    sampling (Duffield, Lund & Thorup 2007 — public literature). Each row
+    gets priority p = w / u with u a deterministic hash-uniform; the k
+    highest priorities (per group) are the sample — heavy rows are included
+    with probability min(w/τ, 1) for the implicit threshold τ, the standard
+    weight-proportional scheme for "sample important documents more".
+
+    Engine-portable by construction: u = (2·h + 1) / (2·BUCKETS) over the
+    md5-portable hash h, so p = w · 2·BUCKETS / (2·h + 1) is one integer
+    product (< 2^53, exact) and one IEEE exactly-rounded division — the
+    double is bit-identical in any engine, no transcendentals (the classic
+    Efraimidis-Spirakis u^(1/w) key needs pow/ln, whose last-ulp drift is
+    exactly what a cross-engine hash gate cannot tolerate).
+
+    Scale: one shuffle on group_col + per-group ordered window. For huge
+    groups, pre-filter cheap rows first (the same sliver trick as
+    `stratified_sample`): p ≥ w_min·2B/(2h+1) bounds which h can win, so
+    `h < threshold` keeps a k-proportional superset.
+    """
+    w_int = F.col(weight_col).cast("long")
+    h = hash_bucket(F.col(id_col), salt)
+    priority = (w_int * (2 * BUCKETS)).cast("double") / (2 * h + 1).cast("double")
+    parts = [group_col] if group_col else []
+    win = Window.partitionBy(*parts).orderBy(
+        F.col("__priority").desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("__priority", priority)
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .withColumnRenamed("__priority", "priority")
+    )
+
+
+def weighted_sample_sql(
+    table: str, id_expr: str, weight_expr: str, k: int, *, group_expr: str | None = None, salt: str = ""
+) -> str:
+    """DuckDB replica of `weighted_sample`'s selection (same integer-exact
+    priority arithmetic), returning the sampled rows of `table`."""
+    h = hash_bucket_sql(id_expr, salt)
+    part = f"PARTITION BY {group_expr} " if group_expr else ""
+    return f"""
+SELECT * EXCLUDE (__rn) FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (
+               {part}ORDER BY CAST(CAST({weight_expr} AS BIGINT) * {2 * BUCKETS} AS DOUBLE)
+                              / CAST(2 * ({h}) + 1 AS DOUBLE) DESC,
+                     {id_expr}
+           ) AS __rn
+    FROM {table}
+) WHERE __rn <= {k}
+"""
+
+
 def token_budget_sample(
     df: DataFrame,
     group_col: str,

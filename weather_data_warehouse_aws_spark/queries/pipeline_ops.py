@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.pairing import negative_pairs_ranked_sql
-from ..operators.sampling import hash_bucket_sql, split_by_hash
+from ..operators.sampling import hash_bucket_sql, split_by_hash, weighted_sample_sql
 from ..sources.tables import load_table
 
 
@@ -61,20 +61,23 @@ _EVEN_FRAC, _ODD_FRAC = 0.4, 0.8
 
 PAIR_K = 2
 PAIR_BUCKETS = 64
+WEIGHTED_K = 20
 
 
 def q_corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three corpus-sampling summaries under one driver row (50-entry
+    """Four corpus-sampling summaries under one driver row (50-entry
     consolidation): the stable 80/10/10 split census, the per-domain
     token-budget mixture fill (operators/sampling.py::token_budget_sample —
-    the two-phase prefix-sum quota cut), and the deterministic contrastive
-    negative-pairing census (operators/pairing.py::negative_pairs). `units`
-    is chars for split rows, tokens for mixture rows, and the SUM of the
-    assigned negatives' doc_ids for pair rows — a checksum that pins the
-    exact partner assignment, not just the pair count, under the hash
-    gate. budget/fill_pct are NULL outside the mixture side."""
+    the two-phase prefix-sum quota cut), the deterministic contrastive
+    negative-pairing census (operators/pairing.py::negative_pairs), and the
+    per-language weighted sample census (operators/sampling.py::
+    weighted_sample — priority sampling, integer-exact cross-engine).
+    `units` is chars for split rows, tokens for mixture rows, and the SUM
+    of selected doc_ids for pair/weighted rows — a checksum that pins the
+    exact selection, not just its size, under the hash gate. budget is the
+    mixture token budget / the weighted k; NULL elsewhere."""
     from ..operators.pairing import negative_pairs
-    from ..operators.sampling import token_budget_sample
+    from ..operators.sampling import token_budget_sample, weighted_sample
 
     split_rows = q_dataset_split(spark, sf_dir).select(
         F.lit("split").alias("variant"),
@@ -86,7 +89,7 @@ def q_corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(F.split(F.trim("text"), r"\s+")).alias("tokens")
+        "doc_id", "source", "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("tokens")
     )
     frac = F.when(
         F.expr("CAST(substring(source, 4) AS INT)") % 2 == 0, F.lit(_EVEN_FRAC)
@@ -133,12 +136,35 @@ def q_corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("fill_pct"),
         )
     )
+    sampled = weighted_sample(docs, "doc_id", "tokens", WEIGHTED_K, group_col="lang")
+    weighted_rows = (
+        sampled.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("units"))
+        .select(
+            F.lit("weighted").alias("variant"),
+            F.col("lang").alias("group_key"),
+            "n_docs",
+            "units",
+            F.lit(WEIGHTED_K).cast("long").alias("budget"),
+            F.lit(None).cast("double").alias("fill_pct"),
+        )
+    )
     return (
         split_rows.unionByName(mixture_rows)
         .unionByName(pair_rows)
+        .unionByName(weighted_rows)
         .orderBy("variant", "group_key")
     )
 
+
+_WEIGHTED_SQL = weighted_sample_sql(
+    "(SELECT doc_id, lang, len(regexp_split_to_array(trim(text), '\\s+')) AS tokens"
+    " FROM documents)",
+    "doc_id",
+    "tokens",
+    WEIGHTED_K,
+    group_expr="lang",
+)
 
 ORACLE_CORPUS_SAMPLING = rf"""
 WITH toks AS (
@@ -194,12 +220,21 @@ pair_side AS (
            CAST(NULL AS BIGINT) AS budget, CAST(NULL AS DOUBLE) AS fill_pct
     FROM pair_join pj JOIN documents d ON d.doc_id = pj.anchor_id
     GROUP BY pj.j, d.lang
+),
+weighted_side AS (
+    SELECT 'weighted' AS variant, lang AS group_key,
+           COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS units,
+           CAST({WEIGHTED_K} AS BIGINT) AS budget, CAST(NULL AS DOUBLE) AS fill_pct
+    FROM ({_WEIGHTED_SQL})
+    GROUP BY lang
 )
 SELECT variant, group_key, n_docs, units, budget, fill_pct FROM split_side
 UNION ALL
 SELECT variant, group_key, n_docs, units, budget, fill_pct FROM mixture
 UNION ALL
 SELECT variant, group_key, n_docs, units, budget, fill_pct FROM pair_side
+UNION ALL
+SELECT variant, group_key, n_docs, units, budget, fill_pct FROM weighted_side
 ORDER BY variant, group_key
 """
 
