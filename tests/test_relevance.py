@@ -81,3 +81,86 @@ def test_bm25_plan_broadcasts_small_sides(spark, sf_dir):
     # sort-merge-eligible join keys are doc-sized, and none should SMJ here
     assert plan.count("BroadcastExchange") >= 3
     assert "CartesianProduct" not in plan  # 1-row cross join is BNLJ
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear quality classifier
+# ---------------------------------------------------------------------------
+def test_quality_scores_trained_weights_discriminate(spark):
+    """With a trained (bucket, weight) relation, docs containing the scored
+    feature must separate from docs that don't — verifying the broadcast
+    weight-join path end-to-end, missing buckets scoring 0."""
+    import hashlib
+
+    from weather_data_warehouse_aws_spark.operators.relevance import (
+        QLR_BUCKETS,
+        quality_scores,
+    )
+
+    def bucket_of(feat: str, salt: str = "qlr") -> int:
+        h = int(hashlib.md5(f"{salt}|{feat}".encode()).hexdigest()[:15], 16)
+        return h % QLR_BUCKETS
+
+    docs = spark.createDataFrame(
+        [
+            (1, "excellent prose here"),
+            (2, "junk junk junk"),
+            (3, "excellent analysis"),
+        ],
+        ["doc_id", "text"],
+    )
+    weights = spark.createDataFrame(
+        [(bucket_of("excellent"), 500), (bucket_of("junk"), -500)],
+        ["bucket", "weight"],
+    )
+    got = {
+        r.doc_id: (r.keep, r.margin)
+        for r in quality_scores(docs, "doc_id", "text", weights=weights).collect()
+    }
+    assert got[1][0] and got[3][0], "docs with positive feature must keep"
+    assert not got[2][0], "doc with negative feature must drop"
+    assert got[1][1] > 0 > got[2][1]
+
+
+def test_quality_scores_margin_is_exact_integer_arithmetic(spark):
+    """margin must equal w_sum/(1000·n) computed from exact integers — no
+    float accumulation: verify against a Python-side recomputation."""
+    import hashlib
+
+    from weather_data_warehouse_aws_spark.operators.relevance import (
+        QLR_BUCKETS,
+        QLR_SCALE,
+        quality_scores,
+    )
+
+    text = "alpha beta gamma alpha"
+    docs = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    toks = text.lower().split()
+    feats = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    w_sum = sum(
+        h(f"w|{h('qlr|' + f) % QLR_BUCKETS}") % (2 * QLR_SCALE + 1) - QLR_SCALE
+        for f in feats
+    )
+    import math
+
+    expected = math.floor(w_sum / (QLR_SCALE * len(feats)) * 1e6) / 1e6
+    row = quality_scores(docs, "doc_id", "text").collect()[0]
+    assert row.n_features == len(feats)
+    assert row.margin == expected
+    assert row.keep == (w_sum > 0)
+
+
+def test_quality_scores_plan_is_jvm_only_single_shuffle(spark, sf_dir):
+    """No Python evaluation anywhere; the only corpus-sized exchange is the
+    groupBy(doc_id) after the feature explode."""
+    from weather_data_warehouse_aws_spark.operators.relevance import quality_scores
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = physical_plan(quality_scores(docs, "doc_id", "text"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1

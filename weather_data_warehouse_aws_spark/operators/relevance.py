@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -107,4 +107,102 @@ def bm25(
             F.sum("term_score").alias("score"),
             F.count("*").alias("n_hit_terms"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality classifier (fastText-style scoring at scale)
+# ---------------------------------------------------------------------------
+QLR_BUCKETS = 2003  # feature-hash dimensionality (prime)
+QLR_SCALE = 1000  # weights are micro-ints in [-1000, 1000] ⇒ exact sums
+
+
+def hashed_features(df: DataFrame, id_col: str, text_col: str, *, salt: str = "qlr") -> DataFrame:
+    """(doc_id, bucket) rows: word unigrams + bigrams, feature-hashed into
+    QLR_BUCKETS buckets (Weinberger et al. 2009 "feature hashing"). All
+    JVM-side: split/zip_with build the n-gram arrays, one explode emits the
+    feature stream, the md5-portable hash buckets it — the exact pipeline a
+    fastText-style classifier scores over, and the only corpus-sized
+    exchange downstream is the groupBy(doc_id) that sums weights."""
+    from ..functions.text import portable_hash60
+
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__t"),
+    )
+    bigrams = F.expr(
+        "zip_with(slice(__t, 1, size(__t) - 1), slice(__t, 2, size(__t) - 1), "
+        "(a, b) -> concat(a, '_', b))"
+    )
+    feats = t.select("doc_id", F.explode(F.concat(F.col("__t"), bigrams)).alias("feat"))
+    return feats.select(
+        "doc_id",
+        F.pmod(
+            portable_hash60(F.concat(F.lit(salt + "|"), F.col("feat"))),
+            F.lit(QLR_BUCKETS),
+        ).alias("bucket"),
+    )
+
+
+def seeded_weights_int(bucket: Column) -> Column:
+    """Deterministic stand-in model: micro-int weight in [-QLR_SCALE,
+    QLR_SCALE] derived from the bucket id — replace with a TRAINED weight
+    relation via the `weights` arg of `quality_scores` in production (the
+    quantization to integer micro-weights is itself the production trick
+    that makes scores bit-reproducible across engines and re-runs)."""
+    from ..functions.text import portable_hash60
+
+    return (
+        F.pmod(
+            portable_hash60(F.concat(F.lit("w|"), bucket.cast("string"))),
+            F.lit(2 * QLR_SCALE + 1),
+        )
+        - QLR_SCALE
+    )
+
+
+def quality_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    weights: DataFrame | None = None,
+    salt: str = "qlr",
+) -> DataFrame:
+    """Per-document linear quality score over hashed n-gram features.
+
+    margin = Σ w[bucket(f)] / (QLR_SCALE · n_features) — the mean micro-int
+    weight, computed as ONE exact integer sum per doc divided by an exact
+    integer, so the double is bit-identical in any engine (no float
+    accumulation order anywhere). keep = (integer sum > 0).
+
+    `weights`: optional (bucket, weight) relation — a trained, quantized
+    model; it is broadcast (QLR_BUCKETS rows) and missing buckets score 0.
+    Without it, the seeded stand-in weights are computed map-side (no join
+    at all). Shuffle accounting: explode → groupBy(doc_id) is the one
+    corpus-sized exchange, same shape as term_freq.
+    """
+    feats = hashed_features(df, id_col, text_col, salt=salt)
+    if weights is not None:
+        scored = feats.join(F.broadcast(weights), "bucket", "left").withColumn(
+            "w", F.coalesce(F.col("weight"), F.lit(0)).cast("long")
+        )
+    else:
+        scored = feats.withColumn("w", seeded_weights_int(F.col("bucket")).cast("long"))
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_features"), F.sum("w").alias("w_sum")
+    )
+    margin = (
+        F.floor(
+            F.col("w_sum").cast("double")
+            / (F.lit(float(QLR_SCALE)) * F.col("n_features").cast("double"))
+            * F.lit(1000000.0)
+        )
+        / 1000000.0
+    )
+    return agg.select(
+        "doc_id",
+        "n_features",
+        margin.alias("margin"),
+        (F.col("w_sum") > 0).alias("keep"),
     )

@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.relevance import bm25, tf_idf
+from ..functions.text import portable_hash60_sql
+from ..operators.relevance import QLR_BUCKETS, QLR_SCALE, bm25, quality_scores, tf_idf
 from ..sources.tables import load_table
 
 QUERY_TERMS = ["join", "vector", "spark"]
@@ -55,7 +56,19 @@ def q_text_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tf").alias("n"),
         )
     )
-    return top_docs.unionByName(top_terms).orderBy("variant", "doc_id", "term")
+    quality = quality_scores(docs, "doc_id", "text").select(
+        F.lit("quality").alias("variant"),
+        "doc_id",
+        # keep/drop verdict rides the term slot (schema-aligned union)
+        F.when(F.col("keep"), F.lit("keep")).otherwise(F.lit("drop")).alias("term"),
+        F.col("margin").alias("score"),
+        F.col("n_features").alias("n"),
+    )
+    return (
+        top_docs.unionByName(top_terms)
+        .unionByName(quality)
+        .orderBy("variant", "doc_id", "term")
+    )
 
 
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
@@ -127,10 +140,36 @@ top_terms AS (
     SELECT 'tfidf' AS variant, doc_id, tok AS term,
            ROUND(tfidf, 4) AS score, tf AS n
     FROM tfidf WHERE r <= {TOPK_TERMS}
+),
+qt AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+    FROM documents
+),
+qfeat AS (
+    SELECT doc_id, f FROM (SELECT doc_id, unnest(tk) AS f FROM qt)
+    UNION ALL
+    SELECT doc_id, tk[u] || '_' || tk[u + 1] AS f
+    FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS u FROM qt)
+),
+qw AS (
+    SELECT doc_id,
+           ({portable_hash60_sql("'w|' || CAST(" + portable_hash60_sql("'qlr|' || f") + f" % {QLR_BUCKETS} AS VARCHAR)")})
+               % {2 * QLR_SCALE + 1} - {QLR_SCALE} AS w
+    FROM qfeat
+),
+quality AS (
+    SELECT 'quality' AS variant, doc_id,
+           CASE WHEN SUM(w) > 0 THEN 'keep' ELSE 'drop' END AS term,
+           FLOOR(CAST(SUM(w) AS DOUBLE) / ({QLR_SCALE}.0 * COUNT(*)) * 1000000.0)
+               / 1000000.0 AS score,
+           COUNT(*) AS n
+    FROM qw GROUP BY doc_id
 )
 SELECT variant, doc_id, term, score, n FROM top_docs
 UNION ALL
 SELECT variant, doc_id, term, score, n FROM top_terms
+UNION ALL
+SELECT variant, doc_id, term, score, n FROM quality
 ORDER BY variant, doc_id, term
 """
 
