@@ -306,3 +306,40 @@ def test_semantic_dedup_pairs_no_cartesian(spark, sf_dir):
     # tiny centroid build side, and the cell_id pair join is a hash join
     assert not has_cartesian(plan) or "cent_vec" in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_quantize_vectors_codes_bounded_and_reconstruct(spark, sf_dir):
+    """Codes must lie in [-127, 127] and s·q must reconstruct each component
+    to within half a quantization step (|s·q - x| ≤ s/2)."""
+    from weather_data_warehouse_aws_spark.operators.similarity import (
+        Q8_LEVELS,
+        quantize_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    rows = quantize_vectors(
+        emb, id_col="vec_id", vec_col="embedding", id_out="id", prefix="c"
+    ).collect()
+    for r in rows:
+        assert r.cs > 0
+        for x, qv in zip(r.cv, r.cq):
+            assert -Q8_LEVELS <= qv <= Q8_LEVELS
+            assert abs(r.cs * qv - float(x)) <= r.cs / 2 + 1e-12
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """int8 stage-1 ranking + rerank·k exact rescoring must recover nearly
+    all exact top-k neighbors (quantization error ≪ neighbor gaps)."""
+    from weather_data_warehouse_aws_spark.operators.similarity import quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in quantized_topk(queries, emb, k=5, rerank=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"q8 recall {recall:.2f}"

@@ -21,8 +21,10 @@ from ..operators.similarity import (
     hyperplanes,
     ivf_topk,
     lsh_topk,
+    quantized_topk,
     semantic_cells,
 )
+from ..operators.similarity import Q8_LEVELS
 from ..sources.tables import load_table
 
 TOPK_K = 5
@@ -477,17 +479,78 @@ ORDER BY query_id, rank
 """
 
 
+Q8_RERANK = 4
+
+
+def q_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized two-stage ANN (operators/similarity.quantized_topk):
+    stage 1 ranks by the exact-integer quantized dot product (4× smaller
+    corpus at scale), stage 2 exact-rescores the top rerank·k. The entire
+    quantization (scale, floor(+0.5) codes, integer dot, rescoring cut) is
+    SQL-replicated in the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return quantized_topk(queries, emb, k=TOPK_K, rerank=Q8_RERANK).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _oracle_quantized_ann() -> str:
+    return f"""
+WITH prepped AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+               / {Q8_LEVELS}.0 AS s
+    FROM embeddings
+),
+qn AS (
+    SELECT vec_id, v, s,
+           CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+                ELSE list_transform(v, x -> floor(x / s + 0.5)) END AS q
+    FROM prepped
+),
+approx AS (
+    SELECT a.vec_id AS query_id, a.v AS qv, b.vec_id AS neighbor_id, b.v AS cv,
+           ROUND(a.s * b.s * list_dot_product(a.q, b.q), 9) AS approx
+    FROM qn a JOIN qn b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+),
+cand AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY approx DESC, neighbor_id
+        ) AS r
+        FROM approx
+    ) WHERE r <= {Q8_RERANK * TOPK_K}
+),
+rescored AS (
+    SELECT query_id, neighbor_id,
+           ROUND({COSINE_SQL.format(a='qv', b='cv')}, 6) AS cos
+    FROM cand
+)
+SELECT query_id, rank, neighbor_id, cos FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) AS rank
+    FROM rescored
+) WHERE rank <= {TOPK_K}
+ORDER BY query_id, rank
+"""
+
+
 def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three ANN tiers over the same queries, tagged and unioned so one
+    """All four ANN tiers over the same queries, tagged and unioned so one
     driver CORRECTNESS row covers the exact baseline (`brute`), the
-    inverted-file scale path (`ivf`), and the hyperplane-LSH scale path
-    (`lsh`) — every index construction fully SQL-replicated in the oracle."""
+    inverted-file scale path (`ivf`), the hyperplane-LSH scale path
+    (`lsh`), and the int8 quantize-then-rescore path (`q8`) — every index
+    construction fully SQL-replicated in the oracle."""
     brute = q_embedding_topk(spark, sf_dir).withColumn("method", F.lit("brute"))
     ivf = q_ivf_ann(spark, sf_dir).withColumn("method", F.lit("ivf"))
     lsh = q_lsh_topk(spark, sf_dir).withColumn("method", F.lit("lsh"))
+    q8 = q_quantized_ann(spark, sf_dir).withColumn("method", F.lit("q8"))
     return (
         brute.unionByName(ivf)
         .unionByName(lsh)
+        .unionByName(q8)
         .select("method", "query_id", "rank", "neighbor_id", "cos")
         .orderBy("method", "query_id", "rank")
     )
@@ -503,6 +566,9 @@ FROM ({ORACLE_IVF_ANN})
 UNION ALL
 SELECT 'lsh' AS method, query_id, rank, neighbor_id, cos
 FROM ({_oracle_lsh_topk()})
+UNION ALL
+SELECT 'q8' AS method, query_id, rank, neighbor_id, cos
+FROM ({_oracle_quantized_ann()})
 ORDER BY method, query_id, rank
 """
 
