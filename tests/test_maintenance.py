@@ -108,3 +108,50 @@ def test_write_sorted_produces_disjoint_key_ranges(spark, sf_dir, tmp_path_facto
         spark.read.parquet(sorted_dir).orderBy("event_id").collect()
         == ev.orderBy("event_id").collect()
     )
+
+
+def test_write_zorder_narrows_ranges_on_both_dimensions(spark, sf_dir, tmp_path_factory):
+    """Z-order layout: per-file spans must be substantially narrower than
+    the global span on BOTH clustered columns — the multi-dimensional
+    skipping property a single-column sort cannot provide (its second
+    column spans ~everything in every file). Content must be unchanged."""
+    from weather_data_warehouse_aws_spark.operators.maintenance import (
+        file_key_ranges,
+        write_sorted,
+        write_zorder,
+    )
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    stats = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    uspan = stats[1] - stats[0]
+    vspan = stats[3] - stats[2]
+
+    def mean_span(path, col, width):
+        rng = file_key_ranges(path, col)
+        assert len(rng) >= 8
+        return sum((hi - lo) for lo, hi in rng) / len(rng) / width
+
+    zdir = str(tmp_path_factory.mktemp("ev_zorder"))
+    write_zorder(ev, zdir, ["user_id", "value"], n_files=16)
+    zu, zv = mean_span(zdir, "user_id", uspan), mean_span(zdir, "value", vspan)
+
+    sdir = str(tmp_path_factory.mktemp("ev_single"))
+    write_sorted(ev, sdir, ["user_id"], n_files=16)
+    su, sv = mean_span(sdir, "user_id", uspan), mean_span(sdir, "value", vspan)
+
+    # single-col sort: first col razor-thin, second col still wide
+    assert su < 0.2 and sv > 0.5, (su, sv)
+    # z-order: BOTH columns substantially narrowed
+    assert zu < 0.6 and zv < 0.6, (zu, zv)
+    # and the z-layout's worst dimension beats single-col's worst dimension
+    assert max(zu, zv) < 0.75 * max(su, sv)
+
+    assert (
+        spark.read.parquet(zdir).orderBy("event_id").collect()
+        == ev.orderBy("event_id").collect()
+    )

@@ -141,12 +141,87 @@ def write_sorted(
     The range partitioner samples the sort key to build balanced bounds —
     one extra pass at write time, bought back on every subsequent scan.
     This is the vanilla-Spark spelling of DB-style CLUSTER BY / Delta
-    OPTIMIZE ZORDER's single-column case; true multi-column interleaving
-    needs a space-filling-curve key, out of scope.
+    OPTIMIZE ZORDER's single-column case; for multi-column interleaving use
+    `write_zorder` below.
     """
     (
         df.repartitionByRange(n_files, *sort_cols)
         .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def zorder_key(df, cols: list[str], *, bits: int = 8):
+    """Morton (Z-order) interleave of `cols`, each first bucketed into
+    2^bits equal-width bins between its global min and max.
+
+    Returns (df_with_bounds, key_column): the per-column min/max come from
+    ONE aggregate whose scalar results parameterize `width_bucket` — the
+    same one-extra-pass cost `repartitionByRange`'s sampler already pays.
+    Bit interleaving is a pure integer expression (JVM codegen, no UDF):
+    z = Σ_j Σ_b bit_b(bucket_j) << (b·|cols| + j), so nearby values in ANY
+    of the columns land in nearby z — the property that makes per-file
+    min/max stats narrow in every dimension at once. Nulls bucket to 0.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    bounds = df.agg(*aggs).first()  # scalar-only driver fetch (tiny)
+    n_bins = 1 << bits
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        lo, hi = bounds[f"__min_{c}"], bounds[f"__max_{c}"]
+        if lo is None or hi is None or float(hi) == float(lo):
+            continue  # constant/all-null column contributes no bits
+        bucket = (
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.expr(
+                        f"CAST(width_bucket(CAST({c} AS DOUBLE), {float(lo)}D, "
+                        f"{float(hi)}D, {n_bins}) AS INT) - 1"
+                    ),
+                ),
+            )
+        )
+        bucket = F.coalesce(bucket, F.lit(0))
+        for b in range(bits):
+            z = z + (F.shiftright(bucket, b).bitwiseAND(F.lit(1)).cast("long") * F.lit(1 << (b * len(cols) + j)).cast("long"))
+    return df.withColumn("__z", z), "__z"
+
+
+def write_zorder(
+    df,
+    path: str,
+    cols: list[str],
+    *,
+    n_files: int = 8,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-column clustered layout via a Z-order space-filling curve
+    (Morton 1966; the technique behind Delta/Iceberg OPTIMIZE ZORDER).
+
+    `write_sorted` makes ONE column's per-file ranges disjoint but leaves
+    every other column spanning its full range in every file — a predicate
+    on the second column skips nothing. Z-ordering interleaves the bucket
+    bits of all `cols`, so each file covers a small hyper-rectangle of the
+    key space and footer-stats skipping works for predicates on ANY of the
+    clustered columns (verified on real footers by tests/test_maintenance).
+
+    Cost at 100 TB: one scalar min/max aggregate + the range-partition
+    sampling pass + the write — same as `write_sorted` plus one cheap agg;
+    all bit arithmetic is codegen'd, nothing leaves the JVM.
+    """
+    zdf, key = zorder_key(df, cols, bits=bits)
+    (
+        zdf.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
+        .drop(key)
         .write.mode(mode)
         .parquet(path)
     )
