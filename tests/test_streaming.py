@@ -231,3 +231,42 @@ def test_streaming_dedup_exactly_once(spark, events_dir, tmp_path_factory):
     got = result.groupBy("event_id").agg(F.count("*").alias("n")).collect()
     assert all(r.n == 1 for r in got), "a duplicate survived the dedup"
     assert len(got) == ev.select("event_id").distinct().count()
+
+
+def test_stream_stream_band_join_matches_batch(spark, events_dir, tmp_path_factory):
+    """Stream-stream band join (watermarked, time-range condition) must
+    produce exactly the batch band join's pairs once both streams drain."""
+    from weather_data_warehouse_aws_spark.streaming.jobs import (
+        correlated_event_stream,
+        read_events_stream,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    ldir = str(tmp_path_factory.mktemp("ss_left"))
+    rdir = str(tmp_path_factory.mktemp("ss_right"))
+    ev.filter(F.col("event_id") % 2 == 0).repartition(4).write.mode("overwrite").parquet(ldir)
+    ev.filter(F.col("event_id") % 2 == 1).repartition(4).write.mode("overwrite").parquet(rdir)
+
+    joined = correlated_event_stream(
+        read_events_stream(spark, ldir), read_events_stream(spark, rdir)
+    )
+    got = {
+        (r.l_id, r.r_id)
+        for r in run_to_memory(joined, "ss_band", mode="append").collect()
+    }
+
+    lb, rb = spark.read.parquet(ldir), spark.read.parquet(rdir)
+    want = {
+        (r.l_id, r.r_id)
+        for r in lb.alias("l")
+        .join(
+            rb.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") > F.col("l.ts") - F.expr("INTERVAL 3600 SECONDS"))
+            & (F.col("r.ts") < F.col("l.ts") + F.expr("INTERVAL 3600 SECONDS")),
+        )
+        .select(F.col("l.event_id").alias("l_id"), F.col("r.event_id").alias("r_id"))
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want

@@ -184,3 +184,51 @@ def run_upsert_foreachbatch(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def correlated_event_stream(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    watermark: str = "2 hours",
+    band_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """STREAM-STREAM band join: pair two live event streams on an equi-key
+    within a strict event-time band |l.ts − r.ts| < band_seconds — the
+    streaming twin of the batch band join behind the forecast-accuracy view
+    (operators/band_join.py; reference semantics create_views.sql:109-115,
+    re-expressed for two unbounded sources).
+
+    State design (the part batch joins never face): BOTH sides are
+    watermarked and the join condition bounds event-time distance, so Spark
+    derives an eviction horizon = watermark + band for each side's buffered
+    rows — state is O(arrival rate × (watermark + band)), not O(stream
+    history). Without the time-range condition the state would grow
+    forever; without the watermarks the join would refuse to run in append
+    mode. `how="leftOuter"` emits unmatched left rows (null right columns)
+    once the watermark closes their band — same contract as the batch
+    band_join's left variant.
+    """
+    l = left.select(
+        F.col(key).alias("join_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+        F.col("value").alias("l_value"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+        F.col("value").alias("r_value"),
+    ).withWatermark("r_ts", watermark)
+    band = F.expr(f"INTERVAL {band_seconds} SECONDS")
+    cond = (
+        (F.col("join_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts") - band)
+        & (F.col("r_ts") < F.col("l_ts") + band)
+    )
+    return l.join(r, cond, how).select(
+        "join_key", "l_id", "r_id", "l_ts", "r_ts", "l_value", "r_value"
+    )
