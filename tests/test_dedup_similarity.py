@@ -343,3 +343,69 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"q8 recall {recall:.2f}"
+
+
+def _seg_docs(spark):
+    blockA = " ".join(f"a{i}" for i in range(20))  # one exact 20-token segment
+    blockB = " ".join(f"b{i}" for i in range(20))
+    blockC = " ".join(f"c{i}" for i in range(20))
+    return spark.createDataFrame(
+        [
+            (1, f"{blockA} {blockB}"),
+            (2, f"{blockA} {blockC}"),   # repeats doc 1's first segment
+            (3, f"{blockC} {blockC}"),   # repeats doc 2's tail AND itself
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_segment_pairs_find_shared_blocks(spark):
+    from weather_data_warehouse_aws_spark.operators.dedup import segment_pairs
+
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in segment_pairs(_seg_docs(spark), "doc_id", "text", seg_tokens=20).collect()
+    }
+    assert got == {(1, 2): 1, (2, 3): 1}
+
+
+def test_segment_dedup_first_occurrence_wins_and_idempotent(spark):
+    from weather_data_warehouse_aws_spark.operators.dedup import segment_dedup
+
+    out = {
+        r.doc_id: r
+        for r in segment_dedup(_seg_docs(spark), "doc_id", "text", seg_tokens=20).collect()
+    }
+    # doc 1 keeps everything; doc 2 loses blockA; doc 3 loses blockC (seen in
+    # doc 2) and its own internal repeat
+    assert (out[1].n_segments, out[1].n_kept) == (2, 2)
+    assert (out[2].n_segments, out[2].n_kept) == (2, 1)
+    assert (out[3].n_segments, out[3].n_kept) == (2, 0)
+    assert out[2].text_deduped.startswith("c0 ") and "a0" not in out[2].text_deduped
+    assert out[3].text_deduped == ""
+
+    # idempotence: dedup of the deduped non-empty texts is a no-op
+    again_in = spark.createDataFrame(
+        [(k, v.text_deduped) for k, v in out.items() if v.text_deduped],
+        ["doc_id", "text"],
+    )
+    again = {
+        r.doc_id: (r.n_segments, r.n_kept)
+        for r in segment_dedup(again_in, "doc_id", "text", seg_tokens=20).collect()
+    }
+    assert all(n_seg == n_kept for n_seg, n_kept in again.values())
+
+
+def test_segment_pairs_doc_freq_cap_drops_boilerplate(spark):
+    """A segment repeated across many docs (license-header shape) must be
+    excluded from pair generation when max_doc_freq is set — the quadratic
+    pair blowup never materializes."""
+    from weather_data_warehouse_aws_spark.operators.dedup import segment_pairs
+
+    boiler = " ".join(f"l{i}" for i in range(20))
+    rows = [(i, f"{boiler} " + " ".join(f"u{i}_{j}" for j in range(20))) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = segment_pairs(df, "doc_id", "text", seg_tokens=20).count()
+    assert uncapped == 50 * 49 // 2  # every pair shares the boilerplate
+    capped = segment_pairs(df, "doc_id", "text", seg_tokens=20, max_doc_freq=10).count()
+    assert capped == 0

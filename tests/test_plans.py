@@ -65,10 +65,19 @@ def test_weather_e2e_no_cartesian(spark, sf_dir):
 
 def test_dedup_queries_no_cartesian(spark, sf_dir):
     """Candidate generation must be equi-join-shaped for every dedup
-    strategy (all-pairs comparison would 'work' here and die at scale)."""
-    for name in ("pair_dedup", "embedding_neardup", "decontamination"):
+    strategy (all-pairs comparison would 'work' here and die at scale).
+
+    `embedding_neardup` is allowed BroadcastNestedLoopJoins — its semdedup
+    branch assigns cells by scoring against the BROADCAST ≤16-row centroid
+    relation (the same bounded pattern as ivf/ann_methods); what must never
+    appear is an unbroadcast CartesianProduct, and the corpus-sized pair
+    joins must stay hash joins."""
+    for name in ("pair_dedup", "decontamination"):
         plan = physical_plan(_QUERIES[name](spark, sf_dir))
         assert not has_cartesian(plan), f"{name} plans a cartesian product"
+    plan = physical_plan(_QUERIES["embedding_neardup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # label-block + cell pair joins
 
 
 def test_topk_crossjoin_is_intentional_and_bounded(spark, sf_dir):

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import (
     MINHASH_P,
@@ -382,4 +383,102 @@ def simhash_pairs(
         candidates.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level exact dedup (the Lee et al. 2021 "Deduplicating Training
+# Data" exact-substring family, at fixed token-segment granularity — the
+# Spark-tractable spelling: a distributed suffix array is replaced by
+# non-overlapping k-token segments hashed and resolved first-occurrence-wins)
+# ---------------------------------------------------------------------------
+def text_segments(df: DataFrame, id_col: str, text_col: str, *, seg_tokens: int = 20) -> DataFrame:
+    """(doc_id, seg_idx, seg_text): non-overlapping `seg_tokens`-token
+    windows per document — one map pass, the explode is the only row
+    multiplication (×⌈tokens/seg_tokens⌉)."""
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    n_segs = f"greatest(CAST(ceil(size({toks}) / CAST({seg_tokens} AS DOUBLE)) AS INT), 1)"
+    segs = F.expr(
+        f"transform(sequence(0, {n_segs} - 1), "
+        f"i -> concat_ws(' ', slice({toks}, i * {seg_tokens} + 1, {seg_tokens})))"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(segs).alias("seg_idx", "seg_text")
+    )
+
+
+def segment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    seg_tokens: int = 20,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing ≥1 identical `seg_tokens`-token segment, with
+    `n_shared` = number of distinct shared segments. Candidate generation is
+    an equi-join on the 16-byte segment digest over the per-doc-DISTINCT
+    occurrence set — one shuffle of digests, never text bodies (same shape
+    as exact_duplicates). `max_doc_freq` drops boilerplate segments seen in
+    more than that many docs BEFORE the self-join (license headers / nav
+    chrome are the segment-level stop-shingles; same quadratic hazard and
+    same df-cut fix as ngram_jaccard's cap_hot_shingles)."""
+    occ = (
+        text_segments(df, id_col, text_col, seg_tokens=seg_tokens)
+        .select("doc_id", F.md5("seg_text").alias("h"))
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        dfreq = occ.groupBy("h").agg(F.count("*").alias("__df"))
+        occ = occ.join(
+            F.broadcast(dfreq.filter(F.col("__df") > max_doc_freq).select("h")),
+            "h",
+            "left_anti",
+        )
+    a = occ.select(F.col("doc_id").alias("id_a"), "h")
+    b = occ.select(F.col("doc_id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def segment_dedup(
+    df: DataFrame, id_col: str, text_col: str, *, seg_tokens: int = 20
+) -> DataFrame:
+    """Corpus-wide first-occurrence-wins segment dedup with document
+    reconstruction: every repeated segment keeps only its (lowest doc_id,
+    lowest seg_idx) occurrence; each document is rebuilt from its surviving
+    segments in order. Returns (doc_id, n_segments, n_kept, text_deduped) —
+    n_kept = 0 ⇒ the document is pure repetition of earlier material (the
+    C4/RefinedWeb-style drop candidate).
+
+    Shuffles: one on the segment digest (winner resolution), one
+    groupBy(doc_id) for reconstruction — both linear in segment count;
+    the winner window ranks 16-byte digests + (doc_id, seg_idx), not text.
+    Idempotent: re-running on its own output is a no-op (every surviving
+    segment is already its hash's first occurrence)."""
+    occ = text_segments(df, id_col, text_col, seg_tokens=seg_tokens).withColumn(
+        "h", F.md5("seg_text")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
+    kept = occ.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    totals = occ.groupBy("doc_id").agg(F.count("*").alias("n_segments"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.expr("transform(sort_array(collect_list(struct(seg_idx, seg_text))), x -> x.seg_text)"),
+            " ",
+        ).alias("text_deduped"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
     )

@@ -379,11 +379,14 @@ ORDER BY eval_id
 # q_pair_dedup — exact + n-gram-Jaccard + MinHash-LSH pairs in one relation
 # ---------------------------------------------------------------------------
 def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three pair-producing dedup strategies over the same planted
-    corpus, tagged and unioned so one driver CORRECTNESS row covers all
-    three candidate-generation plans (digest groupBy / capped shingle
-    self-join / banded signature join). `score` is 1.0 for exact duplicates,
-    exact Jaccard for ngram, signature-agreement estimate for minhash."""
+    """The pair-producing dedup strategies over the same planted corpus,
+    tagged and unioned so one driver CORRECTNESS row covers every
+    candidate-generation plan (digest groupBy / capped shingle self-join /
+    banded signature join / signature-store ingest / segment-digest
+    self-join). `score` is 1.0 for exact duplicates, exact Jaccard for
+    ngram, signature-agreement estimate for minhash, and the distinct
+    shared-segment count for segment (Lee et al. 2021's exact-substring
+    family at fixed 20-token-segment granularity)."""
     exact = q_exact_dedup(spark, sf_dir).select(
         F.lit("exact").alias("method"),
         F.col("keep_id").alias("id_a"),
@@ -418,12 +421,54 @@ def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("minhash_incr").alias("method"), "id_a", "id_b",
         F.col("est_jaccard").alias("score"),
     )
+    from ..operators.dedup import segment_pairs
+
+    segment = segment_pairs(corpus, "doc_id", "text", seg_tokens=SEG_TOKENS).select(
+        F.lit("segment").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("n_shared").cast("double").alias("score"),
+    )
     return (
         exact.unionByName(ngram)
         .unionByName(minhash)
         .unionByName(incr)
+        .unionByName(segment)
         .orderBy("method", "id_a", "id_b")
     )
+
+
+SEG_TOKENS = 20
+
+
+def _oracle_segment_pairs() -> str:
+    return f"""
+WITH {PLANTED_SQL.strip()},
+seg_occ AS (
+    SELECT DISTINCT doc_id, md5(seg) AS h FROM (
+        SELECT doc_id,
+               array_to_string(
+                   list_slice(tk, u * {SEG_TOKENS} + 1, u * {SEG_TOKENS} + {SEG_TOKENS}),
+                   ' '
+               ) AS seg
+        FROM (
+            SELECT doc_id, tk,
+                   unnest(generate_series(
+                       0,
+                       greatest(CAST(ceil(len(tk) / {SEG_TOKENS}.0) AS INT), 1) - 1
+                   )) AS u
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM planted
+            )
+        )
+    )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM seg_occ a JOIN seg_occ b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
 
 
 def _oracle_pair_dedup() -> str:
@@ -442,6 +487,9 @@ UNION ALL
 SELECT 'minhash_incr' AS method, id_a, id_b, est_jaccard AS score
 FROM ({_oracle_minhash_lsh()})
 WHERE id_b >= {EXACT_OFFSET}
+UNION ALL
+SELECT 'segment' AS method, id_a, id_b, CAST(n_shared AS DOUBLE) AS score
+FROM ({_oracle_segment_pairs()})
 ORDER BY method, id_a, id_b
 """
 
