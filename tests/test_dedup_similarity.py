@@ -409,3 +409,56 @@ def test_segment_pairs_doc_freq_cap_drops_boilerplate(spark):
     assert uncapped == 50 * 49 // 2  # every pair shares the boilerplate
     capped = segment_pairs(df, "doc_id", "text", seg_tokens=20, max_doc_freq=10).count()
     assert capped == 0
+
+
+def test_rp_project_preserves_geometry_and_recall(spark, sf_dir):
+    """JL projection 64→16: per-vector norms concentrate around the
+    originals (mean ratio ≈ 1) and brute top-5 over the projected vectors
+    recovers far more of the exact neighbors than chance."""
+    from weather_data_warehouse_aws_spark.operators.similarity import rp_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = rp_project(emb, out_dim=16, in_dim=64)
+    norms = proj.selectExpr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (a, v) -> a + v)) AS n0",
+        "sqrt(aggregate(transform(rp_vec, x -> x * x), 0.0D, (a, v) -> a + v)) AS n1",
+    ).selectExpr("avg(n1 / n0) AS r", "stddev(n1 / n0) AS s").first()
+    assert abs(norms.r - 1.0) < 0.15, norms
+    assert norms.s < 0.25, norms
+
+    # random 64-dim vectors are near-orthogonal (no real neighbor structure
+    # to preserve — gaps ≈ distortion), so test JL on PLANTED structure:
+    # noisy twins (v + 0.15·g) are unambiguous nearest neighbors in the
+    # original space and must remain top-5 neighbors after projection
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = [(r.vec_id, list(r.embedding)) for r in emb.filter(F.col("vec_id") < 50).collect()]
+    twins = [
+        (vid + 10_000, [float(x) for x in (np.array(v) + 0.15 * rng.standard_normal(64))])
+        for vid, v in base
+    ]
+    allv = spark.createDataFrame(
+        [(vid, [float(x) for x in v]) for vid, v in base] + twins,
+        "vec_id bigint, embedding array<double>",
+    )
+    pall = rp_project(allv, out_dim=16, in_dim=64).select(
+        "vec_id", F.col("rp_vec").alias("embedding")
+    )
+    pq = pall.filter(F.col("vec_id") < 50)
+    hits = sum(
+        1
+        for r in cosine_topk(pq, pall, k=5).collect()
+        if r.neighbor_id == r.query_id + 10_000
+    )
+    assert hits >= 0.7 * len(base), f"only {hits}/{len(base)} twins kept as neighbors"
+
+
+def test_rp_project_is_map_side_only(spark, sf_dir):
+    from tests.test_plans import physical_plan
+    from weather_data_warehouse_aws_spark.operators.similarity import rp_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = physical_plan(rp_project(emb, out_dim=8, in_dim=64))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
