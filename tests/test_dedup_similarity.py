@@ -462,3 +462,45 @@ def test_rp_project_is_map_side_only(spark, sf_dir):
     plan = physical_plan(rp_project(emb, out_dim=8, in_dim=64))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_blocked_fuzzy_pairs_links_typos_and_blocks_scale(spark):
+    """Entity resolution: typo'd names must link to their originals through
+    the blocking key; distance respects the cutoff; degenerate blocking
+    trips the guard."""
+    import pytest
+
+    from weather_data_warehouse_aws_spark.operators.linkage import (
+        blocked_fuzzy_pairs,
+    )
+
+    rows = [(i, f"Account#{i:09d}") for i in range(1, 200)]
+    # one-char typos at position 10 (inside the digits), same length/suffix
+    rows += [(i + 1000, f"Account#{i:09d}"[:9] + "X" + f"Account#{i:09d}"[10:]) for i in range(1, 200, 10)]
+    df = spark.createDataFrame(rows, ["rid", "nm"])
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in blocked_fuzzy_pairs(df, "rid", "nm", max_distance=2).collect()
+    }
+    for i in range(1, 200, 10):
+        assert got.get((i, i + 1000)) == 1, f"typo of {i} not linked"
+    assert all(d <= 2 for d in got.values())
+
+    with pytest.raises(ValueError, match="blocking"):
+        blocked_fuzzy_pairs(
+            df, "rid", "nm", block_fn=lambda c: F.lit("one"), max_block_rows=50
+        )
+
+
+def test_blocked_fuzzy_pairs_plan_is_equi_join(spark):
+    from tests.test_plans import physical_plan
+    from weather_data_warehouse_aws_spark.operators.linkage import (
+        blocked_fuzzy_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"Account#{i:09d}") for i in range(1, 50)], ["rid", "nm"]
+    )
+    plan = physical_plan(blocked_fuzzy_pairs(df, "rid", "nm", max_block_rows=None))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

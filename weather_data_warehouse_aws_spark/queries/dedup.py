@@ -429,16 +429,44 @@ def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("n_shared").cast("double").alias("score"),
     )
+
+    # fuzzy record linkage (operators/linkage.py): customer names with one
+    # deterministically planted mid-string typo per %10==0 record must link
+    # back to their originals via blocked Levenshtein — entity resolution
+    # under the same hash gate as the text-dedup strategies
+    from ..operators.linkage import blocked_fuzzy_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rid"), F.col("c_name").alias("nm")
+    )
+    typos = cust.filter(F.col("rid") % 10 == 0).select(
+        (F.col("rid") + FUZZY_OFFSET).alias("rid"),
+        F.concat(
+            F.expr("substring(nm, 1, CAST(rid % 6 + 10 AS INT) - 1)"),
+            F.lit("X"),
+            F.expr("substring(nm, CAST(rid % 6 + 10 AS INT) + 1)"),
+        ).alias("nm"),
+    )
+    fuzzy = blocked_fuzzy_pairs(
+        cust.unionByName(typos), "rid", "nm", max_distance=2, max_block_rows=None
+    ).select(
+        F.lit("fuzzy").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("distance").cast("double").alias("score"),
+    )
     return (
         exact.unionByName(ngram)
         .unionByName(minhash)
         .unionByName(incr)
         .unionByName(segment)
+        .unionByName(fuzzy)
         .orderBy("method", "id_a", "id_b")
     )
 
 
 SEG_TOKENS = 20
+FUZZY_OFFSET = 8_000_000
 
 
 def _oracle_segment_pairs() -> str:
@@ -471,6 +499,27 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
+def _oracle_fuzzy_pairs() -> str:
+    return f"""
+WITH fuzzy_corpus AS (
+    SELECT c_custkey AS rid, c_name AS nm FROM customer
+    UNION ALL
+    SELECT c_custkey + {FUZZY_OFFSET},
+           substr(c_name, 1, CAST(c_custkey % 6 + 10 AS INT) - 1) || 'X' ||
+           substr(c_name, CAST(c_custkey % 6 + 10 AS INT) + 1)
+    FROM customer WHERE c_custkey % 10 = 0
+),
+blocked AS (
+    SELECT rid, nm,
+           CAST(len(nm) AS VARCHAR) || '|' || substr(nm, len(nm) - 2, 3) AS blk
+    FROM fuzzy_corpus
+)
+SELECT a.rid AS id_a, b.rid AS id_b, levenshtein(a.nm, b.nm) AS distance
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.rid < b.rid
+WHERE levenshtein(a.nm, b.nm) <= 2
+"""
+
+
 def _oracle_pair_dedup() -> str:
     return f"""
 SELECT 'exact' AS method, keep_id AS id_a, dup_id AS id_b, 1.0::DOUBLE AS score
@@ -490,6 +539,9 @@ WHERE id_b >= {EXACT_OFFSET}
 UNION ALL
 SELECT 'segment' AS method, id_a, id_b, CAST(n_shared AS DOUBLE) AS score
 FROM ({_oracle_segment_pairs()})
+UNION ALL
+SELECT 'fuzzy' AS method, id_a, id_b, CAST(distance AS DOUBLE) AS score
+FROM ({_oracle_fuzzy_pairs()})
 ORDER BY method, id_a, id_b
 """
 
