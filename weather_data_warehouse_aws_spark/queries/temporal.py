@@ -349,33 +349,68 @@ ORDER BY 1, 2
 # ---------------------------------------------------------------------------
 # q_events_rollup — cascading hour→day→month rollup (continuous aggregates)
 # ---------------------------------------------------------------------------
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour, day, and month grains in one tagged relation — the hourly grain
-    is the reference's agg-view analog (`create_views.sql:39-68`), and the
-    coarser grains are re-aggregated FROM the hourly partials
-    (operators/rollup_time.py), never from raw. The oracle computes every
-    grain DIRECTLY from raw rows, so the driver hash proves
-    cascade-from-partials ≡ direct — the invariant that makes continuous
-    aggregates trustworthy. Sums stay raw through the cascade and round
-    only here; avg divides the snapped sum by the exact count (both
-    engines deterministic on the 2dp grid, see gap_fill)."""
+    """Time rollups + behavioral analytics in one tagged relation.
+
+    Hour/day/month grains: the hourly grain is the reference's agg-view
+    analog (`create_views.sql:39-68`); coarser grains are re-aggregated
+    FROM the hourly partials (operators/rollup_time.py), never from raw.
+    The oracle computes every grain DIRECTLY from raw rows, so the driver
+    hash proves cascade-from-partials ≡ direct — the invariant that makes
+    continuous aggregates trustworthy. Sums stay raw through the cascade
+    and round only here; avg divides the snapped sum by the exact count
+    (both engines deterministic on the 2dp grid, see gap_fill).
+
+    `funnel` rows (operators/behavior.funnel_steps): strictly-ordered
+    view→click→purchase first-touch funnel; event_type = step name,
+    n_events = users reached, total_value = floor-quantized fraction of
+    step 1, n_with_user = step index.
+
+    `cohort` rows (operators/behavior.cohort_retention): weekly retention
+    triangle from each user's first event; grain_start = cohort week,
+    event_type = 'w<offset>', n_events = active users, total_value =
+    retention vs offset 0, n_with_user = cohort size."""
+    from ..operators.behavior import cohort_retention, funnel_steps
+
     ev = load_table(spark, sf_dir, "events")
     grains = cascade_rollup(
         ev, ts_col="ts", keys=["event_type"],
         sum_cols=["value"], count_cols=["user_id"],
         grains=("hour", "day", "month"),
     )
+    rollups = tagged_union(grains).select(
+        "grain",
+        "grain_start",
+        "event_type",
+        F.col("n_rows").alias("n_events"),
+        F.round("sum_value", 2).alias("total_value"),
+        (F.round("sum_value", 2) / F.col("n_rows")).alias("avg_value"),
+        F.col("n_user_id").alias("n_with_user"),
+    )
+    funnel = funnel_steps(ev, FUNNEL_STEPS).select(
+        F.lit("funnel").alias("grain"),
+        F.lit(None).cast("timestamp").alias("grain_start"),
+        F.col("step").alias("event_type"),
+        F.col("n_users").cast("long").alias("n_events"),
+        F.col("pct_of_first").alias("total_value"),
+        F.lit(None).cast("double").alias("avg_value"),
+        F.col("step_index").cast("long").alias("n_with_user"),
+    )
+    cohort = cohort_retention(ev, grain="week").select(
+        F.lit("cohort").alias("grain"),
+        F.col("cohort_start").alias("grain_start"),
+        F.concat(F.lit("w"), F.col("offset").cast("string")).alias("event_type"),
+        F.col("n_active").cast("long").alias("n_events"),
+        F.col("retention").alias("total_value"),
+        F.lit(None).cast("double").alias("avg_value"),
+        F.col("cohort_size").cast("long").alias("n_with_user"),
+    )
     return (
-        tagged_union(grains)
-        .select(
-            "grain",
-            "grain_start",
-            "event_type",
-            F.col("n_rows").alias("n_events"),
-            F.round("sum_value", 2).alias("total_value"),
-            (F.round("sum_value", 2) / F.col("n_rows")).alias("avg_value"),
-            F.col("n_user_id").alias("n_with_user"),
-        )
+        rollups.unionByName(funnel)
+        .unionByName(cohort)
         .orderBy("grain", "grain_start", "event_type")
     )
 
@@ -393,12 +428,72 @@ FROM events
 GROUP BY 1, 2, 3"""
 
 
+_ORACLE_FUNNEL = """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+),
+counts AS (
+    SELECT 1 AS step_index, 'view' AS step, (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+)
+SELECT 'funnel' AS grain, CAST(NULL AS TIMESTAMP) AS grain_start,
+       step AS event_type, CAST(n_users AS BIGINT) AS n_events,
+       FLOOR(CAST(n_users AS DOUBLE) / (SELECT n_users FROM counts WHERE step_index = 1) * 10000) / 10000 AS total_value,
+       CAST(NULL AS DOUBLE) AS avg_value,
+       CAST(step_index AS BIGINT) AS n_with_user
+FROM counts
+"""
+
+_ORACLE_COHORT = """
+WITH firsts AS (
+    SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_start
+    FROM events GROUP BY 1
+),
+active AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+),
+per AS (
+    SELECT cohort_start,
+           CAST(date_diff('day', cohort_start, p) / 7 AS INT) AS ofs,
+           COUNT(*) AS n_active
+    FROM active JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+),
+size AS (
+    SELECT cohort_start, n_active AS cohort_size FROM per WHERE ofs = 0
+)
+SELECT 'cohort' AS grain, cohort_start AS grain_start,
+       'w' || CAST(ofs AS VARCHAR) AS event_type,
+       CAST(n_active AS BIGINT) AS n_events,
+       FLOOR(CAST(n_active AS DOUBLE) / cohort_size * 10000) / 10000 AS total_value,
+       CAST(NULL AS DOUBLE) AS avg_value,
+       CAST(cohort_size AS BIGINT) AS n_with_user
+FROM per JOIN size USING (cohort_start)
+"""
+
 ORACLE_EVENTS_ROLLUP = f"""
 {_oracle_grain('hour')}
 UNION ALL
 {_oracle_grain('day')}
 UNION ALL
 {_oracle_grain('month')}
+UNION ALL
+SELECT * FROM ({_ORACLE_FUNNEL.strip()})
+UNION ALL
+SELECT * FROM ({_ORACLE_COHORT.strip()})
 ORDER BY grain, grain_start, event_type
 """
 
