@@ -99,3 +99,55 @@ def tagged_union(rollups: dict[str, DataFrame]) -> DataFrame:
     for f in frames[1:]:
         acc = acc.unionByName(f)
     return acc
+
+
+def distinct_rollup(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    keys: list[str],
+    distinct_col: str,
+    grains: tuple[str, ...] = ("hour", "day", "month"),
+    lg_k: int = 12,
+) -> dict[str, DataFrame]:
+    """Cascading COUNT(DISTINCT) via mergeable HLL sketches (Apache
+    DataSketches, built into Spark as `hll_sketch_agg`/`hll_union_agg`).
+
+    Exact distincts don't cascade — you cannot add hourly unique-user
+    counts into a daily one — which is why naive rollup pipelines re-scan
+    raw data per grain. Sketches fix this at 100 TB: the finest grain
+    aggregates raw ONCE into ~2^lg_k-byte sketch registers; every coarser
+    grain UNIONS the finer grain's sketches (a per-group reduce over
+    KB-sized state, 4-6 orders of magnitude below raw — the same cascade
+    economics as `cascade_rollup`'s sums). Register union is lossless, so
+    the cascaded estimate is exactly the single-pass estimate at every
+    grain (asserted in tests, alongside the error-vs-exact band).
+
+    Returns {grain: DataFrame(grain_start, *keys, sketch, n_distinct_est)};
+    keep the `sketch` column when persisting so later grains (or late
+    restatements) keep merging instead of re-scanning.
+    """
+    finest, *coarser = grains
+    out: dict[str, DataFrame] = {}
+    cur = (
+        df.select(
+            F.date_trunc(finest, F.col(ts_col)).alias("grain_start"),
+            *keys,
+            F.col(distinct_col).alias("__d"),
+        )
+        .groupBy("grain_start", *keys)
+        .agg(F.expr(f"hll_sketch_agg(__d, {lg_k})").alias("sketch"))
+    )
+    out[finest] = cur.withColumn(
+        "n_distinct_est", F.expr("hll_sketch_estimate(sketch)").cast("long")
+    )
+    for g in coarser:
+        cur = (
+            cur.select(F.date_trunc(g, F.col("grain_start")).alias("grain_start"), *keys, "sketch")
+            .groupBy("grain_start", *keys)
+            .agg(F.expr("hll_union_agg(sketch)").alias("sketch"))
+        )
+        out[g] = cur.withColumn(
+            "n_distinct_est", F.expr("hll_sketch_estimate(sketch)").cast("long")
+        )
+    return out
