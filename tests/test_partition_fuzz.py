@@ -26,6 +26,8 @@ SENSITIVE = [
     "dedup_clusters",  # iterative label propagation + recursive-CTE oracle
     "corpus_sampling",  # two-phase prefix-sum quota cut vs one-window oracle
     "text_relevance",  # full-precision rank + LIMIT across partitions
+    "embedding_neardup",  # semdedup cell assignment + survivor anti-join
+    "ann_methods",  # q8 two-stage rerank + IVF/LSH bucket candidates
 ]
 
 
