@@ -181,3 +181,60 @@ def scd2_merge(
         .unionByName(expired.select(out_cols))
         .unionByName(inserted.select(out_cols))
     )
+
+
+def inferred_members(
+    facts: DataFrame,
+    dim: DataFrame,
+    natural_key: Sequence[str],
+    key_col: str = "location_key",
+    *,
+    effective_date: _dt.date | None = None,
+    now: _dt.datetime | None = None,
+) -> DataFrame:
+    """Late-arriving dimension handling (Kimball's "inferred members"):
+    fact rows can reference natural keys the dimension hasn't loaded yet —
+    dropping them loses facts, inner-joining delays the pipeline. The
+    standard fix is to insert PLACEHOLDER current rows for the unknown keys
+    (attributes null, `is_inferred` = true) so facts join immediately;
+    the next real attribute snapshot expires the placeholder through the
+    ordinary `scd2_merge` (null attrs ≠ real attrs ⇒ changed ⇒ expire +
+    insert version 2), leaving full history.
+
+    Plan: distinct fact keys (one shuffle of the key columns only) →
+    left-anti join against current dim rows (dims broadcast) → placeholder
+    rows unioned on. Surrogate keys are the map-side xxhash64 of
+    (natural_key, version) — no window, no driver round-trip. Returns the
+    dimension with placeholders appended and an `is_inferred` column
+    (false for pre-existing rows if absent)."""
+    eff = (F.lit(effective_date) if effective_date else F.current_date()).cast("date")
+    now_ts = (F.lit(now) if now else F.current_timestamp()).cast("timestamp")
+
+    base = (
+        dim
+        if "is_inferred" in dim.columns
+        else dim.withColumn("is_inferred", F.lit(False))
+    )
+    current_keys = base.filter(F.col("is_current")).select(*natural_key)
+    unknown = (
+        facts.select(*natural_key)
+        .distinct()
+        .join(F.broadcast(current_keys), list(natural_key), "left_anti")
+    )
+    attr_cols = [c for c in base.columns if c not in set(natural_key) | {
+        key_col, "effective_from_date", "effective_to_date", "is_current",
+        "version", "created_timestamp", "updated_timestamp", "is_inferred",
+    }]
+    placeholders = unknown.select(
+        *natural_key,
+        *[F.lit(None).cast(base.schema[c].dataType).alias(c) for c in attr_cols],
+        F.xxhash64(*natural_key, F.lit(1)).alias(key_col),
+        eff.alias("effective_from_date"),
+        F.lit(HIGH_DATE).cast("date").alias("effective_to_date"),
+        F.lit(True).alias("is_current"),
+        F.lit(1).alias("version"),
+        now_ts.alias("created_timestamp"),
+        now_ts.alias("updated_timestamp"),
+        F.lit(True).alias("is_inferred"),
+    )
+    return base.unionByName(placeholders.select(*base.columns))
