@@ -94,3 +94,30 @@ def test_parity_with_silver_hand_written_gates(spark, sf_dir):
     assert passed.count() + quarantined.count() == ev.count()
     m = {r["rule"]: r["n_violations"] for r in metrics.collect()}
     assert m["_rows"] == ev.count()
+
+
+def test_strip_markup_tags_entities_whitespace(spark):
+    from weather_data_warehouse_aws_spark.functions.text import (
+        markup_tag_count,
+        strip_markup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '<div class="a"><p>hello</p>  <br/>world</div>'),
+            (2, "a &amp; b &lt;kept&gt;"),
+            (3, "plain text"),
+            (4, "5 < 6 and 7 > 3"),  # bare comparators are not tags
+        ],
+        ["i", "t"],
+    )
+    got = {
+        r.i: (r.s, r.n)
+        for r in df.select(
+            "i", strip_markup(F.col("t")).alias("s"), markup_tag_count(F.col("t")).alias("n")
+        ).collect()
+    }
+    assert got[1] == ("hello world", 5)
+    assert got[2] == ("a & b <kept>", 0)  # entities unescape AFTER strip
+    assert got[3] == ("plain text", 0)
+    assert got[4][0] == "5 < 6 and 7 > 3"

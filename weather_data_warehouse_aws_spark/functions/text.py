@@ -201,3 +201,40 @@ def redact_pii_sql(expr: str) -> str:
     for kind, pat in PII_PATTERNS.items():
         out = f"regexp_replace({out}, '{pat.replace(chr(39), chr(39)*2)}', '<{kind.upper()}>', 'g')"
     return out
+
+
+# ------------------------------------------------- markup stripping (web text)
+# Java-regex ∩ RE2 subset only (no lookarounds/backrefs), like PII_PATTERNS.
+# A tag opens with a letter or '/', so bare comparators ('5 < 6 and 7 > 3')
+# survive; comments/doctype are out of this subset (note, not a bug).
+_TAG_RE = r"</?[A-Za-z][^<>]*>"
+# the handful of entities that dominate real web text; '&amp;' must unescape
+# LAST so '&amp;lt;' becomes '&lt;' (double-escaped stays escaped-once, the
+# standard single-pass behavior)
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"))
+
+
+def strip_markup(col: Column) -> Column:
+    """Remove HTML/XML tags, unescape common entities, collapse the
+    whitespace the removed tags leave behind — the first transform of every
+    web-corpus curation pipeline (C4/RefinedWeb-style), all JVM regexp."""
+    out = F.regexp_replace(col, _TAG_RE, " ")
+    for ent, ch in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def strip_markup_sql(expr: str) -> str:
+    out = f"regexp_replace({expr}, '{_TAG_RE}', ' ', 'g')"
+    for ent, ch in _ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{ch_sql}')"
+    return rf"trim(regexp_replace({out}, '\s+', ' ', 'g'))"
+
+
+def markup_tag_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(_TAG_RE)).cast("int")
+
+
+def markup_tag_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{_TAG_RE}')) AS INT)"

@@ -14,6 +14,10 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     bpe_pretoken_count,
     bpe_pretoken_count_sql,
+    markup_tag_count,
+    markup_tag_count_sql,
+    strip_markup,
+    strip_markup_sql,
     LANG_MARKERS,
     fingerprint,
     fingerprint_sql,
@@ -193,6 +197,28 @@ FROM documents
 # aggregate signals — top-bigram count and the 32-bit SimHash — join back on
 # doc_id. Three scans + two equi-joins instead of five scans + four joins,
 # and one driver CORRECTNESS row covers the whole text-analysis surface.
+def _mk_txt(d):
+    """Deterministically planted HTML wrapper (doc_id % 5 picks a shape) —
+    the corpus has no natural markup, so, like the PII planting, tags and
+    entities are constructed inside the query and the stripped-text md5
+    pins the whole strip+unescape+collapse transform under the hash gate.
+    The '&lt;raw&gt;' case proves order: entities unescape AFTER the tag
+    strip, so the unescaped '<raw>' survives as literal text."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit('<div class="x">'), F.col("text"), F.lit("</div> &amp; <br/>")),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p> &lt;raw&gt;")),
+        )
+        .otherwise(F.col("text"))
+    )
+
+
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document: quality metrics (length/token/punct/stopword +
     composite score), marker-vocabulary lang-id, normalization fingerprint,
@@ -260,6 +286,8 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint(F.col("text")).alias("fp"),
         (fingerprint(F.col("text")) == F.md5("text")).alias("was_normal_form"),
         F.expr(f"size(array_distinct({toks}))").alias("__n_distinct"),
+        markup_tag_count(_mk_txt(d)).alias("n_tags"),
+        F.md5(strip_markup(_mk_txt(d))).alias("stripped_fp"),
         pii_count(pii_txt, "email").alias("n_emails"),
         pii_count(pii_txt, "ipv4").alias("n_ipv4"),
         pii_count(pii_txt, "phone").alias("n_phones"),
@@ -316,6 +344,8 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("__top_bg") / (F.col("n_tokens") - 1).cast("double"), 6
             ).alias("top_bigram_frac"),
             "simhash",
+            "n_tags",
+            "stripped_fp",
             "n_emails",
             "n_ipv4",
             "n_phones",
@@ -346,6 +376,10 @@ def _oracle_doc_profile() -> str:
         WHEN doc_id % 7 = 1 THEN ' node at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 200 AS VARCHAR) || ' up'
         WHEN doc_id % 7 = 2 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
         ELSE '' END)"""
+    mk_txt = '''(CASE
+        WHEN doc_id % 5 = 0 THEN '<div class="x">' || text || '</div> &amp; <br/>'
+        WHEN doc_id % 5 = 1 THEN '<p>' || text || '</p> &lt;raw&gt;'
+        ELSE text END)'''
     toks = r"regexp_split_to_array(trim(text), '\s+')"
     bigrams = (
         f"list_transform(generate_series(1, greatest(len({toks}) - 1, 1)), "
@@ -367,6 +401,8 @@ WITH per_row AS (
         {fp} AS fp,
         {fp} = md5(text) AS was_normal_form,
         len(list_distinct({toks})) AS n_distinct,
+        {markup_tag_count_sql(mk_txt)} AS n_tags,
+        md5({strip_markup_sql(mk_txt)}) AS stripped_fp,
         {pii_count_sql(pii_txt, 'email')} AS n_emails,
         {pii_count_sql(pii_txt, 'ipv4')} AS n_ipv4,
         {pii_count_sql(pii_txt, 'phone')} AS n_phones,
@@ -390,7 +426,7 @@ SELECT p.doc_id AS doc_id, p.lang AS lang, n_chars, n_tokens, n_pretokens,
        ROUND(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 6) AS repeated_token_frac,
        ROUND(t.top_bg / CAST(n_tokens - 1 AS DOUBLE), 6) AS top_bigram_frac,
        sh.simhash AS simhash,
-       n_emails, n_ipv4, n_phones, redacted_fp
+       n_tags, stripped_fp, n_emails, n_ipv4, n_phones, redacted_fp
 FROM per_row p
 JOIN top_bg t ON p.doc_id = t.doc_id
 JOIN sh ON p.doc_id = sh.doc_id
