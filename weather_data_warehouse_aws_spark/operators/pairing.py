@@ -77,3 +77,50 @@ def negative_pairs_ranked_sql(relation: str, id_expr: str, *, n_buckets: int = 6
     SELECT {id_expr} AS pid, __b, ROW_NUMBER() OVER (PARTITION BY __b ORDER BY __h, {id_expr}) AS __rn
     FROM (SELECT {id_expr}, {h} AS __h, ({h}) % {n_buckets} AS __b FROM {relation})
     """
+
+
+def hard_negatives(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    candidates: int = 20,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor, the
+    k most-similar vectors with a DIFFERENT label — the negatives that are
+    actually hard, versus `negative_pairs`' uniform pseudo-random draw.
+
+    Plan: exact top-`candidates` neighbors per anchor (broadcast-anchor
+    cosine pass — swap in ivf/lsh/q8 from operators/similarity.py when the
+    corpus outgrows brute force), label lookup joined on the neighbor id,
+    same-label candidates filtered, re-ranked to k. `candidates` > k buys
+    headroom so anchors whose nearest neighbors share their label still
+    yield k negatives."""
+    from .similarity import cosine_topk
+
+    labels = df.select(F.col(id_col).alias("__nid"), F.col(label_col).alias("__nlabel"))
+    anchors = df.select(id_col, vec_col)
+    topk = cosine_topk(anchors, df, id_col=id_col, vec_col=vec_col, k=candidates)
+    a_labels = df.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__alabel")
+    )
+    cand = (
+        topk.join(F.broadcast(a_labels), "query_id")
+        .join(
+            F.broadcast(labels), F.col("neighbor_id") == F.col("__nid")
+        )
+        .filter(F.col("__alabel") != F.col("__nlabel"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            "neg_rank",
+            F.col("neighbor_id").alias("negative_id"),
+            "cos",
+        )
+    )

@@ -102,3 +102,19 @@ def validate(
         ).alias("m")
     ).select("m.rule", "m.n_violations")
     return passed, quarantined, metrics
+
+
+def k_anonymity(
+    df: DataFrame, quasi_identifiers: list[str], *, k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns (Sweeney 2002):
+    every row whose quasi-identifier combination matches fewer than k rows
+    is re-identifiable. Returns per-combination (quasi..., group_size,
+    is_k_anonymous) — one groupBy shuffle on the QI tuple; join it back on
+    the QI columns to filter or generalize the violating rows before a
+    dataset ships as training data."""
+    return (
+        df.groupBy(*quasi_identifiers)
+        .agg(F.count("*").alias("group_size"))
+        .withColumn("is_k_anonymous", F.col("group_size") >= k)
+    )

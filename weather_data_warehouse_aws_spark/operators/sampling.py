@@ -218,3 +218,30 @@ def token_budget_sample(
 
     out_cols = df.columns + ["budget"]
     return fits.select(*out_cols).unionByName(boundary_kept.select(*out_cols))
+
+
+def temperature_budgets(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    *,
+    alpha: float = 0.5,
+    total_budget: int,
+) -> DataFrame:
+    """Temperature-scaled mixture budgets (the multilingual-LM standard,
+    e.g. sampling ∝ size^α with α<1 to up-weight small domains): each
+    group's token budget is total_budget · size_g^α / Σ size^α, floored.
+    One tiny aggregate (|groups| rows) — feed the result straight into
+    `token_budget_sample` as its `budgets` relation."""
+    sizes = df.groupBy(group_col).agg(F.sum(token_col).alias("__sz"))
+    powed = sizes.withColumn("__p", F.pow(F.col("__sz").cast("double"), F.lit(alpha)))
+    denom = powed.agg(F.sum("__p").alias("__d"))
+    return (
+        powed.crossJoin(F.broadcast(denom))
+        .select(
+            group_col,
+            F.floor(F.lit(float(total_budget)) * F.col("__p") / F.col("__d"))
+            .cast("long")
+            .alias("budget"),
+        )
+    )
