@@ -121,3 +121,59 @@ def test_strip_markup_tags_entities_whitespace(spark):
     assert got[2] == ("a & b <kept>", 0)  # entities unescape AFTER strip
     assert got[3] == ("plain text", 0)
     assert got[4][0] == "5 < 6 and 7 > 3"
+
+
+def test_repair_then_validate_composition(spark):
+    """repair → validate: fixable rows (nulls, out-of-range) are repaired
+    with provenance; only genuinely unfixable rows quarantine afterwards."""
+    from weather_data_warehouse_aws_spark.operators.quality import (
+        clamp,
+        fill_default,
+        in_range,
+        not_null,
+        repair,
+        validate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 25.0, 60.0),      # clean
+            (2, None, 70.0),      # null temp -> filled
+            (3, 999.0, 80.0),     # temp clamps to 60
+            (4, 20.0, None),      # humidity has no repair -> quarantines
+        ],
+        ["id", "temp", "humidity"],
+    )
+    fixed = repair(df, [fill_default("temp", 15.0), clamp("temp", -50.0, 60.0)])
+    got = {r.id: (r.temp, sorted(r.dq_repairs)) for r in fixed.collect()}
+    assert got[1] == (25.0, [])
+    assert got[2] == (15.0, ["fill_temp"])
+    assert got[3] == (60.0, ["clamp_temp"])
+
+    passed, quarantined, metrics = validate(
+        fixed, [not_null("temp"), in_range("temp", -50, 60), not_null("humidity")]
+    )
+    assert {r.id for r in passed.collect()} == {1, 2, 3}
+    q = quarantined.collect()
+    assert [r.id for r in q] == [4] and q[0].dq_violations == ["not_null_humidity"]
+
+
+def test_repair_first_declared_wins_and_conditions_see_originals(spark):
+    from weather_data_warehouse_aws_spark.operators.quality import (
+        Repair,
+        clamp,
+        repair,
+    )
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame([(1, 200.0)], ["id", "v"])
+    out = repair(
+        df,
+        [
+            clamp("v", 0.0, 100.0),
+            Repair("zero_v", "v", F2.lit(0.0), F2.col("v") > 100),
+        ],
+    ).collect()[0]
+    # both fire on the ORIGINAL value; first declared (clamp) wins the value
+    assert out.v == 100.0
+    assert sorted(out.dq_repairs) == ["clamp_v", "zero_v"]

@@ -118,3 +118,58 @@ def k_anonymity(
         .agg(F.count("*").alias("group_size"))
         .withColumn("is_k_anonymous", F.col("group_size") >= k)
     )
+
+
+@dataclass(frozen=True)
+class Repair:
+    """name + target column + a Column producing the repaired value (applied
+    only where `when` is True). Declarative sibling of `Rule`."""
+
+    name: str
+    col: str
+    value: Column
+    when: Column
+
+
+def fill_default(col: str, default) -> Repair:
+    """Repair a null with a default — the fix for a `not_null` violation."""
+    return Repair(f"fill_{col}", col, F.lit(default), F.col(col).isNull())
+
+
+def clamp(col: str, lo, hi) -> Repair:
+    """Clamp out-of-range values to the nearest bound — the fix for an
+    `in_range` violation that keeps the row usable (sensor saturation
+    semantics) instead of quarantining it."""
+    c = F.col(col)
+    return Repair(
+        f"clamp_{col}",
+        col,
+        F.least(F.greatest(c, F.lit(lo)), F.lit(hi)),
+        c.isNotNull() & ~c.between(lo, hi),
+    )
+
+
+def repair(df: DataFrame, repairs: list[Repair]) -> DataFrame:
+    """Apply declarative repairs in one map-side pass, recording provenance:
+    `dq_repairs` lists the repairs that actually fired per row (empty array
+    = untouched). Rows the repairs cannot fix still belong in `validate`'s
+    quarantine — the intended composition is repair → validate, so only
+    genuinely unfixable rows quarantine.
+
+    Every `when` condition tests the ORIGINAL row (all repairs compile into
+    ONE projection over the input — no sequential rewriting, so provenance
+    and repaired values can never disagree); if several repairs target the
+    same column and fire together, the FIRST declared wins. Same scale
+    shape as `validate`'s row rules: a 100-repair pipeline is still one
+    shuffle-free projection.
+    """
+    exprs = []
+    for c in df.columns:
+        e = F.col(c)
+        for r in reversed(repairs):  # fold so the first declared is outermost
+            if r.col == c:
+                e = F.when(r.when, r.value).otherwise(e)
+        exprs.append(e.alias(c))
+    fired = [F.when(r.when, F.lit(r.name)) for r in repairs]
+    exprs.append(F.array_compact(F.array(*fired)).alias("dq_repairs"))
+    return df.select(*exprs)
