@@ -504,3 +504,43 @@ def test_blocked_fuzzy_pairs_plan_is_equi_join(spark):
     plan = physical_plan(blocked_fuzzy_pairs(df, "rid", "nm", max_block_rows=None))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ensemble_pairs_votes_and_provenance(spark, sf_dir):
+    """Planted exact copies must be found by every strategy (vote = 3);
+    trailer near-dups by the similarity strategies but not exact-hash."""
+    from weather_data_warehouse_aws_spark.operators.dedup import (
+        ensemble_pairs,
+        exact_duplicates,
+        minhash_lsh_pairs,
+        segment_pairs,
+    )
+
+    docs = planted_documents(spark, sf_dir)
+    exact = exact_duplicates(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("id_a"), F.col("dup_id").alias("id_b")
+    )
+    minhash = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=16, bands=4, shingle_n=SHINGLE_N, threshold=0.5
+    ).select("id_a", "id_b")
+    segment = segment_pairs(docs, "doc_id", "text", seg_tokens=20).select("id_a", "id_b")
+    ens = ensemble_pairs({"exact": exact, "minhash": minhash, "segment": segment})
+    rows = {(r.id_a, r.id_b): (r.n_sources, list(r.sources)) for r in ens.collect()}
+
+    exact_planted = [
+        (r.doc_id, r.doc_id + EXACT_OFFSET)
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 == 0).select("doc_id").collect()
+    ]
+    for pair in exact_planted:
+        n, srcs = rows[pair]
+        assert n == 3 and srcs == ["exact", "minhash", "segment"], (pair, srcs)
+    near_planted = [
+        (r.doc_id, r.doc_id + NEAR_OFFSET)
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 == 1).select("doc_id").collect()
+    ]
+    near_found = [p for p in near_planted if p in rows]
+    assert near_found, "no near-dup pair found by any similarity strategy"
+    for p in near_found:
+        assert "exact" not in rows[p][1], "trailer near-dup cannot be byte-identical"

@@ -482,3 +482,27 @@ def segment_dedup(
             F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
         )
     )
+
+
+def ensemble_pairs(sources: dict[str, DataFrame]) -> DataFrame:
+    """Consensus over independent dedup strategies: union (id_a, id_b) pair
+    relations from several detectors into one relation with provenance —
+    `sources` (which strategies found the pair) and `n_sources` (the vote).
+    Production dedup pipelines gate on the vote (e.g. ≥2 of {minhash,
+    simhash, semdedup} before deleting) because each strategy has disjoint
+    failure modes; feed the gated pairs to graph.dedup_clusters as usual.
+
+    One groupBy shuffle over the (small) union of pair sets — pairs, never
+    corpora; provenance is a sorted array so the relation is deterministic.
+    """
+    tagged = None
+    for name, df in sorted(sources.items()):
+        t = df.select("id_a", "id_b", F.lit(name).alias("__src"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return (
+        tagged.groupBy("id_a", "id_b")
+        .agg(
+            F.sort_array(F.collect_set("__src")).alias("sources"),
+            F.count_distinct("__src").alias("n_sources"),
+        )
+    )
