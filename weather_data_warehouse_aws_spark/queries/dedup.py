@@ -433,12 +433,20 @@ def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fuzzy record linkage (operators/linkage.py): customer names with one
     # deterministically planted mid-string typo per %10==0 record must link
     # back to their originals via blocked Levenshtein — entity resolution
-    # under the same hash gate as the text-dedup strategies
+    # under the same hash gate as the text-dedup strategies.
+    # Corpus slice (rid % 10 < 2) + max_distance=1: TPC-H names are
+    # near-sequential zero-padded IDs — the PATHOLOGICAL case for edit
+    # distance, where any two keys differing in one digit are lev-1
+    # "matches" — so the full table yields quadratically many coincidental
+    # pairs as SF grows (measured 105k at sf0.1). The slice keeps every
+    # planted typo (%10==0 ⊂ slice) while the pair count stays demo-sized;
+    # real entity data blocks on discriminative fields instead, and the
+    # operator's max_block_rows tripwire guards the production path.
     from ..operators.linkage import blocked_fuzzy_pairs
 
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("rid"), F.col("c_name").alias("nm")
-    )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 10 < 2
+    ).select(F.col("c_custkey").alias("rid"), F.col("c_name").alias("nm"))
     typos = cust.filter(F.col("rid") % 10 == 0).select(
         (F.col("rid") + FUZZY_OFFSET).alias("rid"),
         F.concat(
@@ -448,7 +456,7 @@ def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nm"),
     )
     fuzzy = blocked_fuzzy_pairs(
-        cust.unionByName(typos), "rid", "nm", max_distance=2, max_block_rows=None
+        cust.unionByName(typos), "rid", "nm", max_distance=1, max_block_rows=None
     ).select(
         F.lit("fuzzy").alias("method"),
         "id_a",
@@ -502,7 +510,7 @@ GROUP BY a.doc_id, b.doc_id
 def _oracle_fuzzy_pairs() -> str:
     return f"""
 WITH fuzzy_corpus AS (
-    SELECT c_custkey AS rid, c_name AS nm FROM customer
+    SELECT c_custkey AS rid, c_name AS nm FROM customer WHERE c_custkey % 10 < 2
     UNION ALL
     SELECT c_custkey + {FUZZY_OFFSET},
            substr(c_name, 1, CAST(c_custkey % 6 + 10 AS INT) - 1) || 'X' ||
@@ -516,7 +524,7 @@ blocked AS (
 )
 SELECT a.rid AS id_a, b.rid AS id_b, levenshtein(a.nm, b.nm) AS distance
 FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.rid < b.rid
-WHERE levenshtein(a.nm, b.nm) <= 2
+WHERE levenshtein(a.nm, b.nm) <= 1
 """
 
 
