@@ -434,18 +434,20 @@ def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministically planted mid-string typo per %10==0 record must link
     # back to their originals via blocked Levenshtein — entity resolution
     # under the same hash gate as the text-dedup strategies.
-    # Corpus slice (rid % 10 < 2) + max_distance=1: TPC-H names are
+    # Bounded corpus (c_custkey < 3000) + max_distance=1: TPC-H names are
     # near-sequential zero-padded IDs — the PATHOLOGICAL case for edit
     # distance, where any two keys differing in one digit are lev-1
-    # "matches" — so the full table yields quadratically many coincidental
-    # pairs as SF grows (measured 105k at sf0.1). The slice keeps every
-    # planted typo (%10==0 ⊂ slice) while the pair count stays demo-sized;
-    # real entity data blocks on discriminative fields instead, and the
-    # operator's max_block_rows tripwire guards the production path.
+    # "matches"; the last-3-digit block key has FIXED cardinality, so an
+    # unbounded corpus grows blocks linearly with SF and coincidental
+    # pairs quadratically (measured 105k pairs at sf0.1 unbounded). The
+    # absolute bound keeps the demonstration constant-sized at every SF
+    # while covering all planted typos inside it; real entity data blocks
+    # on discriminative fields instead, and the operator's max_block_rows
+    # tripwire guards the production path.
     from ..operators.linkage import blocked_fuzzy_pairs
 
     cust = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_custkey") % 10 < 2
+        F.col("c_custkey") < FUZZY_MAX_KEY
     ).select(F.col("c_custkey").alias("rid"), F.col("c_name").alias("nm"))
     typos = cust.filter(F.col("rid") % 10 == 0).select(
         (F.col("rid") + FUZZY_OFFSET).alias("rid"),
@@ -475,6 +477,7 @@ def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEG_TOKENS = 20
 FUZZY_OFFSET = 8_000_000
+FUZZY_MAX_KEY = 3_000
 
 
 def _oracle_segment_pairs() -> str:
@@ -510,12 +513,12 @@ GROUP BY a.doc_id, b.doc_id
 def _oracle_fuzzy_pairs() -> str:
     return f"""
 WITH fuzzy_corpus AS (
-    SELECT c_custkey AS rid, c_name AS nm FROM customer WHERE c_custkey % 10 < 2
+    SELECT c_custkey AS rid, c_name AS nm FROM customer WHERE c_custkey < {FUZZY_MAX_KEY}
     UNION ALL
     SELECT c_custkey + {FUZZY_OFFSET},
            substr(c_name, 1, CAST(c_custkey % 6 + 10 AS INT) - 1) || 'X' ||
            substr(c_name, CAST(c_custkey % 6 + 10 AS INT) + 1)
-    FROM customer WHERE c_custkey % 10 = 0
+    FROM customer WHERE c_custkey % 10 = 0 AND c_custkey < {FUZZY_MAX_KEY}
 ),
 blocked AS (
     SELECT rid, nm,
