@@ -141,3 +141,45 @@ def test_weighted_sample_respects_weights_statistically(spark):
     heavy_rate = heavy_hits / (8 * 20)
     light_rate = light_hits / (8 * 380)
     assert heavy_rate > 5 * light_rate, (heavy_rate, light_rate)
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark, sf_dir):
+    """Planted duplicate pairs must share a split under every salt, while
+    rows with no near-dup keep exactly their plain split_by_hash assignment."""
+    from weather_data_warehouse_aws_spark.operators.sampling import (
+        leakage_safe_split,
+        split_by_hash,
+    )
+    from weather_data_warehouse_aws_spark.queries.dedup import (
+        EXACT_OFFSET,
+        planted_documents,
+    )
+    from weather_data_warehouse_aws_spark.operators.dedup import exact_duplicates
+
+    docs = planted_documents(spark, sf_dir)
+    pairs = exact_duplicates(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("id_a"), F.col("dup_id").alias("id_b")
+    )
+    for salt in ("", "epoch2"):
+        out = leakage_safe_split(
+            docs, "doc_id", pairs, [0.8, 0.1, 0.1], ["train", "val", "test"], salt=salt
+        )
+        by_id = {r.doc_id: r.split for r in out.collect()}
+        planted = [i for i in by_id if i >= EXACT_OFFSET and i < 2 * EXACT_OFFSET]
+        assert planted
+        for dup in planted:
+            assert by_id[dup] == by_id[dup - EXACT_OFFSET], (salt, dup)
+
+    # non-duplicated rows: identical to the plain split
+    plain = {
+        r.doc_id: r.split
+        for r in split_by_hash(
+            docs.withColumn("__skey", F.col("doc_id").cast("string")),
+            "__skey", [0.8, 0.1, 0.1], ["train", "val", "test"],
+        ).collect()
+    }
+    dup_ids = {r.id_a for r in pairs.collect()} | {r.id_b for r in pairs.collect()}
+    out = leakage_safe_split(docs, "doc_id", pairs, [0.8, 0.1, 0.1], ["train", "val", "test"])
+    for r in out.collect():
+        if r.doc_id not in dup_ids:
+            assert r.split == plain[r.doc_id]

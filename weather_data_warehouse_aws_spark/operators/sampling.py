@@ -245,3 +245,37 @@ def temperature_budgets(
             .alias("budget"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: Sequence[float],
+    labels: Sequence[str],
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: `split_by_hash` keyed on each
+    row's DEDUP COMPONENT representative instead of its own id, so a
+    document and all its near-duplicates always land in the SAME split.
+
+    Plain id-hash splits leak: a near-copy of a training document in the
+    test set inflates eval (the contamination `decontamination` measures
+    after the fact — this prevents it structurally at split time).
+    `pairs` is any (id_a, id_b) near-dup relation (minhash/semdedup/
+    segment/ensemble); components come from graph.connected_components
+    (edge-sized work), rows without any near-dup keep their own id as the
+    key — identical assignment to the plain split, so turning this on
+    never reshuffles the non-duplicated majority of the corpus.
+    """
+    from .graph import connected_components
+
+    comp = connected_components(pairs)
+    joined = df.join(
+        F.broadcast(comp.withColumnRenamed("node", id_col)), id_col, "left"
+    )
+    key = F.coalesce(F.col("component"), F.col(id_col)).cast("string")
+    keyed = joined.withColumn("__skey", key)
+    out = split_by_hash(keyed, "__skey", weights, labels, salt=salt)
+    return out.drop("__skey", "component")
