@@ -84,3 +84,32 @@ def test_real_snapshot_corrects_inferred_member_with_history(spark):
     # untouched real members stay single-version current
     assert merged.filter(F.col("city") == "paris").count() == 1
     merged.unpersist()
+
+
+def test_dim_as_of_time_travel(spark):
+    """After a merge creates v1(expired)+v2(current), as-of queries return
+    exactly one row per key with the attributes that were true on that
+    date; boundary day belongs to the NEW version (half-open)."""
+    import datetime as dt2
+
+    from weather_data_warehouse_aws_spark.operators.scd2 import dim_as_of
+
+    dim = _dim(spark)
+    snapshot = spark.createDataFrame(
+        [("paris", "FR", 48.86, False), ("tokyo", "JP", 35.68, False)],
+        ["city", "country", "lat", "is_inferred"],
+    )
+    merged = scd2_merge(
+        dim, snapshot, ["city"], ["country", "lat"], "city_key",
+        effective_date=dt2.date(2024, 2, 1), now=dt2.datetime(2024, 2, 1),
+        key_strategy="hash",
+    )
+    before = {r.city: r.lat for r in dim_as_of(merged, dt2.date(2024, 1, 15)).collect()}
+    after = {r.city: r.lat for r in dim_as_of(merged, dt2.date(2024, 2, 1)).collect()}
+    assert abs(before["paris"] - 48.85) < 1e-9   # old attribute mid-January
+    assert abs(after["paris"] - 48.86) < 1e-9    # boundary day -> new version
+    assert len(before) == 2 and len(after) == 2  # exactly one row per key
+    # every as-of snapshot is unique per key across the whole history range
+    for day in (dt2.date(2024, 1, 1), dt2.date(2024, 3, 1)):
+        per_key = dim_as_of(merged, day).groupBy("city").count().collect()
+        assert all(r["count"] == 1 for r in per_key)

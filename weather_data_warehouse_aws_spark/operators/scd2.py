@@ -238,3 +238,16 @@ def inferred_members(
         F.lit(True).alias("is_inferred"),
     )
     return base.unionByName(placeholders.select(*base.columns))
+
+
+def dim_as_of(dim: DataFrame, as_of: _dt.date | str) -> DataFrame:
+    """Time-travel view of an SCD2 dimension: the attribute row that was
+    current on `as_of` (effective_from ≤ as_of < effective_to under the
+    half-open convention, with the HIGH_DATE sentinel closing the current
+    row). Joining facts to `dim_as_of(dim, d)` reproduces any historical
+    report exactly — the query-side payoff of maintaining SCD2 at all.
+    Pure filter (map-side, partition-prunable on effective dates)."""
+    d = F.lit(as_of).cast("date")
+    return dim.filter(
+        (F.col("effective_from_date") <= d) & (d < F.col("effective_to_date"))
+    )
