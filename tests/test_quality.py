@@ -177,3 +177,29 @@ def test_repair_first_declared_wins_and_conditions_see_originals(spark):
     # both fire on the ORIGINAL value; first declared (clamp) wins the value
     assert out.v == 100.0
     assert sorted(out.dq_repairs) == ["clamp_v", "zero_v"]
+
+
+def test_derived_range_rules_catch_planted_outlier(spark, sf_dir):
+    """Rules derived from a clean baseline must pass ~99% of the baseline
+    itself and quarantine a planted absurd value."""
+    from weather_data_warehouse_aws_spark.operators.quality import (
+        derived_range_rules,
+        validate,
+    )
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    rules = derived_range_rules(li, ["l_quantity", "l_extendedprice"])
+    passed, quarantined, _ = validate(li, rules)
+    n = li.count()
+    assert passed.count() >= 0.97 * n  # tails only
+    planted = li.limit(1).select(
+        "l_orderkey",
+        F.lit(1e12).alias("l_quantity"),
+        F.lit(-1e12).alias("l_extendedprice"),
+    )
+    _, q2, _ = validate(li.unionByName(planted), rules)
+    tags = {tuple(sorted(r.dq_violations)) for r in q2.collect() if r.l_quantity == 1e12}
+    assert tags == {("in_range_l_extendedprice", "in_range_l_quantity")}

@@ -173,3 +173,22 @@ def repair(df: DataFrame, repairs: list[Repair]) -> DataFrame:
     fired = [F.when(r.when, F.lit(r.name)) for r in repairs]
     exprs.append(F.array_compact(F.array(*fired)).alias("dq_repairs"))
     return df.select(*exprs)
+
+
+def derived_range_rules(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    lo_q: float = 0.005,
+    hi_q: float = 0.995,
+    relative_error: float = 0.001,
+) -> list[Rule]:
+    """Bootstrap `in_range` rules from the data's own distribution: one
+    `approxQuantile` pass (Greenwald-Khanna sketch, mergeable across
+    partitions — a single distributed job returning 2·|cols| scalars to the
+    driver) yields [lo_q, hi_q] bounds per column. The standard way
+    production DQ gets seeded when nobody has written physical bounds yet:
+    derive from a trusted baseline load, review, then pin the literals.
+    Compose straight into `validate`/`repair`."""
+    bounds = df.stat.approxQuantile(cols, [lo_q, hi_q], relative_error)
+    return [in_range(c, b[0], b[1]) for c, b in zip(cols, bounds)]
