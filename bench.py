@@ -124,6 +124,12 @@ def main() -> None:
         "iters": ITERS,
     }
 
+    # The scale-slope sweep runs BEFORE the primary line is printed and its
+    # results go to stderr + a side file, NOT into the primary JSON object:
+    # the driver captures only the tail of stdout, and inlining the sweep
+    # made the round-2 primary line too long for that window (BENCH_r02.json
+    # recorded "parsed": null). The compact primary object must be the final
+    # stdout line.
     sweep_dir = None
     if SWEEP == "auto":
         cand = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
@@ -134,13 +140,24 @@ def main() -> None:
     if sweep_dir:
         print(f"# --- sweep at {sweep_dir} ---", file=sys.stderr)
         sweep_timings = run_suite(spark, queries, sweep_dir, 1)
-        result["sweep_sf"] = sf_of(sweep_dir)
-        result["sweep_queries"] = sweep_timings
-        result["slopes"] = {
-            name: round(timings[name] / t, 2)
-            for name, t in sweep_timings.items()
-            if name in timings and t > 0
+        sweep = {
+            "sweep_sf": sf_of(sweep_dir),
+            "sweep_queries": sweep_timings,
+            "slopes": {
+                name: round(timings[name] / t, 2)
+                for name, t in sweep_timings.items()
+                if name in timings and t > 0
+            },
         }
+        print(f"# sweep: {json.dumps(sweep)}", file=sys.stderr)
+        side = os.environ.get("SPARK_GRAFT_BENCH_SWEEP_OUT", "bench_sweep.json")
+        try:
+            with open(side, "w") as fh:
+                json.dump({**sweep, "primary_sf": result["sf"],
+                           "primary_queries": timings}, fh, indent=1)
+            print(f"# sweep written to {side}", file=sys.stderr)
+        except OSError as exc:  # side artifact is best-effort
+            print(f"# sweep side-file write failed: {exc}", file=sys.stderr)
 
     print(json.dumps(result))
 

@@ -486,10 +486,16 @@ def test_blocked_fuzzy_pairs_links_typos_and_blocks_scale(spark):
         assert got.get((i, i + 1000)) == 1, f"typo of {i} not linked"
     assert all(d <= 2 for d in got.values())
 
-    with pytest.raises(ValueError, match="blocking"):
+    # guard is folded into the plan (no eager pre-pass), so it fires at
+    # action time from inside a task
+    with pytest.raises(Exception, match="blocking"):
         blocked_fuzzy_pairs(
             df, "rid", "nm", block_fn=lambda c: F.lit("one"), max_block_rows=50
-        )
+        ).collect()
+    # and a well-blocked input with the guard ON still works in one pass
+    assert (
+        blocked_fuzzy_pairs(df, "rid", "nm", max_block_rows=50).count() > 0
+    )
 
 
 def test_blocked_fuzzy_pairs_plan_is_equi_join(spark):

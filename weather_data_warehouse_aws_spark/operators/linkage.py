@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def default_block_key(name: Column) -> Column:
@@ -38,22 +39,38 @@ def blocked_fuzzy_pairs(
     """(id_a, id_b, distance): record pairs whose names are within
     `max_distance` edits, compared only within a block. One shuffle on the
     block key; pair count bounded by Σ block², with the tripwire enforcing
-    that blocks stay bounded."""
+    that blocks stay bounded.
+
+    The tripwire is folded INTO the plan, not an eager pre-pass: a window
+    count over the blocking key rides the a-side's join shuffle (same
+    hash-partitioning, so the exchange is reused), and a filter condition
+    `raise_error`s the task if any block exceeds the bound — zero extra
+    scans of the input, and the guard fires before any oversized block's
+    pairs are materialized. The error surfaces at action time (inside the
+    Spark job) rather than eagerly at call time."""
     block_fn = block_fn or default_block_key
     occ = df.select(
         F.col(id_col).alias("rid"),
         F.col(name_col).alias("nm"),
         block_fn(F.col(name_col)).alias("blk"),
     )
-    if max_block_rows is not None:
-        biggest = occ.groupBy("blk").count().agg(F.max("count")).first()[0]
-        if biggest is not None and biggest > max_block_rows:
-            raise ValueError(
-                f"blocked_fuzzy_pairs: largest block has {biggest} rows "
-                f"(> {max_block_rows}); refine the blocking key (zip/phonetic/"
-                "year) before the pairwise Levenshtein."
-            )
     a = occ.select("blk", F.col("rid").alias("id_a"), F.col("nm").alias("nm_a"))
+    if max_block_rows is not None:
+        blk_rows = F.count("*").over(Window.partitionBy("blk"))
+        guard = F.when(
+            blk_rows > max_block_rows,
+            F.raise_error(
+                F.concat(
+                    F.lit("blocked_fuzzy_pairs: degenerate blocking — block '"),
+                    F.col("blk"),
+                    F.lit("' has "),
+                    blk_rows.cast("string"),
+                    F.lit(f" rows (> {max_block_rows}); refine the blocking "),
+                    F.lit("key (zip/phonetic/year) before the pairwise Levenshtein."),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+        a = a.withColumn("__blk_guard", guard).filter("__blk_guard").drop("__blk_guard")
     b = occ.select("blk", F.col("rid").alias("id_b"), F.col("nm").alias("nm_b"))
     return (
         a.join(b, "blk")
