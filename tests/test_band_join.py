@@ -231,3 +231,79 @@ def test_scd2_hash_key_strategy(spark):
     )
     a_rows = {r.version: r.key for r in merged.filter("nk = 'a'").collect()}
     assert set(a_rows) == {1, 2} and a_rows[1] != a_rows[2]  # new version, new key
+
+
+def test_right_band_join_boundary_and_unmatched(spark):
+    """how='right': mirror of left — preserved right rows null-extend once;
+    Δt=3599 matches, 3600 doesn't (strict). Here right has rows the left
+    never reaches (key 3) plus the matched key-1 row."""
+    left, right = _frames(spark)
+    right2 = right.unionByName(
+        spark.createDataFrame([(3, BASE)], "k bigint, rts timestamp")
+    )
+    out = band_join(
+        left, right2, on=["k"], left_ts="lts", right_ts="rts",
+        tolerance_sec=3600, how="right",
+    )
+    rows = out.collect()
+    # key 3 preserved exactly once, null-extended on left columns
+    k3 = [r for r in rows if r.k == 3]
+    assert len(k3) == 1 and k3[0].tag is None and k3[0].lts is None
+    # key 1: one row per left match, strict boundary
+    k1_tags = sorted(r.tag for r in rows if r.k == 1)
+    assert k1_tags == ["dt-3599", "dt0", "dt3599"]
+
+
+def test_full_band_join_matrix(spark):
+    """how='full': matched pairs once, unmatched LEFT rows once
+    (right-null), unmatched RIGHT rows once (left-null)."""
+    left, right = _frames(spark)
+    right2 = right.unionByName(
+        spark.createDataFrame([(3, BASE)], "k bigint, rts timestamp")
+    )
+    out = band_join(
+        left, right2, on=["k"], left_ts="lts", right_ts="rts",
+        tolerance_sec=3600, how="full",
+    )
+    rows = out.collect()
+    matched = sorted(r.tag for r in rows if r.rts is not None and r.tag is not None)
+    unmatched_left = sorted(r.tag for r in rows if r.rts is None)
+    unmatched_right = [r for r in rows if r.tag is None]
+    assert matched == ["dt-3599", "dt0", "dt3599"]
+    assert unmatched_left == ["dt-3600", "dt3600", "dt3601", "otherkey"]
+    assert len(unmatched_right) == 1 and unmatched_right[0].k == 3
+    assert len(rows) == len(matched) + len(unmatched_left) + 1
+
+
+def test_right_full_band_equal_naive(spark, sf_smoke_dir):
+    """Bucketed right/full rewrites ≡ naive theta outer joins on real data."""
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("lts"), F.col("event_id").alias("l_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("rts"),
+        F.col("event_id").alias("r_id"),
+    )
+    naive_cond = (F.col("user_id") == F.col("r_user")) & (
+        F.abs(F.unix_timestamp("lts") - F.unix_timestamp("rts")) < 3600
+    )
+    for how in ("right", "full"):
+        fast = band_join(
+            views, purchases.withColumnRenamed("r_user", "user_id"),
+            on=["user_id"], left_ts="lts", right_ts="rts",
+            tolerance_sec=3600, how=how,
+        )
+        naive = views.join(purchases, naive_cond, how)
+        from collections import Counter
+
+        fast_pairs = Counter(
+            (r.l_id, r.r_id) for r in fast.select("l_id", "r_id").collect()
+        )
+        naive_pairs = Counter(
+            (r.l_id, r.r_id) for r in naive.select("l_id", "r_id").collect()
+        )
+        assert fast_pairs == naive_pairs, how
+        assert any(a is None for a, _ in fast_pairs), how  # unmatched purchases

@@ -115,3 +115,99 @@ def test_bucketed_equals_naive(spark, sf_dir):
         & (F.col("c.click_ts") < F.col("w.win_end")),
     ).select("purchase_id", "click_id")
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_right_outer_preserves_intervals(spark):
+    """how='right': windows that contain no point survive exactly once,
+    point columns null — including an interval spanning many buckets
+    (explosion must not duplicate the null-extension)."""
+    import datetime as dt
+
+    BASE = dt.datetime(2024, 1, 1, 12, 0, 0)
+    points = spark.createDataFrame(
+        [(1, BASE + dt.timedelta(seconds=30), 100)], "k bigint, pts timestamp, pid int"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, BASE, BASE + dt.timedelta(seconds=60), "hit"),
+            (1, BASE + dt.timedelta(seconds=300), BASE + dt.timedelta(seconds=3600), "miss_long"),
+            (2, BASE, BASE + dt.timedelta(seconds=60), "offkey"),
+        ],
+        "k bigint, ivs timestamp, ive timestamp, iv string",
+    )
+    out = interval_join(
+        points, intervals, on=["k"], point_ts="pts",
+        start_ts="ivs", end_ts="ive", bucket_sec=60, how="right",
+    ).collect()
+    by_iv = {}
+    for r in out:
+        by_iv.setdefault(r.iv, []).append(r)
+    assert {t: len(v) for t, v in by_iv.items()} == {
+        "hit": 1, "miss_long": 1, "offkey": 1,
+    }
+    assert by_iv["hit"][0].pid == 100
+    assert by_iv["miss_long"][0].pid is None
+    assert by_iv["offkey"][0].pid is None
+
+
+def test_full_outer_interval(spark):
+    """how='full': uncovered points AND empty windows each null-extend once;
+    matched pairs once."""
+    import datetime as dt
+
+    BASE = dt.datetime(2024, 1, 1, 12, 0, 0)
+    points = spark.createDataFrame(
+        [
+            (1, BASE + dt.timedelta(seconds=30), 100),
+            (1, BASE + dt.timedelta(seconds=7200), 101),  # covered by nothing
+        ],
+        "k bigint, pts timestamp, pid int",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, BASE, BASE + dt.timedelta(seconds=60), "hit"),
+            (1, BASE + dt.timedelta(seconds=300), BASE + dt.timedelta(seconds=600), "miss"),
+        ],
+        "k bigint, ivs timestamp, ive timestamp, iv string",
+    )
+    out = interval_join(
+        points, intervals, on=["k"], point_ts="pts",
+        start_ts="ivs", end_ts="ive", bucket_sec=60, how="full",
+    ).collect()
+    assert len(out) == 3
+    assert {(r.pid, r.iv) for r in out} == {(100, "hit"), (101, None), (None, "miss")}
+
+
+def test_right_full_equal_naive(spark, sf_smoke_dir):
+    """Rewrite ≡ literal inequality outer joins on real event data."""
+    from pyspark.sql import functions as F
+
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke_dir, "events")
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("w_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    naive_cond = (
+        (F.col("user_id") == F.col("w_user"))
+        & (F.col("click_ts") >= F.col("win_start"))
+        & (F.col("click_ts") < F.col("win_end"))
+    )
+    for how in ("right", "full"):
+        fast = interval_join(
+            clicks, windows.withColumnRenamed("w_user", "user_id"),
+            on=["user_id"], point_ts="click_ts",
+            start_ts="win_start", end_ts="win_end", bucket_sec=1800, how=how,
+        ).select("purchase_id", "click_id")
+        naive = clicks.join(windows, naive_cond, how).select("purchase_id", "click_id")
+        from collections import Counter
+
+        assert Counter(map(tuple, fast.collect())) == Counter(
+            map(tuple, naive.collect())
+        ), how

@@ -57,11 +57,26 @@ def band_join(
     when nothing matches. Catalyst still plans an equi-join on
     (keys…, bucket) with the residual as join filter — no nested loop.
 
+    `how="right"` is the mirror ("which observations never got a
+    forecast?"): left side exploded, right side single-bucket, preserved.
+    `how="full"` composes: the left-outer result UNION the never-matched
+    right rows (found with a LEFT ANTI join against the exploded left —
+    the anti's preserved side is never exploded, so no duplicate
+    null-extensions), left-only columns typed-null. All four variants are
+    equi-joins on (keys…, bucket); the outer ones carry the residual in
+    the join condition.
+
+    Key columns in the output follow Spark's name-join convention: one
+    `on` column per key, populated from whichever side the row came from
+    (coalesced for `full`).
+
     Column name collisions between left and right (other than `on`) must be
     resolved by the caller (alias/rename) — same contract as `DataFrame.join`.
     """
-    if how not in ("inner", "left"):
-        raise NotImplementedError("band_join supports how='inner' and how='left'")
+    if how not in ("inner", "left", "right", "full"):
+        raise NotImplementedError(
+            "band_join supports how in {'inner','left','right','full'}"
+        )
     tol = int(tolerance_sec)
 
     l_epoch = F.unix_timestamp(F.col(left_ts))
@@ -86,33 +101,103 @@ def band_join(
         )
         return joined.drop(_BUCKET, _LEPOCH, _REPOCH)
 
-    # left outer: single bucket on the left, exploded buckets + renamed
-    # keys on the right; equi-keys AND the residual together form the join
-    # condition, so "no qualifying right row" → one null-extended left row
-    rbucket = _BUCKET + "_r"
-    rkeys = {k: f"__band_r_{k}" for k in on}
+    if how in ("left", "full"):
+        # left outer: single bucket on the left, exploded buckets + renamed
+        # keys on the right; equi-keys AND the residual together form the join
+        # condition, so "no qualifying right row" → one null-extended left row
+        rbucket = _BUCKET + "_r"
+        rkeys = {k: f"__band_r_{k}" for k in on}
+        lefts = left.withColumn(_LEPOCH, l_epoch).withColumn(
+            _BUCKET, F.floor(F.col(_LEPOCH) / tol)
+        )
+        rights = right.withColumn(_REPOCH, r_epoch).withColumn(
+            rbucket,
+            F.explode(
+                F.array(
+                    F.floor(F.col(_REPOCH) / tol) - 1,
+                    F.floor(F.col(_REPOCH) / tol),
+                    F.floor(F.col(_REPOCH) / tol) + 1,
+                )
+            ),
+        )
+        for k, rk in rkeys.items():
+            rights = rights.withColumnRenamed(k, rk)
+        cond = (F.col(_BUCKET) == F.col(rbucket)) & (
+            F.abs(F.col(_LEPOCH) - F.col(_REPOCH)) < tol
+        )
+        for k, rk in rkeys.items():
+            cond = cond & (F.col(k) == F.col(rk))
+        joined = lefts.join(rights, cond, "left")
+        outer = joined.drop(_BUCKET, rbucket, _LEPOCH, _REPOCH, *rkeys.values())
+        if how == "left":
+            return outer
+        # full = left-outer ∪ never-matched right rows, null-extended on the
+        # left's non-key columns. The anti join's PRESERVED side is the raw
+        # (unexploded) right, so each unmatched right row survives exactly
+        # once; the probe side is the exploded left, keeping the plan an
+        # equi-join on (keys…, bucket) + residual.
+        lkeys = {k: f"__band_l_{k}" for k in on}
+        probe = left.withColumn(_LEPOCH, l_epoch).withColumn(
+            _BUCKET,
+            F.explode(
+                F.array(
+                    F.floor(F.col(_LEPOCH) / tol) - 1,
+                    F.floor(F.col(_LEPOCH) / tol),
+                    F.floor(F.col(_LEPOCH) / tol) + 1,
+                )
+            ),
+        )
+        for k, lk in lkeys.items():
+            probe = probe.withColumnRenamed(k, lk)
+        rights_plain = right.withColumn(_REPOCH, r_epoch).withColumn(
+            rbucket, F.floor(F.col(_REPOCH) / tol)
+        )
+        anti_cond = (F.col(rbucket) == F.col(_BUCKET)) & (
+            F.abs(F.col(_LEPOCH) - F.col(_REPOCH)) < tol
+        )
+        for k, lk in lkeys.items():
+            anti_cond = anti_cond & (F.col(k) == F.col(lk))
+        unmatched_r = rights_plain.join(probe, anti_cond, "left_anti").drop(
+            rbucket, _REPOCH
+        )
+        left_types = {f.name: f.dataType for f in left.schema.fields}
+        null_extended = unmatched_r.select(
+            *[
+                F.col(c)
+                if c in unmatched_r.columns  # `on` keys + right columns
+                else F.lit(None).cast(left_types[c]).alias(c)  # left-only
+                for c in outer.columns
+            ]
+        )
+        return outer.unionByName(null_extended)
+
+    # right outer: mirror of left — exploded buckets + renamed keys on the
+    # LEFT, single bucket on the preserved right; each true pair meets at
+    # the right row's own bucket, unmatched right rows null-extend once
+    lbucket = _BUCKET + "_l"
+    lkeys = {k: f"__band_l_{k}" for k in on}
     lefts = left.withColumn(_LEPOCH, l_epoch).withColumn(
-        _BUCKET, F.floor(F.col(_LEPOCH) / tol)
-    )
-    rights = right.withColumn(_REPOCH, r_epoch).withColumn(
-        rbucket,
+        lbucket,
         F.explode(
             F.array(
-                F.floor(F.col(_REPOCH) / tol) - 1,
-                F.floor(F.col(_REPOCH) / tol),
-                F.floor(F.col(_REPOCH) / tol) + 1,
+                F.floor(F.col(_LEPOCH) / tol) - 1,
+                F.floor(F.col(_LEPOCH) / tol),
+                F.floor(F.col(_LEPOCH) / tol) + 1,
             )
         ),
     )
-    for k, rk in rkeys.items():
-        rights = rights.withColumnRenamed(k, rk)
-    cond = (F.col(_BUCKET) == F.col(rbucket)) & (
+    for k, lk in lkeys.items():
+        lefts = lefts.withColumnRenamed(k, lk)
+    rights = right.withColumn(_REPOCH, r_epoch).withColumn(
+        _BUCKET, F.floor(F.col(_REPOCH) / tol)
+    )
+    cond = (F.col(lbucket) == F.col(_BUCKET)) & (
         F.abs(F.col(_LEPOCH) - F.col(_REPOCH)) < tol
     )
-    for k, rk in rkeys.items():
-        cond = cond & (F.col(k) == F.col(rk))
-    joined = lefts.join(rights, cond, "left")
-    return joined.drop(_BUCKET, rbucket, _LEPOCH, _REPOCH, *rkeys.values())
+    for k, lk in lkeys.items():
+        cond = cond & (F.col(lk) == F.col(k))
+    joined = lefts.join(rights, cond, "right")
+    return joined.drop(_BUCKET, lbucket, _LEPOCH, _REPOCH, *lkeys.values())
 
 
 def band_join_condition(

@@ -59,17 +59,35 @@ def interval_join(
     """Join each point row to the interval rows that contain it.
 
     Semantics: equi-join on `on` AND ``start_ts <= point_ts < end_ts``
-    (half-open, full timestamp precision, many-to-many). `how` is
-    ``"inner"`` or ``"left"`` (left = points preserved, interval columns
-    null when no interval contains the point).
+    (half-open, full timestamp precision, many-to-many). `how`:
+
+    * ``"inner"``  — matched (point, interval) pairs only.
+    * ``"left"``   — points preserved, interval columns null when no
+      interval contains the point.
+    * ``"right"``  — intervals preserved ("which windows saw no point?"),
+      point columns null. The exploded side can't be the preserved side of
+      an outer join (each exploded copy would null-extend independently),
+      so never-matched intervals are found by projecting the matched
+      intervals' row images out of the inner join, de-duplicating, and
+      LEFT ANTI joining the raw interval table against them with null-safe
+      equality on every interval column — identical interval rows match
+      identical point sets, so image equality is exact. Costs one extra
+      pass over the pair join; all joins remain hash/equi.
+    * ``"full"``   — the ``left`` result UNION the same never-matched
+      intervals, null-extended.
+
+    Key columns follow Spark's name-join convention: one `on` column per
+    key, populated from whichever side the row came from.
 
     `bucket_sec` is the bucketing width B of the scale rewrite (see module
     docstring) — it affects only the plan, never the result. Column name
     collisions outside `on` must be resolved by the caller, same contract
     as `DataFrame.join`.
     """
-    if how not in ("inner", "left"):
-        raise NotImplementedError("interval_join supports how='inner' and how='left'")
+    if how not in ("inner", "left", "right", "full"):
+        raise NotImplementedError(
+            "interval_join supports how in {'inner','left','right','full'}"
+        )
     b = int(bucket_sec)
     if b <= 0:
         raise ValueError("bucket_sec must be positive")
@@ -85,19 +103,50 @@ def interval_join(
         F.col(point_ts) < F.col(end_ts)
     )
 
-    if how == "inner":
+    def _inner() -> DataFrame:
         p = points.withColumn(_BUCKET, pb)
         iv = intervals.withColumn(_BUCKET, ivb)
         return p.join(iv, [*on, _BUCKET], "inner").filter(residual).drop(_BUCKET)
 
-    # left outer: keys + bucket + residual all inside the join condition so
-    # an uncovered point yields exactly one null-extended row
-    rkeys = {k: f"__iv_r_{k}" for k in on}
-    p = points.withColumn(_PBUCKET, pb)
-    iv = intervals.withColumn(_BUCKET, ivb)
-    for k, rk in rkeys.items():
-        iv = iv.withColumnRenamed(k, rk)
-    cond = (F.col(_PBUCKET) == F.col(_BUCKET)) & residual
-    for k, rk in rkeys.items():
-        cond = cond & (F.col(k) == F.col(rk))
-    return p.join(iv, cond, "left").drop(_PBUCKET, _BUCKET, *rkeys.values())
+    def _left() -> DataFrame:
+        # keys + bucket + residual all inside the join condition so an
+        # uncovered point yields exactly one null-extended row
+        rkeys = {k: f"__iv_r_{k}" for k in on}
+        p = points.withColumn(_PBUCKET, pb)
+        iv = intervals.withColumn(_BUCKET, ivb)
+        for k, rk in rkeys.items():
+            iv = iv.withColumnRenamed(k, rk)
+        cond = (F.col(_PBUCKET) == F.col(_BUCKET)) & residual
+        for k, rk in rkeys.items():
+            cond = cond & (F.col(k) == F.col(rk))
+        return p.join(iv, cond, "left").drop(_PBUCKET, _BUCKET, *rkeys.values())
+
+    if how == "inner":
+        return _inner()
+    if how == "left":
+        return _left()
+
+    # right / full: never-matched intervals via distinct matched row images
+    # + null-safe LEFT ANTI (see docstring)
+    iv_cols = intervals.columns
+    matched_images = _inner().select(*iv_cols).distinct()
+    img = matched_images
+    for c in iv_cols:
+        img = img.withColumnRenamed(c, f"__iv_m_{c}")
+    anti_cond = None
+    for c in iv_cols:
+        term = F.col(c).eqNullSafe(F.col(f"__iv_m_{c}"))
+        anti_cond = term if anti_cond is None else anti_cond & term
+    unmatched_iv = intervals.join(img, anti_cond, "left_anti")
+
+    base = _inner() if how == "right" else _left()
+    point_types = {f.name: f.dataType for f in points.schema.fields}
+    null_extended = unmatched_iv.select(
+        *[
+            F.col(c)
+            if c in unmatched_iv.columns  # `on` keys + interval columns
+            else F.lit(None).cast(point_types[c]).alias(c)  # point-only
+            for c in base.columns
+        ]
+    )
+    return base.unionByName(null_extended)

@@ -93,24 +93,65 @@ def q_band_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_sides(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return views, purchases
+
+
 def q_band_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner and left band join in one tagged relation, so a single driver
-    CORRECTNESS row covers the reference's strict-inner accuracy semantics
-    (J4, `create_views.sql:109-115`) AND the keep-unmatched outer extension —
-    both running through the bucketed rewrite in operators/band_join.py
-    (50-entry-registry consolidation, like `ann_methods`)."""
+    """The full band-join type matrix in one tagged relation, so a single
+    driver CORRECTNESS row covers the reference's strict-inner accuracy
+    semantics (J4, `create_views.sql:109-115`) AND every outer extension —
+    left ("forecasts that never verified"), right ("observations that never
+    got a forecast"), full — all running through the bucketed rewrite in
+    operators/band_join.py, differential-tested against DuckDB's LITERAL
+    inequality joins (50-entry-registry consolidation, like `ann_methods`)."""
     inner = (
         q_band_join_events(spark, sf_dir)
         .withColumn("variant", F.lit("inner"))
         .withColumn("matched", F.lit(True))
     )
     left = q_band_join_left(spark, sf_dir).withColumn("variant", F.lit("left"))
+
+    def outer_variant(how: str) -> DataFrame:
+        views, purchases = _band_sides(spark, sf_dir)
+        matched = band_join(
+            views, purchases, on=["user_id"], left_ts="view_ts",
+            right_ts="purchase_ts", tolerance_sec=3600, how=how,
+        )
+        return matched.select(
+            F.lit(how).alias("variant"),
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+            ).alias("gap_seconds"),
+            F.round("purchase_value", 2).alias("purchase_value"),
+            (
+                F.col("purchase_id").isNotNull() & F.col("view_id").isNotNull()
+            ).alias("matched"),
+        )
+
     return (
         inner.unionByName(left)
         .select(
             "variant", "user_id", "view_id", "purchase_id",
             "gap_seconds", "purchase_value", "matched",
         )
+        .unionByName(outer_variant("right"))
+        .unionByName(outer_variant("full"))
         .orderBy("variant", "user_id", "view_id", "purchase_id")
     )
 
@@ -123,8 +164,11 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     `[ts, ts+2h)`; match every same-user click inside it. The asymmetric
     generalization of the J4 band join — arbitrary-length intervals, strict
     half-open bounds — through the bucket-explode equi rewrite
-    (operators/interval_join.py). The oracle is DuckDB's LITERAL inequality
-    join, proving rewrite ≡ semantics including both boundary edges."""
+    (operators/interval_join.py). All four join types ride one tagged
+    relation (inner / left = clicks preserved / right = windows that
+    converted nothing / full); the oracle is DuckDB's LITERAL inequality
+    join per type, proving rewrite ≡ semantics including both boundary
+    edges and the outer null-extensions."""
     ev = load_table(spark, sf_dir, "events")
     windows = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -137,34 +181,58 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
     )
-    matched = interval_join(
-        clicks, windows, on=["user_id"], point_ts="click_ts",
-        start_ts="win_start", end_ts="win_end", bucket_sec=7200,
+
+    def variant(how: str) -> DataFrame:
+        matched = interval_join(
+            clicks, windows, on=["user_id"], point_ts="click_ts",
+            start_ts="win_start", end_ts="win_end", bucket_sec=7200, how=how,
+        )
+        return matched.select(
+            F.lit(how).alias("variant"),
+            "user_id",
+            "purchase_id",
+            "click_id",
+            (F.unix_timestamp("click_ts") - F.unix_timestamp("win_start")).alias(
+                "secs_into_window"
+            ),
+        )
+
+    return (
+        variant("inner")
+        .unionByName(variant("left"))
+        .unionByName(variant("right"))
+        .unionByName(variant("full"))
+        .orderBy("variant", "user_id", "purchase_id", "click_id")
     )
-    return matched.select(
-        "user_id",
-        "purchase_id",
-        "click_id",
-        (F.unix_timestamp("click_ts") - F.unix_timestamp("win_start")).alias(
-            "secs_into_window"
-        ),
-    ).orderBy("user_id", "purchase_id", "click_id")
 
 
-ORACLE_INTERVAL_JOIN = """
+_INTERVAL_ORACLE_TMPL = """
 SELECT
-    c.user_id AS user_id,
+    '{how}' AS variant,
+    {uid} AS user_id,
     p.event_id AS purchase_id,
     c.event_id AS click_id,
     CAST(FLOOR(epoch(c.ts)) AS BIGINT)
       - CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS secs_into_window
 FROM (SELECT * FROM events WHERE event_type = 'click') c
-JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+{join} JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id
  AND c.ts >= p.ts
  AND c.ts < p.ts + INTERVAL 2 HOUR
-ORDER BY user_id, purchase_id, click_id
 """
+
+ORACLE_INTERVAL_JOIN = (
+    _INTERVAL_ORACLE_TMPL.format(how="inner", uid="c.user_id", join="")
+    + " UNION ALL "
+    + _INTERVAL_ORACLE_TMPL.format(how="left", uid="c.user_id", join="LEFT")
+    + " UNION ALL "
+    + _INTERVAL_ORACLE_TMPL.format(how="right", uid="p.user_id", join="RIGHT")
+    + " UNION ALL "
+    + _INTERVAL_ORACLE_TMPL.format(
+        how="full", uid="COALESCE(c.user_id, p.user_id)", join="FULL"
+    )
+    + " ORDER BY variant, user_id, purchase_id, click_id"
+)
 
 
 ORACLE_BAND_JOIN_LEFT = """
@@ -603,6 +671,36 @@ ORDER BY method, user_id, session_seq
 """
 
 
+ORACLE_BAND_JOIN_RIGHT = """
+SELECT
+    p.user_id AS user_id,
+    v.event_id AS view_id,
+    p.event_id AS purchase_id,
+    CAST(FLOOR(epoch(p.ts)) AS BIGINT) - CAST(FLOOR(epoch(v.ts)) AS BIGINT) AS gap_seconds,
+    ROUND(p.value, 2) AS purchase_value,
+    p.event_id IS NOT NULL AND v.event_id IS NOT NULL AS matched
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+RIGHT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND ABS(CAST(FLOOR(epoch(v.ts)) AS BIGINT) - CAST(FLOOR(epoch(p.ts)) AS BIGINT)) < 3600
+"""
+
+
+ORACLE_BAND_JOIN_FULL = """
+SELECT
+    COALESCE(v.user_id, p.user_id) AS user_id,
+    v.event_id AS view_id,
+    p.event_id AS purchase_id,
+    CAST(FLOOR(epoch(p.ts)) AS BIGINT) - CAST(FLOOR(epoch(v.ts)) AS BIGINT) AS gap_seconds,
+    ROUND(p.value, 2) AS purchase_value,
+    p.event_id IS NOT NULL AND v.event_id IS NOT NULL AS matched
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND ABS(CAST(FLOOR(epoch(v.ts)) AS BIGINT) - CAST(FLOOR(epoch(p.ts)) AS BIGINT)) < 3600
+"""
+
+
 ORACLE_BAND_JOINS = f"""
 SELECT 'inner' AS variant, user_id, view_id, purchase_id,
        gap_seconds, purchase_value, TRUE AS matched
@@ -611,6 +709,14 @@ UNION ALL
 SELECT 'left' AS variant, user_id, view_id, purchase_id,
        gap_seconds, purchase_value, matched
 FROM ({ORACLE_BAND_JOIN_LEFT})
+UNION ALL
+SELECT 'right' AS variant, user_id, view_id, purchase_id,
+       gap_seconds, purchase_value, matched
+FROM ({ORACLE_BAND_JOIN_RIGHT})
+UNION ALL
+SELECT 'full' AS variant, user_id, view_id, purchase_id,
+       gap_seconds, purchase_value, matched
+FROM ({ORACLE_BAND_JOIN_FULL})
 ORDER BY variant, user_id, view_id, purchase_id
 """
 
