@@ -49,3 +49,18 @@ def test_merge_pair_leftmost_greedy_nonoverlapping(spark):
     syms = merge_pair(word_symbols(df, "doc_id", "text"), "a", "a")
     got = syms.collect()[0].syms
     assert got == ["aa", "a", SEP]
+
+
+def test_merge_pair_escapes_backslash_and_quote(spark):
+    """Symbols containing backslashes or quotes must splice into the merge
+    expression as valid SQL literals (ADVICE: escape backslashes BEFORE
+    quotes)."""
+    from weather_data_warehouse_aws_spark.operators.bpe import merge_pair
+
+    df = spark.createDataFrame(
+        [("w1", 1, ["\\", "'", "x"]), ("w2", 1, ["'", "\\", "x"])],
+        "word string, n long, syms array<string>",
+    )
+    out = {r.word: r.syms for r in merge_pair(df, "\\", "'").collect()}
+    assert out["w1"] == ["\\'", "x"]  # adjacent (\, ') merged
+    assert out["w2"] == ["'", "\\", "x"]  # reversed order untouched

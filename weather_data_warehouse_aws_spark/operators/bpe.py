@@ -56,7 +56,10 @@ def pair_counts(symbols: DataFrame) -> DataFrame:
 def merge_pair(symbols: DataFrame, a: str, b: str) -> DataFrame:
     """Replace every adjacent (a, b) with the merged symbol — a leftmost-
     greedy fold over each word's symbol array, pure HOF (no Python)."""
-    a_l, b_l = a.replace("'", "\\'"), b.replace("'", "\\'")
+    # backslashes must be escaped BEFORE quotes, or a symbol containing a
+    # backslash splices a malformed SQL string literal into the expression
+    esc = lambda s: s.replace("\\", "\\\\").replace("'", "\\'")  # noqa: E731
+    a_l, b_l = esc(a), esc(b)
     merged = f"'{a_l}' || '{b_l}'"
     return symbols.withColumn(
         "syms",
@@ -82,11 +85,22 @@ def bpe_train(
     text_col: str,
     *,
     n_merges: int = 10,
+    vocab_partitions: int | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn `n_merges` BPE merges. Returns (merge table [(a, b, count)...],
     final symbolized vocabulary). Ties on count break lexicographically on
-    (a, b) so training is deterministic under any partitioning."""
+    (a, b) so training is deterministic under any partitioning.
+
+    `vocab_partitions` bounds the partition count of the word-frequency
+    table the merge loop iterates over. The word-level compression makes
+    that table orders of magnitude smaller than the corpus (a 100 TB corpus
+    has a ~10⁷-row vocabulary), so after the one corpus-sized groupBy the
+    loop's 2·n_merges micro-jobs should run on vocabulary-sized
+    parallelism — leaving it at the corpus's shuffle partitioning makes
+    every iteration pay full scheduling fan-out for near-empty tasks."""
     syms = word_symbols(df, id_col, text_col)
+    if vocab_partitions is not None:
+        syms = syms.coalesce(int(vocab_partitions))
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         top = (

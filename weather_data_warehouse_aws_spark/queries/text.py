@@ -138,30 +138,137 @@ FROM scored
 # ---------------------------------------------------------------------------
 # q_token_topk — explode + global token frequencies (X1 on documents)
 # ---------------------------------------------------------------------------
+BPE_MERGES = 4
+BPE_SAMPLE_MOD = 10  # doc_id % 10 == 0 → 10% training subset, SF-stable
+
+
 def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 tokens by frequency (count desc, token asc — total order, so
-    LIMIT is deterministic). Explode → partial-agg'd count: one shuffle of
-    (token, count) pairs, never raw text."""
+    """Three tagged branches under one driver row (50-entry consolidation):
+
+    * ``topk``      — top-20 tokens by frequency (count desc, token asc —
+                      total order, so LIMIT is deterministic). Explode →
+                      partial-agg'd count: one shuffle of (token, count)
+                      pairs, never raw text.
+    * ``bpe_merge`` — the learned BPE merge table (operators/bpe.py
+                      ``bpe_train``, 4 merges on a deterministic 10% doc
+                      subset): merge selection is count-desc with
+                      lexicographic (a, b) tie-break, so the table is
+                      SQL-replicable — the oracle unrolls the same 4
+                      count→argmax→rewrite iterations in DuckDB, with the
+                      leftmost-greedy merge fold as a recursive CTE.
+    * ``bpe_vocab`` — top-20 weighted symbol census of the vocabulary
+                      AFTER the merges, pinning the merge APPLICATION (the
+                      Spark HOF fold ≡ the recursive-CTE fold) under the
+                      hash gate, not just the selections.
+    """
+    from ..operators.bpe import bpe_train
+
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    topk = (
         docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "token")
         .limit(20)
+        .select(F.lit("topk").alias("variant"), "token", "n")
+    )
+    sub = docs.filter(F.col("doc_id") % BPE_SAMPLE_MOD == 0)
+    merges, syms = bpe_train(
+        sub, "doc_id", "text", n_merges=BPE_MERGES, vocab_partitions=4
+    )
+    merge_df = spark.createDataFrame(
+        [(f"step{i}:{a}+{b}", int(n)) for i, (a, b, n) in enumerate(merges, 1)],
+        "token string, n long",
+    ).select(F.lit("bpe_merge").alias("variant"), "token", "n")
+    vocab = (
+        syms.select("n", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("n").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+        .select(F.lit("bpe_vocab").alias("variant"), "token", "n")
+    )
+    return (
+        topk.unionByName(merge_df)
+        .unionByName(vocab)
+        .orderBy("variant", F.col("n").desc(), "token")
     )
 
 
-ORACLE_TOKEN_TOPK = r"""
-SELECT token, COUNT(*) AS n
-FROM (
-    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-    FROM documents
+def _oracle_token_topk() -> str:
+    """DuckDB replication of the 4-merge BPE training loop: per merge m,
+    pair counts (p{m}) → deterministic argmax (t{m}) → leftmost-greedy
+    merge fold as a recursive CTE over each word's symbol list (f{m})."""
+    from ..operators.bpe import SEP
+
+    parts = [
+        r"""WITH RECURSIVE
+w AS (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+    FROM documents WHERE doc_id % {mod} = 0
+),
+vocab AS MATERIALIZED (SELECT word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY word),
+v0 AS MATERIALIZED (
+    SELECT word, n,
+           list_append([word[i] FOR i IN range(1, length(word) + 1)], '{sep}') AS syms
+    FROM vocab
+)""".format(mod=BPE_SAMPLE_MOD, sep=SEP)
+    ]
+    for m in range(1, BPE_MERGES + 1):
+        parts.append(
+            f""",
+p{m} AS MATERIALIZED (
+    SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(n) AS BIGINT) AS n_pairs
+    FROM v{m - 1}, UNNEST(range(1, len(syms))) AS t(i)
+    GROUP BY 1, 2
+),
+t{m} AS MATERIALIZED (
+    SELECT a, b, n_pairs FROM p{m} ORDER BY n_pairs DESC, a, b LIMIT 1
+),
+f{m} AS (
+    SELECT word, n, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM v{m - 1}
+    UNION ALL
+    SELECT word, n, syms, i + 1,
+        CASE WHEN len(acc) > 0
+                  AND acc[-1] = (SELECT a FROM t{m})
+                  AND syms[i] = (SELECT b FROM t{m})
+             THEN list_append(acc[1:len(acc) - 1], (SELECT a || b FROM t{m}))
+             ELSE list_append(acc, syms[i]) END
+    FROM f{m} WHERE i <= len(syms)
+),
+v{m} AS MATERIALIZED (SELECT word, n, acc AS syms FROM f{m} WHERE i = len(syms) + 1)"""
+        )
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT 'bpe_merge' AS variant, 'step{m}:' || a || '+' || b AS token, "
+        f"n_pairs AS n FROM t{m}"
+        for m in range(1, BPE_MERGES + 1)
+    )
+    parts.append(
+        rf"""
+SELECT * FROM (
+    SELECT 'topk' AS variant, token, n FROM (
+        SELECT token, COUNT(*) AS n
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents
+        )
+        GROUP BY token ORDER BY n DESC, token LIMIT 20
+    )
+    UNION ALL
+    {merge_rows}
+    UNION ALL
+    SELECT 'bpe_vocab' AS variant, token, n FROM (
+        SELECT sym AS token, CAST(SUM(n) AS BIGINT) AS n
+        FROM v{BPE_MERGES}, UNNEST(syms) AS u(sym)
+        GROUP BY sym ORDER BY n DESC, token LIMIT 20
+    )
 )
-GROUP BY token
-ORDER BY n DESC, token
-LIMIT 20
-"""
+ORDER BY variant, n DESC, token"""
+    )
+    return "".join(parts)
+
+
+ORACLE_TOKEN_TOPK = _oracle_token_topk()
 
 
 # ---------------------------------------------------------------------------
