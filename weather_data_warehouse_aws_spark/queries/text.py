@@ -328,7 +328,11 @@ def _mk_txt(d):
 
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document: quality metrics (length/token/punct/stopword +
-    composite score), marker-vocabulary lang-id, normalization fingerprint,
+    composite score), TRAINED hashed-feature lang-id (operators/langid.py —
+    char-bigram features hashed into integer micro-weight buckets, learned
+    from the labeled 80% train split `doc_id % 5 != 0`, scored with exact
+    integer sums; the old marker-vocabulary argmax stays as
+    `predicted_lang_marker` for comparison), normalization fingerprint,
     Gopher-style repetition fractions, SimHash, and PII scrubbing.
 
     The corpus has no natural PII, so — like the dedup planting — PII is
@@ -406,7 +410,19 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for other in langs[i + 1 :]:
             cond = cond & (F.col(f"s_{lg}") >= F.col(f"s_{other}"))
         pred = F.when(cond, lg) if pred is None else pred.when(cond, lg)
-    per_row = per_row.withColumn("predicted_lang", pred.otherwise(langs[-1]))
+    per_row = per_row.withColumn("predicted_lang_marker", pred.otherwise(langs[-1]))
+
+    # aggregate branch 0: trained hashed-feature lang-id — weights learned
+    # on the 80% split, every doc scored; the weight relation is KB-sized
+    # and broadcast, so this adds one explode + groupBy(doc_id) pass
+    from ..operators.langid import lang_scores, lang_train
+
+    wts = lang_train(
+        docs.filter(F.col("doc_id") % 5 != 0), "doc_id", "text", "lang", langs
+    )
+    clf = lang_scores(docs, "doc_id", "text", wts, langs).select(
+        "doc_id", F.col("predicted_lang").alias("predicted_lang")
+    )
 
     # aggregate branch 1: most-frequent-bigram count (explode → two-level agg)
     spread = docs.select("doc_id", "text").repartition(
@@ -429,6 +445,7 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_row.join(top_bigram, "doc_id")
         .join(sh, "doc_id")
+        .join(clf, "doc_id")
         .select(
             "doc_id",
             "lang",
@@ -442,6 +459,8 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_score",
             "predicted_lang",
             (F.col("predicted_lang") == F.col("lang")).alias("is_match"),
+            "predicted_lang_marker",
+            (F.col("predicted_lang_marker") == F.col("lang")).alias("marker_match"),
             "fp",
             "was_normal_form",
             F.round(
@@ -492,8 +511,55 @@ def _oracle_doc_profile() -> str:
         f"list_transform(generate_series(1, greatest(len({toks}) - 1, 1)), "
         f"i -> array_to_string(list_slice({toks}, i, i + 1), ' '))"
     )
+    # trained hashed-feature lang-id (operators/langid.py) replicated:
+    # char-bigram buckets → (label, bucket) counts on the 80% split →
+    # integer micro-weights → per-doc exact integer scores → argmax
+    from ..operators.langid import LANGID_SCALE, char_bigram_buckets_sql
+
+    grams, bucket = char_bigram_buckets_sql("text")
+    w_cols = ",\n        ".join(
+        f"COALESCE(MAX(CASE WHEN lbl = '{lg}' THEN w END), 0) AS w_{lg}"
+        for lg in langs
+    )
+    s_cols = ",\n        ".join(
+        f"CAST(SUM(COALESCE(w_{lg}, 0)) AS BIGINT) AS score_{lg}" for lg in langs
+    )
+    clf_branches = []
+    for i, lg in enumerate(langs):
+        conds = [f"score_{lg} >= score_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        clf_branches.append(f"WHEN {cond} THEN '{lg}'")
+    clf_case = (
+        "CASE " + " ".join(clf_branches[:-1]) + f" ELSE '{langs[-1]}' END"
+    )
     return f"""
-WITH per_row AS (
+WITH feats AS MATERIALIZED (
+    SELECT doc_id, {bucket} AS bucket
+    FROM documents, UNNEST({grams}) AS u(g)
+),
+tf AS MATERIALIZED (
+    SELECT f.bucket, d.lang AS lbl
+    FROM feats f JOIN documents d USING (doc_id)
+    WHERE doc_id % 5 <> 0
+),
+cnts AS (SELECT lbl, bucket, COUNT(*) AS c FROM tf GROUP BY 1, 2),
+tots AS (SELECT lbl, COUNT(*) AS tot FROM tf GROUP BY 1),
+wt AS MATERIALIZED (
+    SELECT bucket,
+        {w_cols}
+    FROM (
+        SELECT lbl, bucket, (c * {LANGID_SCALE}) // tot AS w
+        FROM cnts JOIN tots USING (lbl)
+    )
+    GROUP BY bucket
+),
+clf AS MATERIALIZED (
+    SELECT f.doc_id,
+        {s_cols}
+    FROM feats f LEFT JOIN wt USING (bucket)
+    GROUP BY f.doc_id
+),
+per_row AS (
     SELECT doc_id, lang,
         CAST(length(text) AS INT) AS n_chars,
         {n_tok} AS n_tokens,
@@ -527,8 +593,10 @@ sh AS ({_oracle_simhash()})
 SELECT p.doc_id AS doc_id, p.lang AS lang, n_chars, n_tokens, n_pretokens,
        n_punct,
        n_stopwords, avg_token_len, stopword_ratio, quality_score,
-       {case} AS predicted_lang,
-       ({case}) = p.lang AS is_match,
+       {clf_case} AS predicted_lang,
+       ({clf_case}) = p.lang AS is_match,
+       {case} AS predicted_lang_marker,
+       ({case}) = p.lang AS marker_match,
        fp, was_normal_form,
        ROUND(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 6) AS repeated_token_frac,
        ROUND(t.top_bg / CAST(n_tokens - 1 AS DOUBLE), 6) AS top_bigram_frac,
@@ -537,6 +605,7 @@ SELECT p.doc_id AS doc_id, p.lang AS lang, n_chars, n_tokens, n_pretokens,
 FROM per_row p
 JOIN top_bg t ON p.doc_id = t.doc_id
 JOIN sh ON p.doc_id = sh.doc_id
+JOIN clf ON p.doc_id = clf.doc_id
 ORDER BY doc_id
 """
 
