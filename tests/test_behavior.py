@@ -69,3 +69,32 @@ def test_cohort_retention_triangle(spark):
     assert got[(w1, 1)] == (1, 2, 0.5)
     assert got[(w2, 0)] == (1, 1, 1.0)
     assert all(r[2] <= 1.0 for r in got.values())
+
+
+def test_cohort_retention_month_grain_and_grain_validation(spark):
+    """Month grain must produce calendar-month offsets (Jan->Mar = 2 even
+    across 28/31-day months), and unknown grains raise instead of silently
+    producing day-count offsets."""
+    import datetime as dt
+
+    import pytest
+
+    from weather_data_warehouse_aws_spark.operators.behavior import cohort_retention
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 15)),
+            (1, dt.datetime(2024, 2, 1)),
+            (1, dt.datetime(2024, 3, 28)),
+            (2, dt.datetime(2024, 1, 2)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    rows = {
+        (r.cohort_start.month, r.offset): r.n_active
+        for r in cohort_retention(ev, grain="month").collect()
+    }
+    assert rows == {(1, 0): 2, (1, 1): 1, (1, 2): 1}
+
+    with pytest.raises(ValueError, match="grain"):
+        cohort_retention(ev, grain="quarter")

@@ -155,3 +155,27 @@ def test_write_zorder_narrows_ranges_on_both_dimensions(spark, sf_dir, tmp_path_
         spark.read.parquet(zdir).orderBy("event_id").collect()
         == ev.orderBy("event_id").collect()
     )
+
+
+def test_zorder_key_temporal_and_unsupported_types(spark):
+    """Timestamp/date columns cluster via epoch conversion; strings raise a
+    descriptive TypeError up front (not a float() crash mid-plan)."""
+    import datetime as dt
+
+    import pytest
+
+    from weather_data_warehouse_aws_spark.operators.maintenance import zorder_key
+
+    df = spark.createDataFrame(
+        [
+            (1.0, dt.datetime(2024, 1, 1), dt.date(2024, 1, 1), "a"),
+            (9.0, dt.datetime(2024, 6, 1), dt.date(2024, 6, 1), "b"),
+        ],
+        "x double, ts timestamp, d date, s string",
+    )
+    out, key = zorder_key(df, ["x", "ts", "d"], bits=4)
+    zs = [r[key] for r in out.collect()]
+    assert len(set(zs)) == 2 and all(z >= 0 for z in zs)
+
+    with pytest.raises(TypeError, match="unsupported type"):
+        zorder_key(df, ["x", "s"])

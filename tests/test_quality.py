@@ -203,3 +203,24 @@ def test_derived_range_rules_catch_planted_outlier(spark, sf_dir):
     _, q2, _ = validate(li.unionByName(planted), rules)
     tags = {tuple(sorted(r.dq_violations)) for r in q2.collect() if r.l_quantity == 1e12}
     assert tags == {("in_range_l_extendedprice", "in_range_l_quantity")}
+
+
+def test_derived_range_rules_all_null_column(spark):
+    """An all-null column yields no bounds: skipped by default, descriptive
+    error on demand — never an IndexError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from weather_data_warehouse_aws_spark.operators.quality import (
+        derived_range_rules,
+    )
+
+    df = spark.range(10).select(
+        F.col("id").cast("double").alias("ok"),
+        F.lit(None).cast("double").alias("dead"),
+    )
+    rules = derived_range_rules(df, ["ok", "dead"])
+    assert [r.name for r in rules] == ["in_range_ok"]
+
+    with pytest.raises(ValueError, match="dead"):
+        derived_range_rules(df, ["ok", "dead"], on_all_null="raise")

@@ -183,3 +183,26 @@ def test_leakage_safe_split_keeps_near_dups_together(spark, sf_dir):
     for r in out.collect():
         if r.doc_id not in dup_ids:
             assert r.split == plain[r.doc_id]
+
+
+def test_weighted_sample_rejects_fractional_and_negative_weights(spark):
+    """The integer-weight contract is enforced in-plan: fractional weights
+    (which would silently truncate 0.7 -> 0) and negative weights raise at
+    action time."""
+    import pytest
+
+    from weather_data_warehouse_aws_spark.operators.sampling import weighted_sample
+
+    frac = spark.createDataFrame(
+        [(1, 0.7), (2, 2.0)], "doc_id long, w double"
+    )
+    with pytest.raises(Exception, match="non-negative integers"):
+        weighted_sample(frac, "doc_id", "w", 1).collect()
+
+    neg = spark.createDataFrame([(1, -3.0), (2, 2.0)], "doc_id long, w double")
+    with pytest.raises(Exception, match="non-negative integers"):
+        weighted_sample(neg, "doc_id", "w", 1).collect()
+
+    # integer-valued doubles are fine (2.0 == floor(2.0))
+    ok = spark.createDataFrame([(1, 1.0), (2, 2.0)], "doc_id long, w double")
+    assert weighted_sample(ok, "doc_id", "w", 1).count() == 1

@@ -74,20 +74,38 @@ def cohort_retention(
     FIRST event; a user is retained at offset k if active in cohort+k.
     Returns (cohort_start, offset, n_active, cohort_size, retention) with
     retention floor-quantized to 4dp. offset 0 is the cohort size by
-    construction (every user is active in their first period)."""
+    construction (every user is active in their first period).
+
+    `grain` ∈ {'day', 'week', 'month'} — anything else raises (date_trunc
+    would happily accept e.g. 'quarter' while the day-based offset silently
+    produced day counts instead of period offsets). Month offsets use
+    calendar month arithmetic, not day division."""
+    if grain not in ("day", "week", "month"):
+        raise ValueError(
+            f"cohort_retention: unsupported grain {grain!r} "
+            "(use 'day', 'week', or 'month')"
+        )
     firsts = events.groupBy(user_col).agg(
         F.date_trunc(grain, F.min(ts_col)).alias("cohort_start")
     )
     active = events.select(
         user_col, F.date_trunc(grain, F.col(ts_col)).alias("__p")
     ).distinct()
+    if grain == "month":
+        # both sides are month-truncated, so the calendar month delta is an
+        # exact integer — no day counting across unequal month lengths
+        offset = (
+            (F.year("__p") - F.year("cohort_start")) * 12
+            + (F.month("__p") - F.month("cohort_start"))
+        ).cast("int")
+    else:
+        offset = (
+            F.datediff(F.col("__p"), F.col("cohort_start"))
+            / (7 if grain == "week" else 1)
+        ).cast("int")
     per = (
         active.join(firsts, user_col)
-        .select(
-            "cohort_start",
-            (F.datediff(F.col("__p"), F.col("cohort_start"))
-             / (7 if grain == "week" else 1)).cast("int").alias("offset"),
-        )
+        .select("cohort_start", offset.alias("offset"))
         .groupBy("cohort_start", "offset")
         .agg(F.count("*").alias("n_active"))
     )

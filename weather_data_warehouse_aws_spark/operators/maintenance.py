@@ -163,18 +163,44 @@ def zorder_key(df, cols: list[str], *, bits: int = 8):
     z = Σ_j Σ_b bit_b(bucket_j) << (b·|cols| + j), so nearby values in ANY
     of the columns land in nearby z — the property that makes per-file
     min/max stats narrow in every dimension at once. Nulls bucket to 0.
+
+    Column types: numeric columns bucket directly; date/timestamp columns
+    are converted to epoch numbers (days / seconds) before bucketing; any
+    other type raises a descriptive TypeError up front rather than a
+    confusing float() failure mid-plan.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import DateType, NumericType, TimestampType
 
+    num_expr: dict[str, str] = {}
+    for c in cols:
+        dtype = df.schema[c].dataType
+        if isinstance(dtype, NumericType):
+            num_expr[c] = f"CAST({c} AS DOUBLE)"
+        elif isinstance(dtype, TimestampType):
+            num_expr[c] = f"CAST(unix_timestamp({c}) AS DOUBLE)"
+        elif isinstance(dtype, DateType):
+            num_expr[c] = f"CAST(datediff({c}, DATE'1970-01-01') AS DOUBLE)"
+        else:
+            raise TypeError(
+                f"zorder_key: column {c!r} has unsupported type "
+                f"{dtype.simpleString()} — z-order clustering needs a numeric "
+                "or temporal axis (strings have no equal-width binning)"
+            )
+
+    # bounds are computed on the SAME numeric projection the bucketing
+    # expression uses, so temporal columns never round-trip through Python
+    # datetime (whose local-timezone interpretation could shift them)
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        e = F.expr(num_expr[c])
+        aggs += [F.min(e).alias(f"__min_{c}"), F.max(e).alias(f"__max_{c}")]
     bounds = df.agg(*aggs).first()  # scalar-only driver fetch (tiny)
     n_bins = 1 << bits
     z = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         lo, hi = bounds[f"__min_{c}"], bounds[f"__max_{c}"]
-        if lo is None or hi is None or float(hi) == float(lo):
+        if lo is None or hi is None or hi == lo:
             continue  # constant/all-null column contributes no bits
         bucket = (
             F.least(
@@ -182,8 +208,8 @@ def zorder_key(df, cols: list[str], *, bits: int = 8):
                 F.greatest(
                     F.lit(0),
                     F.expr(
-                        f"CAST(width_bucket(CAST({c} AS DOUBLE), {float(lo)}D, "
-                        f"{float(hi)}D, {n_bins}) AS INT) - 1"
+                        f"CAST(width_bucket({num_expr[c]}, {lo}D, "
+                        f"{hi}D, {n_bins}) AS INT) - 1"
                     ),
                 ),
             )

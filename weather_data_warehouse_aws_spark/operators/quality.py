@@ -182,6 +182,7 @@ def derived_range_rules(
     lo_q: float = 0.005,
     hi_q: float = 0.995,
     relative_error: float = 0.001,
+    on_all_null: str = "skip",
 ) -> list[Rule]:
     """Bootstrap `in_range` rules from the data's own distribution: one
     `approxQuantile` pass (Greenwald-Khanna sketch, mergeable across
@@ -189,6 +190,18 @@ def derived_range_rules(
     driver) yields [lo_q, hi_q] bounds per column. The standard way
     production DQ gets seeded when nobody has written physical bounds yet:
     derive from a trusted baseline load, review, then pin the literals.
-    Compose straight into `validate`/`repair`."""
+    Compose straight into `validate`/`repair`.
+
+    Columns with NO non-null values return an empty quantile list — those
+    are skipped by default (`on_all_null='skip'`: no rule is derivable from
+    zero observations); pass `on_all_null='raise'` to fail fast instead."""
+    if on_all_null not in ("skip", "raise"):
+        raise ValueError("on_all_null must be 'skip' or 'raise'")
     bounds = df.stat.approxQuantile(cols, [lo_q, hi_q], relative_error)
-    return [in_range(c, b[0], b[1]) for c, b in zip(cols, bounds)]
+    empty = [c for c, b in zip(cols, bounds) if len(b) < 2]
+    if empty and on_all_null == "raise":
+        raise ValueError(
+            f"derived_range_rules: no non-null values to derive bounds from "
+            f"in column(s) {empty}"
+        )
+    return [in_range(c, b[0], b[1]) for c, b in zip(cols, bounds) if len(b) == 2]

@@ -110,7 +110,24 @@ def weighted_sample(
     `stratified_sample`): p ≥ w_min·2B/(2h+1) bounds which h can win, so
     `h < threshold` keeps a k-proportional superset.
     """
-    w_int = F.col(weight_col).cast("long")
+    # weight contract: non-negative integers (the integer-exactness claim
+    # depends on it — fractional weights would otherwise truncate, 0.7 → 0
+    # silently excluding the row, and negatives invert priorities). The
+    # guard is folded into the plan (raise_error at action time), zero
+    # extra passes.
+    w_raw = F.col(weight_col)
+    w_int = F.when(
+        (w_raw < 0) | (w_raw != F.floor(w_raw)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_sample: weight column {weight_col!r} must hold "
+                    "non-negative integers, got "
+                ),
+                w_raw.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(w_raw.cast("long"))
     h = hash_bucket(F.col(id_col), salt)
     priority = (w_int * (2 * BUCKETS)).cast("double") / (2 * h + 1).cast("double")
     parts = [group_col] if group_col else []
