@@ -119,6 +119,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
     max_doc_freq: int | None = 10_000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs (a < b) with exact shingle-set Jaccard ≥ threshold.
 
@@ -128,8 +129,13 @@ def ngram_jaccard_pairs(
     from per-doc set sizes over the SAME capped shingle set, so Jaccard
     stays a consistent ratio of exact integers and hashes identically
     across engines. Pass ``max_doc_freq=None`` to disable the cap.
+
+    ``shingles``: an optional precomputed (doc_id, sh) relation (the
+    `shingle_table` shape, distinct shingles per doc) — callers running
+    several strategies over ONE corpus persist the shingle pass once and
+    hand it to each, so the explode+hash scan isn't repeated per strategy.
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
     if max_doc_freq is not None:
         sh = cap_hot_shingles(sh, max_doc_freq)
     # the capped shingle table feeds three consumers (sizes + both join
@@ -162,15 +168,16 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------------ MinHash + LSH
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, *, k: int = 16, shingle_n: int = 3,
-    seed: int = 42,
+    seed: int = 42, shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k-column MinHash signature per doc: mh_i = min over shingles of
     (a_i * h(shingle) + b_i) mod P, 31-bit arithmetic (overflow-safe in both
-    engines). One explode + one groupBy — linear, no pairwise work."""
+    engines). One explode + one groupBy — linear, no pairwise work.
+    ``shingles``: optional precomputed (doc_id, sh) relation (see
+    ngram_jaccard_pairs) to avoid re-running the shingle scan."""
     consts = minhash_constants(k, seed)
-    sh = shingle_table(df, id_col, text_col, shingle_n).withColumn(
-        "base", F.col("sh") % MINHASH_P
-    )
+    base = shingles if shingles is not None else shingle_table(df, id_col, text_col, shingle_n)
+    sh = base.withColumn("base", F.col("sh") % MINHASH_P)
     aggs = [
         F.min((F.lit(a) * F.col("base") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(consts)
@@ -221,6 +228,7 @@ def score_candidate_pairs(
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str, *, k: int = 16, bands: int = 4,
     shingle_n: int = 3, threshold: float = 0.5, seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs + estimated Jaccard (signature agreement rate).
 
@@ -234,7 +242,9 @@ def minhash_lsh_pairs(
         raise ValueError("k must be divisible by bands")
     # signatures feed the band explode + 2 joins for the agreement scorer —
     # persist or the shingle scan + k min-aggs re-run for each consumer
-    sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed).persist()
+    sig = minhash_signatures(
+        df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed, shingles=shingles
+    ).persist()
     banded = band_table(sig, k=k, bands=bands)
     lhs = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
     rhs = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key")
@@ -258,6 +268,7 @@ def incremental_minhash_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    batch_shingles: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental corpus dedup: pairs TOUCHING the new batch, plus the
     updated signature store. Returns `(pairs, new_store)`.
@@ -280,7 +291,8 @@ def incremental_minhash_pairs(
     if k % bands:
         raise ValueError("k must be divisible by bands")
     sig_new = minhash_signatures(
-        batch, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed
+        batch, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed,
+        shingles=batch_shingles,
     ).persist()
     banded_new = band_table(sig_new, k=k, bands=bands)
 

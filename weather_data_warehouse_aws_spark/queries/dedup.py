@@ -109,7 +109,9 @@ ORDER BY keep_id, dup_id
 # ---------------------------------------------------------------------------
 # q_ngram_jaccard
 # ---------------------------------------------------------------------------
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
     """Exact shingle-set Jaccard ≥ 0.6 over candidate pairs sharing ≥1
     shingle (hot shingles capped at df ≤ 50 before the self-join). Recovers
     both planted exact pairs (j=1.0) and trailer near-dups (j≈0.8-0.9)."""
@@ -120,6 +122,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=SHINGLE_N,
         threshold=0.6,
         max_doc_freq=MAX_SHINGLE_DF,
+        shingles=shingles,
     ).orderBy("id_a", "id_b")
 
 
@@ -157,7 +160,9 @@ ORDER BY id_a, id_b
 _K, _BANDS = 16, 4
 
 
-def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_lsh(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
     """MinHash(16)+LSH(4 bands × 4 rows) candidates with estimated Jaccard
     ≥ 0.5 — the linear-time scale path for near-dup detection."""
     return minhash_lsh_pairs(
@@ -168,6 +173,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         shingle_n=SHINGLE_N,
         threshold=0.5,
+        shingles=shingles,
     ).orderBy("id_a", "id_b")
 
 
@@ -296,6 +302,10 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_id", "eval_id")
         .persist()  # reused: bloom build (count + bitmap) and the join probe
     )
+    # persisted: cap_hot_shingles consumes this twice (doc-frequency groupBy
+    # + the anti-join's probe side) — without the cache the full train-side
+    # explode+hash+bloom scan, the dominant linear cost here, runs twice.
+    # Post-prune rows number ~|eval ∩ train| + FPs, so the cache is small.
     pruned = bloom_prune(
         shingle_table(train, "doc_id", "text", SHINGLE_N).withColumnRenamed(
             "doc_id", "train_id"
@@ -304,7 +314,7 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         eval_sh,
         "sh",
         fpr=0.01,
-    )
+    ).persist()
     # hot-shingle cap on the big (train) side: a corpus-wide stop-shingle
     # would otherwise multiply the contamination join by its doc-frequency;
     # stop-shingles are also not contamination evidence
@@ -387,17 +397,28 @@ def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram, signature-agreement estimate for minhash, and the distinct
     shared-segment count for segment (Lee et al. 2021's exact-substring
     family at fixed 20-token-segment granularity)."""
+    # ONE shingle pass serves the ngram, minhash, and incremental branches:
+    # the (doc_id, sh) relation is persisted and handed to each strategy, so
+    # the explode+hash scan of the corpus — the dominant linear cost — runs
+    # once instead of once per strategy (the incremental branches reuse it
+    # via doc_id-range filters, which is exactly how a production ingest
+    # would slice a shared shingle store by batch)
+    from ..operators.dedup import shingle_table
+
+    corpus = planted_documents(spark, sf_dir)
+    sh_all = shingle_table(corpus, "doc_id", "text", SHINGLE_N).persist()
+
     exact = q_exact_dedup(spark, sf_dir).select(
         F.lit("exact").alias("method"),
         F.col("keep_id").alias("id_a"),
         F.col("dup_id").alias("id_b"),
         F.lit(1.0).alias("score"),
     )
-    ngram = q_ngram_jaccard(spark, sf_dir).select(
+    ngram = q_ngram_jaccard(spark, sf_dir, shingles=sh_all).select(
         F.lit("ngram").alias("method"), "id_a", "id_b",
         F.col("jaccard").alias("score"),
     )
-    minhash = q_minhash_lsh(spark, sf_dir).select(
+    minhash = q_minhash_lsh(spark, sf_dir, shingles=sh_all).select(
         F.lit("minhash").alias("method"), "id_a", "id_b",
         F.col("est_jaccard").alias("score"),
     )
@@ -406,16 +427,17 @@ def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # touching the new batch (id_b ≥ 1M, since id_a < id_b)
     from ..operators.dedup import incremental_minhash_pairs
 
-    corpus = planted_documents(spark, sf_dir)
     b1 = corpus.filter(F.col("doc_id") < EXACT_OFFSET)
     b2 = corpus.filter(F.col("doc_id") >= EXACT_OFFSET)
     _, store = incremental_minhash_pairs(
         None, b1, "doc_id", "text", k=_K, bands=_BANDS, shingle_n=SHINGLE_N,
         threshold=0.5,
+        batch_shingles=sh_all.filter(F.col("doc_id") < EXACT_OFFSET),
     )
     incr_pairs, _ = incremental_minhash_pairs(
         store, b2, "doc_id", "text", k=_K, bands=_BANDS, shingle_n=SHINGLE_N,
         threshold=0.5,
+        batch_shingles=sh_all.filter(F.col("doc_id") >= EXACT_OFFSET),
     )
     incr = incr_pairs.select(
         F.lit("minhash_incr").alias("method"), "id_a", "id_b",
