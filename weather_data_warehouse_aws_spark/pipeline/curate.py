@@ -1,0 +1,222 @@
+"""End-to-end training-corpus curation: the composition a real LLM-data
+user runs over `documents`-shaped input, built entirely from this engine's
+already-verified operators.
+
+    raw docs
+      → clean        (strip markup, redact PII, token counts)   functions/text.py
+      → quality gate (declarative rules → passed / quarantined)  operators/quality.py
+      → near-dup     (MinHash+LSH pairs → connected components
+                      → keep one canonical doc per cluster)      operators/dedup.py, graph.py
+      → decontaminate (drop docs sharing any n-gram with a held-
+                      out eval set; Bloom-pruned semi-join)      operators/bloom.py
+      → split        (leakage-safe: a doc and its near-dups
+                      always share a split)                      operators/sampling.py
+      → mix          (optional per-group token budgets)          operators/sampling.py
+      → pack         (concat-and-cut into fixed token budgets)   operators/packing.py
+
+Scale shape: the composition introduces NO new shuffle beyond each stage's
+own — every cross-stage hand-off is either a narrow column projection or an
+(anti/semi) join against a relation that is small by construction (cluster
+membership, eval shingles, quarantine tags). The two fan-out points —
+`cleaned` (feeds the gate AND the shingle pass) and `survivors` (feeds
+decontamination AND the split) — are persisted so each upstream scan runs
+once per `curate_corpus` call. At 100 TB the same boundaries become parquet
+materializations between jobs; nothing else changes.
+
+Stage semantics mirror the published curation recipes (C4 / Gopher /
+RefinedWeb-style quality filters, MinHash near-dedup, GPT-2/3-style n-gram
+decontamination, leakage-safe splits) — see the operator modules for the
+per-algorithm citations. Reference parity: the reference engine
+(`scripts/glue/bronze_to_silver.py:86-101`) hard-codes its quality gate as
+two inline filters; `curate_corpus` is the declarative, corpus-scale
+generalization of that same bronze→silver discipline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import redact_pii, strip_markup, token_count
+from ..operators.bloom import bloom_prune
+from ..operators.dedup import cap_hot_shingles, minhash_lsh_pairs, shingle_table
+from ..operators.graph import dedup_clusters
+from ..operators.packing import pack_concat_cut, shard_of
+from ..operators.quality import Rule, in_range, not_null, validate
+from ..operators.sampling import leakage_safe_split, token_budget_sample
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    """Knobs for `curate_corpus`; defaults suit the synthetic corpus and
+    are the documented tuning surface at scale."""
+
+    min_tokens: int = 5            # Gopher-style short-doc floor
+    max_tokens: int = 100_000      # pathological-doc ceiling
+    shingle_n: int = 5             # near-dup + decontamination n-gram width
+    minhash_k: int = 16
+    minhash_bands: int = 4
+    neardup_threshold: float = 0.5  # signature-agreement keep threshold
+    max_shingle_df: int = 10_000    # hot-shingle cap (stop-shingle guard)
+    decontam_fpr: float = 0.01      # Bloom FPR; exact join removes FPs
+    split_weights: tuple[float, ...] = (0.98, 0.01, 0.01)
+    split_labels: tuple[str, ...] = ("train", "val", "test")
+    split_salt: str = "curate"
+    pack_budget: int = 256          # tokens per packed sequence
+    pack_shards: int = 8            # parallel pack streams
+    extra_rules: tuple[Rule, ...] = field(default_factory=tuple)
+
+
+def clean_documents(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Markup-strip + PII-redact + token-count in ONE map projection
+    (whole-stage codegen; zero shuffle, zero Python)."""
+    stripped = strip_markup(F.col(text_col))
+    redacted = redact_pii(stripped)
+    passthrough = [c for c in docs.columns if c not in (id_col, text_col)]
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *passthrough,
+        F.col(text_col).alias("raw_text"),
+        redacted.alias("text"),
+        token_count(redacted).alias("n_tokens"),
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    eval_docs: DataFrame | None = None,
+    budgets: DataFrame | None = None,
+    config: CurationConfig = CurationConfig(),
+) -> dict[str, DataFrame]:
+    """Run the full curation pipeline; returns every stage as a DataFrame
+    so callers can materialize, audit, or branch at any boundary:
+
+      cleaned / passed / quarantined / dq_metrics
+      dup_pairs / clusters / survivors
+      decontaminated   (== survivors when eval_docs is None)
+      split            (adds `split` column)
+      mixed            (== train split when budgets is None)
+      packed
+
+    `eval_docs` must carry (id_col, text_col); `budgets` is a
+    (`lang`, budget) relation joined on the documents' `lang` column when
+    present (callers without a lang column pass budgets=None).
+    """
+    cfg = config
+    cleaned = clean_documents(docs, id_col, text_col).persist()
+
+    rules = [
+        not_null("text"),
+        in_range("n_tokens", cfg.min_tokens, cfg.max_tokens),
+        *cfg.extra_rules,
+    ]
+    passed, quarantined, dq_metrics = validate(cleaned, rules)
+    # the gate's pass side feeds the shingle pass, the survivor anti-join,
+    # and the split — persist the narrow (doc_id, text, n_tokens) projection
+    passed = passed.persist()
+
+    dup_pairs = minhash_lsh_pairs(
+        passed,
+        "doc_id",
+        "text",
+        k=cfg.minhash_k,
+        bands=cfg.minhash_bands,
+        shingle_n=cfg.shingle_n,
+        threshold=cfg.neardup_threshold,
+    ).persist()  # feeds clustering AND the leakage-safe split keying
+    clusters = dedup_clusters(dup_pairs)
+    losers = clusters.filter(~F.col("is_canonical")).select("doc_id")
+    # clustered docs ≪ corpus at real scale → broadcast anti-join
+    survivors = passed.join(F.broadcast(losers), "doc_id", "left_anti")
+
+    if eval_docs is not None:
+        eval_sh = (
+            shingle_table(eval_docs, id_col, text_col, cfg.shingle_n)
+            .select("sh")
+            .distinct()
+            .persist()  # bloom build (count + bitmap) + the exact probe
+        )
+        surv_sh = shingle_table(survivors, "doc_id", "text", cfg.shingle_n)
+        pruned = bloom_prune(
+            surv_sh, "sh", eval_sh, "sh", fpr=cfg.decontam_fpr
+        ).persist()  # cap consumes it twice (df groupBy + anti-join probe)
+        capped = cap_hot_shingles(pruned, cfg.max_shingle_df)
+        contaminated = (
+            capped.join(eval_sh, "sh").select("doc_id").distinct()
+        )
+        decontaminated = survivors.join(
+            F.broadcast(contaminated), "doc_id", "left_anti"
+        )
+    else:
+        decontaminated = survivors
+    decontaminated = decontaminated.persist()
+
+    split = leakage_safe_split(
+        decontaminated,
+        "doc_id",
+        dup_pairs,
+        cfg.split_weights,
+        cfg.split_labels,
+        salt=cfg.split_salt,
+    )
+
+    train = split.filter(F.col("split") == cfg.split_labels[0])
+    if budgets is not None:
+        mixed = token_budget_sample(
+            train, "lang", "doc_id", "n_tokens", budgets, salt=cfg.split_salt
+        ).drop("budget")
+    else:
+        mixed = train
+
+    packed = pack_concat_cut(
+        mixed.withColumn("shard_id", shard_of("doc_id", n_shards=cfg.pack_shards)),
+        ["doc_id"],
+        "n_tokens",
+        budget=cfg.pack_budget,
+        n_shards=cfg.pack_shards,
+    )
+
+    return {
+        "cleaned": cleaned,
+        "passed": passed,
+        "quarantined": quarantined,
+        "dq_metrics": dq_metrics,
+        "dup_pairs": dup_pairs,
+        "clusters": clusters,
+        "survivors": survivors,
+        "decontaminated": decontaminated,
+        "split": split,
+        "mixed": mixed,
+        "packed": packed,
+    }
+
+
+def curation_audit(stages: dict[str, DataFrame]) -> DataFrame:
+    """One (stage, n_docs, n_tokens) row per row-bearing stage — the
+    funnel report a curation run logs. Each leg is a 1-row aggregate over
+    an already-persisted stage; the union is driver-side plan glue, not a
+    data collect."""
+    legs = []
+    for name in ("cleaned", "passed", "survivors", "decontaminated", "mixed"):
+        df = stages[name]
+        legs.append(
+            df.agg(
+                F.lit(name).alias("stage"),
+                F.count("*").alias("n_docs"),
+                F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+            )
+        )
+    packed = stages["packed"].agg(
+        F.lit("packed").alias("stage"),
+        F.count_distinct("shard_id", "pack_id").alias("n_docs"),
+        F.coalesce(F.sum("seg_len"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    out = legs[0]
+    for leg in legs[1:] + [packed]:
+        out = out.unionByName(leg)
+    return out
