@@ -5,6 +5,7 @@ products, partitioned (never global) windows in data paths."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
@@ -297,3 +298,37 @@ def test_token_budget_windows_are_bucket_scoped(spark, sf_dir):
     assert data_windows, "expected the boundary-bucket cumulative window"
     assert all("__bkt" in w for w in data_windows), "window not bucket-scoped"
     assert plan.count("BroadcastExchange") >= 2
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide invariants: every one of the 50 driver queries, not just the
+# hand-picked ones above, must build a plan free of the two classic
+# 100 TB-killers — a non-broadcast cartesian (data × data work) and
+# row-at-a-time Python eval (BatchEvalPython; ~100× slower than Arrow).
+# BroadcastNestedLoopJoin is allowed only for the entries whose cross join
+# is a deliberate broadcast of a bounded side: the ANN brute-force baseline
+# (query set), 1-row corpus stats (BM25 N/avgdl, spine bounds), and the
+# k-means assignment's broadcast centroid array.
+# ---------------------------------------------------------------------------
+_BNLJ_INTENTIONAL = {
+    "ann_methods",        # brute-force rescore baseline: broadcast query set
+    "embedding_neardup",  # SemDeDup centroid assignment: broadcast centroids
+    "events_rollup",      # broadcast 1-row date-bound stats for the spine
+    "gap_fill",           # broadcast 1-row min/max hour bounds
+    "ivf_ann_refined",    # broadcast centroids (assignment + Lloyd step)
+    "text_relevance",     # broadcast 1-row (N, avgdl) BM25 stats
+}
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_registry_plan_invariants(spark, sf_dir, name):
+    plan = physical_plan(_QUERIES[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name}: non-broadcast cartesian"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in _BNLJ_INTENTIONAL:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected nested-loop join — broadcast a bounded side "
+            "or rewrite as an equi-join, then add to _BNLJ_INTENTIONAL with "
+            "a justification"
+        )
+    spark.catalog.clearCache()
