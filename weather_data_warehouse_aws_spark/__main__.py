@@ -8,6 +8,7 @@ Athena console; the equivalent local surface:
     ingest     --bronze DIR --silver DIR --ckpt DIR  incremental (streaming)
     query      --sf-dir DIR NAME                     run a registry query
     list-queries                                     show the registry
+    curate     --docs PATH --out DIR [--eval PATH]   corpus curation run
 """
 
 from __future__ import annotations
@@ -42,6 +43,15 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--limit", type=int, default=20)
 
     sub.add_parser("list-queries", help="list the query registry")
+
+    c = sub.add_parser(
+        "curate", help="clean/gate/dedup/decontaminate/split/pack a corpus"
+    )
+    c.add_argument("--docs", required=True, help="parquet with doc_id + text")
+    c.add_argument("--out", required=True, help="output warehouse dir")
+    c.add_argument("--eval", default=None, help="eval-set parquet to decontaminate against")
+    c.add_argument("--min-tokens", type=int, default=5)
+    c.add_argument("--pack-budget", type=int, default=256)
 
     args = parser.parse_args(argv)
 
@@ -84,6 +94,22 @@ def main(argv: list[str] | None = None) -> int:
 
         run_silver_ingest(spark, args.bronze, args.silver, args.ckpt)
         print(f"silver rows: {spark.read.parquet(args.silver).count()}")
+        return 0
+
+    if args.cmd == "curate":
+        import os
+
+        from .pipeline.curate import CurationConfig, curate_corpus, curation_audit
+
+        docs = spark.read.parquet(args.docs)
+        ev = spark.read.parquet(args.eval) if args.eval else None
+        cfg = CurationConfig(min_tokens=args.min_tokens, pack_budget=args.pack_budget)
+        stages = curate_corpus(docs, eval_docs=ev, config=cfg)
+        # materialize the user-facing boundaries; intermediate stages stay
+        # virtual (their persisted intermediates back these writes)
+        for name in ("quarantined", "split", "packed"):
+            stages[name].write.mode("overwrite").parquet(os.path.join(args.out, name))
+        curation_audit(stages).show(truncate=False)
         return 0
 
     if args.cmd == "query":
