@@ -14,6 +14,12 @@ from .dedup import (  # noqa: F401
 )
 from .keys import dense_key, hash_key  # noqa: F401
 from .maintenance import compact_partitions  # noqa: F401
+from .rollup_time import (  # noqa: F401
+    cascade_rollup,
+    distinct_rollup,
+    quantile_rollup,
+    retention_overlap,
+)
 from .sampling import deterministic_sample, split_by_hash  # noqa: F401
 from .scd2 import scd2_initial_load, scd2_merge  # noqa: F401
 from .similarity import (  # noqa: F401

@@ -151,3 +151,120 @@ def distinct_rollup(
             "n_distinct_est", F.expr("hll_sketch_estimate(sketch)").cast("long")
         )
     return out
+
+
+def quantile_rollup(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    grains: tuple[str, ...] = ("hour", "day", "month"),
+    k: int = 200,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> dict[str, DataFrame]:
+    """Cascading percentiles via mergeable KLL sketches (Apache
+    DataSketches, built into Spark as `kll_sketch_agg_double` /
+    `kll_merge_agg_double`) — the quantile twin of `distinct_rollup`.
+
+    Exact percentiles don't cascade any more than exact distincts do: a
+    daily p95 is not a function of hourly p95s, so naive pipelines re-sort
+    raw data per grain (and `percentile` is a full sort per group). KLL
+    sketches (Karnin-Lang-Liberty, FOCS 2016 — public literature) carry a
+    bounded-rank-error summary of the VALUE DISTRIBUTION in ~KB of state:
+    the finest grain aggregates raw once, coarser grains merge the finer
+    sketches, and any quantile is read from the merged state. Normalized
+    rank error ~1.65% at k=200, shrinking as k grows; for n ≤ capacity the
+    sketch stores all values and quantiles are exact.
+
+    Returns {grain: DataFrame(grain_start, *keys, sketch, p50, p95, ...)};
+    persist the `sketch` column so later grains, restatements, or ad-hoc
+    windows keep merging instead of re-scanning raw.
+    """
+    finest, *coarser = grains
+    qcols = [
+        F.expr(f"kll_sketch_get_quantile_double(sketch, {q!r}d)").alias(
+            f"p{round(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    out: dict[str, DataFrame] = {}
+    cur = (
+        df.select(
+            F.date_trunc(finest, F.col(ts_col)).alias(_GRAIN_COL),
+            *keys,
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .groupBy(_GRAIN_COL, *keys)
+        .agg(F.expr(f"kll_sketch_agg_double(__v, {k})").alias("sketch"))
+    )
+    out[finest] = cur.select(_GRAIN_COL, *keys, "sketch", *qcols)
+    for g in coarser:
+        cur = (
+            cur.select(
+                F.date_trunc(g, F.col(_GRAIN_COL)).alias(_GRAIN_COL), *keys, "sketch"
+            )
+            .groupBy(_GRAIN_COL, *keys)
+            .agg(F.expr("kll_merge_agg_double(sketch)").alias("sketch"))
+        )
+        out[g] = cur.select(_GRAIN_COL, *keys, "sketch", *qcols)
+    return out
+
+
+def retention_overlap(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    id_col: str,
+    grain: str = "week",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Period-over-period audience overlap via mergeable Theta sketches
+    (`theta_sketch_agg` + the `theta_intersection`/`theta_difference` set
+    algebra): per period (and optional segment keys), how many distinct ids
+    were retained from the previous period, how many are new, and how many
+    churned.
+
+    The exact computation is a self-join of per-period DISTINCT id sets —
+    at 100 TB that shuffles the raw id universe once per period pair, and
+    every new question ("week 3 vs week 7?") is another full pass. Theta
+    sketches compress each period's id set into KB of hashes ONCE (one
+    linear scan, one shuffle of sketch partials); any pairwise
+    union/intersection/difference is then driver-cheap set algebra over
+    adjacent rows — here a window lag, no joins at all. Estimates are
+    EXACT while a period's cardinality stays under the sketch's nominal
+    capacity (default 2^12), and ~2%-bounded beyond it.
+
+    Returns (grain_start, *keys, n_prev, n_cur, n_retained, n_new,
+    n_churned) — n_* are Theta estimates cast to long; the first period
+    per segment has n_prev/n_retained/n_churned = null.
+    """
+    keys = keys or []
+    per_period = (
+        df.select(
+            F.date_trunc(grain, F.col(ts_col)).alias(_GRAIN_COL),
+            *keys,
+            F.col(id_col).alias("__id"),
+        )
+        .groupBy(_GRAIN_COL, *keys)
+        .agg(F.expr("theta_sketch_agg(__id)").alias("sketch"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(_GRAIN_COL) if keys else Window.orderBy(
+        _GRAIN_COL
+    )
+    # |periods|·|segments| rows of KB sketches — window state is tiny; with
+    # no keys this is a single-task window over a micro-relation (post-agg),
+    # which is the documented exception to the no-global-window rule
+    est = "CAST(theta_sketch_estimate({0}) AS LONG)"
+    lagged = per_period.withColumn("__prev", F.lag("sketch").over(w))
+    return lagged.select(
+        _GRAIN_COL,
+        *keys,
+        F.expr(est.format("__prev")).alias("n_prev"),
+        F.expr(est.format("sketch")).alias("n_cur"),
+        F.expr(est.format("theta_intersection(__prev, sketch)")).alias("n_retained"),
+        F.expr(est.format("theta_difference(sketch, __prev)")).alias("n_new"),
+        F.expr(est.format("theta_difference(__prev, sketch)")).alias("n_churned"),
+    )
