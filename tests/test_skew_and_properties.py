@@ -89,6 +89,51 @@ def test_asof_join_matches_bruteforce(spark, left, right):
     assert got == want
 
 
+@given(left=_events, right=_events, direction=st.sampled_from(["forward", "nearest"]))
+@_SETTINGS
+def test_asof_directions_match_bruteforce(spark, left, right, direction):
+    """forward ≡ per-row min(right_ts ≥ left_ts); nearest ≡ argmin |Δt|
+    with ties broken toward the backward candidate."""
+    ldf = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left)],
+        "k bigint, lts timestamp, lid bigint",
+    )
+    seen: dict[tuple[int, int], int] = {}
+    for j, (rk, rs) in enumerate(right):
+        seen[(rk, rs)] = max(seen.get((rk, rs), -1), j)
+    rrows = [(k, BASE + dt.timedelta(seconds=s), rid) for (k, s), rid in seen.items()]
+    rdf = spark.createDataFrame(rrows, "k bigint, rts timestamp, rid bigint")
+
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts", direction=direction
+        ).collect()
+    }
+    want = {}
+    for i, (lk, ls) in enumerate(left):
+        back, fwd = None, None
+        for (rk, rs), rid in seen.items():
+            if rk != lk:
+                continue
+            if rs <= ls and (back is None or rs > back[0]):
+                back = (rs, rid)
+            if rs >= ls and (fwd is None or rs < fwd[0]):
+                fwd = (rs, rid)
+        if direction == "forward":
+            want[i] = fwd[1] if fwd else None
+        else:
+            if back is None:
+                want[i] = fwd[1] if fwd else None
+            elif fwd is None:
+                want[i] = back[1]
+            elif abs(ls - fwd[0]) < abs(ls - back[0]):
+                want[i] = fwd[1]
+            else:
+                want[i] = back[1]
+    assert got == want
+
+
 def test_salted_agg_equals_plain_agg(spark, sf_dir):
     from weather_data_warehouse_aws_spark.sources.tables import load_table
 

@@ -42,14 +42,27 @@ def asof_join(
     *,
     tolerance_sec: int | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left join each left row to the most recent right row with
-    ``right_ts <= left_ts`` within the same key group.
+    """Left join each left row to the nearest right row in the same key
+    group — the full pandas-`merge_asof` direction matrix:
+
+    * ``backward`` (default): most recent right with ``right_ts <= left_ts``
+      (DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``);
+    * ``forward``: earliest right with ``right_ts >= left_ts``;
+    * ``nearest``: whichever of the two is closer in absolute time,
+      ties broken toward the backward match.
 
     Right payload columns (everything except keys + right_ts) come back
-    suffixed. Rows with no predecessor keep nulls. `tolerance_sec` drops
-    matches older than the window (match becomes null, row is kept).
+    suffixed. Rows with no match keep nulls. `tolerance_sec` drops matches
+    farther than the window (match becomes null, row is kept).
+
+    All three directions ride the same single shuffle on the keys; forward
+    adds a second sort (opposite tie order) within the same exchange, and
+    nearest evaluates both windows then picks per row — still no join.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward | forward | nearest")
     on = list(on)
     right_payload_cols = [c for c in right.columns if c not in on]
     out_names = {c: (c + suffix if c in left.columns else c) for c in right_payload_cols}
@@ -75,21 +88,58 @@ def asof_join(
     )
 
     unioned = lhs.unionByName(rhs_aligned)
-    w = (
+    # backward: right rows sort BEFORE left at equal ts (tag asc), running
+    # last() over the preceding frame → latest right_ts <= left_ts.
+    w_back = (
         Window.partitionBy(*on)
         .orderBy(F.col("__asof_ts"), F.col(_TAG))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumn("__asof_match", F.last(_PAYLOAD, ignorenulls=True).over(w))
+    # forward: right rows sort AFTER left at equal ts (tag desc), first()
+    # over the following frame → earliest right_ts >= left_ts. Same
+    # partitioning ⇒ same exchange; only the sort differs.
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__asof_ts"), F.col(_TAG).desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned
+    if direction in ("backward", "nearest"):
+        carried = carried.withColumn(
+            "__asof_back", F.last(_PAYLOAD, ignorenulls=True).over(w_back)
+        )
+    if direction in ("forward", "nearest"):
+        carried = carried.withColumn(
+            "__asof_fwd", F.first(_PAYLOAD, ignorenulls=True).over(w_fwd)
+        )
 
     result = carried.filter(F.col(_TAG) == 1)
-    match = F.col("__asof_match")
-    if tolerance_sec is not None:
-        in_window = (
-            F.unix_timestamp("__asof_ts")
-            - F.unix_timestamp(match.getField(right_ts))
-        ) <= tolerance_sec
-        match = F.when(in_window, match)
+
+    def gap(m):  # seconds from match to the left row; >=0 back, <=0 fwd
+        return F.unix_timestamp("__asof_ts") - F.unix_timestamp(
+            m.getField(right_ts)
+        )
+
+    def in_tol(m):
+        if tolerance_sec is None:
+            return m
+        return F.when(F.abs(gap(m)) <= tolerance_sec, m)
+
+    if direction == "backward":
+        match = in_tol(F.col("__asof_back"))
+    elif direction == "forward":
+        match = in_tol(F.col("__asof_fwd"))
+    else:
+        # tolerance gates each candidate BEFORE the pick (merge_asof
+        # semantics: a near forward match wins over an out-of-window
+        # backward one, not the reverse)
+        back, fwd = in_tol(F.col("__asof_back")), in_tol(F.col("__asof_fwd"))
+        match = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(F.abs(gap(fwd)) < F.abs(gap(back)), fwd)
+            .otherwise(back)  # tie → backward
+        )
     return result.select(
         *[F.col(c) for c in left.columns],
         *[match.getField(c).alias(out_names[c]) for c in right_payload_cols],

@@ -268,12 +268,18 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 # q_asof_join — nearest-predecessor join (scale idiom for J4, SURVEY §4.2)
 # ---------------------------------------------------------------------------
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """For each purchase, the latest click at-or-before it by the same user.
+    """The full as-of direction matrix over one click/purchase feed, tagged
+    per variant: `backward` = latest click at-or-before each purchase by
+    the same user, `forward` = earliest click at-or-after, `nearest` =
+    whichever is closer in absolute seconds (ties → backward).
 
-    Spark side: sort-merge-over-union as-of operator (operators/asof_join.py).
-    Oracle: DuckDB's native ASOF JOIN — an independent implementation of the
-    same semantics, which is exactly what makes this a strong differential
-    test. Clicks are pre-deduped per (user, ts) so ties can't differ.
+    Spark side: sort-merge-over-union as-of operator (operators/asof_join.py,
+    direction parameter). Oracle: DuckDB's native ASOF JOIN for both
+    directions — an independent implementation of the same semantics, which
+    is exactly what makes this a strong differential test — and nearest as
+    the CASE-pick over the two ASOF CTEs with the same second-floored gap
+    arithmetic. Clicks are pre-deduped per (user, ts) so ties can't differ.
+    `gap_seconds` is signed (purchase − click): ≥0 backward, ≤0 forward.
     """
     ev = load_table(spark, sf_dir, "events")
     # deterministic tie-break: one click per (user_id, ts), keep max event_id
@@ -286,15 +292,27 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
     )
-    joined = asof_join(
-        purchases, clicks, on=["user_id"], left_ts="purchase_ts", right_ts="click_ts"
-    )
-    return joined.select(
-        "user_id",
-        "purchase_id",
-        "click_id",
-        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias("gap_seconds"),
-    )
+    branches = []
+    for direction in ("backward", "forward", "nearest"):
+        joined = asof_join(
+            purchases, clicks, on=["user_id"], left_ts="purchase_ts",
+            right_ts="click_ts", direction=direction,
+        )
+        branches.append(
+            joined.select(
+                F.lit(direction).alias("variant"),
+                "user_id",
+                "purchase_id",
+                "click_id",
+                (
+                    F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+                ).alias("gap_seconds"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 ORACLE_ASOF_JOIN = """
@@ -306,16 +324,55 @@ WITH clicks AS (
 purchases AS (
     SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
     FROM events WHERE event_type = 'purchase'
+),
+back AS (
+    SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+),
+fwd AS (
+    SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.purchase_ts <= c.click_ts
 )
-SELECT
-    p.user_id AS user_id,
-    p.purchase_id AS purchase_id,
-    c.click_id AS click_id,
-    CAST(FLOOR(epoch(p.purchase_ts)) AS BIGINT)
-      - CAST(FLOOR(epoch(c.click_ts)) AS BIGINT) AS gap_seconds
-FROM purchases p
-ASOF LEFT JOIN clicks c
-  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+SELECT 'backward' AS variant, user_id, purchase_id, click_id,
+       CAST(FLOOR(epoch(purchase_ts)) AS BIGINT)
+         - CAST(FLOOR(epoch(click_ts)) AS BIGINT) AS gap_seconds
+FROM back
+UNION ALL
+SELECT 'forward', user_id, purchase_id, click_id,
+       CAST(FLOOR(epoch(purchase_ts)) AS BIGINT)
+         - CAST(FLOOR(epoch(click_ts)) AS BIGINT)
+FROM fwd
+UNION ALL
+-- nearest: same second-floored gap arithmetic as the engine; ties and
+-- single-sided matches resolve to the backward candidate
+SELECT 'nearest', b.user_id, b.purchase_id,
+       CASE WHEN b.click_id IS NULL THEN f.click_id
+            WHEN f.click_id IS NULL THEN b.click_id
+            WHEN ABS(CAST(FLOOR(epoch(b.purchase_ts)) AS BIGINT)
+                     - CAST(FLOOR(epoch(f.click_ts)) AS BIGINT))
+               < ABS(CAST(FLOOR(epoch(b.purchase_ts)) AS BIGINT)
+                     - CAST(FLOOR(epoch(b.click_ts)) AS BIGINT))
+            THEN f.click_id ELSE b.click_id END,
+       CASE WHEN b.click_id IS NULL THEN
+                 CAST(FLOOR(epoch(b.purchase_ts)) AS BIGINT)
+                   - CAST(FLOOR(epoch(f.click_ts)) AS BIGINT)
+            WHEN f.click_id IS NULL THEN
+                 CAST(FLOOR(epoch(b.purchase_ts)) AS BIGINT)
+                   - CAST(FLOOR(epoch(b.click_ts)) AS BIGINT)
+            WHEN ABS(CAST(FLOOR(epoch(b.purchase_ts)) AS BIGINT)
+                     - CAST(FLOOR(epoch(f.click_ts)) AS BIGINT))
+               < ABS(CAST(FLOOR(epoch(b.purchase_ts)) AS BIGINT)
+                     - CAST(FLOOR(epoch(b.click_ts)) AS BIGINT))
+            THEN CAST(FLOOR(epoch(b.purchase_ts)) AS BIGINT)
+                   - CAST(FLOOR(epoch(f.click_ts)) AS BIGINT)
+            ELSE CAST(FLOOR(epoch(b.purchase_ts)) AS BIGINT)
+                   - CAST(FLOOR(epoch(b.click_ts)) AS BIGINT) END
+FROM back b
+JOIN fwd f USING (user_id, purchase_id)
 """
 
 
