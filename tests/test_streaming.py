@@ -270,3 +270,40 @@ def test_stream_stream_band_join_matches_batch(spark, events_dir, tmp_path_facto
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_hll_distinct_matches_batch_sketch(spark, events_dir):
+    """Streaming HLL distinct-user rollup ≡ the batch sketch on the same
+    data when drained: identical estimates per (window, event_type), and
+    the emitted sketches keep MERGING downstream — the daily union of the
+    streamed hourly sketches equals the direct daily batch sketch."""
+    from weather_data_warehouse_aws_spark.streaming.jobs import hourly_distinct_users
+
+    stream = read_events_stream(spark, events_dir)
+    result = run_to_memory(hourly_distinct_users(stream), "hourly_hll")
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"), "event_type")
+        .agg(F.expr("CAST(hll_sketch_estimate(hll_sketch_agg(user_id, 12)) AS LONG) AS n"))
+    )
+    got = {(r.window_start, r.event_type): r.n_users_est for r in result.collect()}
+    want = {(r.window_start, r.event_type): r.n for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+    daily_from_stream = {
+        (r.d, r.event_type): r.n
+        for r in result.groupBy(
+            F.date_trunc("day", "window_start").alias("d"), "event_type"
+        )
+        .agg(F.expr("CAST(hll_sketch_estimate(hll_union_agg(sketch)) AS LONG) AS n"))
+        .collect()
+    }
+    daily_direct = {
+        (r.d, r.event_type): r.n
+        for r in spark.read.parquet(events_dir)
+        .groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
+        .agg(F.expr("CAST(hll_sketch_estimate(hll_sketch_agg(user_id, 12)) AS LONG) AS n"))
+        .collect()
+    }
+    assert daily_from_stream == daily_direct

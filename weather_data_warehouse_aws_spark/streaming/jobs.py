@@ -232,3 +232,29 @@ def correlated_event_stream(
     return l.join(r, cond, how).select(
         "join_key", "l_id", "r_id", "l_ts", "r_ts", "l_value", "r_value"
     )
+
+
+def hourly_distinct_users(events: DataFrame, *, watermark: str = "1 hour",
+                          lg_k: int = 12) -> DataFrame:
+    """Streaming distinct-user counts per tumbling hour via mergeable HLL
+    sketches — the streaming twin of operators/rollup_time.distinct_rollup.
+
+    Exact streaming COUNT(DISTINCT) would hold every seen id in state;
+    `hll_sketch_agg` keeps 2^lg_k-byte registers per (window, key) instead,
+    and the emitted sketch column stays MERGEABLE downstream: a batch job
+    unions finalized hourly sketches into day/month rollups without ever
+    re-reading the stream (the lambda-architecture join-point, minus the
+    lambda: one code path, one error model). State is bounded by
+    |open windows|·|keys|·KB regardless of id cardinality.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.expr(f"hll_sketch_agg(user_id, {lg_k})").alias("sketch"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "sketch",
+            F.expr("CAST(hll_sketch_estimate(sketch) AS LONG)").alias("n_users_est"),
+        )
+    )
