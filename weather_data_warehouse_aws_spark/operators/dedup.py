@@ -229,6 +229,7 @@ def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str, *, k: int = 16, bands: int = 4,
     shingle_n: int = 3, threshold: float = 0.5, seed: int = 42,
     shingles: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs + estimated Jaccard (signature agreement rate).
 
@@ -241,10 +242,16 @@ def minhash_lsh_pairs(
     if k % bands:
         raise ValueError("k must be divisible by bands")
     # signatures feed the band explode + 2 joins for the agreement scorer —
-    # persist or the shingle scan + k min-aggs re-run for each consumer
-    sig = minhash_signatures(
-        df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed, shingles=shingles
-    ).persist()
+    # persist or the shingle scan + k min-aggs re-run for each consumer.
+    # `signatures`: a caller-persisted signature relation (the minhash_
+    # signatures shape) shared across strategies/batches — at scale THIS is
+    # the relation you materialize (~100 B/doc), not the shingles.
+    if signatures is not None:
+        sig = signatures
+    else:
+        sig = minhash_signatures(
+            df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed, shingles=shingles
+        ).persist()
     banded = band_table(sig, k=k, bands=bands)
     lhs = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
     rhs = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key")
@@ -269,6 +276,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     batch_shingles: DataFrame | None = None,
+    batch_signatures: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental corpus dedup: pairs TOUCHING the new batch, plus the
     updated signature store. Returns `(pairs, new_store)`.
@@ -290,10 +298,13 @@ def incremental_minhash_pairs(
     """
     if k % bands:
         raise ValueError("k must be divisible by bands")
-    sig_new = minhash_signatures(
-        batch, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed,
-        shingles=batch_shingles,
-    ).persist()
+    if batch_signatures is not None:
+        sig_new = batch_signatures
+    else:
+        sig_new = minhash_signatures(
+            batch, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed,
+            shingles=batch_shingles,
+        ).persist()
     banded_new = band_table(sig_new, k=k, bands=bands)
 
     new_l = banded_new.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")

@@ -161,7 +161,10 @@ _K, _BANDS = 16, 4
 
 
 def q_minhash_lsh(
-    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    shingles: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash(16)+LSH(4 bands × 4 rows) candidates with estimated Jaccard
     ≥ 0.5 — the linear-time scale path for near-dup detection."""
@@ -174,6 +177,7 @@ def q_minhash_lsh(
         shingle_n=SHINGLE_N,
         threshold=0.5,
         shingles=shingles,
+        signatures=signatures,
     ).orderBy("id_a", "id_b")
 
 
@@ -397,16 +401,19 @@ def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram, signature-agreement estimate for minhash, and the distinct
     shared-segment count for segment (Lee et al. 2021's exact-substring
     family at fixed 20-token-segment granularity)."""
-    # ONE shingle pass serves the ngram, minhash, and incremental branches:
-    # the (doc_id, sh) relation is persisted and handed to each strategy, so
-    # the explode+hash scan of the corpus — the dominant linear cost — runs
-    # once instead of once per strategy (the incremental branches reuse it
-    # via doc_id-range filters, which is exactly how a production ingest
-    # would slice a shared shingle store by batch)
-    from ..operators.dedup import shingle_table
+    # ONE shingle pass and ONE signature pass serve the ngram, minhash, and
+    # incremental branches: the (doc_id, sh) relation is persisted and
+    # handed to each strategy, and the k-min signature aggregate over it is
+    # computed once and sliced by doc_id range for the batch/store split —
+    # exactly how a production ingest slices a shared signature store by
+    # batch (signatures, ~100 B/doc, are what you materialize at scale)
+    from ..operators.dedup import minhash_signatures, shingle_table
 
     corpus = planted_documents(spark, sf_dir)
     sh_all = shingle_table(corpus, "doc_id", "text", SHINGLE_N).persist()
+    sig_all = minhash_signatures(
+        corpus, "doc_id", "text", k=_K, shingle_n=SHINGLE_N, shingles=sh_all
+    ).persist()
 
     exact = q_exact_dedup(spark, sf_dir).select(
         F.lit("exact").alias("method"),
@@ -418,26 +425,22 @@ def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ngram").alias("method"), "id_a", "id_b",
         F.col("jaccard").alias("score"),
     )
-    minhash = q_minhash_lsh(spark, sf_dir, shingles=sh_all).select(
+    minhash = q_minhash_lsh(spark, sf_dir, signatures=sig_all).select(
         F.lit("minhash").alias("method"), "id_a", "id_b",
         F.col("est_jaccard").alias("score"),
     )
     # incremental path: signature store built from the originals (< 1M),
     # then one ingest of the planted copies — must emit exactly the pairs
-    # touching the new batch (id_b ≥ 1M, since id_a < id_b)
+    # touching the new batch (id_b ≥ 1M, since id_a < id_b). Store and
+    # batch signatures are doc_id-range slices of the shared relation.
     from ..operators.dedup import incremental_minhash_pairs
 
-    b1 = corpus.filter(F.col("doc_id") < EXACT_OFFSET)
     b2 = corpus.filter(F.col("doc_id") >= EXACT_OFFSET)
-    _, store = incremental_minhash_pairs(
-        None, b1, "doc_id", "text", k=_K, bands=_BANDS, shingle_n=SHINGLE_N,
-        threshold=0.5,
-        batch_shingles=sh_all.filter(F.col("doc_id") < EXACT_OFFSET),
-    )
+    store = sig_all.filter(F.col("doc_id") < EXACT_OFFSET)
     incr_pairs, _ = incremental_minhash_pairs(
         store, b2, "doc_id", "text", k=_K, bands=_BANDS, shingle_n=SHINGLE_N,
         threshold=0.5,
-        batch_shingles=sh_all.filter(F.col("doc_id") >= EXACT_OFFSET),
+        batch_signatures=sig_all.filter(F.col("doc_id") >= EXACT_OFFSET),
     )
     incr = incr_pairs.select(
         F.lit("minhash_incr").alias("method"), "id_a", "id_b",
