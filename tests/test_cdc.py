@@ -1,0 +1,112 @@
+"""CDC snapshot diff + incremental aggregate maintenance units.
+
+The driver-facing differential rides the `set_ops` entry (cdc_* / ivm
+branches); these units pin the operator semantics on hand-built frames:
+op classification incl. null-safe compares, group-moving updates, groups
+draining to zero, and the incremental ≡ full-recompute invariant.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_data_warehouse_aws_spark.operators.cdc import (
+    apply_agg_delta,
+    grouped_sums,
+    snapshot_diff,
+)
+
+
+def _frames(spark):
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10, None),   # unchanged
+            (2, "a", 20, "x"),    # value change -> U
+            (3, "b", 30, None),   # deleted -> D
+            (4, "b", 40, "y"),    # group moves b->a -> U
+            (5, "c", 50, None),   # null -> value change -> U
+        ],
+        "k int, grp string, amt int, note string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10, None),
+            (2, "a", 25, "x"),
+            (4, "a", 40, "y"),
+            (5, "c", 50, "now"),
+            (6, "c", 60, None),   # inserted -> I
+        ],
+        "k int, grp string, amt int, note string",
+    )
+    return old, new
+
+
+def test_snapshot_diff_classification(spark):
+    old, new = _frames(spark)
+    rows = {
+        r["k"]: r
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert set(rows) == {2, 3, 4, 5, 6}  # key 1 unchanged -> dropped
+    assert rows[2]["op"] == "U" and rows[2]["old_amt"] == 20 and rows[2]["new_amt"] == 25
+    assert rows[3]["op"] == "D" and rows[3]["new_grp"] is None
+    assert rows[4]["op"] == "U" and (rows[4]["old_grp"], rows[4]["new_grp"]) == ("b", "a")
+    # NULL -> value counts as a change (null-safe compare)
+    assert rows[5]["op"] == "U" and rows[5]["old_note"] is None and rows[5]["new_note"] == "now"
+    assert rows[6]["op"] == "I" and rows[6]["old_grp"] is None and rows[6]["new_amt"] == 60
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    old, new = _frames(spark)
+    # compare only grp+amt: key 5's note-only change no longer registers
+    ks = {
+        r["k"]
+        for r in snapshot_diff(old, new, ["k"], compare_cols=["grp", "amt"]).collect()
+    }
+    assert ks == {2, 3, 4, 6}
+
+
+def test_snapshot_diff_schema_mismatch(spark):
+    old, new = _frames(spark)
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new.drop("note"), ["k"])
+
+
+def test_apply_agg_delta_matches_recompute(spark):
+    old, new = _frames(spark)
+    prior = grouped_sums(old, ["grp"], ["amt"])
+    diff = snapshot_diff(old, new, ["k"])
+    maintained = apply_agg_delta(prior, diff, ["grp"], ["amt"])
+    direct = grouped_sums(new, ["grp"], ["amt"])
+    m = {r["grp"]: (r["sum_amt"], r["n_rows"]) for r in maintained.collect()}
+    d = {r["grp"]: (r["sum_amt"], r["n_rows"]) for r in direct.collect()}
+    # group b drained to zero by the delete + the b->a move: absent in both
+    assert "b" not in m
+    assert m == d
+
+
+def test_apply_agg_delta_zero_delta_groups_untouched(spark):
+    old, _ = _frames(spark)
+    prior = grouped_sums(old, ["grp"], ["amt"])
+    empty = snapshot_diff(old, old, ["k"])
+    assert empty.count() == 0
+    maintained = apply_agg_delta(prior, empty, ["grp"], ["amt"])
+    assert sorted(maintained.collect()) == sorted(prior.collect())
+
+
+def test_apply_agg_delta_new_group_from_insert(spark):
+    old, _ = _frames(spark)
+    new = old.unionByName(
+        old.sparkSession.createDataFrame(
+            [(9, "z", 7, None)], "k int, grp string, amt int, note string"
+        )
+    )
+    maintained = apply_agg_delta(
+        grouped_sums(old, ["grp"], ["amt"]),
+        snapshot_diff(old, new, ["k"]),
+        ["grp"],
+        ["amt"],
+    )
+    z = maintained.filter(F.col("grp") == "z").collect()
+    assert len(z) == 1 and z[0]["sum_amt"] == 7 and z[0]["n_rows"] == 1

@@ -7,7 +7,10 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from weather_data_warehouse_aws_spark.operators.interval_join import interval_join
+from weather_data_warehouse_aws_spark.operators.interval_join import (
+    interval_join,
+    interval_overlap_join,
+)
 
 BASE = dt.datetime(2024, 1, 1, 12, 0, 0)
 
@@ -208,6 +211,112 @@ def test_right_full_equal_naive(spark, sf_smoke_dir):
         naive = clicks.join(windows, naive_cond, how).select("purchase_id", "click_id")
         from collections import Counter
 
+        assert Counter(map(tuple, fast.collect())) == Counter(
+            map(tuple, naive.collect())
+        ), how
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join — range-meets-range general form
+# ---------------------------------------------------------------------------
+def _ov_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _sec(0), _sec(100), "La"),       # overlaps Ra, touches Rb
+            (1, _sec(100), _sec(200), "Lb"),     # overlaps Rb only
+            (1, _sec(500), _sec(10000), "Lc"),   # long: spans many buckets, overlaps Rc
+            (1, _sec(20000), _sec(20010), "Ld"), # tiny, strictly inside Rc
+            (2, _sec(0), _sec(100), "Le"),       # wrong key for Ra
+        ],
+        "k bigint, ls timestamp, le timestamp, lid string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _sec(50), _sec(100), "Ra"),
+            (1, _sec(100), _sec(150), "Rb"),      # touches La at 100 -> NOT overlap
+            (1, _sec(9000), _sec(30000), "Rc"),   # long; overlaps Lc AND Ld
+            (1, _sec(40000), _sec(40100), "Rd"),  # overlaps nothing
+        ],
+        "k bigint, rs timestamp, re timestamp, rid string",
+    )
+    return left, right
+
+
+def test_overlap_semantics_and_claim_no_dup(spark):
+    """Half-open overlap (endpoint touch excluded), each pair exactly once
+    even when both intervals span many shared buckets, at several widths."""
+    left, right = _ov_frames(spark)
+    for b in (10, 60, 3600, 86400):
+        out = interval_overlap_join(
+            left, right, on=["k"], left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bucket_sec=b,
+        ).collect()
+        pairs = sorted((r.lid, r.rid) for r in out)
+        assert pairs == [
+            ("La", "Ra"), ("Lb", "Rb"), ("Lc", "Rc"), ("Ld", "Rc"),
+        ], f"bucket_sec={b}"
+
+
+def test_overlap_outer_variants(spark):
+    left, right = _ov_frames(spark)
+    out = interval_overlap_join(
+        left, right, on=["k"], left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bucket_sec=60, how="full",
+    ).collect()
+    pairs = {(r.lid, r.rid) for r in out}
+    # 4 matches + unmatched Le (left-preserved) + unmatched Rd (right-preserved)
+    assert pairs == {
+        ("La", "Ra"), ("Lb", "Rb"), ("Lc", "Rc"), ("Ld", "Rc"),
+        ("Le", None), (None, "Rd"),
+    }
+    assert len(out) == 6
+    left_only = interval_overlap_join(
+        left, right, on=["k"], left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bucket_sec=60, how="left",
+    ).collect()
+    assert {(r.lid, r.rid) for r in left_only} == pairs - {(None, "Rd")}
+    right_only = interval_overlap_join(
+        left, right, on=["k"], left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bucket_sec=60, how="right",
+    ).collect()
+    assert {(r.lid, r.rid) for r in right_only} == pairs - {("Le", None)}
+
+
+def test_overlap_equals_naive(spark, sf_smoke_dir):
+    """Claim-bucket rewrite ≡ literal overlap inequality join on real
+    events, all four join types."""
+    from collections import Counter
+
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke_dir, "events")
+    browsing = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("br_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("br_end"),
+    )
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("w_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    naive_cond = (
+        (F.col("user_id") == F.col("w_user"))
+        & (F.col("br_start") < F.col("win_end"))
+        & (F.col("win_start") < F.col("br_end"))
+    )
+    for how in ("inner", "left", "right", "full"):
+        fast = interval_overlap_join(
+            browsing, windows.withColumnRenamed("w_user", "user_id"),
+            on=["user_id"], left_start="br_start", left_end="br_end",
+            right_start="win_start", right_end="win_end",
+            bucket_sec=1800, how=how,
+        ).select("purchase_id", "click_id")
+        naive = browsing.join(windows, naive_cond, how).select(
+            "purchase_id", "click_id"
+        )
         assert Counter(map(tuple, fast.collect())) == Counter(
             map(tuple, naive.collect())
         ), how

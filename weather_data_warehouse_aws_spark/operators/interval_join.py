@@ -150,3 +150,107 @@ def interval_join(
         ]
     )
     return base.unionByName(null_extended)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_sec: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join interval rows to interval rows that OVERLAP them — the fully
+    general form of the temporal-join family (band join = fixed symmetric
+    tolerance, interval_join = point-in-range, this = range-meets-range).
+
+    Semantics: equi-join on `on` AND the half-open overlap predicate
+    ``left_start < right_end AND right_start < left_end`` (many-to-many;
+    intervals that merely touch at an endpoint do NOT overlap). `how` in
+    {"inner", "left", "right", "full"} with the usual preserved-side
+    null-extension.
+
+    Scale rewrite: BOTH sides explode to every bucket of width B they
+    cover. An overlapping pair co-occurs in every bucket both cover, so a
+    naive equi-join would duplicate it; each pair is instead CLAIMED at
+    exactly one bucket — the bucket of the later start,
+    ``floor(epoch(greatest(left_start, right_start))/B)``. Overlap
+    guarantees that bucket is covered by both sides (the later start
+    precedes both ends), so the claim never loses a pair, and the equality
+    filter keeps each pair exactly once — no dedup pass. Replication is
+    ``len/B + 1`` buckets per row per side; the (keys…, bucket) composite
+    key is high-cardinality, so the shuffle stays even and AQE splits any
+    residual hot bucket.
+
+    Outer variants reuse the matched-row-image trick from
+    :func:`interval_join` on whichever side(s) must be preserved: project
+    the preserved side's row images out of the inner join, de-duplicate,
+    null-safe LEFT ANTI the raw table against them, null-extend, union.
+    Identical rows match identical partner sets, so image equality is
+    exact. Costs one extra distinct pass per preserved side; every join
+    stays hash/equi.
+    """
+    if how not in ("inner", "left", "right", "full"):
+        raise NotImplementedError(
+            "interval_overlap_join supports how in {'inner','left','right','full'}"
+        )
+    b = int(bucket_sec)
+    if b <= 0:
+        raise ValueError("bucket_sec must be positive")
+
+    def buckets(start: str, end: str):
+        return F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start)) / b),
+                F.floor(F.unix_timestamp(F.col(end)) / b),
+            )
+        )
+
+    claim = F.floor(
+        F.unix_timestamp(F.greatest(F.col(left_start), F.col(right_start))) / b
+    )
+    overlap = (F.col(left_start) < F.col(right_end)) & (
+        F.col(right_start) < F.col(left_end)
+    )
+
+    l_ex = left.withColumn(_BUCKET, buckets(left_start, left_end))
+    r_ex = right.withColumn(_BUCKET, buckets(right_start, right_end))
+    inner = (
+        l_ex.join(r_ex, [*on, _BUCKET], "inner")
+        .filter(overlap & (F.col(_BUCKET) == claim))
+        .drop(_BUCKET)
+    )
+    if how == "inner":
+        return inner
+
+    def unmatched(side: DataFrame) -> DataFrame:
+        cols = side.columns
+        img = inner.select(*cols).distinct()
+        for c in cols:
+            img = img.withColumnRenamed(c, f"__ov_m_{c}")
+        cond = None
+        for c in cols:
+            term = F.col(c).eqNullSafe(F.col(f"__ov_m_{c}"))
+            cond = term if cond is None else cond & term
+        return side.join(img, cond, "left_anti")
+
+    def null_extend(rows: DataFrame, other: DataFrame) -> DataFrame:
+        other_types = {f.name: f.dataType for f in other.schema.fields}
+        return rows.select(
+            *[
+                F.col(c)
+                if c in rows.columns
+                else F.lit(None).cast(other_types[c]).alias(c)
+                for c in inner.columns
+            ]
+        )
+
+    out = inner
+    if how in ("left", "full"):
+        out = out.unionByName(null_extend(unmatched(left), right))
+    if how in ("right", "full"):
+        out = out.unionByName(null_extend(unmatched(right), left))
+    return out

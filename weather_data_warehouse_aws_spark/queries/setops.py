@@ -1,6 +1,19 @@
-"""Set operations + multi-dimensional aggregates (additive beyond the
-reference — SURVEY §2.7 notes no set ops and §2.4 no rollup/count-distinct;
-a user switching engines still expects them, so they're first-class here).
+"""Set operations + snapshot reconciliation + multi-dimensional aggregates
+(additive beyond the reference — SURVEY §2.7 notes no set ops and §2.4 no
+rollup/count-distinct; a user switching engines still expects them, so
+they're first-class here).
+
+`set_ops` consolidates the set-reconciliation family under one driver row
+(50-entry cap): UNION/INTERSECT/EXCEPT, the keyed generalization of EXCEPT
+— a CDC snapshot diff (operators/cdc.py::snapshot_diff, per-changed-key
+rows pinning op classification AND both row images), and incremental
+aggregate maintenance (operators/cdc.py::apply_agg_delta): the Spark side
+emits the aggregate maintained INCREMENTALLY from the prior snapshot's
+aggregate + the changefeed, while the oracle recomputes the aggregate
+DIRECTLY from the new snapshot — a hash match proves incremental ≡ full
+recompute cross-engine. The reference rebuilds gold from scratch every run
+(`build_dimensions.py`, `build_facts.py`); at 100 TB the delta path is the
+difference between touching |changes| and re-scanning the world.
 """
 
 from __future__ import annotations
@@ -8,37 +21,133 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.cdc import apply_agg_delta, grouped_sums, snapshot_diff
 from ..sources.tables import load_table
 
+# image checksum mixer: coprime to any cents value, keeps both images in
+# one BIGINT (max cents ~5e7 → product ~5e13, far under 2^63)
+_MIX = 1_000_003
+
 
 # ---------------------------------------------------------------------------
-# q_set_ops — UNION / INTERSECT / EXCEPT in one result
+# q_set_ops — UNION / INTERSECT / EXCEPT + snapshot diff + IVM, tagged
 # ---------------------------------------------------------------------------
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nation keys of customers vs suppliers: union ∪, intersect ∩, except ∖
-    — tagged and unioned into one relation so a single oracle hash covers
-    all three operators."""
+    """One relation, schema (op, group_key, n, checksum):
+
+    * ``union`` / ``intersect`` / ``except`` — nation keys of customers vs
+      suppliers, per-key rows (checksum = the key).
+    * ``cdc_I`` / ``cdc_D`` / ``cdc_U`` — keyed diff of two deterministic
+      order snapshots (v1 drops key%13=0 rows → inserts; v2 drops key%11=0
+      → deletes; key%7=0 gains 10000 cents → updates). One row per changed
+      key; checksum mixes the before and after price images so the hash
+      gate pins exact change classification and both images.
+    * ``ivm`` — per-orderstatus (count, sum-of-cents) maintained
+      incrementally: grouped_sums(v1) + apply_agg_delta(diff). The oracle
+      aggregates v2 directly — matching hashes prove the delta algebra.
+    """
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
     c = customer.select(F.col("c_nationkey").alias("nk")).distinct()
     s = supplier.select(F.col("s_nationkey").alias("nk")).distinct()
-    return (
-        c.union(s).distinct().withColumn("op", F.lit("union"))
-        .unionByName(c.intersect(s).withColumn("op", F.lit("intersect")))
-        .unionByName(c.exceptAll(s).withColumn("op", F.lit("except")))
-        .orderBy("op", "nk")
+
+    def setb(tag: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("op"),
+            F.col("nk").cast("string").alias("group_key"),
+            F.lit(1).cast("long").alias("n"),
+            F.col("nk").cast("long").alias("checksum"),
+        )
+
+    sets = (
+        setb("union", c.union(s).distinct())
+        .unionByName(setb("intersect", c.intersect(s)))
+        .unionByName(setb("except", c.exceptAll(s)))
     )
 
+    # -- two deterministic order snapshots + their changefeed --
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    v1 = base.filter(F.col("o_orderkey") % 13 != 0)
+    v2 = base.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "cents",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("cents") + 10000).otherwise(
+            F.col("cents")
+        ),
+    )
+    diff = snapshot_diff(v1, v2, ["o_orderkey"])
 
-ORACLE_SET_OPS = """
+    cdc = diff.select(
+        F.concat(F.lit("cdc_"), F.col("op")).alias("op"),
+        F.col("o_orderkey").cast("string").alias("group_key"),
+        F.lit(1).cast("long").alias("n"),
+        (
+            F.coalesce(F.col("old_cents"), F.lit(-1)) * _MIX
+            + F.coalesce(F.col("new_cents"), F.lit(-1))
+        ).alias("checksum"),
+    )
+
+    maintained = apply_agg_delta(
+        grouped_sums(v1, ["o_orderstatus"], ["cents"]),
+        diff,
+        ["o_orderstatus"],
+        ["cents"],
+    )
+    ivm = maintained.select(
+        F.lit("ivm").alias("op"),
+        F.col("o_orderstatus").alias("group_key"),
+        F.col("n_rows").cast("long").alias("n"),
+        F.col("sum_cents").cast("long").alias("checksum"),
+    )
+
+    return sets.unionByName(cdc).unionByName(ivm).orderBy("op", "group_key")
+
+
+ORACLE_SET_OPS = f"""
 WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
-     s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
-SELECT nk, 'union' AS op     FROM (SELECT nk FROM c UNION SELECT nk FROM s)
+     s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),
+base AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+v1 AS (SELECT * FROM base WHERE o_orderkey % 13 <> 0),
+v2 AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN cents + 10000 ELSE cents END AS cents
+    FROM base WHERE o_orderkey % 11 <> 0
+),
+diff AS (
+    SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'I'
+                WHEN v2.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS dop,
+           COALESCE(v1.o_orderkey, v2.o_orderkey) AS k,
+           v1.cents AS old_cents, v2.cents AS new_cents
+    FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.cents IS DISTINCT FROM v2.cents
+       OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+)
+SELECT 'union' AS op, CAST(nk AS VARCHAR) AS group_key,
+       CAST(1 AS BIGINT) AS n, CAST(nk AS BIGINT) AS checksum
+FROM (SELECT nk FROM c UNION SELECT nk FROM s)
 UNION ALL
-SELECT nk, 'intersect' AS op FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+SELECT 'intersect', CAST(nk AS VARCHAR), CAST(1 AS BIGINT), CAST(nk AS BIGINT)
+FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
 UNION ALL
-SELECT nk, 'except' AS op    FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
-ORDER BY op, nk
+SELECT 'except', CAST(nk AS VARCHAR), CAST(1 AS BIGINT), CAST(nk AS BIGINT)
+FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+UNION ALL
+SELECT 'cdc_' || dop, CAST(k AS VARCHAR), CAST(1 AS BIGINT),
+       CAST(COALESCE(old_cents, -1) * {_MIX} + COALESCE(new_cents, -1) AS BIGINT)
+FROM diff
+UNION ALL
+SELECT 'ivm', o_orderstatus, COUNT(*), CAST(SUM(cents) AS BIGINT)
+FROM v2 GROUP BY o_orderstatus
+ORDER BY op, group_key
 """
 
 

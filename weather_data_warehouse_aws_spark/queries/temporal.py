@@ -14,7 +14,7 @@ from pyspark.sql.window import Window
 
 from ..operators.asof_join import asof_join
 from ..operators.band_join import band_join
-from ..operators.interval_join import interval_join
+from ..operators.interval_join import interval_join, interval_overlap_join
 from ..operators.rollup_time import cascade_rollup, tagged_union
 from ..sources.tables import load_table
 
@@ -166,9 +166,15 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-open bounds — through the bucket-explode equi rewrite
     (operators/interval_join.py). All four join types ride one tagged
     relation (inner / left = clicks preserved / right = windows that
-    converted nothing / full); the oracle is DuckDB's LITERAL inequality
-    join per type, proving rewrite ≡ semantics including both boundary
-    edges and the outer null-extensions."""
+    converted nothing / full), plus the `overlap_*` variants: each click
+    also opens a half-open 30-minute BROWSING interval `[ts, ts+30m)`, and
+    the fully general interval×interval overlap join
+    (operators/interval_join.py::interval_overlap_join — claim-bucket
+    rewrite, no dedup pass) matches browsing intervals to the purchase
+    windows they overlap. The oracle is DuckDB's LITERAL inequality join
+    per type (`l.start < r.end AND r.start < l.end` for overlap), proving
+    rewrite ≡ semantics including both boundary edges, endpoint-touch
+    non-overlap, and the outer null-extensions."""
     ev = load_table(spark, sf_dir, "events")
     windows = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -197,11 +203,40 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
+    browsing = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("br_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("br_end"),
+    )
+
+    def overlap_variant(how: str) -> DataFrame:
+        matched = interval_overlap_join(
+            browsing, windows, on=["user_id"],
+            left_start="br_start", left_end="br_end",
+            right_start="win_start", right_end="win_end",
+            bucket_sec=3600, how=how,
+        )
+        return matched.select(
+            F.lit(f"overlap_{how}").alias("variant"),
+            "user_id",
+            "purchase_id",
+            "click_id",
+            (
+                F.unix_timestamp(F.least("br_end", "win_end"))
+                - F.unix_timestamp(F.greatest("br_start", "win_start"))
+            ).alias("secs_into_window"),
+        )
+
     return (
         variant("inner")
         .unionByName(variant("left"))
         .unionByName(variant("right"))
         .unionByName(variant("full"))
+        .unionByName(overlap_variant("inner"))
+        .unionByName(overlap_variant("left"))
+        .unionByName(overlap_variant("right"))
+        .unionByName(overlap_variant("full"))
         .orderBy("variant", "user_id", "purchase_id", "click_id")
     )
 
@@ -221,6 +256,21 @@ FROM (SELECT * FROM events WHERE event_type = 'click') c
  AND c.ts < p.ts + INTERVAL 2 HOUR
 """
 
+_OVERLAP_ORACLE_TMPL = """
+SELECT
+    'overlap_{how}' AS variant,
+    {uid} AS user_id,
+    p.event_id AS purchase_id,
+    c.event_id AS click_id,
+    CAST(FLOOR(epoch(LEAST(c.ts + INTERVAL 30 MINUTE, p.ts + INTERVAL 2 HOUR))) AS BIGINT)
+      - CAST(FLOOR(epoch(GREATEST(c.ts, p.ts))) AS BIGINT) AS secs_into_window
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+{join} JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND c.ts < p.ts + INTERVAL 2 HOUR
+ AND p.ts < c.ts + INTERVAL 30 MINUTE
+"""
+
 ORACLE_INTERVAL_JOIN = (
     _INTERVAL_ORACLE_TMPL.format(how="inner", uid="c.user_id", join="")
     + " UNION ALL "
@@ -229,6 +279,16 @@ ORACLE_INTERVAL_JOIN = (
     + _INTERVAL_ORACLE_TMPL.format(how="right", uid="p.user_id", join="RIGHT")
     + " UNION ALL "
     + _INTERVAL_ORACLE_TMPL.format(
+        how="full", uid="COALESCE(c.user_id, p.user_id)", join="FULL"
+    )
+    + " UNION ALL "
+    + _OVERLAP_ORACLE_TMPL.format(how="inner", uid="c.user_id", join="")
+    + " UNION ALL "
+    + _OVERLAP_ORACLE_TMPL.format(how="left", uid="c.user_id", join="LEFT")
+    + " UNION ALL "
+    + _OVERLAP_ORACLE_TMPL.format(how="right", uid="p.user_id", join="RIGHT")
+    + " UNION ALL "
+    + _OVERLAP_ORACLE_TMPL.format(
         how="full", uid="COALESCE(c.user_id, p.user_id)", join="FULL"
     )
     + " ORDER BY variant, user_id, purchase_id, click_id"
