@@ -95,6 +95,66 @@ def test_apply_agg_delta_zero_delta_groups_untouched(spark):
     assert sorted(maintained.collect()) == sorted(prior.collect())
 
 
+def test_streaming_incremental_agg_matches_recompute(spark, tmp_path_factory):
+    """Changefeed slices applied per micro-batch: the maintained aggregate
+    after draining the stream equals a full recompute over the final
+    snapshot, and a re-run against the same checkpoint is a no-op."""
+    import time
+
+    from weather_data_warehouse_aws_spark.streaming.jobs import (
+        read_current_agg,
+        run_incremental_agg_foreachbatch,
+    )
+
+    feed = str(tmp_path_factory.mktemp("cdc_feed"))
+    aggd = str(tmp_path_factory.mktemp("cdc_agg")) + "/agg"
+    ckpt = str(tmp_path_factory.mktemp("cdc_ckpt"))
+
+    s0, s1 = _frames(spark)
+    s2 = s1.filter(F.col("k") != 2).unionByName(  # delete 2
+        spark.createDataFrame(
+            [(7, "b", 70, None)], "k int, grp string, amt int, note string"
+        )  # resurrect group b
+    )
+    # ordered changefeed: one file per diff slice -> one micro-batch each
+    snapshot_diff(s0, s1, ["k"]).coalesce(1).write.parquet(f"{feed}/d1")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    snapshot_diff(s1, s2, ["k"]).coalesce(1).write.parquet(f"{feed}/d2")
+
+    diff_schema = snapshot_diff(s0, s1, ["k"]).schema
+    stream = (
+        spark.readStream.schema(diff_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+    )
+    run_incremental_agg_foreachbatch(
+        stream, aggd, ckpt, ["grp"], ["amt"],
+        initial_agg=grouped_sums(s0, ["grp"], ["amt"]),
+    )
+
+    maintained = read_current_agg(spark, aggd)
+    direct = grouped_sums(s2, ["grp"], ["amt"])
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # drained checkpoint: a re-run sees no new files and changes nothing
+    stream2 = (
+        spark.readStream.schema(diff_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+    )
+    run_incremental_agg_foreachbatch(
+        stream2, aggd, ckpt, ["grp"], ["amt"],
+        initial_agg=grouped_sums(s0, ["grp"], ["amt"]),
+    )
+    assert sorted(map(tuple, read_current_agg(spark, aggd).collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
 def test_apply_agg_delta_new_group_from_insert(spark):
     old, _ = _frames(spark)
     new = old.unionByName(
