@@ -1,0 +1,68 @@
+"""Per-file Bloom skipping index: pruning power, exactness, sidecar
+invisibility."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather_data_warehouse_aws_spark.operators.file_index import (
+    bloom_index_path,
+    build_bloom_index,
+    prune_files,
+    read_with_index,
+)
+from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+
+def _write_table(spark, sf_smoke_dir, path: str, n_files: int = 16) -> None:
+    docs = load_table(spark, sf_smoke_dir, "documents").select("doc_id", "text")
+    docs.repartition(n_files, "doc_id").write.parquet(path)
+
+
+def test_index_prunes_and_matches_full_scan(spark, sf_smoke_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("btab")) + "/t"
+    _write_table(spark, sf_smoke_dir, path)
+    idx = build_bloom_index(spark, path, "doc_id", fpr=0.001)
+    n_files = idx.count()
+    assert n_files == 16
+
+    full = spark.read.parquet(path)
+    for key in (0, 7, 123, 499):
+        cand = prune_files(spark, path, "doc_id", key)
+        # hash-partitioned on doc_id -> each key lives in exactly one file;
+        # fpr=0.001 over 16 files makes extra candidates vanishingly rare
+        assert 1 <= len(cand) <= 2, (key, len(cand))
+        got = sorted(map(str, read_with_index(spark, path, "doc_id", key).collect()))
+        want = sorted(map(str, full.filter(F.col("doc_id") == key).collect()))
+        assert got == want and len(got) == 1
+
+
+def test_absent_key_and_no_false_negatives(spark, sf_smoke_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("btab2")) + "/t"
+    _write_table(spark, sf_smoke_dir, path, n_files=8)
+    build_bloom_index(spark, path, "doc_id", fpr=0.001)
+    # absent key: usually zero candidates, never a wrong row
+    assert read_with_index(spark, path, "doc_id", 10_000_019).count() == 0
+    # every present key MUST be found (no false negatives) — exhaustive
+    present = [r[0] for r in spark.read.parquet(path).select("doc_id").collect()]
+    missed = [
+        k for k in present[:200]
+        if not prune_files(spark, path, "doc_id", int(k))
+    ]
+    assert missed == []
+
+
+def test_string_column_and_sidecar_invisible(spark, sf_smoke_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("btab3")) + "/t"
+    _write_table(spark, sf_smoke_dir, path, n_files=8)
+    before = spark.read.parquet(path).count()
+    build_bloom_index(spark, path, "text", fpr=0.01)
+    # the _bloom_idx_ sidecar must not leak into normal table reads
+    assert spark.read.parquet(path).count() == before
+    assert bloom_index_path(path, "text").startswith(path)
+
+    sample = spark.read.parquet(path).select("text").first()["text"]
+    got = read_with_index(spark, path, "text", sample)
+    want = spark.read.parquet(path).filter(F.col("text") == sample)
+    assert sorted(map(str, got.collect())) == sorted(map(str, want.collect()))
+    assert got.count() >= 1

@@ -148,3 +148,105 @@ def test_extract_image_features_tags_errors(spark):
     rows = {r.doc_id: r for r in extract_image_features(df).collect()}
     assert rows[1].fmt == "ppm"
     assert rows[2].fmt == "error" and rows[2].width is None
+
+
+# ---------------------------------------------------------------------------
+# WAV (16-bit PCM) codec
+# ---------------------------------------------------------------------------
+def test_wav_roundtrip_mono_and_stereo():
+    from weather_data_warehouse_aws_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    mono = encode_wav(8000, 1, [[100], [-200], [300], [-32768]])
+    sr, ch, n, peak, rms = decode_wav(mono)
+    assert (sr, ch, n, peak) == (8000, 1, 4, 32768)
+    exp = ((100**2 + 200**2 + 300**2 + 32768**2) / 4) ** 0.5
+    assert rms == exp
+
+    stereo = encode_wav(44100, 2, [[1000, -1000], [500, -500]])
+    sr, ch, n, peak, rms = decode_wav(stereo)
+    assert (sr, ch, n, peak) == (44100, 2, 2, 1000)
+    assert rms == ((2 * 1000**2 + 2 * 500**2) / 4) ** 0.5
+
+
+def test_wav_extra_chunks_and_padding():
+    """RIFF chunk walk tolerates chunks before data and odd-size padding."""
+    import struct
+
+    from weather_data_warehouse_aws_spark.operators.multimodal import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    junk = b"abc"  # odd length -> pad byte
+    data = struct.pack("<hh", 7, -7)
+    chunks = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    raw = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+    assert decode_wav(raw) == (8000, 1, 2, 7, 7.0)
+
+
+def test_wav_rejects_malformed():
+    import struct
+
+    import pytest as _pytest
+
+    from weather_data_warehouse_aws_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"not audio at all")
+    good = encode_wav(8000, 1, [[1], [2]])
+    with _pytest.raises(ValueError):
+        decode_wav(good[:20])  # truncated chunk
+    # 8-bit PCM claimed: fmt says bits=8
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    raw = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with _pytest.raises(ValueError):
+        decode_wav(raw)
+
+
+def test_synth_audio_decode_matches_closed_form(spark, sf_smoke_dir):
+    """The Spark-side path: synthesize square-wave WAVs, REALLY decode, and
+    check the closed-form predictions the oracle relies on."""
+    from weather_data_warehouse_aws_spark.operators.multimodal import (
+        extract_audio_features,
+        synth_audio,
+    )
+
+    docs = load_table(spark, sf_smoke_dir, "documents").limit(64)
+    feats = extract_audio_features(synth_audio(docs)).collect()
+    assert len(feats) == 64
+    for r in feats:
+        d = r.doc_id
+        assert r.fmt == "wav"
+        assert r.sample_rate == 8000
+        assert r.n_channels == 1 + d % 2
+        assert r.n_frames == 16 + d % 50
+        amp = d * 13 % 30000
+        assert r.peak == amp
+        assert r.rms == float(amp)
+
+
+def test_corrupt_audio_tagged_not_fatal(spark):
+    from weather_data_warehouse_aws_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"RIFFgarbage")), (2, bytearray(b""))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r.doc_id: r for r in extract_audio_features(media).collect()}
+    assert rows[1].fmt == "error" and rows[1].peak is None
+    assert rows[2].fmt == "error"

@@ -233,6 +233,125 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(_batches, FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Real pure-Python audio codec: 16-bit PCM RIFF/WAVE (the raw interchange
+# format — no compression, no external libs). Completes the multimodal triad:
+# image decode (BMP/PPM above), audio decode (here), video frame sampling
+# (sample_frames below). The decoder walks the RIFF chunk list properly, so
+# files with extra chunks (LIST/INFO, fact) parse; stats are exact integer
+# sums, deterministic regardless of batch/partition order.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, fmt string, sample_rate int, n_channels int, "
+    "n_frames int, peak int, rms double"
+)
+
+
+def encode_wav(sample_rate: int, n_channels: int, frames: list[list[int]]) -> bytes:
+    """Canonical 16-bit PCM WAV: frames[i] = one int16 sample per channel."""
+    body = bytearray()
+    for frame in frames:
+        for s in frame:
+            body += struct.pack("<h", s)
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + bytes(body)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, float]:
+    """Decode 16-bit PCM WAV: walk the RIFF chunk list (tolerating extra
+    chunks and odd-length chunk padding), parse fmt, and compute exact
+    stats over the sample data.
+
+    Returns (sample_rate, n_channels, n_frames, peak, rms) where peak is
+    max |sample| across all channels and rms = sqrt(sum(s²)/n) from exact
+    integer sums. Raises ValueError on non-PCM / non-16-bit / malformed
+    input so callers can tag instead of crash.
+    """
+    raw = bytes(payload)
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_chunk, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", raw, pos + 4)
+        body_at = pos + 8
+        if body_at + size > len(raw):
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            fmt_chunk = struct.unpack_from("<HHIIHH", raw, body_at)
+        elif cid == b"data":
+            data = raw[body_at : body_at + size]
+        pos = body_at + size + (size & 1)  # chunks pad to even offsets
+    if fmt_chunk is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _rate, block_align, bits = fmt_chunk
+    if audio_format != 1 or bits != 16 or n_channels < 1:
+        raise ValueError("only 16-bit PCM supported")
+    if block_align != n_channels * 2 or len(data) % block_align != 0:
+        raise ValueError("inconsistent PCM framing")
+    import numpy as np
+
+    samples = np.frombuffer(data, "<i2").astype(np.int64)
+    n_frames = len(samples) // n_channels
+    if n_frames == 0:
+        return sample_rate, n_channels, 0, 0, 0.0
+    peak = int(np.abs(samples).max())
+    sum_sq = int((samples * samples).sum())  # exact: |s|<2^15, n<2^33
+    rms = (sum_sq / len(samples)) ** 0.5
+    return sample_rate, n_channels, n_frames, peak, rms
+
+
+def synth_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic square-wave WAV per id: amplitude A = id·13 % 30000,
+    frames = 16 + id % 50, channels = 1 + id % 2, 8 kHz. A square wave's
+    peak AND rms both equal A exactly, so a SQL oracle predicts the decoded
+    stats in closed form — any framing/interleave/sign bug breaks the hash."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                amp, n, ch = d * 13 % 30000, 16 + d % 50, 1 + d % 2
+                frames = [[amp if i % 2 == 0 else -amp] * ch for i in range(n)]
+                payloads.append(encode_wav(8000, ch, frames))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        _batches, "doc_id bigint, payload binary"
+    )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode over binary payloads (RIFF walk + PCM stats) in
+    Arrow-batched mapInPandas; undecodable payloads tagged fmt='error'."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = ("doc_id", "fmt", "sample_rate", "n_channels", "n_frames", "peak", "rms")
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    sr, ch, n, peak, rms = decode_wav(payload)
+                    row = (doc_id, "wav", sr, ch, n, peak, rms)
+                except ValueError:
+                    row = (doc_id, "error", None, None, None, None, None)
+                for k, v in zip(cols, row):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(_batches, AUDIO_FEATURE_SCHEMA)
+
+
 def sample_frames(media: DataFrame, *, n_frames: int = 4) -> DataFrame:
     """Frame-sampling shape for video payloads: each payload explodes into
     `n_frames` evenly spaced 'frames' (here: byte-slice checksums). The
