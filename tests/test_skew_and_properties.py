@@ -260,3 +260,100 @@ def test_approx_sketches_within_tolerance(spark, sf_dir):
     ).collect()[0]
     assert abs(row.approx_cd - row.exact_cd) / row.exact_cd < 0.05
     assert abs(row.approx_med - row.exact_med) / row.exact_med < 0.02
+
+
+# ---------------------------------------------------------------------------
+# CDC algebra + interval-overlap join properties
+# ---------------------------------------------------------------------------
+_snapshots = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),   # key
+        st.integers(min_value=0, max_value=3),    # group
+        st.integers(min_value=-100, max_value=100),  # amount
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(old=_snapshots, new=_snapshots)
+@_SETTINGS
+def test_cdc_incremental_equals_recompute(spark, old, new):
+    """apply_agg_delta(grouped_sums(old), diff(old,new)) ≡ grouped_sums(new)
+    for arbitrary keyed snapshots (last write per key wins to satisfy the
+    unique-key precondition), including group-moving updates and groups
+    draining to zero."""
+    from weather_data_warehouse_aws_spark.operators.cdc import (
+        apply_agg_delta,
+        grouped_sums,
+        snapshot_diff,
+    )
+
+    def df_of(rows):
+        uniq = {k: (k, f"g{g}", a) for k, g, a in rows}  # unique per key
+        return spark.createDataFrame(
+            list(uniq.values()) or [(None, None, None)],
+            "k int, grp string, amt int",
+        ).filter(F.col("k").isNotNull())
+
+    o, n = df_of(old), df_of(new)
+    maintained = apply_agg_delta(
+        grouped_sums(o, ["grp"], ["amt"]),
+        snapshot_diff(o, n, ["k"]),
+        ["grp"],
+        ["amt"],
+    )
+    direct = grouped_sums(n, ["grp"], ["amt"])
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+_intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # key
+        st.integers(min_value=0, max_value=5000),   # start offset sec
+        st.integers(min_value=1, max_value=4000),   # length sec
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(left=_intervals, right=_intervals, bucket=st.sampled_from([10, 600, 7200]))
+@_SETTINGS
+def test_overlap_join_matches_bruteforce(spark, left, right, bucket):
+    """Claim-bucket overlap join ≡ brute-force half-open overlap filter for
+    arbitrary keyed interval multisets and bucket widths."""
+    from weather_data_warehouse_aws_spark.operators.interval_join import (
+        interval_overlap_join,
+    )
+
+    ldf = spark.createDataFrame(
+        [
+            (k, BASE + dt.timedelta(seconds=s), BASE + dt.timedelta(seconds=s + ln), i)
+            for i, (k, s, ln) in enumerate(left)
+        ],
+        "k bigint, ls timestamp, le timestamp, lid bigint",
+    )
+    rdf = spark.createDataFrame(
+        [
+            (k, BASE + dt.timedelta(seconds=s), BASE + dt.timedelta(seconds=s + ln), i)
+            for i, (k, s, ln) in enumerate(right)
+        ],
+        "k bigint, rs timestamp, re timestamp, rid bigint",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            ldf, rdf, on=["k"], left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bucket_sec=bucket,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (lk, ls, lln) in enumerate(left)
+        for j, (rk, rs, rln) in enumerate(right)
+        if lk == rk and ls < rs + rln and rs < ls + lln
+    }
+    assert got == want

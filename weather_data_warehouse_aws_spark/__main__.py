@@ -9,6 +9,7 @@ Athena console; the equivalent local surface:
     query      --sf-dir DIR NAME                     run a registry query
     list-queries                                     show the registry
     curate     --docs PATH --out DIR [--eval PATH]   corpus curation run
+    index      --table DIR --column COL [--lookup V] per-file Bloom index
 """
 
 from __future__ import annotations
@@ -52,6 +53,17 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--eval", default=None, help="eval-set parquet to decontaminate against")
     c.add_argument("--min-tokens", type=int, default=5)
     c.add_argument("--pack-budget", type=int, default=256)
+
+    x = sub.add_parser(
+        "index", help="build a per-file Bloom skipping index / probe it"
+    )
+    x.add_argument("--table", required=True, help="parquet table directory")
+    x.add_argument("--column", required=True)
+    x.add_argument("--fpr", type=float, default=0.01)
+    x.add_argument(
+        "--lookup", default=None,
+        help="probe instead of build: print candidate files + matching rows",
+    )
 
     args = parser.parse_args(argv)
 
@@ -110,6 +122,29 @@ def main(argv: list[str] | None = None) -> int:
         for name in ("quarantined", "split", "packed"):
             stages[name].write.mode("overwrite").parquet(os.path.join(args.out, name))
         curation_audit(stages).show(truncate=False)
+        return 0
+
+    if args.cmd == "index":
+        from .operators.file_index import (
+            build_bloom_index,
+            prune_files,
+            read_with_index,
+        )
+
+        if args.lookup is None:
+            idx = build_bloom_index(spark, args.table, args.column, fpr=args.fpr)
+            print(f"indexed {idx.count()} files on {args.column}")
+            return 0
+        # parse the lookup literal with the column's own type
+        dtype = spark.read.parquet(args.table).schema[args.column].dataType
+        value: object = args.lookup
+        if dtype.simpleString() in ("bigint", "int", "smallint", "tinyint"):
+            value = int(args.lookup)
+        elif dtype.simpleString() in ("double", "float"):
+            value = float(args.lookup)
+        files = prune_files(spark, args.table, args.column, value)
+        print(f"candidate files: {len(files)}")
+        read_with_index(spark, args.table, args.column, value).show(20, truncate=False)
         return 0
 
     if args.cmd == "query":
