@@ -66,3 +66,32 @@ def test_string_column_and_sidecar_invisible(spark, sf_smoke_dir, tmp_path_facto
     want = spark.read.parquet(path).filter(F.col("text") == sample)
     assert sorted(map(str, got.collect())) == sorted(map(str, want.collect()))
     assert got.count() >= 1
+
+
+def test_range_pruning_on_sorted_layout(spark, sf_smoke_dir, tmp_path_factory):
+    """Footer-stats range pruning: a range-clustered layout reads few
+    files, result ≡ full-scan BETWEEN, and statless safety keeps unknown
+    columns unpruned."""
+    from weather_data_warehouse_aws_spark.operators.file_index import (
+        prune_files_by_range,
+        read_with_range,
+    )
+    from weather_data_warehouse_aws_spark.operators.maintenance import write_sorted
+
+    src = load_table(spark, sf_smoke_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path_factory.mktemp("rtab")) + "/t"
+    write_sorted(src, path, ["doc_id"], n_files=10)
+
+    all_files = prune_files_by_range(path, "doc_id", None, None)
+    assert len(all_files) == 10
+    cand = prune_files_by_range(path, "doc_id", 100, 149)
+    assert 1 <= len(cand) <= 3  # 500 ids over 10 range-partitioned files
+
+    got = read_with_range(spark, path, "doc_id", 100, 149)
+    want = spark.read.parquet(path).filter(F.col("doc_id").between(100, 149))
+    assert sorted(map(str, got.collect())) == sorted(map(str, want.collect()))
+    assert got.count() == 50
+
+    # open-ended + empty ranges
+    assert read_with_range(spark, path, "doc_id", 480, None).count() == 20
+    assert read_with_range(spark, path, "doc_id", 10_000, None).count() == 0

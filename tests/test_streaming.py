@@ -307,3 +307,69 @@ def test_streaming_hll_distinct_matches_batch_sketch(spark, events_dir):
         .collect()
     }
     assert daily_from_stream == daily_direct
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, events_dir, tmp_path_factory):
+    """Stream-stream point-in-window attribution join ≡ the batch
+    interval_join on drain, including the asymmetric half-open bounds
+    (planted exact-boundary rows: at-start attributes, at-end does not,
+    1s-before does not)."""
+    import datetime as dt
+
+    from weather_data_warehouse_aws_spark.operators.interval_join import interval_join
+    from weather_data_warehouse_aws_spark.streaming.jobs import (
+        attributed_event_stream,
+        read_events_stream,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    pdir = str(tmp_path_factory.mktemp("att_points"))
+    odir = str(tmp_path_factory.mktemp("att_openers"))
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    planted_openers = spark.createDataFrame(
+        [(900_001, base, 999_001, "purchase", 1.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    planted_points = spark.createDataFrame(
+        [
+            (900_101, base - dt.timedelta(seconds=1), 999_001, "click", 1.0, "{}"),   # before -> no
+            (900_102, base, 999_001, "click", 1.0, "{}"),                             # at start -> yes
+            (900_103, base + dt.timedelta(seconds=7199), 999_001, "click", 1.0, "{}"),# last in -> yes
+            (900_104, base + dt.timedelta(seconds=7200), 999_001, "click", 1.0, "{}"),# at end -> no
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").unionByName(planted_points)
+    purchases = ev.filter(F.col("event_type") == "purchase").unionByName(planted_openers)
+    clicks.repartition(4).write.mode("overwrite").parquet(pdir)
+    purchases.repartition(4).write.mode("overwrite").parquet(odir)
+
+    joined = attributed_event_stream(
+        read_events_stream(spark, pdir), read_events_stream(spark, odir)
+    )
+    got = {
+        (r.point_id, r.opener_id)
+        for r in run_to_memory(joined, "ss_attr", mode="append").collect()
+    }
+
+    want = {
+        (r.point_id, r.opener_id)
+        for r in interval_join(
+            spark.read.parquet(pdir).select(
+                "user_id", F.col("event_id").alias("point_id"), F.col("ts").alias("p_ts")
+            ),
+            spark.read.parquet(odir).select(
+                "user_id",
+                F.col("event_id").alias("opener_id"),
+                F.col("ts").alias("w_start"),
+                (F.col("ts") + F.expr("INTERVAL 7200 SECONDS")).alias("w_end"),
+            ),
+            on=["user_id"], point_ts="p_ts", start_ts="w_start",
+            end_ts="w_end", bucket_sec=3600,
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
+    # the planted boundary rows landed exactly as the half-open contract says
+    assert (900_102, 900_001) in got and (900_103, 900_001) in got
+    assert (900_101, 900_001) not in got and (900_104, 900_001) not in got

@@ -164,3 +164,67 @@ def read_with_index(
         schema = spark.read.parquet(table_path).schema
         return spark.createDataFrame([], schema)
     return spark.read.parquet(*files).filter(F.col(column) == F.lit(value))
+
+
+# ---------------------------------------------------------------------------
+# Range complement: min/max footer-stats file pruning. Bloom answers point
+# lookups on any column; footer ranges answer RANGE predicates — selective
+# when the layout clusters the column (operators/maintenance.py::
+# write_sorted / write_zorder), a no-op-but-correct superset otherwise.
+# Parquet already carries these stats in every footer, so there is no index
+# to build or maintain.
+# ---------------------------------------------------------------------------
+
+
+def prune_files_by_range(table_path: str, column: str, lo, hi) -> list[str]:
+    """Files whose footer [min, max] for `column` intersects [lo, hi]
+    (inclusive bounds; pass None for an open end). Files lacking stats for
+    the column are kept — pruning must never produce false negatives."""
+    import pyarrow.parquet as pq
+
+    out: list[str] = []
+    for name in sorted(os.listdir(table_path)):
+        if not name.endswith(".parquet"):
+            continue
+        full = os.path.join(table_path, name)
+        md = pq.ParquetFile(full).metadata
+        fmin = fmax = None
+        prunable = False
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema != column:
+                    continue
+                if col.statistics is None:
+                    prunable = False
+                    break
+                prunable = True
+                st = col.statistics
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+            if not prunable and fmin is not None:
+                break  # a statless row group poisons the whole file
+        if not prunable:
+            out.append(full)  # no stats -> cannot prune safely
+            continue
+        if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+            out.append(full)
+    return out
+
+
+def read_with_range(
+    spark: SparkSession, table_path: str, column: str, lo, hi
+) -> DataFrame:
+    """Range scan through footer stats: read only intersecting files, then
+    apply the exact BETWEEN filter. Row-identical to the full-scan filter;
+    file count ∝ range width when the layout is clustered on `column`."""
+    files = prune_files_by_range(table_path, column, lo, hi)
+    if not files:
+        schema = spark.read.parquet(table_path).schema
+        return spark.createDataFrame([], schema)
+    df = spark.read.parquet(*files)
+    if lo is not None:
+        df = df.filter(F.col(column) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(column) <= F.lit(hi))
+    return df

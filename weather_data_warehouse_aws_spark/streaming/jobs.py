@@ -327,6 +327,50 @@ def correlated_event_stream(
     )
 
 
+def attributed_event_stream(
+    points: DataFrame,
+    openers: DataFrame,
+    *,
+    key: str = "user_id",
+    watermark: str = "2 hours",
+    window_seconds: int = 7200,
+    how: str = "inner",
+) -> DataFrame:
+    """STREAM-STREAM attribution (point-in-window) join: each `openers` row
+    opens a half-open event-time window `[ts, ts+window_seconds)`; match
+    every same-key `points` row inside it — the streaming twin of the batch
+    interval_join (operators/interval_join.py), with the ASYMMETRIC range
+    the band join can't express (a click 1s before the purchase must NOT
+    attribute; 1s after must).
+
+    Same bounded-state contract as correlated_event_stream: both sides
+    watermarked + a time-range join condition give Spark an eviction
+    horizon of watermark + window per side. `how="leftOuter"` preserves
+    unattributed points once the watermark passes their last possible
+    window. Boundary semantics are exactly the batch operator's: start
+    inclusive, end exclusive, full timestamp precision.
+    """
+    p = points.select(
+        F.col(key).alias("join_key"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("point_id"),
+    ).withWatermark("p_ts", watermark)
+    o = openers.select(
+        F.col(key).alias("o_key"),
+        F.col("ts").alias("o_ts"),
+        F.col("event_id").alias("opener_id"),
+    ).withWatermark("o_ts", watermark)
+    win = F.expr(f"INTERVAL {window_seconds} SECONDS")
+    cond = (
+        (F.col("join_key") == F.col("o_key"))
+        & (F.col("p_ts") >= F.col("o_ts"))
+        & (F.col("p_ts") < F.col("o_ts") + win)
+    )
+    return p.join(o, cond, how).select(
+        "join_key", "point_id", "opener_id", "p_ts", "o_ts"
+    )
+
+
 def hourly_distinct_users(events: DataFrame, *, watermark: str = "1 hour",
                           lg_k: int = 12) -> DataFrame:
     """Streaming distinct-user counts per tumbling hour via mergeable HLL
