@@ -54,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--min-tokens", type=int, default=5)
     c.add_argument("--pack-budget", type=int, default=256)
 
+    ln = sub.add_parser(
+        "lint", help="lint a registry query's physical plan for scale hazards"
+    )
+    ln.add_argument("name")
+    ln.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
     x = sub.add_parser(
         "index", help="build a per-file Bloom skipping index / probe it"
     )
@@ -122,6 +128,17 @@ def main(argv: list[str] | None = None) -> int:
         for name in ("quarantined", "split", "packed"):
             stages[name].write.mode("overwrite").parquet(os.path.join(args.out, name))
         curation_audit(stages).show(truncate=False)
+        return 0
+
+    if args.cmd == "lint":
+        from . import queries as registry
+        from .plans.lint import lint_report
+
+        qs, _ = registry.collect()
+        if args.name not in qs:
+            print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
+            return 2
+        print(lint_report(qs[args.name](spark, args.sf_dir)))
         return 0
 
     if args.cmd == "index":
