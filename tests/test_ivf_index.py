@@ -1,0 +1,46 @@
+"""Persistent IVF index: query ≡ per-call operator, probes partition-pruned."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather_data_warehouse_aws_spark.operators.similarity import (
+    build_ivf_index,
+    ivf_index_topk,
+    ivf_topk,
+)
+from weather_data_warehouse_aws_spark.plans.inspect import physical_plan
+from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+
+def test_index_query_matches_operator_and_prunes(spark, sf_smoke_dir, tmp_path_factory):
+    emb = load_table(spark, sf_smoke_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 17 == 0)
+    path = str(tmp_path_factory.mktemp("ivf")) + "/idx"
+
+    build_ivf_index(emb, path, n_cells=8, lloyd_iterations=1)
+    got = ivf_index_topk(spark, queries, path, k=5, nprobe=2)
+    want = ivf_topk(
+        queries, emb, k=5, n_cells=8, nprobe=2, lloyd_iterations=1
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+    # the cells scan must be partition-pruned to the probed cells
+    plan = physical_plan(got, "formatted")
+    assert "PartitionFilters" in plan and "cell_id" in plan
+
+
+def test_index_reuse_across_query_batches(spark, sf_smoke_dir, tmp_path_factory):
+    """Build once, query twice with different batches — no rebuild, results
+    consistent with the operator for each batch."""
+    emb = load_table(spark, sf_smoke_dir, "embeddings")
+    path = str(tmp_path_factory.mktemp("ivf2")) + "/idx"
+    build_ivf_index(emb, path, n_cells=8, lloyd_iterations=0)
+    for mod in (13, 29):
+        batch = emb.filter(F.col("vec_id") % mod == 1)
+        got = ivf_index_topk(spark, batch, path, k=3, nprobe=3)
+        want = ivf_topk(batch, emb, k=3, n_cells=8, nprobe=3, lloyd_iterations=0)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), mod

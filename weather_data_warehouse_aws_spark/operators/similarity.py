@@ -576,3 +576,85 @@ def rp_project(
             f"0.0D, (acc, v) -> acc + v) * {inv}D"
         )
     return df.withColumn("rp_vec", F.expr("array(" + ", ".join(comps) + ")"))
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index: build once, query many. The per-call ivf_topk above
+# re-derives centroids and re-assigns the corpus every invocation — fine for
+# one-shot dedup sweeps, wasteful for a serving pattern where the corpus is
+# stable and queries keep arriving. At 100 TB the index build is the big
+# scan; amortizing it across queries is the difference between an ANN
+# *operator* and an ANN *index*.
+#
+# Layout: {path}/centroids (n_cells tiny rows) and {path}/cells — the
+# assigned corpus partitioned BY cell_id, so probing nprobe cells is a
+# partition-PRUNED scan (only the probed directories are listed/read; at
+# 1000 executors that is nprobe/n_cells of the corpus touched, asserted via
+# inputFiles in tests).
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    lloyd_iterations: int = 1,
+    stripe_fn=None,
+) -> None:
+    """Materialize the IVF structure: Lloyd-refined centroids + the corpus
+    assigned to cells, partitioned by cell_id for pruned probes."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    centroids = stripe_centroids(c, n_cells=n_cells, stripe_fn=stripe_fn)
+    if lloyd_iterations:
+        centroids = lloyd_refine(c, centroids, iterations=lloyd_iterations)
+    centroids.write.mode("overwrite").parquet(f"{path.rstrip('/')}/centroids")
+    assigned = assign_cells(c, centroids, "cv", "cell_id", 1)
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{path.rstrip('/')}/cells"
+    )
+
+
+def ivf_index_topk(
+    spark,
+    queries: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a materialized IVF index; result ≡ ivf_topk with the same
+    centroid parameters (asserted in tests).
+
+    The probed cell ids are collected (≤ n_cells tiny rows) and pushed as
+    an IN-list filter on the partition column, so the cells scan is
+    partition-pruned at planning time — the only corpus bytes read are the
+    probed cells'.
+    """
+    root = path.rstrip("/")
+    centroids = spark.read.parquet(f"{root}/centroids")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    query_cells = assign_cells(q, centroids, "qv", "cell_id", nprobe)
+    probed = [r["cell_id"] for r in query_cells.select("cell_id").distinct().collect()]
+    if not probed:
+        return spark.createDataFrame(
+            [], "query_id bigint, rank int, neighbor_id bigint, cos double"
+        )
+    cells = spark.read.parquet(f"{root}/cells").filter(F.col("cell_id").isin(probed))
+    scored = (
+        query_cells.join(cells, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+        .withColumn("cos", F.round(cosine("qv", "cv"), 6))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
