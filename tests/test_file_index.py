@@ -95,3 +95,68 @@ def test_range_pruning_on_sorted_layout(spark, sf_smoke_dir, tmp_path_factory):
     # open-ended + empty ranges
     assert read_with_range(spark, path, "doc_id", 480, None).count() == 20
     assert read_with_range(spark, path, "doc_id", 10_000, None).count() == 0
+
+
+def test_range_pruning_statless_and_allnull_files_kept(spark, tmp_path_factory):
+    """A file written without statistics and a file whose column is all
+    null (stats without min/max) must both be KEPT — never a crash, never
+    a dropped row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weather_data_warehouse_aws_spark.operators.file_index import (
+        prune_files_by_range,
+        read_with_range,
+    )
+
+    path = str(tmp_path_factory.mktemp("statless")) + "/t"
+    import os
+
+    os.makedirs(path)
+    pq.write_table(
+        pa.table({"v": [1, 2, 3], "t": ["a", "b", "c"]}),
+        f"{path}/with_stats.parquet",
+    )
+    pq.write_table(
+        pa.table({"v": [150, 160, 170], "t": ["x", "y", "z"]}),
+        f"{path}/no_stats.parquet",
+        write_statistics=False,
+    )
+    pq.write_table(
+        pa.table({"v": pa.array([None, None], type=pa.int64()), "t": ["n", "n"]}),
+        f"{path}/all_null.parquet",
+    )
+    cand = prune_files_by_range(path, "v", 100, 200)
+    # statless + all-null kept unconditionally; the stats file prunes out
+    assert any("no_stats" in f for f in cand)
+    assert any("all_null" in f for f in cand)
+    assert not any("with_stats" in f for f in cand)
+    got = read_with_range(spark, path, "v", 100, 200)
+    assert sorted(r.v for r in got.collect()) == [150, 160, 170]
+
+
+def test_range_pruning_partitioned_layout(spark, sf_smoke_dir, tmp_path_factory):
+    """Hive-partitioned tables: nested data files are found, partition
+    columns survive via basePath, and the bloom sidecar dir is skipped."""
+    from weather_data_warehouse_aws_spark.operators.file_index import (
+        build_bloom_index,
+        prune_files_by_range,
+        read_with_range,
+    )
+
+    path = str(tmp_path_factory.mktemp("hive")) + "/t"
+    docs = load_table(spark, sf_smoke_dir, "documents").withColumn(
+        "bucket", (F.col("doc_id") % 4).cast("int")
+    )
+    docs.write.partitionBy("bucket").parquet(path)
+    build_bloom_index(spark, path, "doc_id")  # sidecar must not poison listing
+
+    got = read_with_range(spark, path, "doc_id", 100, 149)
+    want = spark.read.parquet(path).filter(F.col("doc_id").between(100, 149))
+    assert sorted(map(str, got.select(sorted(got.columns)).collect())) == sorted(
+        map(str, want.select(sorted(want.columns)).collect())
+    )
+    assert "bucket" in got.columns  # partition column reconstructed
+    # filtering on the partition column itself: no footer stats -> all kept
+    files = prune_files_by_range(path, "bucket", 2, 2)
+    assert len(files) == len(prune_files_by_range(path, "doc_id", None, None))

@@ -62,3 +62,11 @@ def test_registry_queries_have_no_error_findings(spark, sf_smoke_dir, name):
     df = entrymod.queries()[name](spark, sf_smoke_dir)
     errors = {f.code for f in lint_plan(df) if f.level == "error"}
     assert errors == set(), errors
+
+
+def test_no_pushdown_fires_on_derived_column_filter(spark, sf_smoke_dir):
+    docs = load_table(spark, sf_smoke_dir, "documents")
+    derived = docs.filter((F.col("doc_id") % 7).cast("string") == "3")
+    assert "no-pushdown" in _codes(derived, "warn")
+    raw = docs.filter(F.col("doc_id") == 3)
+    assert "no-pushdown" not in _codes(raw)

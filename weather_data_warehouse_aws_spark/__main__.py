@@ -161,7 +161,9 @@ def main(argv: list[str] | None = None) -> int:
             value = float(args.lookup)
         files = prune_files(spark, args.table, args.column, value)
         print(f"candidate files: {len(files)}")
-        read_with_index(spark, args.table, args.column, value).show(20, truncate=False)
+        read_with_index(
+            spark, args.table, args.column, value, files=files
+        ).show(20, truncate=False)
         return 0
 
     if args.cmd == "query":

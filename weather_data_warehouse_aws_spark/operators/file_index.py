@@ -52,11 +52,9 @@ def _key(col_expr) -> F.Column:
     return F.xxhash64(col_expr)
 
 
-def _positions_expr(key, n_bits: int, n_hashes: int) -> list:
-    key = key.cast("bigint")
-    h1 = F.pmod(key, F.lit(n_bits))
-    h2 = F.pmod(F.shiftrightunsigned(key, 23), F.lit(n_bits)).bitwiseOR(F.lit(1))
-    return [F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)) for i in range(n_hashes)]
+# one implementation of the bit-position derivation: an index built with one
+# scheme probed with a drifted copy would silently produce false negatives
+from .bloom import _positions as _positions_expr  # noqa: E402
 
 
 def build_bloom_index(
@@ -154,16 +152,29 @@ def prune_files(spark: SparkSession, table_path: str, column: str, value) -> lis
 
 
 def read_with_index(
-    spark: SparkSession, table_path: str, column: str, value
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    value,
+    *,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """Point lookup through the index: scan only candidate files, then
     apply the exact filter (removing Bloom false positives). Result is
-    row-identical to `read.parquet(table).filter(col == value)`."""
-    files = prune_files(spark, table_path, column, value)
+    row-identical to `read.parquet(table).filter(col == value)`.
+    Pass `files` (from a prior `prune_files` call) to avoid probing the
+    index twice. `basePath` keeps hive partition columns intact when the
+    candidate files live under `key=value` directories."""
+    if files is None:
+        files = prune_files(spark, table_path, column, value)
     if not files:
         schema = spark.read.parquet(table_path).schema
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*files).filter(F.col(column) == F.lit(value))
+    return (
+        spark.read.option("basePath", table_path)
+        .parquet(*files)
+        .filter(F.col(column) == F.lit(value))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -176,36 +187,55 @@ def read_with_index(
 # ---------------------------------------------------------------------------
 
 
+def _data_files(table_path: str) -> list[str]:
+    """All parquet data files under the table root, recursing into hive
+    `key=value` partition dirs but never into `_`/`.`-prefixed sidecars
+    (the `_bloom_idx_*` dirs, `_SUCCESS`, hidden files) — the same listing
+    rule Spark applies."""
+    out: list[str] = []
+    for root, dirs, names in os.walk(table_path):
+        dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
+        for name in sorted(names):
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                out.append(os.path.join(root, name))
+    return out
+
+
 def prune_files_by_range(table_path: str, column: str, lo, hi) -> list[str]:
     """Files whose footer [min, max] for `column` intersects [lo, hi]
-    (inclusive bounds; pass None for an open end). Files lacking stats for
-    the column are kept — pruning must never produce false negatives."""
+    (inclusive bounds; pass None for an open end).
+
+    No-false-negative guard: a file is pruned only if EVERY row group
+    carries usable min/max stats for the column — one statless row group
+    (or an all-null chunk, where parquet writes statistics without
+    min/max) keeps the whole file, regardless of row-group order. Hive
+    partition columns live in directory names, not footers, so filtering
+    on one simply keeps every file — correct, just unpruned (partition
+    pruning is Spark's own job)."""
     import pyarrow.parquet as pq
 
     out: list[str] = []
-    for name in sorted(os.listdir(table_path)):
-        if not name.endswith(".parquet"):
-            continue
-        full = os.path.join(table_path, name)
+    for full in _data_files(table_path):
         md = pq.ParquetFile(full).metadata
         fmin = fmax = None
-        prunable = False
+        usable = True
+        seen = False
         for rg in range(md.num_row_groups):
             for ci in range(md.num_columns):
                 col = md.row_group(rg).column(ci)
                 if col.path_in_schema != column:
                     continue
-                if col.statistics is None:
-                    prunable = False
-                    break
-                prunable = True
+                seen = True
                 st = col.statistics
+                if st is None or not st.has_min_max:
+                    usable = False
+                    break
                 fmin = st.min if fmin is None else min(fmin, st.min)
                 fmax = st.max if fmax is None else max(fmax, st.max)
-            if not prunable and fmin is not None:
-                break  # a statless row group poisons the whole file
-        if not prunable:
-            out.append(full)  # no stats -> cannot prune safely
+            if not usable:
+                break
+        if not (seen and usable and fmin is not None):
+            out.append(full)  # no complete stats -> cannot prune safely
             continue
         if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
             out.append(full)
@@ -222,7 +252,7 @@ def read_with_range(
     if not files:
         schema = spark.read.parquet(table_path).schema
         return spark.createDataFrame([], schema)
-    df = spark.read.parquet(*files)
+    df = spark.read.option("basePath", table_path).parquet(*files)
     if lo is not None:
         df = df.filter(F.col(column) >= F.lit(lo))
     if hi is not None:

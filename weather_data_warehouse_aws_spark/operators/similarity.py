@@ -611,7 +611,13 @@ def build_ivf_index(
     if lloyd_iterations:
         centroids = lloyd_refine(c, centroids, iterations=lloyd_iterations)
     centroids.write.mode("overwrite").parquet(f"{path.rstrip('/')}/centroids")
-    assigned = assign_cells(c, centroids, "cv", "cell_id", 1)
+    # assign against the PERSISTED centroids, not the lazy lineage: Lloyd's
+    # float means are merge-order-sensitive, so recomputing them for the
+    # assignment could disagree bit-wise with what queries will read back —
+    # a boundary vector stored under the wrong cell is a silent recall hole.
+    # Reading back also halves the centroid computation (one pass, not two).
+    persisted = c.sparkSession.read.parquet(f"{path.rstrip('/')}/centroids")
+    assigned = assign_cells(c, persisted, "cv", "cell_id", 1)
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
         f"{path.rstrip('/')}/cells"
     )

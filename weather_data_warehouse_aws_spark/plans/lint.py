@@ -66,15 +66,26 @@ def lint_plan(df: DataFrame) -> list[Finding]:
             "micro-relations; fatal over raw tables. Partition the window "
             "or pre-aggregate first.",
         ))
-    # scan-level filter pushdown: a parquet scan whose PushedFilters is
-    # empty while the plan filters somewhere above it
-    pf = pushed_filters(plan)
-    if pf and all(not p.strip() for p in pf) and "Filter" in simple:
+    # scan-level filter pushdown: a Filter NODE exists, the plan scans
+    # parquet, and no scan pushed anything beyond IsNotNull — the signature
+    # of a predicate over a derived/cast column the scan can't skip on.
+    # (An empty PushedFilters list renders as no line at all, and any
+    # raw-column predicate pushes at least IsNotNull, so both the
+    # "no lines" and the "IsNotNull-only" shapes mean nothing useful
+    # reached the scan.)
+    import re
+
+    has_filter_node = bool(re.search(r"\(\d+\) Filter\b", plan))
+    has_parquet_scan = "Scan parquet" in plan
+    pf_terms = [t.strip() for p in pushed_filters(plan) for t in p.split(",")]
+    useful_pushed = any(t and not t.startswith("IsNotNull") for t in pf_terms)
+    if has_filter_node and has_parquet_scan and not useful_pushed:
         out.append(Finding(
             "warn", "no-pushdown",
-            "Parquet scans carry no pushed filters while the plan filters "
-            "above them: the predicate may be over a derived/cast column. "
-            "Filter on raw columns where possible so the scan skips.",
+            "The plan filters above parquet scans but nothing beyond "
+            "IsNotNull reached any scan: the predicate is likely over a "
+            "derived/cast column. Filter on raw columns where possible so "
+            "the scan skips row groups.",
         ))
     import re
 
