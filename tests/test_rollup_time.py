@@ -184,6 +184,26 @@ def test_retention_overlap_exact_small(spark):
     assert len(out) == 3
     first, second, third = (out[k] for k in sorted(out))
     assert (first.n_cur, first.n_prev, first.n_retained) == (100, None, None)
+    # first period: no prior audience, so every current user is NEW (a
+    # naive theta_difference against the null lag would report null here)
+    assert first.n_new == 100 and first.n_churned is None
     assert (second.n_prev, second.n_cur) == (100, 80)
     assert (second.n_retained, second.n_new, second.n_churned) == (50, 30, 50)
     assert (third.n_retained, third.n_new, third.n_churned) == (10, 10, 70)
+
+
+def test_quantile_labels_preserve_tail_decimals(spark):
+    """p99.5 and p99.9 must not both collapse to 'p100'."""
+    import datetime as dt
+
+    from weather_data_warehouse_aws_spark.operators.rollup_time import quantile_rollup
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, h), float(h)) for h in range(10)],
+        "ts timestamp, v double",
+    )
+    out = quantile_rollup(
+        df, ts_col="ts", keys=[], value_col="v", grains=("day",),
+        quantiles=(0.5, 0.995, 0.999),
+    )["day"]
+    assert {"p50", "p99_5", "p99_9"} <= set(out.columns)

@@ -206,3 +206,17 @@ def test_weighted_sample_rejects_fractional_and_negative_weights(spark):
     # integer-valued doubles are fine (2.0 == floor(2.0))
     ok = spark.createDataFrame([(1, 1.0), (2, 2.0)], "doc_id long, w double")
     assert weighted_sample(ok, "doc_id", "w", 1).count() == 1
+
+
+def test_weighted_sample_rejects_null_weights(spark):
+    """NULL weights must raise, not silently drop the row from every
+    sample (NULL < 0 is NULL, so the guard needs an explicit null term)."""
+    import pytest
+
+    from weather_data_warehouse_aws_spark.operators.sampling import weighted_sample
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, 2.0)], "doc_id long, w double"
+    )
+    with pytest.raises(Exception, match="non-negative integers"):
+        weighted_sample(nulls, "doc_id", "w", 2).collect()

@@ -100,7 +100,12 @@ def bpe_train(
     every iteration pay full scheduling fan-out for near-empty tasks."""
     syms = word_symbols(df, id_col, text_col)
     if vocab_partitions is not None:
-        syms = syms.coalesce(int(vocab_partitions))
+        # repartition, NOT coalesce: coalesce would propagate below the
+        # corpus-sized groupBy inside word_symbols and collapse its reduce
+        # stage to `vocab_partitions` tasks — the one big aggregation must
+        # keep full parallelism. The repartition shuffle moves only the
+        # (tiny) vocabulary table once, before the 2·n_merges micro-jobs.
+        syms = syms.repartition(int(vocab_partitions))
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         top = (

@@ -127,9 +127,14 @@ def interval_join(
         return _left()
 
     # right / full: never-matched intervals via distinct matched row images
-    # + null-safe LEFT ANTI (see docstring)
+    # + null-safe LEFT ANTI (see docstring). ONE _inner() DataFrame serves
+    # both the image projection and (for how='right') the matched base, so
+    # the pair join appears once per role with identical subplans and
+    # Spark's ReuseExchange shares the shuffles instead of re-executing
+    # them from scan.
     iv_cols = intervals.columns
-    matched_images = _inner().select(*iv_cols).distinct()
+    inner_df = _inner()
+    matched_images = inner_df.select(*iv_cols).distinct()
     img = matched_images
     for c in iv_cols:
         img = img.withColumnRenamed(c, f"__iv_m_{c}")
@@ -139,7 +144,7 @@ def interval_join(
         anti_cond = term if anti_cond is None else anti_cond & term
     unmatched_iv = intervals.join(img, anti_cond, "left_anti")
 
-    base = _inner() if how == "right" else _left()
+    base = inner_df if how == "right" else _left()
     point_types = {f.name: f.dataType for f in points.schema.fields}
     null_extended = unmatched_iv.select(
         *[

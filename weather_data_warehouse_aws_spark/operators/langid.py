@@ -41,9 +41,13 @@ def char_bigram_buckets(
     """(doc_id, bucket): one row per character-bigram occurrence of
     lower(trim(text)), feature-hashed. Texts shorter than 2 chars emit one
     degenerate gram so every document scores."""
+    # NULL text folds to '' so it emits the same single degenerate gram as
+    # any sub-2-char text — and, critically, the same row the SQL mirror
+    # emits (NULL would diverge: Spark's explode drops the row, DuckDB's
+    # list comprehension keeps a NULL gram, shifting every trained weight)
     t = df.select(
         F.col(id_col).alias("doc_id"),
-        F.lower(F.trim(F.col(text_col))).alias("__t"),
+        F.coalesce(F.lower(F.trim(F.col(text_col))), F.lit("")).alias("__t"),
     )
     grams = F.expr(
         "transform(sequence(1, greatest(length(__t) - 1, 1)), "
@@ -62,7 +66,7 @@ def char_bigram_buckets_sql(text_expr: str, *, salt: str = LANGID_SALT) -> tuple
     """DuckDB mirror of `char_bigram_buckets`: returns (grams_list_expr,
     bucket_expr) — embed as SELECT …, {bucket} FROM tbl, UNNEST({grams})
     AS u(g)."""
-    low = f"lower(trim({text_expr}))"
+    low = f"coalesce(lower(trim({text_expr})), '')"
     grams = (
         f"[substring({low}, i, 2) "
         f"FOR i IN range(1, greatest(length({low}) - 1, 1) + 1)]"

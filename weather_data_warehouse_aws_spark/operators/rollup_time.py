@@ -182,9 +182,11 @@ def quantile_rollup(
     windows keep merging instead of re-scanning raw.
     """
     finest, *coarser = grains
+    # label preserves tail decimals: 0.95 -> p95, 0.999 -> p99_9 (a plain
+    # round() would name both 0.995 and 0.999 "p100" — colliding columns)
     qcols = [
         F.expr(f"kll_sketch_get_quantile_double(sketch, {q!r}d)").alias(
-            f"p{round(q * 100)}"
+            "p" + f"{q * 100:g}".replace(".", "_")
         )
         for q in quantiles
     ]
@@ -265,6 +267,13 @@ def retention_overlap(
         F.expr(est.format("__prev")).alias("n_prev"),
         F.expr(est.format("sketch")).alias("n_cur"),
         F.expr(est.format("theta_intersection(__prev, sketch)")).alias("n_retained"),
-        F.expr(est.format("theta_difference(sketch, __prev)")).alias("n_new"),
+        # first period per segment: no prior sketch, so EVERY current user
+        # is new — theta_difference(sketch, NULL) would propagate NULL and
+        # misreport week 1's "new users" as unknown
+        F.when(
+            F.col("__prev").isNull(), F.expr(est.format("sketch"))
+        ).otherwise(
+            F.expr(est.format("theta_difference(sketch, __prev)"))
+        ).alias("n_new"),
         F.expr(est.format("theta_difference(__prev, sketch)")).alias("n_churned"),
     )

@@ -117,14 +117,17 @@ def weighted_sample(
     # extra passes.
     w_raw = F.col(weight_col)
     w_int = F.when(
-        (w_raw < 0) | (w_raw != F.floor(w_raw)),
+        # isNull first: NULL < 0 is NULL, so without the explicit term a
+        # null weight would slip past the guard into a NULL priority and
+        # the row would vanish from every sample without an error
+        w_raw.isNull() | (w_raw < 0) | (w_raw != F.floor(w_raw)),
         F.raise_error(
             F.concat(
                 F.lit(
                     f"weighted_sample: weight column {weight_col!r} must hold "
                     "non-negative integers, got "
                 ),
-                w_raw.cast("string"),
+                F.coalesce(w_raw.cast("string"), F.lit("NULL")),
             )
         ).cast("long"),
     ).otherwise(w_raw.cast("long"))

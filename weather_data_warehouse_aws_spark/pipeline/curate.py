@@ -117,8 +117,11 @@ def curate_corpus(
     ]
     passed, quarantined, dq_metrics = validate(cleaned, rules)
     # the gate's pass side feeds the shingle pass, the survivor anti-join,
-    # and the split — persist the narrow (doc_id, text, n_tokens) projection
-    passed = passed.persist()
+    # and the split — persist it NARROW: raw_text (the unstripped original)
+    # exists for the cleaned/quarantined audit surfaces only, and carrying
+    # it forward would double every downstream cache and land each
+    # document's full text twice in the packed output
+    passed = passed.drop("raw_text").persist()
 
     dup_pairs = minhash_lsh_pairs(
         passed,
