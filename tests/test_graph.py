@@ -74,3 +74,17 @@ def test_survivor_filter_shape(spark):
     assert kept.count() == 17  # 11, 12, 13 dropped; 1 and 2 survive
     kept_ids = {r["doc_id"] for r in kept.collect()}
     assert {11, 12, 13}.isdisjoint(kept_ids) and {1, 2} <= kept_ids
+
+
+def test_connected_components_string_ids(spark):
+    """String vertex ids must propagate labels (a naive numeric convergence
+    sum would see all-NULL and return the identity labeling)."""
+    from weather_data_warehouse_aws_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-c", "doc-b"), ("doc-x", "doc-y")],
+        "id_a string, id_b string",
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp["doc-a"] == comp["doc-b"] == comp["doc-c"] == "doc-a"
+    assert comp["doc-x"] == comp["doc-y"] == "doc-x"

@@ -113,3 +113,54 @@ def test_dim_as_of_time_travel(spark):
     for day in (dt2.date(2024, 1, 1), dt2.date(2024, 3, 1)):
         per_key = dim_as_of(merged, day).groupBy("city").count().collect()
         assert all(r["count"] == 1 for r in per_key)
+
+
+def test_inferred_members_null_keys_never_inserted(spark):
+    """NULL natural keys have no identity: no placeholder, and repeated
+    runs stay idempotent (anti-join NULL=NULL would re-insert forever)."""
+    from weather_data_warehouse_aws_spark.operators.scd2 import inferred_members
+
+    dim = spark.createDataFrame(
+        [(1, "K1", "attr", __import__("datetime").date(2024, 1, 1),
+          __import__("datetime").date(9999, 12, 31), True, 1,
+          __import__("datetime").datetime(2024, 1, 1),
+          __import__("datetime").datetime(2024, 1, 1))],
+        "location_key bigint, station string, name string, "
+        "effective_from_date date, effective_to_date date, is_current boolean, "
+        "version int, created_timestamp timestamp, updated_timestamp timestamp",
+    )
+    facts = spark.createDataFrame(
+        [("K1",), ("K2",), (None,)], "station string"
+    )
+    once = inferred_members(facts, dim, ["station"])
+    assert once.filter(F.col("station").isNull()).count() == 0
+    assert once.filter(F.col("station") == "K2").count() == 1
+    twice = inferred_members(facts, once, ["station"])
+    assert twice.count() == once.count()  # idempotent re-run
+
+
+def test_scd2_merge_rejects_duplicate_snapshot_keys(spark):
+    import datetime as dt
+
+    import pytest
+
+    from weather_data_warehouse_aws_spark.operators.scd2 import (
+        scd2_initial_load,
+        scd2_merge,
+    )
+
+    v1 = spark.createDataFrame([("K1", "a")], "station string, name string")
+    existing = scd2_initial_load(
+        v1, ["station"], "location_key",
+        effective_date=dt.date(2024, 1, 1), now=dt.datetime(2024, 1, 1),
+        key_strategy="dense",
+    )
+    dup = spark.createDataFrame(
+        [("K1", "b"), ("K1", "c")], "station string, name string"
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        scd2_merge(
+            existing, dup, ["station"], ["name"], "location_key",
+            effective_date=dt.date(2024, 2, 1), now=dt.datetime(2024, 2, 1),
+            key_strategy="hash",
+        ).collect()

@@ -357,3 +357,29 @@ def test_overlap_join_matches_bruteforce(spark, left, right, bucket):
         if lk == rk and ls < rs + rln and rs < ls + lln
     }
     assert got == want
+
+
+def test_asof_join_null_timestamps(spark):
+    """NULL timestamps are positionless: a NULL right_ts row is never a
+    match, a NULL left_ts row matches nothing (but is preserved)."""
+    left = spark.createDataFrame(
+        [(1, BASE, 10), (1, None, 11)], "k bigint, lts timestamp, lid bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 100.0), (1, BASE + dt.timedelta(seconds=60), 200.0)],
+        "k bigint, rts timestamp, rval double",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        rows = {r.lid: r.rval for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            direction=direction,
+        ).collect()}
+        assert set(rows) == {10, 11}
+        assert rows[11] is None, direction  # null left ts -> no match
+        # the null-ts right row must never be the match
+        assert rows[10] in (None, 200.0) and rows[10] != 100.0, direction
+    # backward: only right row is 60s AFTER the left row -> no predecessor
+    back = {r.lid: r.rval for r in asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+    ).collect()}
+    assert back[10] is None

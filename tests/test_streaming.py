@@ -373,3 +373,46 @@ def test_stream_stream_attribution_join_matches_batch(spark, events_dir, tmp_pat
     # the planted boundary rows landed exactly as the half-open contract says
     assert (900_102, 900_001) in got and (900_103, 900_001) in got
     assert (900_101, 900_001) not in got and (900_104, 900_001) not in got
+
+
+def test_foreachbatch_upsert_preserves_null_partition(spark, tmp_path_factory):
+    """Existing rows in the NULL partition must survive a batch that
+    touches it: isin([None]) never matches NULL, and without the null-safe
+    membership the dynamic overwrite would replace the whole
+    __HIVE_DEFAULT_PARTITION__ with just the batch rows."""
+    import pyspark.sql.functions as SF
+
+    from weather_data_warehouse_aws_spark.streaming.jobs import (
+        run_upsert_foreachbatch,
+    )
+
+    out = str(tmp_path_factory.mktemp("feb_null")) + "/t"
+    ckpt = str(tmp_path_factory.mktemp("feb_null_ckpt"))
+    feed = str(tmp_path_factory.mktemp("feb_null_feed")) + "/data"
+
+    # seed the target: two rows in the NULL partition, one in a real one
+    seed = spark.createDataFrame(
+        [(1, None, "keep1"), (2, None, "keep2"), (3, "d1", "keep3")],
+        "id bigint, day string, v string",
+    )
+    seed.write.partitionBy("day").parquet(out)
+
+    # one batch: update id=1 (null partition) + insert id=4 (null partition)
+    batch = spark.createDataFrame(
+        [(1, None, "updated"), (4, None, "new")],
+        "id bigint, day string, v string",
+    )
+    batch.coalesce(1).write.parquet(feed)
+    stream = (
+        spark.readStream.schema("id bigint, day string, v string")
+        .parquet(feed)
+    )
+    run_upsert_foreachbatch(stream, out, ckpt, "day", ["id"])
+
+    got = {r.id: (r.day, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {
+        1: (None, "updated"),   # upserted
+        2: (None, "keep2"),     # existing null-partition row SURVIVES
+        3: ("d1", "keep3"),     # untouched partition intact
+        4: (None, "new"),       # inserted
+    }

@@ -68,7 +68,11 @@ def asof_join(
     out_names = {c: (c + suffix if c in left.columns else c) for c in right_payload_cols}
 
     payload = F.struct(*[F.col(c) for c in right_payload_cols])
-    rhs = right.select(
+    # a right row with a NULL timestamp can never be a temporal match — and
+    # left in, it would sort to the partition HEAD (NULLS FIRST) with a
+    # non-null payload struct, becoming the spurious "predecessor" of every
+    # early left row
+    rhs = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("__asof_ts"),
         F.lit(0).alias(_TAG),
@@ -90,9 +94,14 @@ def asof_join(
     unioned = lhs.unionByName(rhs_aligned)
     # backward: right rows sort BEFORE left at equal ts (tag asc), running
     # last() over the preceding frame → latest right_ts <= left_ts.
+    # final tiebreak: payload hash — without it, two right rows sharing
+    # (keys, ts) are ordered by shuffle accident and last()/first() picks a
+    # different one per run/repartitioning; the hash makes the pick
+    # deterministic (and is a no-op when (keys, ts) is unique)
+    tiebreak = F.xxhash64(_PAYLOAD)
     w_back = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__asof_ts"), F.col(_TAG))
+        .orderBy(F.col("__asof_ts"), F.col(_TAG), tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # forward: right rows sort AFTER left at equal ts (tag desc), first()
@@ -100,7 +109,7 @@ def asof_join(
     # partitioning ⇒ same exchange; only the sort differs.
     w_fwd = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__asof_ts"), F.col(_TAG).desc())
+        .orderBy(F.col("__asof_ts"), F.col(_TAG).desc(), tiebreak)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     carried = unioned
@@ -140,6 +149,10 @@ def asof_join(
             .when(F.abs(gap(fwd)) < F.abs(gap(back)), fwd)
             .otherwise(back)  # tie → backward
         )
+    # a left row with a NULL timestamp has no temporal position: no match,
+    # row preserved (the forward window would otherwise hand it the
+    # partition's earliest right row)
+    match = F.when(F.col("__asof_ts").isNotNull(), match)
     return result.select(
         *[F.col(c) for c in left.columns],
         *[match.getField(c).alias(out_names[c]) for c in right_payload_cols],

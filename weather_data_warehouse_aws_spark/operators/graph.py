@@ -67,8 +67,22 @@ def connected_components(
 
     labels = sym.select("node").distinct().withColumn("component", F.col("node"))
     labels = _truncate(labels)
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    if prev_sum is None:  # empty edge set
+
+    # convergence scalar: sum of label HASHES, not label values — summing a
+    # string component column would cast to double, yield all-NULL, and be
+    # mistaken for "already converged" (silently returning the identity
+    # labeling for string ids). xxhash64 works for any id type; the sum
+    # changes whenever any label changes and is stable when none do (min-
+    # label propagation is monotone, so no two distinct labelings repeat).
+    def _sig(lbls: DataFrame):
+        # decimal(38,0) sum: long hashes span ±2^63, so a plain long sum
+        # overflows (ANSI mode raises); decimal38 holds ~1e38 ≫ n·2^63
+        return lbls.agg(
+            F.sum(F.xxhash64("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sig = _sig(labels)
+    if prev_sig is None:  # empty edge set
         return labels
 
     for _ in range(max_iter):
@@ -82,11 +96,11 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
         new_labels = _truncate(new_labels)
-        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        new_sig = _sig(new_labels)
         labels = new_labels
-        if new_sum == prev_sum:
+        if new_sig == prev_sig:
             return labels
-        prev_sum = new_sum
+        prev_sig = new_sig
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

@@ -71,8 +71,16 @@ def pack_concat_cut(
     Every pack except each shard's last holds exactly `budget` tokens; an
     item spanning k boundaries emits k+1 rows. Zero-token items are
     dropped (nothing to pack).
+
+    `order_cols` must totally order the rows within a shard (a unique id,
+    not just a timestamp): the running token sum is order-sensitive, and a
+    deterministic hash tiebreak is appended so tied rows still pack
+    reproducibly across runs/repartitionings rather than by shuffle
+    accident.
     """
-    w = Window.partitionBy(shard_col).orderBy(*order_cols)
+    w = Window.partitionBy(shard_col).orderBy(
+        *order_cols, F.xxhash64(*[F.col(c) for c in items.columns])
+    )
     t = F.col(tokens_col).cast("long")
     s_prev = (F.sum(tokens_col).over(w) - t).alias("__s_prev")
     df = items.filter(t > 0).select("*", s_prev)

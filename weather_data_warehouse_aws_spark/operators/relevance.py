@@ -86,7 +86,11 @@ def bm25(
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )  # 1 row
-    qt = spark.createDataFrame([(t,) for t in query_terms], "tok string")
+    # dedupe the term set: a repeated query term would fan out the tf join
+    # and double-count df, shrinking that term's idf and skewing every score
+    qt = spark.createDataFrame(
+        [(t,) for t in dict.fromkeys(query_terms)], "tok string"
+    )
     dfreq_q = (
         tf.join(F.broadcast(qt), "tok").groupBy("tok").agg(F.count("*").alias("df"))
     )

@@ -113,10 +113,26 @@ def scd2_merge(
         F.col("created_timestamp").alias("c_created"),
         F.lit(True).alias("c_exists"),
     )
+    # snapshot-uniqueness guard, folded into the plan: a duplicate natural
+    # key in `updates` would fan out the full_outer join — the expired row
+    # emitted twice and multiple simultaneous is_current rows sharing one
+    # surrogate key. The window shares the join's key partitioning, and
+    # `updates` is dim-sized, so the guard costs a sort, not a scan.
+    dup_n = F.count(F.lit(1)).over(Window.partitionBy(*natural_key))
     upd = updates.select(
         *natural_key,
         *[F.col(c).alias(f"u_{c}") for c in attr_cols],
-        F.lit(True).alias("u_exists"),
+        F.when(
+            dup_n > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("scd2_merge: updates snapshot has duplicate rows for "
+                          "natural key ("),
+                    F.concat_ws(", ", *[F.col(k).cast("string") for k in natural_key]),
+                    F.lit(") — dedup upstream (e.g. dedup_latest)"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True)).alias("u_exists"),
     )
     j = cur.join(upd, list(natural_key), "full_outer")
 
@@ -216,8 +232,17 @@ def inferred_members(
         else dim.withColumn("is_inferred", F.lit(False))
     )
     current_keys = base.filter(F.col("is_current")).select(*natural_key)
+    # a NULL natural-key component has no member identity — and the anti
+    # join's NULL = NULL never matches, so a NULL-key placeholder would be
+    # re-inserted on EVERY run (unbounded duplicate current rows). Such
+    # fact rows belong in a DQ quarantine, not the dimension.
+    key_known = None
+    for k in natural_key:
+        term = F.col(k).isNotNull()
+        key_known = term if key_known is None else key_known & term
     unknown = (
         facts.select(*natural_key)
+        .filter(key_known)
         .distinct()
         .join(F.broadcast(current_keys), list(natural_key), "left_anti")
     )

@@ -144,6 +144,14 @@ def run_upsert_foreachbatch(
     kept (left_anti), batch rows win, and only affected partitions rewrite.
     This is vanilla Spark's spelling of Delta MERGE / JDBC upsert, riding
     streaming's checkpointed progress tracking.
+
+    Contract: `partition_col` must be immutable per key (the norm for
+    date-partitioned event tables). A batch row that CHANGES a key's
+    partition value upserts into the new partition but cannot retire the
+    copy in the old one — finding it would take a full-table key scan per
+    batch, which is the index a real table format maintains. Route
+    partition-moving corrections through a batch snapshot-diff rebuild
+    (operators/cdc.py) instead.
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -161,7 +169,19 @@ def run_upsert_foreachbatch(
             if target is None:
                 merged = batch_df
             else:
-                existing = target.filter(F.col(partition_col).isin(affected))
+                # null-safe membership: `isin([None])` never matches a NULL
+                # partition, which would EXCLUDE existing NULL-partition
+                # rows from the merge while the dynamic overwrite still
+                # rewrites that directory — silently dropping them
+                non_null = [a for a in affected if a is not None]
+                cond = (
+                    F.col(partition_col).isin(non_null)
+                    if non_null
+                    else F.lit(False)
+                )
+                if len(non_null) != len(affected):
+                    cond = cond | F.col(partition_col).isNull()
+                existing = target.filter(cond)
                 merged = existing.join(
                     batch_df.select(*key_cols), key_cols, "left_anti"
                 ).unionByName(batch_df)
@@ -220,16 +240,12 @@ def run_incremental_agg_foreachbatch(
     deployment swaps the two `os`/`glob` calls for the Hadoop FS client —
     the versioning protocol is unchanged.
     """
-    import glob
     import os
 
     from ..operators.cdc import apply_agg_delta
 
     def _version_ids() -> list[int]:
-        return sorted(
-            int(os.path.basename(p).split("=")[1])
-            for p in glob.glob(os.path.join(agg_path, "v=*"))
-        )
+        return _complete_versions(agg_path)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -264,18 +280,29 @@ def run_incremental_agg_foreachbatch(
     q.awaitTermination(timeout_sec)
 
 
-def read_current_agg(spark: SparkSession, agg_path: str) -> DataFrame:
-    """Newest maintained-aggregate version written by
-    run_incremental_agg_foreachbatch."""
+def _complete_versions(agg_path: str) -> list[int]:
+    """Version ids whose directory carries Spark's _SUCCESS marker — a
+    crash mid-write (or a racing reader) must never surface a torn,
+    partially-written aggregate as 'the newest version'."""
     import glob
     import os
 
-    ids = sorted(
+    return sorted(
         int(os.path.basename(p).split("=")[1])
         for p in glob.glob(os.path.join(agg_path, "v=*"))
+        if os.path.exists(os.path.join(p, "_SUCCESS"))
     )
+
+
+def read_current_agg(spark: SparkSession, agg_path: str) -> DataFrame:
+    """Newest COMPLETE maintained-aggregate version written by
+    run_incremental_agg_foreachbatch (versions without _SUCCESS are
+    in-flight or torn and are skipped)."""
+    import os
+
+    ids = _complete_versions(agg_path)
     if not ids:
-        raise FileNotFoundError(f"no aggregate versions under {agg_path}")
+        raise FileNotFoundError(f"no complete aggregate versions under {agg_path}")
     return spark.read.parquet(os.path.join(agg_path, f"v={ids[-1]}"))
 
 
