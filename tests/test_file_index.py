@@ -160,3 +160,41 @@ def test_range_pruning_partitioned_layout(spark, sf_smoke_dir, tmp_path_factory)
     # filtering on the partition column itself: no footer stats -> all kept
     files = prune_files_by_range(path, "bucket", 2, 2)
     assert len(files) == len(prune_files_by_range(path, "doc_id", None, None))
+
+
+def test_incremental_index_update(spark, sf_smoke_dir, tmp_path_factory):
+    """update_bloom_index scans only appended files: old index rows are
+    reused verbatim, new keys become findable, and a no-op update leaves
+    the index unchanged."""
+    from weather_data_warehouse_aws_spark.operators.file_index import (
+        build_bloom_index,
+        read_with_index,
+        update_bloom_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("btab_inc")) + "/t"
+    docs = load_table(spark, sf_smoke_dir, "documents").select("doc_id", "text")
+    docs.repartition(8, "doc_id").write.parquet(path)
+    first = build_bloom_index(spark, path, "doc_id", fpr=0.001)
+    old_rows = {r["file"]: r["words"] for r in first.collect()}
+
+    # append new files carrying previously-unseen keys
+    docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text").repartition(
+        4, "doc_id"
+    ).write.mode("append").parquet(path)
+
+    updated = update_bloom_index(spark, path, "doc_id")
+    assert updated.count() == 12  # 8 original + 4 appended
+    got_rows = {r["file"]: r["words"] for r in updated.collect()}
+    for f, words in old_rows.items():
+        assert got_rows[f] == words  # untouched files keep their bitmaps
+
+    # a key that only exists in the appended files is found exactly
+    hit = read_with_index(spark, path, "doc_id", 10_042)
+    assert hit.count() == 1 and hit.first()["doc_id"] == 10_042
+    # and an old key still resolves
+    assert read_with_index(spark, path, "doc_id", 42).count() == 1
+
+    # idempotent: nothing new -> same index back
+    again = update_bloom_index(spark, path, "doc_id")
+    assert again.count() == 12

@@ -122,6 +122,69 @@ def build_bloom_index(
     return spark.read.parquet(bloom_index_path(table_path, column))
 
 
+def update_bloom_index(
+    spark: SparkSession, table_path: str, column: str
+) -> DataFrame:
+    """Incrementally extend the index to files appended since the last
+    build: only NEW files are scanned (per-file bitmaps are independent, so
+    the existing index rows are reused verbatim — the Bloom analogue of the
+    CDC delta path). Sizing (n_bits, n_hashes) is inherited from the
+    existing index so one probe expression keeps serving every row;
+    rebuild with `build_bloom_index` if per-file cardinality has grown past
+    the original sizing. Returns the refreshed index."""
+    idx_path = bloom_index_path(table_path, column)
+    existing = spark.read.parquet(idx_path)
+    first = existing.select("n_bits", "n_hashes").first()
+    if first is None:
+        return build_bloom_index(spark, table_path, column)
+    n_bits, n_hashes = first["n_bits"], first["n_hashes"]
+    indexed = {r["file"] for r in existing.select("file").collect()}
+    # input_file_name() renders with a URI scheme — list the same way
+    all_files = {
+        r["file"]
+        for r in spark.read.parquet(table_path)
+        .select(F.input_file_name().alias("file"))
+        .distinct()
+        .collect()
+    }
+    new_files = sorted(all_files - indexed)
+    if not new_files:
+        return existing
+    n_words = (n_bits + 63) // 64
+    data = (
+        spark.read.option("basePath", table_path)
+        .parquet(*new_files)
+        .select(F.input_file_name().alias("file"), _key(F.col(column)).alias("k"))
+    )
+    pos = F.explode(
+        F.array(*_positions_expr(F.col("k"), n_bits, n_hashes))
+    ).alias("pos")
+    fresh = (
+        data.select("file", pos)
+        .select(
+            "file",
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("bit"),
+        )
+        .groupBy("file", "w")
+        .agg(F.bit_or("bit").alias("word"))
+        .groupBy("file")
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("wm"))
+        .select(
+            "file",
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}),"
+                " i -> coalesce(element_at(wm, i), 0L))"
+            ).alias("words"),
+            F.lit(n_bits).alias("n_bits"),
+            F.lit(n_hashes).alias("n_hashes"),
+        )
+    )
+    merged = existing.unionByName(fresh).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(idx_path)
+    return spark.read.parquet(idx_path)
+
+
 def _row_might_contain(key, n_bits: int, n_hashes: int):
     """Probe expression against THIS row's `words` array column."""
     test = None
