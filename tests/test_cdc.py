@@ -154,6 +154,29 @@ def test_streaming_incremental_agg_matches_recompute(spark, tmp_path_factory):
         map(tuple, direct.collect())
     )
 
+    # retention: versions older than (current, retry-safety prior) are GCd
+    import glob
+    import os
+
+    versions = glob.glob(os.path.join(aggd, "v=*"))
+    assert 1 <= len(versions) <= 2, versions
+
+
+def test_snapshot_diff_rejects_colliding_output_names(spark):
+    old, new = _frames(spark)
+    renamed_old = old.withColumnRenamed("note", "old_amt")
+    renamed_new = new.withColumnRenamed("note", "old_amt")
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        snapshot_diff(renamed_old, renamed_new, ["k"])
+    with pytest.raises(ValueError, match="collide"):
+        snapshot_diff(
+            old.withColumnRenamed("note", "op"),
+            new.withColumnRenamed("note", "op"),
+            ["k"],
+        )
+
 
 def test_apply_agg_delta_new_group_from_insert(spark):
     old, _ = _frames(spark)

@@ -198,3 +198,26 @@ def test_incremental_index_update(spark, sf_smoke_dir, tmp_path_factory):
     # idempotent: nothing new -> same index back
     again = update_bloom_index(spark, path, "doc_id")
     assert again.count() == 12
+
+
+def test_stale_index_keeps_unindexed_files(spark, sf_smoke_dir, tmp_path_factory):
+    """Files appended AFTER the last index build have no index row and must
+    stay candidates: a stale sidecar may prune less, never wrong."""
+    path = str(tmp_path_factory.mktemp("btab_stale")) + "/t"
+    docs = load_table(spark, sf_smoke_dir, "documents").select("doc_id", "text")
+    docs.repartition(8, "doc_id").write.parquet(path)
+    build_bloom_index(spark, path, "doc_id", fpr=0.001)
+
+    # append WITHOUT updating the index
+    docs.select((F.col("doc_id") + 20_000).alias("doc_id"), "text").repartition(
+        2, "doc_id"
+    ).write.mode("append").parquet(path)
+
+    # a key living only in the unindexed files is still found (no false
+    # negatives), and the 2 new files are always candidates
+    cand = prune_files(spark, path, "doc_id", 20_042)
+    assert len(cand) >= 2  # both unindexed files kept
+    hit = read_with_index(spark, path, "doc_id", 20_042)
+    assert hit.count() == 1 and hit.first()["doc_id"] == 20_042
+    # indexed keys still prune: candidates ≈ 1 indexed file + 2 unindexed
+    assert len(prune_files(spark, path, "doc_id", 42)) <= 4

@@ -58,6 +58,16 @@ def snapshot_diff(
     non_key = [c for c in old.columns if c not in keys]
     if set(old.columns) != set(new.columns):
         raise ValueError("snapshot_diff requires identical snapshot schemas")
+    generated = (
+        {f"old_{c}" for c in non_key}
+        | {f"new_{c}" for c in non_key}
+        | {"op", "__old_present", "__new_present"}
+    )
+    clash = sorted(generated & set(old.columns))
+    if clash:
+        raise ValueError(
+            f"snapshot_diff output columns collide with input columns: {clash}"
+        )
     cmp_cols = list(compare_cols) if compare_cols is not None else non_key
 
     o = old

@@ -33,6 +33,7 @@ probe is an expression over that row's word array.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -138,16 +139,12 @@ def update_bloom_index(
     if first is None:
         return build_bloom_index(spark, table_path, column)
     n_bits, n_hashes = first["n_bits"], first["n_hashes"]
-    indexed = {r["file"] for r in existing.select("file").collect()}
-    # input_file_name() renders with a URI scheme — list the same way
-    all_files = {
-        r["file"]
-        for r in spark.read.parquet(table_path)
-        .select(F.input_file_name().alias("file"))
-        .distinct()
-        .collect()
-    }
-    new_files = sorted(all_files - indexed)
+    indexed = {_norm_file(r["file"]) for r in existing.select("file").collect()}
+    # driver-side directory listing (no table scan); _norm_file bridges the
+    # URI rendering difference vs the index's input_file_name() values
+    new_files = sorted(
+        f for f in _data_files(table_path) if _norm_file(f) not in indexed
+    )
     if not new_files:
         return existing
     n_words = (n_bits + 63) // 64
@@ -198,20 +195,35 @@ def _row_might_contain(key, n_bits: int, n_hashes: int):
     return test
 
 
+def _norm_file(f: str) -> str:
+    # input_file_name() renders URIs ("file:///p"); os.walk yields plain
+    # paths ("/p") — normalize both so set membership compares path-equal
+    return re.sub(r"^file:/+", "/", f)
+
+
 def prune_files(spark: SparkSession, table_path: str, column: str, value) -> list[str]:
-    """Files that might contain `value` (no false negatives)."""
+    """Files that might contain `value` (no false negatives).
+
+    Stale-index safe: candidates are drawn from the table's CURRENT file
+    listing; a data file appended after the last (update_)build call has no
+    index row and is always kept as a candidate, so the pruned scan stays a
+    superset of the true match set even when the sidecar lags the table.
+    Index rows for files that no longer exist (compacted away) are ignored."""
     idx = spark.read.parquet(bloom_index_path(table_path, column))
+    actual = _data_files(table_path)
     first = idx.select("n_bits", "n_hashes").first()
     if first is None:
-        return []
+        return actual  # empty index prunes nothing
     n_bits, n_hashes = first["n_bits"], first["n_hashes"]
     # xxhash64 is type-sensitive: probe with the literal cast to the data
     # column's exact type or the hash won't match the indexed one
     dtype = spark.read.parquet(table_path).schema[column].dataType
-    hits = idx.filter(
-        _row_might_contain(_key(F.lit(value).cast(dtype)), n_bits, n_hashes)
-    ).select("file")
-    return [r["file"] for r in hits.collect()]
+    probe = _row_might_contain(_key(F.lit(value).cast(dtype)), n_bits, n_hashes)
+    verdict = {
+        _norm_file(r["file"]): bool(r["hit"])
+        for r in idx.select("file", probe.alias("hit")).collect()
+    }
+    return [f for f in actual if verdict.get(_norm_file(f), True)]
 
 
 def read_with_index(

@@ -78,8 +78,13 @@ def pack_concat_cut(
     reproducibly across runs/repartitionings rather than by shuffle
     accident.
     """
-    w = Window.partitionBy(shard_col).orderBy(
-        *order_cols, F.xxhash64(*[F.col(c) for c in items.columns])
+    # ROWS frame, not the default RANGE: fully identical rows are frame
+    # peers even after the hash tiebreak, and a RANGE running sum would
+    # include both peers in each one's __s_prev, overlapping their spans
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order_cols, F.xxhash64(*[F.col(c) for c in items.columns]))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     t = F.col(tokens_col).cast("long")
     s_prev = (F.sum(tokens_col).over(w) - t).alias("__s_prev")

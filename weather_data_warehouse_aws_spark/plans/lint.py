@@ -17,6 +17,7 @@ physical plan only — it never executes the query.
 
 from __future__ import annotations
 
+import re
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame
@@ -73,8 +74,6 @@ def lint_plan(df: DataFrame) -> list[Finding]:
     # raw-column predicate pushes at least IsNotNull, so both the
     # "no lines" and the "IsNotNull-only" shapes mean nothing useful
     # reached the scan.)
-    import re
-
     has_filter_node = bool(re.search(r"\(\d+\) Filter\b", plan))
     has_parquet_scan = "Scan parquet" in plan
     pf_terms = [t.strip() for p in pushed_filters(plan) for t in p.split(",")]
@@ -87,8 +86,6 @@ def lint_plan(df: DataFrame) -> list[Finding]:
             "derived/cast column. Filter on raw columns where possible so "
             "the scan skips row groups.",
         ))
-    import re
-
     for op, code in (("SortMergeJoin", "smj"), ("BroadcastHashJoin", "bhj"),
                      ("Exchange", "exchange")):
         # \b keeps "Exchange" from matching inside "BroadcastExchange"

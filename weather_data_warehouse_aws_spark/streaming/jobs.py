@@ -229,7 +229,10 @@ def run_incremental_agg_foreachbatch(
     (failure between write and checkpoint commit) re-reads the same prior
     and overwrites its own version — idempotent, no double-count; the
     half-written version is never a read candidate for its own retry.
-    ``read_current_agg`` resolves the newest complete version.
+    ``read_current_agg`` resolves the newest complete version. Retention:
+    after each successful write, versions older than the one the batch was
+    derived from are garbage-collected, so a long-running feed holds at
+    most two versions (current + retry-safety prior) on disk.
 
     Ordering: a changefeed is inherently ordered; the single-writer file
     source delivers files in arrival order (`latestFirst` stays false).
@@ -270,6 +273,22 @@ def run_incremental_agg_foreachbatch(
         updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             os.path.join(agg_path, f"v={batch_id}")
         )
+        # GC: the new version is durable; keep the prior it was derived
+        # from (a retry of THIS batch re-reads it), drop everything older
+        # so a long-running feed holds at most two versions on disk
+        import glob
+        import shutil
+
+        keep = {batch_id}
+        if prior_ids:
+            keep.add(max(prior_ids))
+        for p in glob.glob(os.path.join(agg_path, "v=*")):
+            try:
+                vid = int(os.path.basename(p).split("=")[1])
+            except ValueError:
+                continue
+            if vid < batch_id and vid not in keep:
+                shutil.rmtree(p, ignore_errors=True)
 
     q = (
         diff_stream.writeStream.foreachBatch(_apply)
