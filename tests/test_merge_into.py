@@ -1,0 +1,119 @@
+"""Batch MERGE INTO: clause matrix, determinism tripwire, schema hygiene."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from weather_data_warehouse_aws_spark.operators.merge import merge_into
+
+SCHEMA = "k int, name string, amt int"
+
+
+def _frames(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)], SCHEMA
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 200), (3, "c", -1), (5, "e", 50)], SCHEMA
+    )
+    return target, source
+
+
+def test_update_insert_keep(spark):
+    target, source = _frames(spark)
+    out = merge_into(target, source, ["k"])
+    got = {r.k: (r.name, r.amt) for r in out.collect()}
+    assert got == {
+        1: ("a", 10),     # not matched by source: kept
+        2: ("B", 200),    # matched: updated
+        3: ("c", -1),     # matched: updated
+        4: ("d", 40),     # kept
+        5: ("e", 50),     # not matched: inserted
+    }
+    assert out.columns == target.columns
+
+
+def test_matched_delete_wins_over_update(spark):
+    target, source = _frames(spark)
+    out = merge_into(
+        target, source, ["k"], when_matched_delete=F.col("__src_amt") < 0
+    )
+    got = {r.k: (r.name, r.amt) for r in out.collect()}
+    assert 3 not in got              # deleted by condition
+    assert got[2] == ("B", 200)      # other matches still update
+
+
+def test_partial_update_mapping(spark):
+    target, source = _frames(spark)
+    out = merge_into(
+        target, source, ["k"],
+        when_matched_update={"amt": F.col("__src_amt") + F.col("amt")},
+        when_not_matched_insert=False,
+    )
+    got = {r.k: (r.name, r.amt) for r in out.collect()}
+    assert got[2] == ("b", 220)      # name untouched, amt accumulated
+    assert 5 not in got              # insert disabled
+
+
+def test_not_matched_by_source_delete_full_sync(spark):
+    target, source = _frames(spark)
+    out = merge_into(
+        target, source, ["k"],
+        when_not_matched_by_source_delete=F.lit(True),
+    )
+    assert sorted(r.k for r in out.collect()) == [2, 3, 5]  # snapshot replace
+
+
+def test_conditional_target_retention(spark):
+    target, source = _frames(spark)
+    out = merge_into(
+        target, source, ["k"],
+        when_not_matched_by_source_delete=F.col("amt") >= 40,
+    )
+    keys = sorted(r.k for r in out.collect())
+    assert 4 not in keys and 1 in keys
+
+
+def test_duplicate_source_keys_raise(spark):
+    target, _ = _frames(spark)
+    dup = spark.createDataFrame([(2, "x", 1), (2, "y", 2)], SCHEMA)
+    with pytest.raises(Exception, match="nondeterministic"):
+        merge_into(target, dup, ["k"]).collect()
+    # guard off: explicit opt-out is allowed (caller took responsibility)
+    n = merge_into(target, dup, ["k"], check_duplicate_source_keys=False).count()
+    assert n >= 4
+
+
+def test_insert_requires_full_schema_and_collisions_raise(spark):
+    target, source = _frames(spark)
+    with pytest.raises(ValueError, match="missing"):
+        merge_into(target, source.drop("name"), ["k"])
+    # dropping insert lifts the requirement
+    out = merge_into(
+        target, source.drop("name"), ["k"],
+        when_matched_update={"amt": F.col("__src_amt")},
+        when_not_matched_insert=False,
+    )
+    assert {r.k: r.amt for r in out.collect()}[2] == 200
+    with pytest.raises(ValueError, match="reserved"):
+        merge_into(
+            target.withColumn("__src_amt", F.lit(1)),
+            source.withColumn("__src_amt", F.lit(1)),
+            ["k"],
+            when_not_matched_insert=False,
+        )
+
+
+def test_merge_plan_single_join(spark):
+    """One full-outer join, no extra scans: the clause matrix must not
+    multiply passes over either input."""
+    target, source = _frames(spark)
+    out = merge_into(
+        target, source, ["k"],
+        when_matched_delete=F.col("__src_amt") < 0,
+        when_not_matched_by_source_delete=F.col("amt") > 35,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("join") == 1

@@ -1,11 +1,15 @@
 """SCD2 differential queries — the X5 merge under the driver's oracle gate.
 
 Two queries:
-* `scd2_merge`: runs the REAL `operators/scd2.py` initial-load + merge on a
-  deterministically perturbed customer snapshot; the oracle replicates the
-  expire/insert algebra (the part the reference documents but never
-  implemented, `build_dimensions.py:96-97`) in pure SQL. Every SCD2 column —
-  keys, versions, effective dating, audit timestamps — is deterministic and
+* `scd2_merge`: one tagged relation covering BOTH merge families —
+  variant 'scd2' runs the REAL `operators/scd2.py` initial-load + merge on
+  a deterministically perturbed customer snapshot (the expire/insert
+  algebra the reference documents but never implemented,
+  `build_dimensions.py:96-97`); variant 'merge' runs
+  `operators/merge.py::merge_into` — the Delta-style current-state MERGE
+  with the full clause matrix exercised (update-all, matched-delete on a
+  source predicate, insert, conditional not-matched-by-source delete) —
+  against a FULL JOIN + CASE oracle. Every column is deterministic and
   hash-compared.
 * `scd2_from_history`: the log-to-dimension construction (effective ranges
   via lead()) on the events change log — the shape used to backfill an SCD2
@@ -20,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.merge import merge_into
 from ..operators.scd2 import scd2_initial_load, scd2_merge
 from ..sources.tables import load_table
 
@@ -83,7 +88,36 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cust_key",
         effective_date=_T1_DATE, now=_T1, key_strategy="dense",
     )
-    return merged.select(*_OUT_COLS).orderBy("c_custkey", "version")
+    scd2_rows = merged.select(F.lit("scd2").alias("variant"), *_OUT_COLS)
+
+    # current-state MERGE INTO over the same snapshots: every-7th-but-3 key
+    # is absent from the source (exercising not-matched-by-source), CHANGED
+    # segments are matched-deletes, the rest of the matrix rides along
+    tgt = _snapshot_v1(spark, sf_dir)
+    src = _snapshot_v2(spark, sf_dir).filter(F.col("c_custkey") % 7 != 3)
+    m = merge_into(
+        tgt, src, ["c_custkey"],
+        when_matched_delete=F.col("__src_c_mktsegment") == "CHANGED",
+        when_not_matched_by_source_delete=F.col("c_mktsegment") == "BUILDING",
+    )
+    # sentinel (not NULL) fillers: a current-state merge has no SCD2
+    # bookkeeping, and concrete values keep the cross-engine hash clear of
+    # engine-specific null renderings for date/boolean columns
+    merge_rows = m.select(
+        F.lit("merge").alias("variant"),
+        "c_custkey",
+        F.lit(0).cast("int").alias("cust_key"),
+        F.lit(0).cast("int").alias("version"),
+        F.lit(True).alias("is_current"),
+        F.lit(dt.date(9999, 12, 31)).alias("effective_from_date"),
+        F.lit(dt.date(9999, 12, 31)).alias("effective_to_date"),
+        F.lit(dt.datetime(2024, 2, 1, 6, 0, 0)).alias("created_timestamp"),
+        F.lit(dt.datetime(2024, 2, 1, 6, 0, 0)).alias("updated_timestamp"),
+        "c_name", "c_mktsegment", "acctbal",
+    )
+    return scd2_rows.unionByName(merge_rows).orderBy(
+        "variant", "c_custkey", "version"
+    )
 
 
 ORACLE_SCD2_MERGE = f"""
@@ -150,10 +184,23 @@ inserted AS (  -- dense keys continue from the existing max, natural-key order
            TIMESTAMP '2024-02-01 06:00:00' AS updated_timestamp,
            c_name, c_mktsegment, acctbal
     FROM insert_src
+),
+mrg_src AS (SELECT * FROM v2 WHERE c_custkey % 7 <> 3),
+mrg AS (  -- merge_into clause matrix as FULL JOIN + CASE
+    SELECT
+        COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment,
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.acctbal ELSE t.acctbal END AS acctbal
+    FROM v1_attrs t FULL JOIN mrg_src s ON t.c_custkey = s.c_custkey
+    WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+               AND s.c_mktsegment = 'CHANGED')          -- matched delete
+      AND NOT (s.c_custkey IS NULL
+               AND t.c_mktsegment = 'BUILDING')         -- by-source delete
 )
-SELECT c_custkey, cust_key, version, is_current, effective_from_date,
-       effective_to_date, created_timestamp, updated_timestamp,
-       c_name, c_mktsegment, acctbal
+SELECT 'scd2' AS variant, c_custkey, cust_key, version, is_current,
+       effective_from_date, effective_to_date, created_timestamp,
+       updated_timestamp, c_name, c_mktsegment, acctbal
 FROM (
     SELECT * FROM kept
     UNION ALL SELECT * FROM expired
@@ -161,7 +208,13 @@ FROM (
            effective_from_date, effective_to_date, created_timestamp,
            updated_timestamp, c_name, c_mktsegment, acctbal FROM inserted
 )
-ORDER BY c_custkey, version
+UNION ALL
+SELECT 'merge' AS variant, c_custkey, CAST(0 AS INT), CAST(0 AS INT),
+       TRUE, DATE '9999-12-31', DATE '9999-12-31',
+       TIMESTAMP '2024-02-01 06:00:00', TIMESTAMP '2024-02-01 06:00:00',
+       c_name, c_mktsegment, acctbal
+FROM mrg
+ORDER BY variant, c_custkey, version
 """
 
 
