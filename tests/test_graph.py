@@ -88,3 +88,50 @@ def test_connected_components_string_ids(spark):
     comp = {r.node: r.component for r in connected_components(edges).collect()}
     assert comp["doc-a"] == comp["doc-b"] == comp["doc-c"] == "doc-a"
     assert comp["doc-x"] == comp["doc-y"] == "doc-x"
+
+
+def test_pagerank_star_hub_ranks_highest(spark):
+    """Symmetric star: the hub must out-rank every leaf, leaves tie
+    exactly (integer arithmetic ⇒ exact equality, not approximate)."""
+    from weather_data_warehouse_aws_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "id_a bigint, id_b bigint"
+    )
+    r = {row.node: row.rank_scaled for row in pagerank(edges, iters=5).collect()}
+    leaves = {r[i] for i in range(1, 6)}
+    assert len(leaves) == 1               # exact tie
+    assert r[0] > max(leaves) * 2         # hub clearly dominant
+
+
+def test_pagerank_mass_roughly_conserved(spark):
+    """Symmetric graph: total scaled mass stays within integer-floor loss
+    of n*scale (each edge share loses < 1 unit to flooring)."""
+    from weather_data_warehouse_aws_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "id_a bigint, id_b bigint"
+    )
+    scale = 10**9
+    out = pagerank(edges, iters=6, scale=scale).collect()
+    total = sum(r.rank_scaled for r in out)
+    n = len(out)
+    assert n == 4
+    assert n * scale * 0.999 < total <= n * scale
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    """Integer sums are associative: shuffling the edge layout must not
+    change a single rank bit."""
+    from weather_data_warehouse_aws_spark.operators.graph import pagerank
+
+    import random
+
+    rnd = random.Random(7)
+    pairs = [(rnd.randrange(50), rnd.randrange(50)) for _ in range(200)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e1 = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    e2 = e1.repartition(17)
+    r1 = sorted(map(tuple, pagerank(e1, iters=4).collect()))
+    r2 = sorted(map(tuple, pagerank(e2, iters=4).collect()))
+    assert r1 == r2

@@ -131,3 +131,69 @@ def dedup_clusters(
             (F.col("node") == F.col("component")).alias("is_canonical"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    iters: int = 4,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    symmetric: bool = True,
+) -> DataFrame:
+    """Fixed-point-integer PageRank: (node, rank_scaled) after `iters`
+    synchronous power iterations, rank_scaled ≈ rank × `scale` × n.
+
+    Centrality ranks the members of a near-dup cluster (which copy is the
+    hub the others orbit?) and, on citation/link graphs, feeds quality
+    signals for corpus curation (page authority as a training-data weight
+    — the classic Brin & Page 1998 formulation).
+
+    ALL arithmetic is 64-bit integer — ranks are scaled longs, the damping
+    factor is a percentage, and per-edge shares use integer division — so
+    every engine computes bit-identical ranks regardless of aggregation
+    order (float PageRank sums contributions in shuffle order and drifts
+    in the last bits; integer sums are associative-exact). This is the
+    same exact-integer discipline as the hashed-feature classifier
+    (operators/relevance.py) and q8 ANN rescoring.
+
+    Per iteration: one equi-join of ranks onto edges (shuffle keyed on the
+    edge source) + one groupBy-sum on the destination — O(|E|) shuffle per
+    round, lineage-truncated between rounds. `symmetric=True` mirrors the
+    edge set first (pair relations are undirected), which also removes
+    dangling-node mass loss; with directed input, dangling mass simply
+    decays (acceptable for ranking, documented deviation from the
+    stochastic-matrix formulation).
+
+    Overflow headroom: total mass ≈ n·scale must stay ≪ 2^63/damping_pct;
+    the default scale=1e12 is safe to ~n=10^5 nodes — pass scale=10**6 for
+    web-scale graphs (precision trades against headroom explicitly).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if symmetric:
+        e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = _truncate(e.distinct())
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = _truncate(e.join(deg, "s"))  # (s, d, outdeg), reused every round
+
+    nodes = e.select(F.col("s").alias("node")).distinct()
+    ranks = _truncate(nodes.withColumn("r", F.lit(scale).cast("long")))
+    base = (scale * (100 - damping_pct)) // 100
+
+    share = F.expr(f"(r * {damping_pct}) div (100 * outdeg)")
+    for _ in range(iters):
+        incoming = (
+            ed.join(ranks.withColumnRenamed("node", "s"), "s")
+            .select(F.col("d").alias("node"), share.alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = _truncate(
+            nodes.join(incoming, "node", "left").select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0))).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

@@ -603,13 +603,21 @@ planted AS (
 """
 
 
+PAGERANK_ITERS = 4
+PAGERANK_SCALE = 10**12
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: n-gram-Jaccard pairs fed through distributed
-    connected components (operators/graph.py min-label propagation), one row
-    per clustered doc with its cluster id, size, and canonical-survivor flag.
-    The keep-one-per-cluster corpus filter is then `corpus LEFT ANTI JOIN
-    (this WHERE NOT is_canonical)`."""
-    from ..operators.graph import dedup_clusters
+    """Graph analysis of the near-dup pair relation, two tagged variants:
+    'cluster' — n-gram-Jaccard pairs through distributed connected
+    components (operators/graph.py min-label propagation), one row per
+    clustered doc with cluster id/size/canonical-survivor flag (the
+    keep-one filter is `corpus LEFT ANTI JOIN (this WHERE NOT
+    is_canonical)`); 'pagerank' — exact-integer PageRank centrality over
+    the same pair graph (which copy is the hub?), rank carried as the
+    scaled long so cross-engine hashes are bit-identical. One shared,
+    materialized pair pass feeds both."""
+    from ..operators.graph import dedup_clusters, pagerank
 
     docs = planted_documents(spark, sf_dir)
     extra = (
@@ -621,12 +629,52 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         corpus, "doc_id", "text",
         n=SHINGLE_N, threshold=0.6, max_doc_freq=MAX_SHINGLE_DF,
+    ).localCheckpoint(eager=True)  # shared by both graph consumers
+    zero = F.lit(0).cast("long")
+    cl = dedup_clusters(pairs).select(
+        F.lit("cluster").alias("variant"),
+        "doc_id", "cluster_id", "cluster_size", "is_canonical",
+        zero.alias("score_scaled"),
     )
-    return dedup_clusters(pairs).orderBy("doc_id")
+    pr = pagerank(
+        pairs, iters=PAGERANK_ITERS, scale=PAGERANK_SCALE
+    ).select(
+        F.lit("pagerank").alias("variant"),
+        F.col("node").alias("doc_id"),
+        zero.alias("cluster_id"),
+        zero.alias("cluster_size"),
+        F.lit(False).alias("is_canonical"),
+        F.col("rank_scaled").alias("score_scaled"),
+    )
+    return cl.unionByName(pr).orderBy("variant", "doc_id")
 
 
-# Oracle: identical pair SQL, then transitive closure via recursive CTE —
-# min reachable id per node ≡ the engine's min-label fixpoint.
+# Oracle: identical pair SQL, then (a) transitive closure via recursive CTE
+# — min reachable id per node ≡ the engine's min-label fixpoint — and
+# (b) the PageRank power iteration unrolled to PAGERANK_ITERS CTEs; both
+# engines do pure 64-bit integer arithmetic, so ranks match bit-for-bit.
+def _pagerank_ctes(iters: int, damping: int = 85, scale: int = PAGERANK_SCALE) -> str:
+    base = (scale * (100 - damping)) // 100
+    ctes = [
+        "pr_nodes AS (SELECT DISTINCT node FROM edges)",
+        "pr_deg AS (SELECT node AS s, COUNT(*) AS outdeg FROM edges GROUP BY node)",
+        f"pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM pr_nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""pr{i} AS (
+    SELECT n.node, CAST({base} + COALESCE(f.inflow, 0) AS BIGINT) AS r
+    FROM pr_nodes n LEFT JOIN (
+        SELECT e.nbr AS node,
+               CAST(SUM((r.r * {damping}) // (100 * d.outdeg)) AS BIGINT) AS inflow
+        FROM edges e
+        JOIN pr{i - 1} r ON r.node = e.node
+        JOIN pr_deg d ON d.s = e.node
+        GROUP BY e.nbr
+    ) f USING (node)
+)""")
+    return ",\n".join(ctes)
+
+
 ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE {_CLUSTER_PLANTED_SQL.strip()},
 {_SHINGLES_SQL.strip()},
@@ -663,12 +711,17 @@ reach (node, lbl) AS (
 ),
 labels AS (
     SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
-)
-SELECT doc_id, cluster_id,
+),
+{_pagerank_ctes(PAGERANK_ITERS)}
+SELECT 'cluster' AS variant, doc_id, cluster_id,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-       doc_id = cluster_id AS is_canonical
+       doc_id = cluster_id AS is_canonical,
+       CAST(0 AS BIGINT) AS score_scaled
 FROM labels
-ORDER BY doc_id
+UNION ALL
+SELECT 'pagerank', node, CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE, r
+FROM pr{PAGERANK_ITERS}
+ORDER BY variant, doc_id
 """
 
 
