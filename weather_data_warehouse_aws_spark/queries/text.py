@@ -34,6 +34,16 @@ from ..functions.text import (
 )
 from ..sources.tables import load_table
 
+#: Gopher rule "must contain ≥2 of these stop words" (Rae et al. 2021 §A1.1)
+GOPHER_REQUIRED_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+#: planted suffix making the stopword clause non-degenerate on synthetic text
+GOPHER_PLANT = " of and that have with be"
+_GP_TXT = (
+    "(CASE WHEN doc_id % 3 = 0"
+    f" THEN text || '{GOPHER_PLANT}' ELSE text END)"
+)
+_GP_TOKS = f"split(trim({_GP_TXT}), '\\\\s+')"
+
 
 # ---------------------------------------------------------------------------
 # q_text_stats — per-document quality metrics
@@ -403,6 +413,29 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_count(pii_txt, "ipv4").alias("n_ipv4"),
         pii_count(pii_txt, "phone").alias("n_phones"),
         F.md5(redact_pii(pii_txt)).alias("redacted_fp"),
+        # Gopher quality-rule ingredients (Rae et al. 2021 §A1.1) over a
+        # planted text (every 3rd doc gets required stopwords appended —
+        # the synthetic vocabulary has ~none, and a constant-false gate
+        # would verify nothing). Raw integer counts here; the rule
+        # booleans below compare integers only (3·n_tok ≤ chars, not
+        # chars/n_tok ≥ 3) so both engines decide every boundary case
+        # identically, no float division.
+        F.expr(f"size({_GP_TOKS})").alias("n_gopher_tokens"),
+        F.expr(f"length(regexp_replace({_GP_TXT}, '\\\\s', ''))").alias("n_nonws"),
+        F.expr(
+            f"cast((length({_GP_TXT}) - length(replace({_GP_TXT}, '#', '')))"
+            f" + (length({_GP_TXT}) - length(replace({_GP_TXT}, '...', '')))"
+            " div 3 as int)"
+        ).alias("n_symbols"),
+        F.expr(f"size(filter({_GP_TOKS}, t -> t rlike '[A-Za-z]'))").alias(
+            "n_alpha_words"
+        ),
+        sum(
+            F.expr(
+                f"array_contains(split(trim(lower({_GP_TXT})), '\\\\s+'), '{w}')"
+            ).cast("int")
+            for w in GOPHER_REQUIRED_STOPS
+        ).alias("n_req_stops"),
     )
     pred = None
     for i, lg in enumerate(langs):
@@ -476,6 +509,19 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ipv4",
             "n_phones",
             "redacted_fp",
+            "n_gopher_tokens",
+            "n_symbols",
+            "n_alpha_words",
+            "n_req_stops",
+            # Gopher document gate: every clause is an integer comparison
+            (
+                F.col("n_gopher_tokens").between(50, 100_000)
+                & (3 * F.col("n_gopher_tokens") <= F.col("n_nonws"))
+                & (F.col("n_nonws") <= 10 * F.col("n_gopher_tokens"))
+                & (10 * F.col("n_symbols") <= F.col("n_gopher_tokens"))
+                & (5 * F.col("n_alpha_words") >= 4 * F.col("n_gopher_tokens"))
+                & (F.col("n_req_stops") >= 2)
+            ).alias("gopher_pass"),
         )
         .orderBy("doc_id")
     )
@@ -507,6 +553,16 @@ def _oracle_doc_profile() -> str:
         WHEN doc_id % 5 = 1 THEN '<p>' || text || '</p> &lt;raw&gt;'
         ELSE text END)'''
     toks = r"regexp_split_to_array(trim(text), '\s+')"
+    gp_txt = (
+        "(CASE WHEN doc_id % 3 = 0"
+        f" THEN text || '{GOPHER_PLANT}' ELSE text END)"
+    )
+    gp_toks = rf"regexp_split_to_array(trim({gp_txt}), '\s+')"
+    gp_toksl = rf"regexp_split_to_array(trim(lower({gp_txt})), '\s+')"
+    req_stops_sql = " + ".join(
+        f"CASE WHEN list_contains({gp_toksl}, '{w}') THEN 1 ELSE 0 END"
+        for w in GOPHER_REQUIRED_STOPS
+    )
     bigrams = (
         f"list_transform(generate_series(1, greatest(len({toks}) - 1, 1)), "
         f"i -> array_to_string(list_slice({toks}, i, i + 1), ' '))"
@@ -579,7 +635,15 @@ per_row AS (
         {pii_count_sql(pii_txt, 'email')} AS n_emails,
         {pii_count_sql(pii_txt, 'ipv4')} AS n_ipv4,
         {pii_count_sql(pii_txt, 'phone')} AS n_phones,
-        md5({redact_pii_sql(pii_txt)}) AS redacted_fp
+        md5({redact_pii_sql(pii_txt)}) AS redacted_fp,
+        CAST(len({gp_toks}) AS INT) AS n_gopher_tokens,
+        CAST(length(regexp_replace({gp_txt}, '\\s', '', 'g')) AS INT) AS n_nonws,
+        CAST((length({gp_txt}) - length(replace({gp_txt}, '#', '')))
+             + (length({gp_txt}) - length(replace({gp_txt}, '...', ''))) // 3
+             AS INT) AS n_symbols,
+        CAST(len(list_filter({gp_toks}, t -> regexp_matches(t, '[A-Za-z]')))
+             AS INT) AS n_alpha_words,
+        CAST({req_stops_sql} AS INT) AS n_req_stops
     FROM documents
 ),
 top_bg AS (
@@ -601,7 +665,14 @@ SELECT p.doc_id AS doc_id, p.lang AS lang, n_chars, n_tokens, n_pretokens,
        ROUND(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 6) AS repeated_token_frac,
        ROUND(t.top_bg / CAST(n_tokens - 1 AS DOUBLE), 6) AS top_bigram_frac,
        sh.simhash AS simhash,
-       n_tags, stripped_fp, n_emails, n_ipv4, n_phones, redacted_fp
+       n_tags, stripped_fp, n_emails, n_ipv4, n_phones, redacted_fp,
+       n_gopher_tokens, n_symbols, n_alpha_words, n_req_stops,
+       (n_gopher_tokens BETWEEN 50 AND 100000
+        AND 3 * n_gopher_tokens <= n_nonws
+        AND n_nonws <= 10 * n_gopher_tokens
+        AND 10 * n_symbols <= n_gopher_tokens
+        AND 5 * n_alpha_words >= 4 * n_gopher_tokens
+        AND n_req_stops >= 2) AS gopher_pass
 FROM per_row p
 JOIN top_bg t ON p.doc_id = t.doc_id
 JOIN sh ON p.doc_id = sh.doc_id
