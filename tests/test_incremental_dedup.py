@@ -68,3 +68,52 @@ def test_empty_store_then_empty_batch(spark, sf_dir):
     corpus = planted_documents(spark, sf_dir).limit(0)
     pairs, store = incremental_minhash_pairs(None, corpus, "doc_id", "text", **_KW)
     assert pairs.count() == 0 and store.count() == 0
+
+
+def test_leak_spans_localizes_planted_slice(spark):
+    """A doc contaminated only by a known middle slice: span bounds and
+    coverage must name exactly that slice."""
+    from weather_data_warehouse_aws_spark.operators.dedup import (
+        leak_spans,
+        shingle_table,
+    )
+
+    train_txt = " ".join(f"w{i}" for i in range(1, 21))            # w1..w20
+    eval_txt = "x1 x2 x3 " + " ".join(f"w{i}" for i in range(5, 13)) + " y1 y2"
+    train = spark.createDataFrame([(1, train_txt)], "doc_id long, text string")
+    ev = spark.createDataFrame([(10, eval_txt)], "doc_id long, text string")
+
+    t_sh = shingle_table(train, "doc_id", "text", 5).select("sh").distinct()
+    e_sh = shingle_table(ev, "doc_id", "text", 5)
+    leaked = e_sh.join(t_sh, "sh").select("doc_id", "sh").distinct()
+
+    row = leak_spans(ev, leaked, 5).collect()[0]
+    # eval tokens: 1-3 = x's, 4-11 = w5..w12, 12-13 = y's
+    # leaked 5-grams start at positions 4..7 (w5-w9 .. w8-w12)
+    assert row["span_start"] == 4
+    assert row["span_end"] == 11
+    assert row["n_covered_tokens"] == 8
+
+
+def test_leak_spans_overlaps_do_not_double_count(spark):
+    """Two disjoint leaked regions: coverage sums regions, span brackets
+    both, and overlapping shingles inside a region count each token once."""
+    from weather_data_warehouse_aws_spark.operators.dedup import (
+        leak_spans,
+        shingle_table,
+    )
+
+    a = " ".join(f"a{i}" for i in range(1, 7))    # 6 tokens
+    b = " ".join(f"b{i}" for i in range(1, 7))
+    train = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    ev_txt = a + " m1 m2 m3 " + b                 # 6 + 3 + 6 = 15 tokens
+    ev = spark.createDataFrame([(10, ev_txt)], "doc_id long, text string")
+
+    t_sh = shingle_table(train, "doc_id", "text", 5).select("sh").distinct()
+    leaked = (
+        shingle_table(ev, "doc_id", "text", 5)
+        .join(t_sh, "sh").select("doc_id", "sh").distinct()
+    )
+    row = leak_spans(ev, leaked, 5).collect()[0]
+    assert row["span_start"] == 1 and row["span_end"] == 15
+    assert row["n_covered_tokens"] == 12          # both 6-token regions, m's clean

@@ -90,6 +90,79 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     ).select("doc_id", portable_hash60(F.col("shingle")).alias("sh"))
 
 
+def positioned_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc_id, pos, sh, n_tok): one row per shingle OCCURRENCE with its
+    1-based token position — the position-aware sibling of `shingle_table`
+    (which deduplicates shingles per doc and drops positions). Used to
+    localize WHERE leaked n-grams sit inside a document (contamination
+    spans); run it on the SMALL side only (eval benchmarks) — positions
+    multiply row counts by ~doc length and are never needed corpus-wide."""
+    toks = r"split(trim(__text), '\\s+')"
+    shingles = (
+        f"transform(sequence(1, greatest(size({toks}) - {n} + 1, 1)),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n})))"
+    )
+    spread = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    )
+    spread = spread.repartition(
+        spread.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    return spread.select(
+        "doc_id",
+        F.expr(f"size({toks})").alias("n_tok"),
+        F.posexplode(F.expr(shingles)).alias("pos0", "shingle"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        portable_hash60(F.col("shingle")).alias("sh"),
+        "n_tok",
+    )
+
+
+def leak_spans(
+    docs: DataFrame,
+    leaked: DataFrame,
+    n: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Localize leaked n-grams inside documents: given `leaked`
+    (id_col, sh) — the shingle hashes known to overlap another corpus —
+    returns (id_col, span_start, span_end, n_covered_tokens) where the span
+    is the 1-based token range [first, last] touched by any leaked shingle
+    and the coverage counts DISTINCT covered token positions (overlapping
+    leaks don't double-count). Each occurrence at position p covers tokens
+    [p, min(p+n-1, doc_len)].
+
+    Run on the small (eval) side: positions multiply rows by ~doc length.
+    The answer to "is 3000100 contaminated?" is counts; the answer to
+    "can I salvage it by cutting the leaked slice?" is this span."""
+    pos_sh = positioned_shingles(docs, id_col, text_col, n)
+    leak_occ = pos_sh.join(
+        leaked.select(F.col(id_col).alias("doc_id"), "sh"), ["doc_id", "sh"]
+    ).persist()
+    end = F.least(F.col("pos") + n - 1, F.col("n_tok"))
+    spans = leak_occ.groupBy("doc_id").agg(
+        F.min("pos").alias("span_start"), F.max(end).alias("span_end")
+    )
+    ncov = (
+        leak_occ.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(pos, least(pos + {n} - 1, n_tok))")
+            ).alias("cpos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_covered_tokens"))
+    )
+    return spans.join(ncov, "doc_id").withColumnRenamed("doc_id", id_col)
+
+
 def cap_hot_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
     """Drop shingles whose doc-frequency exceeds `max_doc_freq`.
 

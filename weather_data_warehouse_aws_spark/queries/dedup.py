@@ -334,13 +334,25 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("eval_id")
         .agg(F.count("*").alias("n_train_sources"))
     )
-    shared = (
-        hits.select("eval_id", "sh")
-        .distinct()
-        .groupBy("eval_id")
-        .agg(F.count("*").alias("n_shared_shingles"))
+    # leaked (eval_id, sh) set feeds BOTH the shared-shingle count and the
+    # span localization below — one distinct pass
+    leaked = hits.select("eval_id", "sh").distinct().persist()
+    shared = leaked.groupBy("eval_id").agg(
+        F.count("*").alias("n_shared_shingles")
     )
-    return sources.join(shared, "eval_id").orderBy("eval_id")
+    # span localization (operators/dedup.py::leak_spans): WHERE do the
+    # leaked n-grams sit? Positions materialize on the eval side only.
+    from ..operators.dedup import leak_spans
+
+    spans = leak_spans(
+        ev.withColumnRenamed("doc_id", "eval_id"),
+        leaked, SHINGLE_N, id_col="eval_id",
+    )
+    return (
+        sources.join(shared, "eval_id")
+        .join(spans, "eval_id")
+        .orderBy("eval_id")
+    )
 
 
 def _shingles_over_sql(relation: str, id_alias: str) -> str:
@@ -379,11 +391,46 @@ train_sh AS (  -- same df ≤ {MAX_SHINGLE_DF} hot-shingle cap as the engine
     ) keep USING (sh)
 ),
 eval_sh AS ({_shingles_over_sql('eval_docs', 'eval_id')}
+),
+leaked AS (
+    SELECT DISTINCT e.eval_id, e.sh
+    FROM eval_sh e JOIN train_sh USING (sh)
+),
+eval_pos AS (
+    SELECT eval_id, CAST(i AS INT) AS pos,
+           {portable_hash60_sql(f"array_to_string(list_slice(toks, i, i + {SHINGLE_N} - 1), ' ')")} AS sh,
+           CAST(len(toks) AS INT) AS n_tok
+    FROM (
+        SELECT doc_id AS eval_id,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM eval_docs
+    ), UNNEST(generate_series(1, greatest(len(toks) - {SHINGLE_N} + 1, 1))) AS g(i)
+),
+leak_occ AS (
+    SELECT p.eval_id, p.pos, p.n_tok
+    FROM eval_pos p JOIN leaked l ON l.eval_id = p.eval_id AND l.sh = p.sh
+),
+spans AS (
+    SELECT eval_id, MIN(pos) AS span_start,
+           CAST(MAX(LEAST(pos + {SHINGLE_N} - 1, n_tok)) AS INT) AS span_end
+    FROM leak_occ GROUP BY eval_id
+),
+cov AS (
+    SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_covered_tokens
+    FROM (
+        SELECT DISTINCT eval_id, cpos
+        FROM leak_occ,
+             UNNEST(generate_series(pos, LEAST(pos + {SHINGLE_N} - 1, n_tok))) AS c(cpos)
+    ) GROUP BY eval_id
 )
 SELECT eval_id,
        COUNT(DISTINCT train_id) AS n_train_sources,
-       COUNT(DISTINCT sh) AS n_shared_shingles
+       COUNT(DISTINCT sh) AS n_shared_shingles,
+       MIN(span_start) AS span_start,
+       MIN(span_end) AS span_end,
+       MIN(n_covered_tokens) AS n_covered_tokens
 FROM eval_sh JOIN train_sh USING (sh)
+JOIN spans USING (eval_id) JOIN cov USING (eval_id)
 GROUP BY eval_id
 ORDER BY eval_id
 """
