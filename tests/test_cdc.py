@@ -193,3 +193,45 @@ def test_apply_agg_delta_new_group_from_insert(spark):
     )
     z = maintained.filter(F.col("grp") == "z").collect()
     assert len(z) == 1 and z[0]["sum_amt"] == 7 and z[0]["n_rows"] == 1
+
+
+def test_apply_join_delta_matches_recompute(spark):
+    """Delta-maintained join ≡ full re-join, across inserts, deletes,
+    updates (including one that MOVES the join key), and an unchanged row."""
+    from weather_data_warehouse_aws_spark.operators.cdc import apply_join_delta
+
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 10, "c"), (4, 30, "d")],
+        "k int, fk int, payload string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10, "a"),            # unchanged
+         (2, 30, "b"),            # join key moved 20 -> 30
+         (4, 30, "D4"),           # payload updated
+         (5, 20, "e")],           # inserted (3 deleted)
+        "k int, fk int, payload string",
+    )
+    dim = spark.createDataFrame(
+        [(10, "x"), (20, "y"), (30, "z")], "fk int, attr string"
+    )
+    prior = old.join(dim, "fk")
+    diff = snapshot_diff(old, new, ["k"])
+    got = apply_join_delta(prior, diff, dim, ["k"], ["fk"])
+    want = new.join(dim, "fk")
+    assert sorted(map(str, got.select(sorted(got.columns)).collect())) == sorted(
+        map(str, want.select(sorted(want.columns)).collect())
+    )
+
+
+def test_apply_join_delta_missing_image_raises(spark):
+    from weather_data_warehouse_aws_spark.operators.cdc import apply_join_delta
+
+    old = spark.createDataFrame([(1, 10, "a")], "k int, fk int, payload string")
+    new = spark.createDataFrame([(1, 10, "b")], "k int, fk int, payload string")
+    dim = spark.createDataFrame([(10, "x")], "fk int, attr string")
+    prior = old.join(dim, "fk")
+    bad_diff = snapshot_diff(old, new, ["k"]).drop("new_payload")
+    import pytest
+
+    with pytest.raises(ValueError, match="new-images"):
+        apply_join_delta(prior, bad_diff, dim, ["k"], ["fk"])

@@ -185,3 +185,65 @@ def grouped_sums(
         *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
         F.count(F.lit(1)).alias(count_col),
     )
+
+
+def apply_join_delta(
+    prior_join: DataFrame,
+    diff: DataFrame,
+    other: DataFrame,
+    keys: Sequence[str],
+    join_on: Sequence[str],
+) -> DataFrame:
+    """Incrementally maintain a materialized INNER equi-join when ONE side
+    changes: ``prior_join`` is the previous ``changed_side ⋈ other`` (it
+    must carry the changed side's primary key ``keys``), ``diff`` is the
+    changed side's changefeed from :func:`snapshot_diff`, and ``other`` is
+    the other side's CURRENT snapshot, joined on the shared columns
+    ``join_on``.
+
+    Delta algebra: rows whose key appears as DELETE or UPDATE leave the
+    materialization (anti-join on ``keys``); the after-images of INSERT and
+    UPDATE re-join against ``other`` and enter. The result is exactly
+    ``new_changed_side ⋈ other`` — verified against a full recompute both
+    in tests/test_cdc.py and cross-engine in set_ops' `ivm_join` branch.
+
+    When BOTH sides change, compose: apply this with the left diff against
+    the old right side, then again with the right diff against the NEW left
+    side — (A′⋈B) patched by ΔB gives A′⋈B′.
+
+    Cost: |prior| anti-join |Δ| (Δ broadcast when small) + |Δ| ⋈ other.
+    The second term scans `other` once per batch — co-partition or bucket
+    `other` on the join key (sources/bucketing.py) so the probe prunes, or
+    broadcast Δ; either way the FACT side is touched |Δ|-proportionally,
+    never rescanned."""
+    keys = list(keys)
+    join_on = list(join_on)
+    # the changed side's columns = whatever the materialization carries
+    # that did NOT come from `other`, plus the join columns themselves
+    # (an UPDATE may move a row to a different join key); `other`'s payload
+    # columns legitimately appear in prior_join — they re-enter via the
+    # re-join, not via the diff images
+    changed_cols = [c for c in prior_join.columns if c not in other.columns] + join_on
+    missing = [
+        c for c in changed_cols
+        if c not in keys and f"new_{c}" not in diff.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"apply_join_delta: diff lacks new-images for changed-side "
+            f"columns {missing}"
+        )
+    touched = diff.filter(F.col("op").isin(DELETE, UPDATE)).select(
+        *[F.col(k) for k in keys]
+    )
+    survivors = prior_join.join(touched, keys, "left_anti")
+    new_images = diff.filter(F.col("op").isin(INSERT, UPDATE)).select(
+        *keys,
+        *[
+            F.col(f"new_{c}").alias(c)
+            for c in changed_cols
+            if c not in keys
+        ],
+    )
+    entered = new_images.join(other, join_on).select(*prior_join.columns)
+    return survivors.unionByName(entered)

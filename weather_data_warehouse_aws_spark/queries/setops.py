@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.cdc import apply_agg_delta, grouped_sums, snapshot_diff
+from ..operators.cdc import (
+    apply_agg_delta,
+    apply_join_delta,
+    grouped_sums,
+    snapshot_diff,
+)
 from ..sources.tables import load_table
 
 # image checksum mixer: coprime to any cents value, keeps both images in
@@ -68,6 +73,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -- two deterministic order snapshots + their changefeed --
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
+        "o_custkey",
         "o_orderstatus",
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
@@ -103,20 +109,45 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_cents").cast("long").alias("checksum"),
     )
 
-    return sets.unionByName(cdc).unionByName(ivm).orderBy("op", "group_key")
+    # -- ivm_join: a materialized orders ⋈ customer-segment join maintained
+    # from the same changefeed (operators/cdc.py::apply_join_delta); the
+    # oracle recomputes v2 ⋈ customer directly, so the hash gate proves
+    # delta-join ≡ full re-join cross-engine
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    prior_m = v1.join(dim, "o_custkey")
+    maintained_join = apply_join_delta(
+        prior_m, diff, dim, ["o_orderkey"], ["o_custkey"]
+    )
+    ivm_join = maintained_join.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("checksum")
+    ).select(
+        F.lit("ivm_join").alias("op"),
+        F.col("c_mktsegment").alias("group_key"),
+        F.col("n").cast("long"),
+        F.col("checksum").cast("long"),
+    )
+
+    return (
+        sets.unionByName(cdc)
+        .unionByName(ivm)
+        .unionByName(ivm_join)
+        .orderBy("op", "group_key")
+    )
 
 
 ORACLE_SET_OPS = f"""
 WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
      s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),
 base AS (
-    SELECT o_orderkey, o_orderstatus,
+    SELECT o_orderkey, o_custkey, o_orderstatus,
            CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
     FROM orders
 ),
 v1 AS (SELECT * FROM base WHERE o_orderkey % 13 <> 0),
 v2 AS (
-    SELECT o_orderkey, o_orderstatus,
+    SELECT o_orderkey, o_custkey, o_orderstatus,
            CASE WHEN o_orderkey % 7 = 0 THEN cents + 10000 ELSE cents END AS cents
     FROM base WHERE o_orderkey % 11 <> 0
 ),
@@ -147,6 +178,11 @@ FROM diff
 UNION ALL
 SELECT 'ivm', o_orderstatus, COUNT(*), CAST(SUM(cents) AS BIGINT)
 FROM v2 GROUP BY o_orderstatus
+UNION ALL
+-- delta-maintained join ≡ direct re-join of the new snapshot
+SELECT 'ivm_join', c_mktsegment, COUNT(*), CAST(SUM(cents) AS BIGINT)
+FROM v2 JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
 ORDER BY op, group_key
 """
 
