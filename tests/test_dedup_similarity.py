@@ -550,3 +550,61 @@ def test_ensemble_pairs_votes_and_provenance(spark, sf_dir):
     assert near_found, "no near-dup pair found by any similarity strategy"
     for p in near_found:
         assert "exact" not in rows[p][1], "trailer near-dup cannot be byte-identical"
+
+
+def test_lsh_multitable_amplifies_recall(spark, sf_dir):
+    """OR-amplification: unioning candidates from L independent tables must
+    raise recall over one table (1-(1-q)^L), at proportional candidate
+    cost. This is the knob the ann_methods recall_lsh branch measures."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+
+    def recall(n_tables: int) -> float:
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_topk(
+                queries, emb, k=5, n_planes=6, n_tables=n_tables, dim=64
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 > r1, (r1, r4)
+    assert r4 >= 0.5, f"4-table recall {r4:.2f} too low"
+
+
+def test_lsh_high_recall_on_clustered_vectors(spark):
+    """Sign-LSH's recall collapse on this synthetic corpus is a DATA
+    property (near-orthogonal neighbors), not an operator defect: on
+    vectors with genuinely close neighbors (tight planted clusters,
+    cosine ≈ 1) the same operator recalls nearly everything."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for c in range(20):
+        center = rng.standard_normal(64)
+        center /= np.linalg.norm(center)
+        for _ in range(5):
+            v = center + 0.05 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 5 == 0)  # one per cluster
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, emb, k=4).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(
+            queries, emb, k=4, n_planes=6, n_tables=2, dim=64
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"clustered recall {recall:.2f}"

@@ -423,39 +423,61 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
     seed: int = 42,
     dim: int,
 ) -> DataFrame:
     """Approximate top-k: exact rescoring restricted to LSH-bucket collisions.
 
-    Candidates come from an equi-join on the bucket id (2^n_planes buckets);
-    multi-probe is approximated by also joining buckets at Hamming distance 1
-    (n_planes extra probes). Recall vs `cosine_topk` is data-dependent —
-    measured in tests; raise n_planes for precision, probes for recall.
+    Candidates come from an equi-join on the bucket id (2^n_planes buckets
+    per table); multi-probe also joins buckets at Hamming distance 1
+    (n_planes extra probes), and `n_tables` independent plane sets union
+    their candidates — the Indyk-Motwani OR-amplification: per-neighbor
+    hit probability q per table becomes 1-(1-q)^L overall.
+
+    Tuning (measured by ann_methods' recall_lsh branch, not guessed):
+    candidate fraction ≈ L·(n_planes+1)/2^n_planes of the corpus per
+    query, so recall is BOUGHT with candidates — raise n_tables for
+    recall, n_planes to cut candidates. Sign-LSH's per-plane agreement is
+    1-θ/π; on corpora whose true neighbors are near-orthogonal (synthetic
+    uniform vectors) q stays near (1/2)^n_planes and no affordable L
+    rescues it — use the IVF or q8 tier there. It earns its keep when
+    neighbor cosines are high (real embedding clusters).
 
     `dim` is required (keyword-only): inferring it would cost a driver-side
     job over the corpus just to measure one array — the caller always knows
     its embedding dimensionality.
     """
-    planes = hyperplanes(dim, n_planes, seed)
-
-    c = corpus.select(
+    c0 = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("bucket", lsh_bucket("cv", planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("qbucket", lsh_bucket("qv", planes))
-    # probe own bucket + all Hamming-1 buckets
-    probes = F.array(
-        F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
     )
-    q = q.withColumn("bucket", F.explode(probes))
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    pairs = None
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1009 * t)
+        c = c0.withColumn("bucket", lsh_bucket("cv", planes)).select(
+            "bucket", "neighbor_id"
+        )
+        q = q0.withColumn("qbucket", lsh_bucket("qv", planes))
+        probes = F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+        )
+        p = (
+            q.withColumn("bucket", F.explode(probes))
+            .select("bucket", "query_id")
+            .join(c, "bucket")
+            .select("query_id", "neighbor_id")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
 
+    # dedup BEFORE fetching vectors: candidate ids are compact, vectors wide
+    cand = pairs.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
     scored = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
-        .distinct()
+        cand.join(q0, "query_id")
+        .join(c0, "neighbor_id")
         .withColumn("cos", F.round(cosine("qv", "cv"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))

@@ -34,7 +34,8 @@ NEARDUP_THRESHOLD = 0.9
 IVF_CELLS = 16
 IVF_NPROBE = 4
 EMB_DIM = 64  # synthetic embeddings.embedding dimensionality (TESTDATA.md)
-LSH_PLANES = 8
+LSH_PLANES = 6
+LSH_TABLES = 4
 LSH_SEED = 42
 
 
@@ -419,21 +420,23 @@ ORDER BY query_id, rank
 # ---------------------------------------------------------------------------
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN top-5: seeded hyperplane sign-bits bucket the corpus,
-    candidates come from the bucket equi-join (+ Hamming-1 multiprobe),
-    exact cosine rescores candidates only. Deterministic planes make the
-    whole index SQL-replicable — an approximate algorithm under an exact
-    differential test, like `ivf_ann`."""
+    candidates come from the bucket equi-join (+ Hamming-1 multiprobe)
+    unioned over LSH_TABLES independent tables (OR-amplification), exact
+    cosine rescores candidates only. Deterministic planes make the whole
+    index SQL-replicable — an approximate algorithm under an exact
+    differential test, like `ivf_ann`. Settings chosen from the measured
+    recall_lsh branch, not guessed (SCALE.md notes the distribution
+    dependence)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return lsh_topk(
-        queries, emb, k=TOPK_K, n_planes=LSH_PLANES, seed=LSH_SEED, dim=EMB_DIM
+        queries, emb, k=TOPK_K, n_planes=LSH_PLANES, n_tables=LSH_TABLES,
+        seed=LSH_SEED, dim=EMB_DIM,
     ).orderBy("query_id", "rank")
 
 
 def _oracle_lsh_topk() -> str:
-    planes = hyperplanes(EMB_DIM, LSH_PLANES, LSH_SEED)
-
-    def bucket_expr(v: str) -> str:
+    def bucket_expr(v: str, planes) -> str:
         terms = []
         for j, plane in enumerate(planes):
             arr = "[" + ", ".join(repr(x) for x in plane) + "]"
@@ -444,30 +447,37 @@ def _oracle_lsh_topk() -> str:
         return " + ".join(terms)
 
     shifts = [0] + [1 << j for j in range(LSH_PLANES)]
+    per_table = []
+    for t in range(LSH_TABLES):
+        planes = hyperplanes(EMB_DIM, LSH_PLANES, LSH_SEED + 1009 * t)
+        per_table.append(f"""
+    SELECT p.query_id, c.neighbor_id
+    FROM (
+        SELECT query_id, xor(qbucket, s) AS bucket
+        FROM (
+            SELECT vec_id AS query_id,
+                   {bucket_expr('embedding', planes)} AS qbucket
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ), UNNEST([{", ".join(map(str, shifts))}]) AS t(s)
+    ) p
+    JOIN (
+        SELECT vec_id AS neighbor_id,
+               {bucket_expr('embedding', planes)} AS bucket
+        FROM embeddings
+    ) c USING (bucket)""")
+    tables_sql = "\n    UNION ALL\n".join(per_table)
     return f"""
-WITH c AS (
-    SELECT vec_id AS neighbor_id, embedding AS cv,
-           {bucket_expr('embedding')} AS bucket
-    FROM embeddings
-),
-q AS (
-    SELECT vec_id AS query_id, embedding AS qv,
-           {bucket_expr('embedding')} AS qbucket
-    FROM embeddings WHERE vec_id < {N_QUERIES}
-),
-probes AS (  -- own bucket + all Hamming-1 buckets
-    SELECT query_id, qv, xor(qbucket, s) AS bucket
-    FROM q, UNNEST([{", ".join(map(str, shifts))}]) AS t(s)
-),
-cand AS (
-    SELECT DISTINCT p.query_id, p.qv, c.neighbor_id, c.cv
-    FROM probes p JOIN c USING (bucket)
-    WHERE p.query_id <> c.neighbor_id
+WITH cand AS (
+    SELECT DISTINCT query_id, neighbor_id FROM (
+    {tables_sql}
+    ) WHERE query_id <> neighbor_id
 ),
 scored AS (
-    SELECT query_id, neighbor_id,
-           ROUND({COSINE_SQL.format(a='qv', b='cv')}, 6) AS cos
+    SELECT cand.query_id, cand.neighbor_id,
+           ROUND({COSINE_SQL.format(a='q.embedding', b='c.embedding')}, 6) AS cos
     FROM cand
+    JOIN embeddings q ON q.vec_id = cand.query_id
+    JOIN embeddings c ON c.vec_id = cand.neighbor_id
 )
 SELECT query_id, rank, neighbor_id, cos FROM (
     SELECT *, ROW_NUMBER() OVER (
@@ -542,33 +552,80 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver CORRECTNESS row covers the exact baseline (`brute`), the
     inverted-file scale path (`ivf`), the hyperplane-LSH scale path
     (`lsh`), and the int8 quantize-then-rescore path (`q8`) — every index
-    construction fully SQL-replicated in the oracle."""
-    brute = q_embedding_topk(spark, sf_dir).withColumn("method", F.lit("brute"))
-    ivf = q_ivf_ann(spark, sf_dir).withColumn("method", F.lit("ivf"))
-    lsh = q_lsh_topk(spark, sf_dir).withColumn("method", F.lit("lsh"))
-    q8 = q_quantized_ann(spark, sf_dir).withColumn("method", F.lit("q8"))
+    construction fully SQL-replicated in the oracle.
+
+    `recall_<m>` branches score each approximate tier against the exact
+    baseline per query (the measure-don't-guess evaluation a user tunes
+    nprobe/planes/rerank against): neighbor_id carries |topk_m ∩
+    topk_brute| and cos carries recall@k. Small-int division is IEEE-exact
+    and identical cross-engine."""
+    brute = q_embedding_topk(spark, sf_dir).withColumn(
+        "method", F.lit("brute")
+    ).persist()  # reused: own rows + the 3 recall joins
+    ivf = q_ivf_ann(spark, sf_dir).withColumn("method", F.lit("ivf")).persist()
+    lsh = q_lsh_topk(spark, sf_dir).withColumn("method", F.lit("lsh")).persist()
+    q8 = q_quantized_ann(spark, sf_dir).withColumn("method", F.lit("q8")).persist()
+
+    base = brute.select("query_id", "neighbor_id")
+    qs = base.select("query_id").distinct()
+
+    def recall(df: DataFrame, tag: str) -> DataFrame:
+        hits = (
+            df.select("query_id", "neighbor_id")
+            .join(base, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        n = F.coalesce(F.col("n_hit"), F.lit(0))
+        return qs.join(hits, "query_id", "left").select(
+            F.lit(f"recall_{tag}").alias("method"),
+            "query_id",
+            F.lit(TOPK_K).cast("int").alias("rank"),
+            n.cast("long").alias("neighbor_id"),
+            (n / TOPK_K).alias("cos"),
+        )
+
     return (
         brute.unionByName(ivf)
         .unionByName(lsh)
         .unionByName(q8)
         .select("method", "query_id", "rank", "neighbor_id", "cos")
+        .unionByName(recall(ivf, "ivf"))
+        .unionByName(recall(lsh, "lsh"))
+        .unionByName(recall(q8, "q8"))
         .orderBy("method", "query_id", "rank")
     )
 
 
 def _oracle_ann_methods() -> str:
+    recall = "\nUNION ALL\n".join(
+        f"""SELECT 'recall_{tag}' AS method, q.query_id,
+       CAST({TOPK_K} AS INT) AS rank,
+       CAST(COUNT(x.neighbor_id) AS BIGINT) AS neighbor_id,
+       COUNT(x.neighbor_id) / CAST({TOPK_K} AS DOUBLE) AS cos
+FROM (SELECT DISTINCT query_id FROM brute_t) q
+LEFT JOIN (
+    SELECT m.query_id, m.neighbor_id
+    FROM {tag}_t m JOIN brute_t b
+      ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+) x ON x.query_id = q.query_id
+GROUP BY q.query_id"""
+        for tag in ("ivf", "lsh", "q8")
+    )
     return f"""
-SELECT 'brute' AS method, query_id, rank, neighbor_id, cos
-FROM ({ORACLE_EMBEDDING_TOPK})
+WITH brute_t AS MATERIALIZED ({ORACLE_EMBEDDING_TOPK}),
+ivf_t AS MATERIALIZED ({ORACLE_IVF_ANN}),
+lsh_t AS MATERIALIZED ({_oracle_lsh_topk()}),
+q8_t AS MATERIALIZED ({_oracle_quantized_ann()})
+SELECT 'brute' AS method, query_id, rank, neighbor_id, cos FROM brute_t
 UNION ALL
-SELECT 'ivf' AS method, query_id, rank, neighbor_id, cos
-FROM ({ORACLE_IVF_ANN})
+SELECT 'ivf' AS method, query_id, rank, neighbor_id, cos FROM ivf_t
 UNION ALL
-SELECT 'lsh' AS method, query_id, rank, neighbor_id, cos
-FROM ({_oracle_lsh_topk()})
+SELECT 'lsh' AS method, query_id, rank, neighbor_id, cos FROM lsh_t
 UNION ALL
-SELECT 'q8' AS method, query_id, rank, neighbor_id, cos
-FROM ({_oracle_quantized_ann()})
+SELECT 'q8' AS method, query_id, rank, neighbor_id, cos FROM q8_t
+UNION ALL
+{recall}
 ORDER BY method, query_id, rank
 """
 
