@@ -454,25 +454,43 @@ def lsh_topk(
     q0 = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    pairs = None
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed + 1009 * t)
-        c = c0.withColumn("bucket", lsh_bucket("cv", planes)).select(
-            "bucket", "neighbor_id"
-        )
-        q = q0.withColumn("qbucket", lsh_bucket("qv", planes))
-        probes = F.array(
-            F.col("qbucket"),
-            *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
-        )
-        p = (
-            q.withColumn("bucket", F.explode(probes))
-            .select("bucket", "query_id")
-            .join(c, "bucket")
-            .select("query_id", "neighbor_id")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    tables = [
+        hyperplanes(dim, n_planes, seed + 1009 * t) for t in range(n_tables)
+    ]
+    # ONE pass per side computes every table's bucket as a projected column
+    # (the n_tables·n_planes dot products run once per row), then the
+    # (table, bucket) pairs explode and a SINGLE equi-join on the composite
+    # key replaces n_tables separate scans+joins
+    def entry(t: int, bucket_col) -> F.Column:
+        return F.struct(F.lit(t).alias("t"), bucket_col.alias("bucket"))
 
+    cb = c0.select(
+        "neighbor_id",
+        *[lsh_bucket("cv", p).alias(f"__b{t}") for t, p in enumerate(tables)],
+    )
+    cp = cb.select(
+        "neighbor_id",
+        F.explode(
+            F.array(*[entry(t, F.col(f"__b{t}")) for t in range(n_tables)])
+        ).alias("tb"),
+    ).select("neighbor_id", "tb.t", "tb.bucket")
+
+    qb = q0.select(
+        "query_id",
+        *[lsh_bucket("qv", p).alias(f"__b{t}") for t, p in enumerate(tables)],
+    )
+    probe_entries = []
+    for t in range(n_tables):
+        b = F.col(f"__b{t}")
+        probe_entries.append(entry(t, b))
+        probe_entries.extend(
+            entry(t, b.bitwiseXOR(F.lit(1 << j))) for j in range(n_planes)
+        )
+    qp = qb.select(
+        "query_id", F.explode(F.array(*probe_entries)).alias("tb")
+    ).select("query_id", "tb.t", "tb.bucket")
+
+    pairs = qp.join(cp, ["t", "bucket"]).select("query_id", "neighbor_id")
     # dedup BEFORE fetching vectors: candidate ids are compact, vectors wide
     cand = pairs.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
     scored = (
