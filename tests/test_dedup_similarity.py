@@ -608,3 +608,43 @@ def test_lsh_high_recall_on_clustered_vectors(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"clustered recall {recall:.2f}"
+
+
+def test_pq_topk_recall_and_shapes(spark, sf_dir):
+    """PQ ADC + rescore: recall well above the rescored-pool-chance floor,
+    exactly k rows per query, cosines exact (they come from the rescore)."""
+    from weather_data_warehouse_aws_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    out = pq_topk(queries, emb, k=5, m=4, ksub=16, rerank=6, dim=64).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in out}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"PQ recall {recall:.2f}"
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in out)
+    assert all(v == 5 for v in per_q.values()) and len(per_q) == 10
+    # rescored cosine must equal the exact cosine for overlapping pairs
+    exact_cos = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    for r in out:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            assert r.cos == exact_cos[key]
+
+
+def test_pq_dim_divisibility_guard(spark, sf_dir):
+    from weather_data_warehouse_aws_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_topk(emb, emb, m=5, dim=64)

@@ -21,6 +21,7 @@ from ..operators.similarity import (
     hyperplanes,
     ivf_topk,
     lsh_topk,
+    pq_topk,
     quantized_topk,
     semantic_cells,
 )
@@ -37,6 +38,9 @@ EMB_DIM = 64  # synthetic embeddings.embedding dimensionality (TESTDATA.md)
 LSH_PLANES = 6
 LSH_TABLES = 4
 LSH_SEED = 42
+PQ_M = 4       # subspaces (64-dim → 4×16-dim, 4-byte codes: 64× compression)
+PQ_KSUB = 16   # codebook entries per subspace
+PQ_RERANK = 6  # exact-rescore pool = PQ_RERANK·k
 
 
 # ---------------------------------------------------------------------------
@@ -547,6 +551,113 @@ ORDER BY query_id, rank
 """
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_topk): per-subspace
+    codebooks trained seeded+one-Lloyd-step, corpus encoded to PQ_M codes,
+    ADC lookup-table scoring, exact rescore of the top PQ_RERANK·k. The
+    whole pipeline — training included — is SQL-replicated in the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return pq_topk(
+        queries, emb, k=TOPK_K, m=PQ_M, ksub=PQ_KSUB, rerank=PQ_RERANK,
+        dim=EMB_DIM,
+    ).orderBy("query_id", "rank")
+
+
+def _oracle_pq_ann() -> str:
+    dsub = EMB_DIM // PQ_M
+    ms = ", ".join(str(i) for i in range(PQ_M))
+    dp = DOT_SQL.format
+    dist = (
+        f"ROUND({dp(a='p.sv', b='p.sv')} + {dp(a='s.cvec', b='s.cvec')}"
+        f" - 2 * {dp(a='p.sv', b='s.cvec')}, 9)"
+    )
+    adc_sum = " + ".join(
+        f"MAX(CASE WHEN cd.m = {i} THEN l.pdot END)" for i in range(PQ_M)
+    )
+    return f"""
+WITH ps AS MATERIALIZED (
+    SELECT vec_id AS neighbor_id, m,
+           list_slice(CAST(embedding AS DOUBLE[]), m * {dsub} + 1,
+                      m * {dsub} + {dsub}) AS sv
+    FROM embeddings, UNNEST([{ms}]) AS t(m)
+),
+seeds AS (
+    SELECT m, rn - 1 AS cent_id, sv AS cvec FROM (
+        SELECT m, sv,
+               ROW_NUMBER() OVER (PARTITION BY m ORDER BY neighbor_id) AS rn
+        FROM ps
+    ) WHERE rn <= {PQ_KSUB}
+),
+assign0 AS (
+    SELECT neighbor_id, m, cell, sv FROM (
+        SELECT p.neighbor_id, p.m, s.cent_id AS cell, p.sv,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.neighbor_id, p.m
+                   ORDER BY {dist} ASC, s.cent_id
+               ) AS r
+        FROM ps p JOIN seeds s USING (m)
+    ) WHERE r = 1
+),
+means AS (
+    SELECT m, cell, d, AVG(x) AS mu FROM (
+        SELECT m, cell, generate_subscripts(sv, 1) AS d, unnest(sv) AS x
+        FROM assign0
+    ) GROUP BY m, cell, d
+),
+cents AS MATERIALIZED (
+    SELECT m, cell AS cent_id,
+           list_transform(list(mu ORDER BY d),
+                          x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS cvec
+    FROM means GROUP BY m, cell
+),
+codes AS (
+    SELECT neighbor_id, m, cell AS code FROM (
+        SELECT p.neighbor_id, p.m, s.cent_id AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.neighbor_id, p.m
+                   ORDER BY {dist} ASC, s.cent_id
+               ) AS r
+        FROM ps p JOIN cents s USING (m)
+    ) WHERE r = 1
+),
+lut AS (
+    SELECT q.neighbor_id AS query_id, q.m, s.cent_id,
+           ROUND({dp(a='q.sv', b='s.cvec')}, 9) AS pdot
+    FROM ps q JOIN cents s USING (m)
+    WHERE q.neighbor_id < {N_QUERIES}
+),
+adc AS (
+    SELECT l.query_id, cd.neighbor_id, ROUND({adc_sum}, 6) AS approx
+    FROM codes cd
+    JOIN lut l ON l.m = cd.m AND l.cent_id = cd.code
+    WHERE l.query_id <> cd.neighbor_id
+    GROUP BY l.query_id, cd.neighbor_id
+),
+shortlist AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY approx DESC, neighbor_id
+        ) AS r FROM adc
+    ) WHERE r <= {PQ_RERANK * TOPK_K}
+),
+pq_scored AS (
+    SELECT s.query_id, s.neighbor_id,
+           ROUND({COSINE_SQL.format(a='q.embedding', b='c.embedding')}, 6) AS cos
+    FROM shortlist s
+    JOIN embeddings q ON q.vec_id = s.query_id
+    JOIN embeddings c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cos FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+    ) AS rank
+    FROM pq_scored
+) WHERE rank <= {TOPK_K}
+ORDER BY query_id, rank
+"""
+
+
 def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All four ANN tiers over the same queries, tagged and unioned so one
     driver CORRECTNESS row covers the exact baseline (`brute`), the
@@ -565,6 +676,7 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = q_ivf_ann(spark, sf_dir).withColumn("method", F.lit("ivf")).persist()
     lsh = q_lsh_topk(spark, sf_dir).withColumn("method", F.lit("lsh")).persist()
     q8 = q_quantized_ann(spark, sf_dir).withColumn("method", F.lit("q8")).persist()
+    pq = q_pq_ann(spark, sf_dir).withColumn("method", F.lit("pq")).persist()
 
     base = brute.select("query_id", "neighbor_id")
     qs = base.select("query_id").distinct()
@@ -589,10 +701,12 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         brute.unionByName(ivf)
         .unionByName(lsh)
         .unionByName(q8)
+        .unionByName(pq)
         .select("method", "query_id", "rank", "neighbor_id", "cos")
         .unionByName(recall(ivf, "ivf"))
         .unionByName(recall(lsh, "lsh"))
         .unionByName(recall(q8, "q8"))
+        .unionByName(recall(pq, "pq"))
         .orderBy("method", "query_id", "rank")
     )
 
@@ -610,13 +724,14 @@ LEFT JOIN (
       ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
 ) x ON x.query_id = q.query_id
 GROUP BY q.query_id"""
-        for tag in ("ivf", "lsh", "q8")
+        for tag in ("ivf", "lsh", "q8", "pq")
     )
     return f"""
 WITH brute_t AS MATERIALIZED ({ORACLE_EMBEDDING_TOPK}),
 ivf_t AS MATERIALIZED ({ORACLE_IVF_ANN}),
 lsh_t AS MATERIALIZED ({_oracle_lsh_topk()}),
-q8_t AS MATERIALIZED ({_oracle_quantized_ann()})
+q8_t AS MATERIALIZED ({_oracle_quantized_ann()}),
+pq_t AS MATERIALIZED ({_oracle_pq_ann()})
 SELECT 'brute' AS method, query_id, rank, neighbor_id, cos FROM brute_t
 UNION ALL
 SELECT 'ivf' AS method, query_id, rank, neighbor_id, cos FROM ivf_t
@@ -624,6 +739,8 @@ UNION ALL
 SELECT 'lsh' AS method, query_id, rank, neighbor_id, cos FROM lsh_t
 UNION ALL
 SELECT 'q8' AS method, query_id, rank, neighbor_id, cos FROM q8_t
+UNION ALL
+SELECT 'pq' AS method, query_id, rank, neighbor_id, cos FROM pq_t
 UNION ALL
 {recall}
 ORDER BY method, query_id, rank
