@@ -416,3 +416,45 @@ def test_foreachbatch_upsert_preserves_null_partition(spark, tmp_path_factory):
         3: ("d1", "keep3"),     # untouched partition intact
         4: (None, "new"),       # inserted
     }
+
+
+def test_scd2_point_in_time_stream_enrichment(spark, tmp_path_factory):
+    """Events joined to the SCD2 version effective AT event time: an event
+    before the segment change sees the old attribute, one after sees the
+    new one, a boundary-date event belongs to the NEW version, and an
+    unknown key null-extends."""
+    import datetime as dt
+
+    from weather_data_warehouse_aws_spark.streaming.jobs import (
+        run_to_memory,
+        scd2_enriched_stream,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            (1, "OLD", dt.date(2024, 1, 1), dt.date(2024, 2, 1), False),
+            (1, "NEW", dt.date(2024, 2, 1), dt.date(9999, 12, 31), True),
+            (2, "ONLY", dt.date(2024, 1, 1), dt.date(9999, 12, 31), True),
+        ],
+        "user_id int, segment string, effective_from_date date, "
+        "effective_to_date date, is_current boolean",
+    )
+    feed = str(tmp_path_factory.mktemp("scd2_feed")) + "/events"
+    spark.createDataFrame(
+        [
+            (100, 1, dt.datetime(2024, 1, 15, 12, 0)),   # OLD era
+            (101, 1, dt.datetime(2024, 2, 1, 0, 30)),    # boundary day -> NEW
+            (102, 1, dt.datetime(2024, 3, 1, 9, 0)),     # NEW era
+            (103, 2, dt.datetime(2024, 1, 2, 8, 0)),     # single-version key
+            (104, 9, dt.datetime(2024, 1, 2, 8, 0)),     # unknown key
+        ],
+        "event_id int, user_id int, ts timestamp",
+    ).write.parquet(feed)
+
+    stream = spark.readStream.schema(
+        "event_id int, user_id int, ts timestamp"
+    ).parquet(feed)
+    out = scd2_enriched_stream(stream, dim)
+    rows = run_to_memory(out, "scd2_enriched", mode="append").collect()
+    got = {r.event_id: r.segment for r in rows}
+    assert got == {100: "OLD", 101: "NEW", 102: "NEW", 103: "ONLY", 104: None}

@@ -125,6 +125,39 @@ def enriched_event_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(dim), "user_id", "left")
 
 
+def scd2_enriched_stream(
+    events: DataFrame,
+    scd2_dim: DataFrame,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """POINT-IN-TIME stream enrichment against an SCD2 dimension: each
+    event joins the dim VERSION whose [effective_from_date,
+    effective_to_date) range contains the event's event-time — not just
+    the current version, so late/replayed events get the attributes that
+    were true WHEN THEY HAPPENED. This is the streaming consumer of the
+    reference's SCD2 design (`build_dimensions.py:70-91` documents the
+    effective-dating; `operators/scd2.py` builds it): a live feed joined
+    to dim_location must pick the historically-correct city attributes.
+
+    Plan shape: stream-static join on the natural key plus a range
+    residual — Spark broadcasts the dim per micro-batch (dims are
+    MB-scale), so this is a map-side probe with zero streaming state; a
+    dim refresh (new merge output) is picked up at the next batch without
+    restarting. Half-open [from, to): an event exactly ON a version
+    boundary belongs to the NEW version, matching scd2_merge's expire
+    algebra (old closes AT the effective date)."""
+    d = F.broadcast(scd2_dim)
+    ev_date = F.to_date(events[ts_col])
+    cond = (
+        (events[key] == scd2_dim[key])
+        & (ev_date >= scd2_dim["effective_from_date"])
+        & (ev_date < scd2_dim["effective_to_date"])
+    )
+    return events.join(d, cond, "left").drop(scd2_dim[key])
+
+
 def run_upsert_foreachbatch(
     stream_df: DataFrame,
     silver_path: str,
