@@ -117,3 +117,59 @@ def test_merge_plan_single_join(spark):
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("join") == 1
+
+
+def test_merge_into_table_partition_pruned(spark, tmp_path_factory):
+    """Table-level merge: only source-touched partitions rewrite; untouched
+    partition FILES survive byte-identical (proof the rewrite pruned)."""
+    import glob
+    import os
+
+    from weather_data_warehouse_aws_spark.operators.merge import merge_into_table
+
+    path = str(tmp_path_factory.mktemp("mtab")) + "/t"
+    base = spark.createDataFrame(
+        [(1, "p1", 10), (2, "p1", 20), (3, "p2", 30), (4, "p3", 40)],
+        "k int, part string, amt int",
+    )
+    merge_into_table(spark, path, base, ["k"], "part")  # first write
+    p3_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, "part=p3", "*.parquet"))
+    }
+    assert p3_files
+
+    src = spark.createDataFrame(
+        [(2, "p1", 200), (5, "p2", 50)], "k int, part string, amt int"
+    )
+    merge_into_table(spark, path, src, ["k"], "part")
+
+    got = {r.k: (r.part, r.amt) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("p1", 10), 2: ("p1", 200), 3: ("p2", 30),
+        4: ("p3", 40), 5: ("p2", 50),
+    }
+    # p3 untouched: same files, same mtimes
+    p3_after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, "part=p3", "*.parquet"))
+    }
+    assert p3_after == p3_files
+
+
+def test_merge_into_table_matched_delete(spark, tmp_path_factory):
+    from pyspark.sql import functions as F2
+
+    from weather_data_warehouse_aws_spark.operators.merge import merge_into_table
+
+    path = str(tmp_path_factory.mktemp("mtab2")) + "/t"
+    base = spark.createDataFrame(
+        [(1, "p1", 10), (2, "p1", 20)], "k int, part string, amt int"
+    )
+    merge_into_table(spark, path, base, ["k"], "part")
+    src = spark.createDataFrame([(1, "p1", -1)], "k int, part string, amt int")
+    merge_into_table(
+        spark, path, src, ["k"], "part",
+        when_matched_delete=F2.col("__src_amt") < 0,
+    )
+    assert {r.k for r in spark.read.parquet(path).collect()} == {2}

@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["merge_into"]
+__all__ = ["merge_into", "merge_into_table"]
 
 
 def merge_into(
@@ -156,3 +156,55 @@ def merge_into(
         expr = F.when(src_only, src_img).otherwise(expr)
         out_cols.append(expr.alias(c))
     return kept.select(*out_cols)
+
+
+def merge_into_table(
+    spark,
+    table_path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    partition_col: str,
+    **merge_kwargs,
+) -> None:
+    """Table-level MERGE INTO a hive-partitioned parquet table with a
+    PARTITION-PRUNED rewrite: only the partitions present in the source
+    batch are read, merged (`merge_into` semantics — pass its clause
+    kwargs through), and dynamically overwritten. Cost ∝ |affected
+    partitions|, never the table; the untouched partitions' files are not
+    read, not rewritten, not listed beyond the scan's own pruning.
+
+    Requires rows to stay IN their partition (the merge key implies the
+    partition value). A source row whose partition differs from the
+    target copy's would upsert into the new partition while the old copy
+    survives in the unread old partition — the same physical limit as
+    `streaming/jobs.py::run_upsert_foreachbatch` (a table format's
+    key index is what lifts it); route partition-moving corrections
+    through a full snapshot diff instead. `when_not_matched_by_source_*`
+    clauses therefore act only WITHIN affected partitions — target rows
+    in untouched partitions are out of scope by construction.
+
+    First write (no table yet) = plain partitioned write of the source.
+    The merged result is localCheckpoint'ed before the overwrite because
+    it reads the very partitions being replaced.
+    """
+    from ..sources.tables import read_parquet_if_exists
+
+    target = read_parquet_if_exists(spark, table_path)
+    if target is None:
+        source.write.partitionBy(partition_col).parquet(table_path)
+        return
+    affected = [r[0] for r in source.select(partition_col).distinct().collect()]
+    if not affected:
+        return
+    non_null = [a for a in affected if a is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if len(non_null) != len(affected):
+        cond = cond | F.col(partition_col).isNull()
+    merged = merge_into(target.filter(cond), source, keys, **merge_kwargs)
+    merged = merged.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.partitionBy(partition_col).mode("overwrite").parquet(table_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
