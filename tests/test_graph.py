@@ -135,3 +135,17 @@ def test_pagerank_deterministic_under_repartition(spark):
     r1 = sorted(map(tuple, pagerank(e1, iters=4).collect()))
     r2 = sorted(map(tuple, pagerank(e2, iters=4).collect()))
     assert r1 == r2
+
+
+def test_pagerank_directed_sink_gets_ranked(spark):
+    """Directed mode: a pure sink (only ever a destination — the most-cited
+    node) must appear in the output and absorb inflow."""
+    from weather_data_warehouse_aws_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    r = {row.node: row.rank_scaled for row in
+         pagerank(edges, iters=3, symmetric=False).collect()}
+    assert set(r) == {1, 2, 3}
+    assert r[3] > r[1] == r[2]

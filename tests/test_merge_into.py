@@ -173,3 +173,45 @@ def test_merge_into_table_matched_delete(spark, tmp_path_factory):
         when_matched_delete=F2.col("__src_amt") < 0,
     )
     assert {r.k for r in spark.read.parquet(path).collect()} == {2}
+
+
+def test_null_delete_predicate_keeps_row(spark):
+    """SQL MERGE three-valued logic: a NULL clause predicate does NOT fire
+    — the matched row must be updated, not silently dropped."""
+    target = spark.createDataFrame([(1, "open", 10)], "k int, status string, amt int")
+    source = spark.createDataFrame([(1, None, 99)], "k int, status string, amt int")
+    out = merge_into(
+        target, source, ["k"],
+        when_matched_delete=F.col("__src_status") == "closed",  # NULL for this row
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].amt == 99  # updated, not deleted
+    # and NULL in a by-source predicate keeps the target row
+    t2 = spark.createDataFrame([(2, None, 5)], "k int, status string, amt int")
+    s2 = spark.createDataFrame([(9, "x", 1)], "k int, status string, amt int")
+    out2 = merge_into(
+        t2, s2, ["k"],
+        when_not_matched_by_source_delete=F.col("status") == "stale",  # NULL
+    )
+    assert {r.k for r in out2.collect()} == {2, 9}
+
+
+def test_merge_into_table_emptied_partition_removed(spark, tmp_path_factory):
+    """A partition whose merge result is EMPTY must disappear — dynamic
+    overwrite alone would leave its old files and resurrect deleted rows."""
+    from weather_data_warehouse_aws_spark.operators.merge import merge_into_table
+
+    path = str(tmp_path_factory.mktemp("mtab3")) + "/t"
+    base = spark.createDataFrame(
+        [(1, "p1", 10), (2, "p1", 20), (3, "p2", 30)], "k int, part string, amt int"
+    )
+    merge_into_table(spark, path, base, ["k"], "part")
+    src = spark.createDataFrame(
+        [(1, "p1", -1), (2, "p1", -1)], "k int, part string, amt int"
+    )
+    merge_into_table(
+        spark, path, src, ["k"], "part",
+        when_matched_delete=F.col("__src_amt") < 0,
+    )
+    got = {r.k for r in spark.read.parquet(path).collect()}
+    assert got == {3}, got  # p1 fully gone, p2 untouched

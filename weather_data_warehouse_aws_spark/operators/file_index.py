@@ -140,10 +140,11 @@ def update_bloom_index(
         return build_bloom_index(spark, table_path, column)
     n_bits, n_hashes = first["n_bits"], first["n_hashes"]
     indexed = {_norm_file(r["file"]) for r in existing.select("file").collect()}
-    # driver-side directory listing (no table scan); _norm_file bridges the
-    # URI rendering difference vs the index's input_file_name() values
+    # Hadoop-FS directory listing (no table scan, any filesystem);
+    # _norm_file bridges the URI-encoding difference vs input_file_name()
     new_files = sorted(
-        f for f in _data_files(table_path) if _norm_file(f) not in indexed
+        f for f in _list_data_files(spark, table_path)
+        if _norm_file(f) not in indexed
     )
     if not new_files:
         return existing
@@ -196,9 +197,45 @@ def _row_might_contain(key, n_bits: int, n_hashes: int):
 
 
 def _norm_file(f: str) -> str:
-    # input_file_name() renders URIs ("file:///p"); os.walk yields plain
-    # paths ("/p") — normalize both so set membership compares path-equal
-    return re.sub(r"^file:/+", "/", f)
+    """Normalize a file reference for set-membership comparison.
+
+    input_file_name() renders URL-ENCODED URIs ("file:///my%20table/p");
+    directory listings yield plain paths ("/my table/p"). Strip the local
+    scheme and percent-decode so both render identically. (A file whose
+    literal name contains '%' round-trips correctly: input_file_name
+    encodes the '%' itself, so one unquote restores the literal name;
+    plain listing paths contain no encoding to begin with — they are only
+    unquoted once here, same as the URI side after scheme-strip.)"""
+    from urllib.parse import unquote
+
+    return unquote(re.sub(r"^file:/+", "/", f))
+
+
+def _list_data_files(spark: SparkSession, table_path: str) -> list[str]:
+    """Data files under the table root via the HADOOP FS client — works on
+    any filesystem (local, HDFS, s3a), unlike os.walk which silently
+    returns nothing for non-local schemes. Recurses into hive partition
+    dirs; skips `_`/`.`-prefixed sidecars (`_bloom_idx_*`, `_SUCCESS`,
+    hidden files) at every path level — Spark's own listing rule."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    root_str = _norm_file(root.toString()) + "/"
+    out: list[str] = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath()
+        full = p.toString()
+        rel = _norm_file(full)
+        rel = rel[len(root_str):] if rel.startswith(root_str) else p.getName()
+        parts = rel.split("/")
+        if any(seg.startswith(("_", ".")) for seg in parts):
+            continue
+        if not parts[-1].endswith(".parquet"):
+            continue
+        out.append(full)
+    return sorted(out)
 
 
 def prune_files(spark: SparkSession, table_path: str, column: str, value) -> list[str]:
@@ -210,7 +247,7 @@ def prune_files(spark: SparkSession, table_path: str, column: str, value) -> lis
     superset of the true match set even when the sidecar lags the table.
     Index rows for files that no longer exist (compacted away) are ignored."""
     idx = spark.read.parquet(bloom_index_path(table_path, column))
-    actual = _data_files(table_path)
+    actual = _list_data_files(spark, table_path)
     first = idx.select("n_bits", "n_hashes").first()
     if first is None:
         return actual  # empty index prunes nothing

@@ -178,7 +178,14 @@ def pagerank(
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = _truncate(e.join(deg, "s"))  # (s, d, outdeg), reused every round
 
-    nodes = e.select(F.col("s").alias("node")).distinct()
+    # vertex set = BOTH endpoints: with directed input a pure sink (most-
+    # cited node — exactly what this ranks) appears only as a destination
+    # and would otherwise get no rank row at all
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
     ranks = _truncate(nodes.withColumn("r", F.lit(scale).cast("long")))
     base = (scale * (100 - damping_pct)) // 100
 

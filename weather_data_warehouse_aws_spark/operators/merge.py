@@ -126,11 +126,16 @@ def merge_into(
     tgt_only = F.col("__src_present").isNull()
 
     # ---- row disposition -------------------------------------------------
+    # SQL MERGE three-valued logic: a NULL clause predicate means the
+    # clause does NOT fire — coalesce to false, or `filter(~NULL)` would
+    # silently DROP the row instead of keeping it
     delete = F.lit(False)
     if when_matched_delete is not None:
-        delete = delete | (matched & when_matched_delete)
+        delete = delete | (matched & F.coalesce(when_matched_delete, F.lit(False)))
     if when_not_matched_by_source_delete is not None:
-        delete = delete | (tgt_only & when_not_matched_by_source_delete)
+        delete = delete | (
+            tgt_only & F.coalesce(when_not_matched_by_source_delete, F.lit(False))
+        )
     if not when_not_matched_insert:
         delete = delete | src_only
     kept = joined.filter(~delete)
@@ -208,3 +213,26 @@ def merge_into_table(
         merged.write.partitionBy(partition_col).mode("overwrite").parquet(table_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite only rewrites partitions PRESENT in the output — an
+    # affected partition whose merge result is EMPTY (every row deleted)
+    # would keep its old files and resurrect the deleted rows. Drop those
+    # partition dirs explicitly via the Hadoop FS client (works on any
+    # filesystem, not just local).
+    surviving = {
+        r[0] for r in merged.select(partition_col).distinct().collect()
+    }
+    emptied = [a for a in affected if a not in surviving]
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(table_path)
+        fs = root.getFileSystem(hconf)
+        for val in emptied:
+            name = (
+                f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+                if val is None
+                else f"{partition_col}={val}"
+            )
+            p = jvm.org.apache.hadoop.fs.Path(root, name)
+            if fs.exists(p):
+                fs.delete(p, True)

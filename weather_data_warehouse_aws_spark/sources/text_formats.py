@@ -63,6 +63,9 @@ def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
         # (setting it here would replace them with the literal option text)
         .option("escape", '"')
         .option("multiLine", True)
+        # bound a runaway field (an unbalanced quote under multiLine would
+        # otherwise swallow the rest of the file into one column)
+        .option("maxCharsPerColumn", 10_000_000)
         .option("timestampFormat", _TS_FMT)
         .csv(path)
     )
