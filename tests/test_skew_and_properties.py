@@ -383,3 +383,82 @@ def test_asof_join_null_timestamps(spark):
         left, right, on=["k"], left_ts="lts", right_ts="rts",
     ).collect()}
     assert back[10] is None
+
+
+_merge_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),              # key
+        st.sampled_from(["a", "b", None]),                   # attr (nullable)
+        st.integers(min_value=-50, max_value=50),            # amt
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(
+    tgt=_merge_rows,
+    src=_merge_rows,
+    del_matched=st.booleans(),
+    del_by_source=st.booleans(),
+    insert=st.booleans(),
+    update=st.sampled_from(["all", "partial", None]),
+)
+@_SETTINGS
+def test_merge_into_matches_python_model(
+    spark, tgt, src, del_matched, del_by_source, insert, update
+):
+    """merge_into ≡ a row-by-row Python model of SQL MERGE for arbitrary
+    clause combinations, including NULL predicate inputs (3VL: NULL never
+    fires a delete) and last-write-wins deduped inputs."""
+    from weather_data_warehouse_aws_spark.operators.merge import merge_into
+
+    tgt_d = {k: (a, m) for k, a, m in tgt}          # unique per key
+    src_d = {k: (a, m) for k, a, m in src}
+    schema = "k int, attr string, amt int"
+    target = spark.createDataFrame(
+        [(k, a, m) for k, (a, m) in tgt_d.items()] or [], schema
+    )
+    source = spark.createDataFrame(
+        [(k, a, m) for k, (a, m) in src_d.items()] or [], schema
+    )
+
+    kwargs = {
+        "when_matched_update": (
+            {"amt": F.col("__src_amt") + F.col("amt")} if update == "partial"
+            else update
+        ),
+        "when_not_matched_insert": insert,
+    }
+    if del_matched:
+        kwargs["when_matched_delete"] = F.col("__src_attr") == "b"  # NULL-able
+    if del_by_source:
+        kwargs["when_not_matched_by_source_delete"] = F.col("attr") == "a"
+
+    got = sorted(
+        (r.k, r.attr, r.amt) for r in merge_into(target, source, ["k"], **kwargs).collect()
+    )
+
+    # ---- reference model ----
+    out = {}
+    for k, (a, m) in tgt_d.items():
+        if k in src_d:
+            sa, sm = src_d[k]
+            if del_matched and sa == "b":        # NULL attr -> no fire
+                continue
+            if update == "all":
+                out[k] = (sa, sm)
+            elif update == "partial":
+                out[k] = (a, sm + m)
+            else:
+                out[k] = (a, m)
+        else:
+            if del_by_source and a == "a":
+                continue
+            out[k] = (a, m)
+    if insert:
+        for k, (a, m) in src_d.items():
+            if k not in tgt_d:
+                out[k] = (a, m)
+    want = sorted((k, a, m) for k, (a, m) in out.items())
+    assert got == want
