@@ -861,11 +861,20 @@ ORACLE = {
 # q_moving_avg — windowed frame spec (ROWS BETWEEN), dashboard-trend shape
 # ---------------------------------------------------------------------------
 def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily totals + 3-day trailing moving average per event type — the
-    'last-N-days trend' panel the reference builds in QuickSight
+    """Daily totals + 3-day trailing moving average + EWMA per event type —
+    the 'last-N-days trend' panel the reference builds in QuickSight
     (SURVEY §2.5 notes the dashboards imply time-ordered slices). Frame
     windows partition by type: parallel across groups, ordered scan within.
-    """
+
+    EWMA (exponential smoothing, y_t = α·x_t + (1-α)·y_{t-1}) is the
+    recursive operator windows can't express directly; here it's an
+    ordered prefix-list frame + a sequential HOF fold — JVM-side, and with
+    α = 1/2 every multiply is an exact binary scale, so the fold is
+    bit-identical in any engine that folds in list order (DuckDB
+    list_reduce seeds with the first element — mirrored by the NULL-init
+    CASE here). Prefix-list frames hold O(n²/2) values per group — fine
+    for series of thousands of points; for very long series use a
+    per-group applyInPandas sequential scan instead."""
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.groupBy(F.to_date("ts").alias("day"), "event_type")
@@ -876,9 +885,21 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(-2, Window.currentRow)
     )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ewma = F.expr(
+        "round(aggregate(__prefix, CAST(NULL AS DOUBLE),"
+        " (acc, x) -> CASE WHEN acc IS NULL THEN x"
+        " ELSE 0.5D * x + 0.5D * acc END), 4)"
+    )
     return (
         daily.withColumn("ma3", F.round(F.avg("daily_total").over(w), 4))
-        .select("day", "event_type", "daily_total", "n", "ma3")
+        .withColumn("__prefix", F.collect_list("daily_total").over(wp))
+        .withColumn("ewma", ewma)
+        .select("day", "event_type", "daily_total", "n", "ma3", "ewma")
         .orderBy("day", "event_type")
     )
 
@@ -895,7 +916,14 @@ SELECT day, event_type, daily_total, n,
        ROUND(AVG(daily_total) OVER (
            PARTITION BY event_type ORDER BY day
            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-       ), 4) AS ma3
+       ), 4) AS ma3,
+       ROUND(list_reduce(
+           list(daily_total) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ),
+           (acc, x) -> 0.5 * x + 0.5 * acc
+       ), 4) AS ewma
 FROM daily
 ORDER BY day, event_type
 """
