@@ -1,0 +1,92 @@
+"""Count-Min sketch: one-sided guarantee, exact merge algebra, heavy
+hitters, weighted builds, bounded overestimate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_data_warehouse_aws_spark.operators.cms import (
+    cms_build,
+    cms_estimate,
+    cms_heavy_hitters,
+    cms_merge,
+)
+from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+
+def _tokens(spark, sf_smoke_dir):
+    docs = load_table(spark, sf_smoke_dir, "documents")
+    return docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+
+
+def test_estimate_never_underestimates(spark, sf_smoke_dir):
+    toks = _tokens(spark, sf_smoke_dir).persist()
+    sketch = cms_build(toks, "tok", width=1024, depth=5).persist()
+    exact = toks.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    sample = exact.orderBy(F.col("true_cnt").desc()).limit(200)
+    joined = cms_estimate(sketch, sample, "tok").join(sample, "tok")
+    bad = joined.filter(F.col("est") < F.col("true_cnt")).count()
+    assert bad == 0  # the one-sided CMS guarantee, exhaustively
+
+
+def test_overestimate_bounded(spark, sf_smoke_dir):
+    """width=2048, depth=5 over a ~30k-token stream: overestimate should be
+    small in absolute terms (ε·N ≈ e/2048 · N ≈ 1.3e-3·N)."""
+    toks = _tokens(spark, sf_smoke_dir).persist()
+    n = toks.count()
+    sketch = cms_build(toks, "tok", width=2048, depth=5)
+    exact = toks.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    joined = cms_estimate(sketch, exact, "tok").join(exact, "tok")
+    worst = joined.select(
+        F.max(F.col("est") - F.col("true_cnt")).alias("m")
+    ).first()["m"]
+    import math
+
+    assert worst <= max(3 * math.e / 2048 * n, 3), worst
+
+
+def test_merge_equals_single_pass(spark, sf_smoke_dir):
+    """Sketch(A ∪ B) must equal merge(Sketch(A), Sketch(B)) EXACTLY —
+    integer sums, not approximately."""
+    toks = _tokens(spark, sf_smoke_dir).withColumn(
+        "half", (F.length("tok") % 2 == 0).cast("int")
+    ).persist()
+    a = cms_build(toks.filter("half = 0"), "tok", width=512, depth=4)
+    b = cms_build(toks.filter("half = 1"), "tok", width=512, depth=4)
+    merged = cms_merge(a, b)
+    single = cms_build(toks, "tok", width=512, depth=4)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+
+
+def test_heavy_hitters_no_false_negatives(spark):
+    rows = [("hot",)] * 500 + [(f"cold{i}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "tok string")
+    sketch = cms_build(df, "tok", width=1024, depth=5)
+    cands = df.distinct()
+    hh = {r.tok for r in cms_heavy_hitters(sketch, cands, "tok", threshold=400).collect()}
+    assert "hot" in hh
+    assert len(hh) <= 10  # slack keeps false positives few at this width
+
+
+def test_weighted_build(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 1)], "tok string, w int"
+    )
+    sketch = cms_build(df, "tok", width=256, depth=4, weight_col="w")
+    est = {r.tok: r.est for r in cms_estimate(sketch, df, "tok").collect()}
+    assert est["a"] >= 15 and est["b"] >= 1
+
+
+def test_unknown_key_estimates_small_and_empty_sketch_raises(spark):
+    df = spark.createDataFrame([("x",)] * 3, "tok string")
+    sketch = cms_build(df, "tok", width=256, depth=4)
+    probe = spark.createDataFrame([("never-seen",)], "tok string")
+    est = cms_estimate(sketch, probe, "tok").first()["est"]
+    assert 0 <= est <= 3
+    with pytest.raises(ValueError, match="empty"):
+        cms_estimate(sketch.limit(0), probe, "tok")
