@@ -90,3 +90,40 @@ def test_unknown_key_estimates_small_and_empty_sketch_raises(spark):
     assert 0 <= est <= 3
     with pytest.raises(ValueError, match="empty"):
         cms_estimate(sketch.limit(0), probe, "tok")
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path_factory):
+    """Drained streaming sketch ≡ one-shot batch sketch over the same rows
+    (exact integer merge), and heavy hitters survive the micro-batching."""
+    import time
+
+    from weather_data_warehouse_aws_spark.streaming.jobs import (
+        read_current_agg,
+        run_cms_foreachbatch,
+    )
+
+    feed = str(tmp_path_factory.mktemp("cms_feed")) + "/f"
+    cmsd = str(tmp_path_factory.mktemp("cms_agg")) + "/cms"
+    ckpt = str(tmp_path_factory.mktemp("cms_ckpt"))
+
+    b1 = spark.createDataFrame([("hot",)] * 300 + [("a",), ("b",)], "tok string")
+    b2 = spark.createDataFrame([("hot",)] * 200 + [("c",)] * 50, "tok string")
+    b1.coalesce(1).write.parquet(f"{feed}/1")
+    time.sleep(1.1)
+    b2.coalesce(1).write.parquet(f"{feed}/2")
+
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+    )
+    run_cms_foreachbatch(stream, "tok", cmsd, ckpt, width=512, depth=4)
+
+    live = read_current_agg(spark, cmsd)
+    batch = cms_build(b1.unionByName(b2), "tok", width=512, depth=4)
+    assert sorted(map(tuple, live.collect())) == sorted(map(tuple, batch.collect()))
+
+    probe = spark.createDataFrame([("hot",), ("c",), ("zzz",)], "tok string")
+    est = {r.tok: r.est for r in cms_estimate(live, probe, "tok").collect()}
+    assert est["hot"] >= 500 and est["c"] >= 50 and est["zzz"] <= 2

@@ -10,6 +10,7 @@ Athena console; the equivalent local surface:
     list-queries                                     show the registry
     curate     --docs PATH --out DIR [--eval PATH]   corpus curation run
     index      --table DIR --column COL [--lookup V] per-file Bloom index
+    merge      --table DIR --source P --keys K --partition-col C  upsert
 """
 
 from __future__ import annotations
@@ -69,6 +70,21 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument(
         "--lookup", default=None,
         help="probe instead of build: print candidate files + matching rows",
+    )
+
+    m = sub.add_parser(
+        "merge",
+        help="MERGE a source batch into a hive-partitioned parquet table "
+        "(partition-pruned upsert; optional full-sync delete)",
+    )
+    m.add_argument("--table", required=True, help="target table directory")
+    m.add_argument("--source", required=True, help="source batch parquet")
+    m.add_argument("--keys", required=True, help="comma-separated merge keys")
+    m.add_argument("--partition-col", required=True)
+    m.add_argument(
+        "--sync-deletes", action="store_true",
+        help="delete target rows absent from the source "
+        "(within affected partitions)",
     )
 
     args = parser.parse_args(argv)
@@ -164,6 +180,24 @@ def main(argv: list[str] | None = None) -> int:
         read_with_index(
             spark, args.table, args.column, value, files=files
         ).show(20, truncate=False)
+        return 0
+
+    if args.cmd == "merge":
+        from pyspark.sql import functions as F
+
+        from .operators.merge import merge_into_table
+
+        source = spark.read.parquet(args.source)
+        kwargs = {}
+        if args.sync_deletes:
+            kwargs["when_not_matched_by_source_delete"] = F.lit(True)
+        merge_into_table(
+            spark, args.table, source,
+            [k.strip() for k in args.keys.split(",")],
+            args.partition_col, **kwargs,
+        )
+        print(f"merged {source.count()} source rows into {args.table}; "
+              f"table now {spark.read.parquet(args.table).count()} rows")
         return 0
 
     if args.cmd == "query":

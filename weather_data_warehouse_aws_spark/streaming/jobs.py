@@ -474,3 +474,61 @@ def hourly_distinct_users(events: DataFrame, *, watermark: str = "1 hour",
             F.expr("CAST(hll_sketch_estimate(sketch) AS LONG)").alias("n_users_est"),
         )
     )
+
+
+def run_cms_foreachbatch(
+    stream_df: DataFrame,
+    col: str,
+    cms_path: str,
+    checkpoint_path: str,
+    *,
+    width: int = 2048,
+    depth: int = 5,
+    timeout_sec: int = 180,
+) -> None:
+    """Streaming heavy-hitter maintenance: each micro-batch's Count-Min
+    sketch (operators/cms.py) merges into a persisted sketch — frequency
+    state over an unbounded stream in d·width longs, never a per-key table.
+
+    Exactly-once by the same versioned-dir protocol as
+    `run_incremental_agg_foreachbatch`: merge is an exact integer SUM, so
+    a retried batch re-merging against the same prior version produces the
+    identical sketch (idempotent); versions older than the retry-safety
+    prior are garbage-collected. `read_current_agg(spark, cms_path)` reads
+    the live sketch for `cms_estimate`/`cms_heavy_hitters` probes."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators.cms import cms_build, cms_merge
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sketch = cms_build(batch_df, col, width=width, depth=depth)
+        prior_ids = [v for v in _complete_versions(cms_path) if v < batch_id]
+        if prior_ids:
+            prior = spark.read.parquet(
+                os.path.join(cms_path, f"v={max(prior_ids)}")
+            )
+            merged = cms_merge(prior, batch_sketch)
+        else:
+            merged = batch_sketch
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            os.path.join(cms_path, f"v={batch_id}")
+        )
+        keep = {batch_id} | ({max(prior_ids)} if prior_ids else set())
+        for p in glob.glob(os.path.join(cms_path, "v=*")):
+            try:
+                vid = int(os.path.basename(p).split("=")[1])
+            except ValueError:
+                continue
+            if vid < batch_id and vid not in keep:
+                shutil.rmtree(p, ignore_errors=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
