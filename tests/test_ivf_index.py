@@ -44,3 +44,59 @@ def test_index_reuse_across_query_batches(spark, sf_smoke_dir, tmp_path_factory)
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), mod
+
+
+def test_ivfpq_full_probe_equals_pq_topk(spark, sf_smoke_dir, tmp_path_factory):
+    """nprobe = n_cells ⇒ the IVFPQ index answers exactly what the
+    per-call pq_topk computes (same codebooks, shortlist, rescore)."""
+    from weather_data_warehouse_aws_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        pq_topk,
+    )
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    path = str(tmp_path_factory.mktemp("ivfpq")) + "/idx"
+    build_ivfpq_index(emb, path, n_cells=8, m=4, ksub=16, dim=64)
+
+    via_index = ivfpq_index_topk(
+        spark, queries, path, k=5, nprobe=8, rerank=6
+    )
+    direct = pq_topk(queries, emb, k=5, m=4, ksub=16, rerank=6, dim=64)
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_ivfpq_partial_probe_prunes_partitions(spark, sf_smoke_dir, tmp_path_factory):
+    """Small nprobe: the codes scan must be partition-pruned (only probed
+    cell dirs read) and results stay plausible top-k."""
+    from weather_data_warehouse_aws_spark.operators.similarity import (
+        build_ivfpq_index,
+        cosine_topk,
+        ivfpq_index_topk,
+    )
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    path = str(tmp_path_factory.mktemp("ivfpq2")) + "/idx"
+    build_ivfpq_index(emb, path, n_cells=8, m=4, ksub=16, dim=64)
+
+    out = ivfpq_index_topk(spark, queries, path, k=5, nprobe=3, rerank=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan
+
+    rows = out.collect()
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in rows)
+    assert all(v == 5 for v in per_q.values()) and len(per_q) == 8
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(exact & approx) / len(exact) >= 0.2  # probing 3/8 cells

@@ -859,3 +859,207 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ persistent index — the canonical billion-scale serving layout
+# (FAISS IVFPQ shape, non-residual): coarse cells for partition-pruned
+# probes × PQ codes for byte-scale scans within them.
+# ---------------------------------------------------------------------------
+
+
+def _pq_sub_entries(vec_col: str, m: int, dsub: int) -> Column:
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("m"),
+            F.expr(
+                f"transform(slice({vec_col}, {i * dsub + 1}, {dsub}), "
+                "x -> CAST(x AS DOUBLE))"
+            ).alias("sv"),
+        )
+        for i in range(m)
+    ])
+
+
+def _pq_dist() -> Column:
+    return F.round(
+        _dot_d("sv", "sv") + _dot_d("cvec", "cvec") - 2 * _dot_d("sv", "cvec"), 9
+    )
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """(id, m) → nearest codebook entry (deterministic tie-break)."""
+    w = Window.partitionBy(id_col, "m").orderBy(
+        F.col("__dist").asc(), F.col("cent_id")
+    )
+    return (
+        sub.join(F.broadcast(cents), "m")
+        .withColumn("__dist", _pq_dist())
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    lloyd_iterations: int = 1,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int,
+    stripe_fn=None,
+) -> None:
+    """Materialize the IVFPQ structure under `path`:
+
+      centroids/  — Lloyd-refined coarse cell centroids (IVF level)
+      codebooks/  — (m, cent_id, cvec) PQ codebooks (trained corpus-wide,
+                    same seeding/one-Lloyd-step recipe as `pq_topk`)
+      codes/      — (neighbor_id, m, code) PARTITIONED BY cell_id: the
+                    byte-scale scan target (m codes ≈ m bytes per vector)
+      cells/      — raw vectors partitioned by cell_id (exact-rescore pool)
+
+    At 100 TB: `codes/` is the only relation the ADC stage scans — probes
+    read nprobe/n_cells of it via partition pruning, and only the
+    shortlisted rerank·k vectors per query are fetched from `cells/`.
+    """
+    if dim % m != 0:
+        raise ValueError(f"build_ivfpq_index: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    root = path.rstrip("/")
+    spark = corpus.sparkSession
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    centroids = stripe_centroids(c, n_cells=n_cells, stripe_fn=stripe_fn)
+    if lloyd_iterations:
+        centroids = lloyd_refine(c, centroids, iterations=lloyd_iterations)
+    centroids.write.mode("overwrite").parquet(f"{root}/centroids")
+    persisted = spark.read.parquet(f"{root}/centroids")
+    assigned = assign_cells(c, persisted, "cv", "cell_id", 1)
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(f"{root}/cells")
+
+    # --- PQ codebooks (corpus-wide, pq_topk's recipe) ---
+    csub = c.select(
+        "neighbor_id", F.explode(_pq_sub_entries("cv", m, dsub)).alias("e")
+    ).select("neighbor_id", F.col("e.m").alias("m"), F.col("e.sv").alias("sv")).persist()
+    wseed = Window.partitionBy("m").orderBy("neighbor_id")
+    seeds = (
+        csub.withColumn("__rn", F.row_number().over(wseed))
+        .filter(F.col("__rn") <= ksub)
+        .select("m", (F.col("__rn") - 1).alias("cent_id"), F.col("sv").alias("cvec"))
+    )
+    members = _pq_assign(csub, seeds, "neighbor_id").select(
+        "m", F.col("cent_id").alias("cell"), "sv"
+    )
+    cents = (
+        members.select("m", "cell", F.posexplode("sv").alias("d", "x"))
+        .groupBy("m", "cell", "d")
+        .agg(F.avg("x").alias("mu"))
+        .groupBy("m", "cell")
+        .agg(F.sort_array(F.collect_list(F.struct("d", "mu"))).alias("dm"))
+        .select(
+            "m",
+            F.col("cell").alias("cent_id"),
+            F.expr(
+                "transform(dm, e -> CAST(CAST(e.mu AS FLOAT) AS DOUBLE))"
+            ).alias("cvec"),
+        )
+    )
+    cents.write.mode("overwrite").parquet(f"{root}/codebooks")
+    # encode against the PERSISTED codebooks (same read-back discipline as
+    # build_ivf_index: float means must match what queries will read)
+    cb = spark.read.parquet(f"{root}/codebooks")
+    codes = _pq_assign(csub, cb, "neighbor_id").select(
+        "neighbor_id", "m", F.col("cent_id").alias("code")
+    )
+    codes.join(
+        assigned.select("neighbor_id", "cell_id"), "neighbor_id"
+    ).write.mode("overwrite").partitionBy("cell_id").parquet(f"{root}/codes")
+    csub.unpersist()
+
+
+def ivfpq_index_topk(
+    spark,
+    queries: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 6,
+) -> DataFrame:
+    """Query a materialized IVFPQ index: probe `nprobe` cells (partition-
+    pruned codes scan), ADC-score the probed codes against per-query
+    lookup tables, exactly rescore the top rerank·k from `cells/`.
+
+    With nprobe = n_cells this is exactly `pq_topk` over the same corpus
+    (same codebooks, same shortlist, same rescore) — asserted in tests;
+    smaller nprobe trades recall for reading 1/n_cells-sized slices."""
+    root = path.rstrip("/")
+    cb = spark.read.parquet(f"{root}/codebooks").persist()
+    first = cb.select(F.max("m").alias("mx")).first()
+    if first is None or first["mx"] is None:
+        raise ValueError(f"ivfpq_index_topk: empty codebooks under {path}")
+    m = int(first["mx"]) + 1
+    dsub_row = cb.select(F.size("cvec").alias("d")).first()
+    dsub = int(dsub_row["d"])
+
+    centroids = spark.read.parquet(f"{root}/centroids")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    query_cells = assign_cells(q, centroids, "qv", "cell_id", nprobe)
+    probed = [r["cell_id"] for r in query_cells.select("cell_id").distinct().collect()]
+    if not probed:
+        return spark.createDataFrame(
+            [], "query_id bigint, rank int, neighbor_id bigint, cos double"
+        )
+    codes = spark.read.parquet(f"{root}/codes").filter(F.col("cell_id").isin(probed))
+
+    qsub = q.select(
+        "query_id", F.explode(_pq_sub_entries("qv", m, dsub)).alias("e")
+    ).select("query_id", F.col("e.m").alias("m"), F.col("e.sv").alias("sv"))
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "cent_id", F.round(_dot_d("sv", "cvec"), 9).alias("pdot")
+    )
+    adc = (
+        codes.join(lut, (codes["m"] == lut["m"]) & (codes["code"] == lut["cent_id"]))
+        .select("query_id", "neighbor_id", codes["m"].alias("mm"), "pdot")
+        .groupBy("query_id", "neighbor_id")
+        .agg(*[
+            F.max(F.when(F.col("mm") == i, F.col("pdot"))).alias(f"p{i}")
+            for i in range(m)
+        ])
+    )
+    approx_sum = F.col("p0")
+    for i in range(1, m):
+        approx_sum = approx_sum + F.col(f"p{i}")
+    adc = adc.select(
+        "query_id", "neighbor_id", F.round(approx_sum, 6).alias("approx")
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("__r", F.row_number().over(wa))
+        .filter(F.col("__r") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = spark.read.parquet(f"{root}/cells").filter(
+        F.col("cell_id").isin(probed)
+    ).select("neighbor_id", "cv")
+    scored = (
+        shortlist.join(q, "query_id")
+        .join(vecs, "neighbor_id")
+        .withColumn("cos", F.round(cosine("qv", "cv"), 6))
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
