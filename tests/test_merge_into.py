@@ -215,3 +215,22 @@ def test_merge_into_table_emptied_partition_removed(spark, tmp_path_factory):
     )
     got = {r.k for r in spark.read.parquet(path).collect()}
     assert got == {3}, got  # p1 fully gone, p2 untouched
+
+
+def test_emptied_partition_with_special_chars_removed(spark, tmp_path_factory):
+    """Partition values containing spaces/colons get hive-escaped dir
+    names; the emptied-partition cleanup must find them anyway."""
+    from weather_data_warehouse_aws_spark.operators.merge import merge_into_table
+
+    path = str(tmp_path_factory.mktemp("mtab4")) + "/t"
+    base = spark.createDataFrame(
+        [(1, "a b:c", 10), (2, "plain", 20)], "k int, part string, amt int"
+    )
+    merge_into_table(spark, path, base, ["k"], "part")
+    src = spark.createDataFrame([(1, "a b:c", -1)], "k int, part string, amt int")
+    merge_into_table(
+        spark, path, src, ["k"], "part",
+        when_matched_delete=F.col("__src_amt") < 0,
+    )
+    rows = spark.read.parquet(path).collect()
+    assert {r.k for r in rows} == {2}

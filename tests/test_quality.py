@@ -224,3 +224,29 @@ def test_derived_range_rules_all_null_column(spark):
 
     with pytest.raises(ValueError, match="dead"):
         derived_range_rules(df, ["ok", "dead"], on_all_null="raise")
+
+
+def test_gopher_rules_gate(spark):
+    """The declarative Gopher rule set: a good doc passes, each planted
+    defect fires exactly its rule."""
+    from weather_data_warehouse_aws_spark.operators.quality import (
+        gopher_rules,
+        validate,
+    )
+
+    good = "the quick brown fox jumps over and over with " + " ".join(
+        f"word{i}" for i in range(60)
+    )
+    short = "the and of short"
+    symbols = "the and " + "# " * 40 + " ".join(f"w{i}" for i in range(60))
+    nostops = " ".join(f"zz{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, nostops)], "doc_id int, text string"
+    )
+    passed, quarantined, metrics = validate(df, gopher_rules())
+    ok = {r.doc_id for r in passed.collect()}
+    assert ok == {1}
+    m = {r["rule"]: r["n_violations"] for r in metrics.collect()}
+    assert m["gopher_word_count"] >= 1       # doc 2
+    assert m["gopher_symbol_ratio"] >= 1     # doc 3
+    assert m["gopher_required_stops"] >= 1   # doc 4

@@ -227,12 +227,21 @@ def merge_into_table(
         hconf = spark._jsc.hadoopConfiguration()
         root = jvm.org.apache.hadoop.fs.Path(table_path)
         fs = root.getFileSystem(hconf)
+        # hive-escape special characters in the partition VALUE the same
+        # way Spark's writer names the directory (spaces, ':', '%', …)
+        def _escaped(v) -> str:
+            if v is None:
+                return "__HIVE_DEFAULT_PARTITION__"
+            try:
+                return jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
+                    str(v)
+                )
+            except Exception:
+                return str(v)
+
         for val in emptied:
-            name = (
-                f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
-                if val is None
-                else f"{partition_col}={val}"
+            p = jvm.org.apache.hadoop.fs.Path(
+                root, f"{partition_col}={_escaped(val)}"
             )
-            p = jvm.org.apache.hadoop.fs.Path(root, name)
             if fs.exists(p):
                 fs.delete(p, True)

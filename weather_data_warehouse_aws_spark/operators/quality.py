@@ -205,3 +205,45 @@ def derived_range_rules(
             f"in column(s) {empty}"
         )
     return [in_range(c, b[0], b[1]) for c, b in zip(cols, bounds) if len(b) == 2]
+
+
+def gopher_rules(
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    required_stops: tuple[str, ...] = (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ),
+) -> list[Rule]:
+    """The Gopher document-quality rule set (Rae et al. 2021 §A1.1) as
+    declarative DQ rules for `validate`/`pipeline.curate` — word-count
+    bounds, mean-word-length ∈ [3, 10], symbol-to-word ratio (#/ellipsis)
+    ≤ 0.1, ≥80% alphabetic words, ≥2 required stopwords. Every predicate
+    is an INTEGER comparison (3·n_tok ≤ chars, never chars/n_tok ≥ 3), the
+    same cross-engine-exact formulation the doc_profile oracle hashes.
+    All map-side; `validate` folds them into its single projection pass.
+    """
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    toksl = f"split(trim(lower({text_col})), '\\\\s+')"
+    n_tok = F.expr(f"size({toks})")
+    nonws = F.expr(f"length(regexp_replace({text_col}, '\\\\s', ''))")
+    n_sym = F.expr(
+        f"(length({text_col}) - length(replace({text_col}, '#', '')))"
+        f" + (length({text_col}) - length(replace({text_col}, '...', ''))) div 3"
+    )
+    n_alpha = F.expr(f"size(filter({toks}, t -> t rlike '[A-Za-z]'))")
+    n_stops = None
+    for w in required_stops:
+        term = F.expr(f"array_contains({toksl}, '{w}')").cast("int")
+        n_stops = term if n_stops is None else n_stops + term
+    return [
+        Rule("gopher_word_count", ~n_tok.between(min_words, max_words)),
+        Rule(
+            "gopher_mean_word_len",
+            (3 * n_tok > nonws) | (nonws > 10 * n_tok),
+        ),
+        Rule("gopher_symbol_ratio", 10 * n_sym > n_tok),
+        Rule("gopher_alpha_words", 5 * n_alpha < 4 * n_tok),
+        Rule("gopher_required_stops", n_stops < 2),
+    ]
