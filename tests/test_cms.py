@@ -127,3 +127,15 @@ def test_streaming_cms_matches_batch(spark, tmp_path_factory):
     probe = spark.createDataFrame([("hot",), ("c",), ("zzz",)], "tok string")
     est = {r.tok: r.est for r in cms_estimate(live, probe, "tok").collect()}
     assert est["hot"] >= 500 and est["c"] >= 50 and est["zzz"] <= 2
+
+
+def test_merge_rejects_mixed_parameters(spark):
+    df = spark.createDataFrame([("x",)] * 3, "tok string")
+    a = cms_build(df, "tok", width=256, depth=4)
+    b = cms_build(df, "tok", width=512, depth=4)
+    with pytest.raises(ValueError, match="incompatible|mixed"):
+        cms_merge(a, b)
+    probe = spark.createDataFrame([("x",)], "tok string")
+    mixed = a.unionByName(b)
+    with pytest.raises(ValueError, match="mixed"):
+        cms_estimate(mixed, probe, "tok")

@@ -241,12 +241,18 @@ def test_gopher_rules_gate(spark):
     symbols = "the and " + "# " * 40 + " ".join(f"w{i}" for i in range(60))
     nostops = " ".join(f"zz{i}" for i in range(60))
     df = spark.createDataFrame(
-        [(1, good), (2, short), (3, symbols), (4, nostops)], "doc_id int, text string"
+        [(1, good), (2, short), (3, symbols), (4, nostops), (5, None)],
+        "doc_id int, text string",
     )
     passed, quarantined, metrics = validate(df, gopher_rules())
     ok = {r.doc_id for r in passed.collect()}
-    assert ok == {1}
+    assert ok == {1}  # incl. doc 5: NULL text fails closed
     m = {r["rule"]: r["n_violations"] for r in metrics.collect()}
     assert m["gopher_word_count"] >= 1       # doc 2
     assert m["gopher_symbol_ratio"] >= 1     # doc 3
     assert m["gopher_required_stops"] >= 1   # doc 4
+    assert m["not_null_text"] >= 1           # doc 5
+
+    # a stopword containing a quote stays a VALUE (no expr injection)
+    q = validate(df, gopher_rules(required_stops=("don't", "the")))[2]
+    assert q.count() > 0

@@ -69,10 +69,31 @@ def cms_build(
     )
 
 
+def _params(sketch: DataFrame) -> tuple[int, int]:
+    """The sketch's single (width, depth) — raises on empty or MIXED
+    parameter relations (a mixed sketch would make MIN pick counters from
+    the wrong geometry and silently UNDERestimate, breaking the one-sided
+    guarantee)."""
+    rows = sketch.select("width", "depth").distinct().collect()
+    if not rows:
+        raise ValueError("cms: empty sketch relation (no rows at all)")
+    if len(rows) > 1:
+        raise ValueError(
+            f"cms: mixed sketch parameters {sorted(map(tuple, rows))} — "
+            "sketches are only mergeable/probe-able at ONE (width, depth)"
+        )
+    return rows[0]["width"], rows[0]["depth"]
+
+
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Sketch of the union = SUM of sketches (same width/depth required —
-    validated). Associative and commutative; merge order can never matter
-    (exact integer sums)."""
+    validated against every input). Associative and commutative; merge
+    order can never matter (exact integer sums)."""
+    params = {_params(s) for s in sketches if s.select("d").first() is not None}
+    if len(params) > 1:
+        raise ValueError(
+            f"cms_merge: incompatible sketch parameters {sorted(params)}"
+        )
     first, *rest = sketches
     out = first
     for s in rest:
@@ -82,13 +103,6 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
         .agg(F.sum("cnt").alias("cnt"))
         .select("d", "bucket", "cnt", "width", "depth")
     )
-
-
-def _params(sketch: DataFrame) -> tuple[int, int]:
-    row = sketch.select("width", "depth").first()
-    if row is None:
-        raise ValueError("cms: empty sketch relation (no rows at all)")
-    return row["width"], row["depth"]
 
 
 def cms_estimate(sketch: DataFrame, keys: DataFrame, col: str) -> DataFrame:

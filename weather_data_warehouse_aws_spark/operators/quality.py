@@ -235,9 +235,15 @@ def gopher_rules(
     n_alpha = F.expr(f"size(filter({toks}, t -> t rlike '[A-Za-z]'))")
     n_stops = None
     for w in required_stops:
-        term = F.expr(f"array_contains({toksl}, '{w}')").cast("int")
+        # lit(), not string interpolation: a stopword containing a quote
+        # must stay a VALUE, never become expression text
+        term = F.array_contains(F.expr(toksl), F.lit(w)).cast("int")
         n_stops = term if n_stops is None else n_stops + term
     return [
+        # NULL text fails closed: every predicate below is NULL on NULL
+        # input (3VL) and validate only tags True predicates, so without
+        # this rule a NULL-text doc would sail through the whole gate
+        not_null(text_col),
         Rule("gopher_word_count", ~n_tok.between(min_words, max_words)),
         Rule(
             "gopher_mean_word_len",

@@ -975,9 +975,13 @@ def build_ivfpq_index(
     codes = _pq_assign(csub, cb, "neighbor_id").select(
         "neighbor_id", "m", F.col("cent_id").alias("code")
     )
-    codes.join(
-        assigned.select("neighbor_id", "cell_id"), "neighbor_id"
-    ).write.mode("overwrite").partitionBy("cell_id").parquet(f"{root}/codes")
+    # read the cell assignment BACK from cells/ — `assigned` is a lazy plan
+    # whose crossJoin+window lineage would otherwise re-run the build's
+    # most expensive stage just for this column-pruned join
+    cell_of = spark.read.parquet(f"{root}/cells").select("neighbor_id", "cell_id")
+    codes.join(cell_of, "neighbor_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(f"{root}/codes")
     csub.unpersist()
 
 
@@ -1000,7 +1004,7 @@ def ivfpq_index_topk(
     (same codebooks, same shortlist, same rescore) — asserted in tests;
     smaller nprobe trades recall for reading 1/n_cells-sized slices."""
     root = path.rstrip("/")
-    cb = spark.read.parquet(f"{root}/codebooks").persist()
+    cb = spark.read.parquet(f"{root}/codebooks")  # KB-scale, broadcast below
     first = cb.select(F.max("m").alias("mx")).first()
     if first is None or first["mx"] is None:
         raise ValueError(f"ivfpq_index_topk: empty codebooks under {path}")
@@ -1017,6 +1021,13 @@ def ivfpq_index_topk(
             [], "query_id bigint, rank int, neighbor_id bigint, cos double"
         )
     codes = spark.read.parquet(f"{root}/codes").filter(F.col("cell_id").isin(probed))
+    # PER-QUERY probe restriction: each query scores only ITS OWN probed
+    # cells' codes (the IVFPQ contract) — without this join a diverse query
+    # batch would ADC against the union of everyone's cells, costing the
+    # whole codes table instead of nprobe/n_cells per query
+    cand = codes.join(
+        F.broadcast(query_cells.select("query_id", "cell_id")), "cell_id"
+    ).select("query_id", "neighbor_id", "m", "code")
 
     qsub = q.select(
         "query_id", F.explode(_pq_sub_entries("qv", m, dsub)).alias("e")
@@ -1025,8 +1036,15 @@ def ivfpq_index_topk(
         "query_id", "m", "cent_id", F.round(_dot_d("sv", "cvec"), 9).alias("pdot")
     )
     adc = (
-        codes.join(lut, (codes["m"] == lut["m"]) & (codes["code"] == lut["cent_id"]))
-        .select("query_id", "neighbor_id", codes["m"].alias("mm"), "pdot")
+        cand.join(
+            lut,
+            (cand["query_id"] == lut["query_id"])
+            & (cand["m"] == lut["m"])
+            & (cand["code"] == lut["cent_id"]),
+        )
+        .select(
+            cand["query_id"], "neighbor_id", cand["m"].alias("mm"), "pdot"
+        )
         .groupBy("query_id", "neighbor_id")
         .agg(*[
             F.max(F.when(F.col("mm") == i, F.col("pdot"))).alias(f"p{i}")

@@ -912,19 +912,28 @@ WITH daily AS (
     FROM events
     GROUP BY 1, 2
 )
-SELECT day, event_type, daily_total, n,
-       ROUND(AVG(daily_total) OVER (
-           PARTITION BY event_type ORDER BY day
-           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-       ), 4) AS ma3,
-       ROUND(list_reduce(
+SELECT day, event_type, daily_total, n, ma3,
+       -- list_filter mirrors Spark collect_list's NULL-skipping (DuckDB
+       -- list() keeps NULLs, which would poison the fold); the CASE guards
+       -- list_reduce's empty-list error when a prefix is all-NULL (Spark's
+       -- NULL-init fold returns NULL there too)
+       ROUND(CASE WHEN len(list_filter(pl, x -> x IS NOT NULL)) = 0 THEN NULL
+             ELSE list_reduce(
+                 list_filter(pl, x -> x IS NOT NULL),
+                 (acc, x) -> 0.5 * x + 0.5 * acc
+             ) END, 4) AS ewma
+FROM (
+    SELECT day, event_type, daily_total, n,
+           ROUND(AVG(daily_total) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 4) AS ma3,
            list(daily_total) OVER (
                PARTITION BY event_type ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ),
-           (acc, x) -> 0.5 * x + 0.5 * acc
-       ), 4) AS ewma
-FROM daily
+           ) AS pl
+    FROM daily
+)
 ORDER BY day, event_type
 """
 

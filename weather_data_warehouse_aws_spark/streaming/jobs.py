@@ -276,46 +276,66 @@ def run_incremental_agg_foreachbatch(
     deployment swaps the two `os`/`glob` calls for the Hadoop FS client —
     the versioning protocol is unchanged.
     """
-    import os
-
     from ..operators.cdc import apply_agg_delta
 
-    def _version_ids() -> list[int]:
-        return _complete_versions(agg_path)
+    def _merge(spark: SparkSession, batch_df: DataFrame, prior) -> DataFrame:
+        if prior is None:
+            if initial_agg is not None:
+                prior = initial_agg
+            else:
+                # empty aggregate in the exact shape apply_agg_delta emits
+                from ..operators.cdc import grouped_sums
+
+                empty_snap = batch_df.select(
+                    *[F.col(f"new_{g}").alias(g) for g in group_by],
+                    *[F.col(f"new_{c}").alias(c) for c in sum_cols],
+                ).limit(0)
+                prior = grouped_sums(empty_snap, group_by, sum_cols, count_col)
+        return apply_agg_delta(prior, batch_df, group_by, sum_cols, count_col)
+
+    _run_versioned_foreachbatch(
+        diff_stream, agg_path, checkpoint_path, _merge, timeout_sec=timeout_sec
+    )
+
+
+def _run_versioned_foreachbatch(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    merge_fn,
+    *,
+    timeout_sec: int = 180,
+) -> None:
+    """The shared versioned-dir exactly-once protocol: per micro-batch,
+    resolve the newest COMPLETE version with id < batch_id as the prior
+    (None on the first batch), call ``merge_fn(spark, batch_df, prior)``,
+    write the result to ``{state_path}/v=<batch_id>``, then GC versions
+    older than (current, retry-safety prior). merge_fn must be
+    DETERMINISTIC given (batch, prior) — that is what makes a retried
+    batch idempotent. Used by the incremental-aggregate and CMS
+    maintenance jobs; any mergeable state rides the same scaffold."""
+    import glob
+    import os
+    import shutil
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prior_ids = [v for v in _version_ids() if v < batch_id]
-        if prior_ids:
-            prior = spark.read.parquet(
-                os.path.join(agg_path, f"v={max(prior_ids)}")
-            )
-        elif initial_agg is not None:
-            prior = initial_agg
-        else:
-            # empty aggregate in the exact shape/types apply_agg_delta emits
-            from ..operators.cdc import grouped_sums
-
-            empty_snap = batch_df.select(
-                *[F.col(f"new_{g}").alias(g) for g in group_by],
-                *[F.col(f"new_{c}").alias(c) for c in sum_cols],
-            ).limit(0)
-            prior = grouped_sums(empty_snap, group_by, sum_cols, count_col)
-        updated = apply_agg_delta(prior, batch_df, group_by, sum_cols, count_col)
+        prior_ids = [v for v in _complete_versions(state_path) if v < batch_id]
+        prior = (
+            spark.read.parquet(os.path.join(state_path, f"v={max(prior_ids)}"))
+            if prior_ids
+            else None
+        )
+        updated = merge_fn(spark, batch_df, prior)
         # materialize before writing: `prior` may read the dir being listed
         updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            os.path.join(agg_path, f"v={batch_id}")
+            os.path.join(state_path, f"v={batch_id}")
         )
         # GC: the new version is durable; keep the prior it was derived
         # from (a retry of THIS batch re-reads it), drop everything older
         # so a long-running feed holds at most two versions on disk
-        import glob
-        import shutil
-
-        keep = {batch_id}
-        if prior_ids:
-            keep.add(max(prior_ids))
-        for p in glob.glob(os.path.join(agg_path, "v=*")):
+        keep = {batch_id} | ({max(prior_ids)} if prior_ids else set())
+        for p in glob.glob(os.path.join(state_path, "v=*")):
             try:
                 vid = int(os.path.basename(p).split("=")[1])
             except ValueError:
@@ -324,7 +344,7 @@ def run_incremental_agg_foreachbatch(
                 shutil.rmtree(p, ignore_errors=True)
 
     q = (
-        diff_stream.writeStream.foreachBatch(_apply)
+        stream_df.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
@@ -496,39 +516,12 @@ def run_cms_foreachbatch(
     identical sketch (idempotent); versions older than the retry-safety
     prior are garbage-collected. `read_current_agg(spark, cms_path)` reads
     the live sketch for `cms_estimate`/`cms_heavy_hitters` probes."""
-    import glob
-    import os
-    import shutil
-
     from ..operators.cms import cms_build, cms_merge
 
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
+    def _merge(spark, batch_df: DataFrame, prior) -> DataFrame:
         batch_sketch = cms_build(batch_df, col, width=width, depth=depth)
-        prior_ids = [v for v in _complete_versions(cms_path) if v < batch_id]
-        if prior_ids:
-            prior = spark.read.parquet(
-                os.path.join(cms_path, f"v={max(prior_ids)}")
-            )
-            merged = cms_merge(prior, batch_sketch)
-        else:
-            merged = batch_sketch
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            os.path.join(cms_path, f"v={batch_id}")
-        )
-        keep = {batch_id} | ({max(prior_ids)} if prior_ids else set())
-        for p in glob.glob(os.path.join(cms_path, "v=*")):
-            try:
-                vid = int(os.path.basename(p).split("=")[1])
-            except ValueError:
-                continue
-            if vid < batch_id and vid not in keep:
-                shutil.rmtree(p, ignore_errors=True)
+        return batch_sketch if prior is None else cms_merge(prior, batch_sketch)
 
-    q = (
-        stream_df.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
+    _run_versioned_foreachbatch(
+        stream_df, cms_path, checkpoint_path, _merge, timeout_sec=timeout_sec
     )
-    q.awaitTermination(timeout_sec)
