@@ -220,3 +220,45 @@ def test_weighted_sample_rejects_null_weights(spark):
     )
     with pytest.raises(Exception, match="non-negative integers"):
         weighted_sample(nulls, "doc_id", "w", 2).collect()
+
+
+def test_ewma_long_agrees_with_prefix_frame(spark):
+    """The O(n) applyInPandas EWMA must agree EXACTLY with the prefix-list
+    HOF fold (alpha=1/2 ⇒ every op is an exact binary scale on both paths),
+    including NULL skipping."""
+    import datetime as dt
+
+    from pyspark.sql.window import Window
+
+    from weather_data_warehouse_aws_spark.operators.timeseries import ewma_long
+
+    rows = []
+    import random
+
+    rnd = random.Random(3)
+    for g in ("a", "b"):
+        for i in range(40):
+            v = None if i % 11 == 7 else round(rnd.uniform(0, 100), 2)
+            rows.append((g, dt.date(2024, 1, 1) + dt.timedelta(days=i), v))
+    df = spark.createDataFrame(rows, "grp string, day date, val double")
+
+    wp = (
+        Window.partitionBy("grp").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hof = (
+        df.withColumn("__p", F.collect_list("val").over(wp))
+        .withColumn(
+            "ewma",
+            F.expr(
+                "aggregate(__p, CAST(NULL AS DOUBLE),"
+                " (acc, x) -> CASE WHEN acc IS NULL THEN x"
+                " ELSE 0.5D * x + 0.5D * acc END)"
+            ),
+        )
+        .select("grp", "day", "ewma")
+    )
+    longp = ewma_long(df, ["grp"], "day", "val").select("grp", "day", "ewma")
+    a = {(r.grp, str(r.day)): r.ewma for r in hof.collect()}
+    b = {(r.grp, str(r.day)): r.ewma for r in longp.collect()}
+    assert a == b  # bit-exact, not approximately
