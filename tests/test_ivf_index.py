@@ -100,3 +100,33 @@ def test_ivfpq_partial_probe_prunes_partitions(spark, sf_smoke_dir, tmp_path_fac
     }
     approx = {(r.query_id, r.neighbor_id) for r in rows}
     assert len(exact & approx) / len(exact) >= 0.2  # probing 3/8 cells
+
+
+def test_ivfpq_incremental_update(spark, sf_smoke_dir, tmp_path_factory):
+    """Appended vectors become searchable with frozen centroids/codebooks:
+    a planted exact copy of a query (added via update) ranks top-1 with
+    cos=1.0; pre-existing rows are untouched; batch cost only."""
+    from weather_data_warehouse_aws_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        update_ivfpq_index,
+    )
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke_dir, "embeddings")
+    path = str(tmp_path_factory.mktemp("ivfpq3")) + "/idx"
+    build_ivfpq_index(emb, path, n_cells=8, m=4, ksub=16, dim=64)
+    before_codes = spark.read.parquet(f"{path}/codes").count()
+
+    # append: exact copies of queries 0 and 3 under new ids
+    batch = emb.filter(F.col("vec_id").isin(0, 3)).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding", "label"
+    )
+    update_ivfpq_index(batch, path)
+
+    assert spark.read.parquet(f"{path}/codes").count() == before_codes + 2 * 4
+    queries = emb.filter(F.col("vec_id").isin(0, 3))
+    out = ivfpq_index_topk(spark, queries, path, k=3, nprobe=8, rerank=6)
+    top1 = {r.query_id: (r.neighbor_id, r.cos) for r in out.collect() if r.rank == 1}
+    assert top1[0] == (900_000, 1.0)
+    assert top1[3] == (900_003, 1.0)

@@ -1081,3 +1081,52 @@ def ivfpq_index_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )
+
+
+def update_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a materialized IVFPQ index with appended
+    vectors — the ANN analogue of `file_index.update_bloom_index`: cell
+    centroids and PQ codebooks are FROZEN (read back from the index), only
+    the new batch is assigned and encoded, and its rows append to the
+    partitioned cells/ and codes/ dirs. Existing rows are untouched.
+
+    Cost ∝ |batch|, never the corpus. Like the Bloom index's sizing note:
+    frozen codebooks drift from the data distribution as the corpus grows
+    — rebuild with `build_ivfpq_index` when recall (measured, e.g. via the
+    ann_methods recall harness pattern) degrades past budget."""
+    root = path.rstrip("/")
+    spark = new_vectors.sparkSession
+    centroids = spark.read.parquet(f"{root}/centroids")
+    cb = spark.read.parquet(f"{root}/codebooks")
+    mrow = cb.select(F.max("m").alias("mx")).first()
+    if mrow is None or mrow["mx"] is None:
+        raise ValueError(f"update_ivfpq_index: empty codebooks under {path}")
+    m = int(mrow["mx"]) + 1
+    dsub = int(cb.select(F.size("cvec").alias("d")).first()["d"])
+
+    c = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    # materialize once: the assignment feeds BOTH the cells append and the
+    # codes join — batch-sized, so the checkpoint is cheap, and it avoids
+    # re-running the crossJoin+window lineage (same lesson as the build)
+    assigned = assign_cells(c, centroids, "cv", "cell_id", 1).localCheckpoint(
+        eager=True
+    )
+    assigned.write.mode("append").partitionBy("cell_id").parquet(f"{root}/cells")
+
+    csub = c.select(
+        "neighbor_id", F.explode(_pq_sub_entries("cv", m, dsub)).alias("e")
+    ).select("neighbor_id", F.col("e.m").alias("m"), F.col("e.sv").alias("sv"))
+    codes = _pq_assign(csub, cb, "neighbor_id").select(
+        "neighbor_id", "m", F.col("cent_id").alias("code")
+    )
+    codes.join(
+        assigned.select("neighbor_id", "cell_id"), "neighbor_id"
+    ).write.mode("append").partitionBy("cell_id").parquet(f"{root}/codes")
