@@ -131,3 +131,24 @@ def test_double_fidelity_extremes(spark, tmp_path_factory):
         for i, v in enumerate(vals):
             assert got[i] == v or (math.copysign(1, got[i]) == math.copysign(1, v)
                                    and got[i] == v), (fmt, i, v, got[i])
+
+
+def test_orc_roundtrip_matches_parquet(spark, sf_smoke_dir, tmp_path_factory):
+    """ORC round-trip: documents and orders row-identical vs their parquet
+    originals, schema preserved, predicate pushdown reaches the scan."""
+    from weather_data_warehouse_aws_spark.sources.text_formats import (
+        read_orc,
+        write_orc,
+    )
+
+    for name in ("documents", "orders"):
+        src = load_table(spark, sf_smoke_dir, name)
+        path = str(tmp_path_factory.mktemp(f"orc_{name}")) + "/t"
+        write_orc(src, path)
+        back = read_orc(spark, path)
+        assert back.schema == src.schema
+        assert sorted(map(str, back.collect())) == sorted(map(str, src.collect()))
+    # pushdown: ORC scans advertise PushedFilters like parquet
+    df = read_orc(spark, path).filter(F.col("o_orderkey") == 7)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in plan

@@ -93,3 +93,16 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
         .option("timestampFormat", _TS_FMT)
         .json(path)
     )
+
+
+def write_orc(df, path: str, *, mode: str = "overwrite") -> None:
+    """ORC sink (Spark-native, no extra packages): the columnar
+    alternative lake format — same splittable/predicate-pushdown story as
+    parquet, common in Hive-heritage lakes."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source; schema comes from the file footers (self-describing,
+    unlike the text formats — no explicit schema needed)."""
+    return spark.read.orc(path)
