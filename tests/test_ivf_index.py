@@ -130,3 +130,61 @@ def test_ivfpq_incremental_update(spark, sf_smoke_dir, tmp_path_factory):
     top1 = {r.query_id: (r.neighbor_id, r.cos) for r in out.collect() if r.rank == 1}
     assert top1[0] == (900_000, 1.0)
     assert top1[3] == (900_003, 1.0)
+
+
+def test_ivfpq_residual_mode_improves_clustered_recall(spark, tmp_path_factory):
+    """Residual encoding must beat (or tie) plain encoding on clustered
+    vectors — residuals are small, so the same code budget quantizes them
+    more finely; and the residual index stays end-to-end consistent
+    (build → update → query)."""
+    import numpy as np
+
+    from weather_data_warehouse_aws_spark.operators.similarity import (
+        build_ivfpq_index,
+        cosine_topk,
+        ivfpq_index_topk,
+        update_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    vid = 0
+    for c in range(8):
+        center = rng.standard_normal(64)
+        center /= np.linalg.norm(center)
+        for _ in range(25):
+            v = center + 0.15 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+
+    def recall(residual: bool) -> float:
+        path = str(tmp_path_factory.mktemp(f"res{int(residual)}")) + "/idx"
+        build_ivfpq_index(
+            emb, path, n_cells=8, m=4, ksub=16, dim=64, residual=residual
+        )
+        out = ivfpq_index_topk(spark, queries, path, k=5, nprobe=8, rerank=2)
+        approx = {(r.query_id, r.neighbor_id) for r in out.collect()}
+        return len(exact & approx) / len(exact)
+
+    r_plain, r_res = recall(False), recall(True)
+    assert r_res >= r_plain, (r_plain, r_res)
+    assert r_res >= 0.6, r_res
+
+    # update path honors the residual flag: a planted copy is findable
+    path = str(tmp_path_factory.mktemp("resu")) + "/idx"
+    build_ivfpq_index(emb, path, n_cells=8, m=4, ksub=16, dim=64, residual=True)
+    batch = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding"
+    )
+    update_ivfpq_index(batch, path)
+    out = ivfpq_index_topk(
+        spark, emb.filter(F.col("vec_id") == 0), path, k=3, nprobe=8, rerank=6
+    )
+    top1 = {r.query_id: (r.neighbor_id, r.cos) for r in out.collect() if r.rank == 1}
+    assert top1[0] == (900_000, 1.0)

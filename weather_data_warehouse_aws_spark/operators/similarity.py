@@ -900,6 +900,23 @@ def _pq_assign(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _residualize(cells: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(neighbor_id, cv − c_cell) — the residual the PQ codebooks encode
+    in residual mode. Broadcast centroid join, map-side subtraction."""
+    return cells.join(
+        F.broadcast(
+            centroids.select(F.col("cent_id").alias("cell_id"), "cent_vec")
+        ),
+        "cell_id",
+    ).select(
+        "neighbor_id",
+        F.expr(
+            "zip_with(cv, cent_vec,"
+            " (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        ).alias("cv"),
+    )
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     path: str,
@@ -912,15 +929,24 @@ def build_ivfpq_index(
     ksub: int = 16,
     dim: int,
     stripe_fn=None,
+    residual: bool = False,
 ) -> None:
     """Materialize the IVFPQ structure under `path`:
 
       centroids/  — Lloyd-refined coarse cell centroids (IVF level)
-      codebooks/  — (m, cent_id, cvec) PQ codebooks (trained corpus-wide,
-                    same seeding/one-Lloyd-step recipe as `pq_topk`)
+      codebooks/  — (m, cent_id, cvec, residual) PQ codebooks (trained
+                    corpus-wide, same seeding/one-Lloyd-step recipe as
+                    `pq_topk`; the `residual` flag makes the index
+                    self-describing)
       codes/      — (neighbor_id, m, code) PARTITIONED BY cell_id: the
                     byte-scale scan target (m codes ≈ m bytes per vector)
       cells/      — raw vectors partitioned by cell_id (exact-rescore pool)
+
+    `residual=True` encodes v − c_cell(v) instead of v (FAISS's IVFPQ
+    default): residuals are smaller than raw vectors, so the same code
+    budget quantizes them with less error — ADC then scores
+    dot(q, c_cell) + Σ dot(q_m, codebook[r_m]). Pays one extra broadcast
+    join at build/update and one per-(query, cell) dot at query time.
 
     At 100 TB: `codes/` is the only relation the ADC stage scans — probes
     read nprobe/n_cells of it via partition pruning, and only the
@@ -942,7 +968,13 @@ def build_ivfpq_index(
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(f"{root}/cells")
 
     # --- PQ codebooks (corpus-wide, pq_topk's recipe) ---
-    csub = c.select(
+    if residual:
+        enc_src = _residualize(
+            spark.read.parquet(f"{root}/cells"), persisted
+        )
+    else:
+        enc_src = c
+    csub = enc_src.select(
         "neighbor_id", F.explode(_pq_sub_entries("cv", m, dsub)).alias("e")
     ).select("neighbor_id", F.col("e.m").alias("m"), F.col("e.sv").alias("sv")).persist()
     wseed = Window.partitionBy("m").orderBy("neighbor_id")
@@ -968,10 +1000,12 @@ def build_ivfpq_index(
             ).alias("cvec"),
         )
     )
-    cents.write.mode("overwrite").parquet(f"{root}/codebooks")
+    cents.withColumn("residual", F.lit(residual)).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/codebooks")
     # encode against the PERSISTED codebooks (same read-back discipline as
     # build_ivf_index: float means must match what queries will read)
-    cb = spark.read.parquet(f"{root}/codebooks")
+    cb = spark.read.parquet(f"{root}/codebooks").drop("residual")
     codes = _pq_assign(csub, cb, "neighbor_id").select(
         "neighbor_id", "m", F.col("cent_id").alias("code")
     )
@@ -1005,6 +1039,10 @@ def ivfpq_index_topk(
     smaller nprobe trades recall for reading 1/n_cells-sized slices."""
     root = path.rstrip("/")
     cb = spark.read.parquet(f"{root}/codebooks")  # KB-scale, broadcast below
+    residual = "residual" in cb.columns and bool(
+        cb.select("residual").first()["residual"]
+    )
+    cb = cb.drop("residual") if "residual" in cb.columns else cb
     first = cb.select(F.max("m").alias("mx")).first()
     if first is None or first["mx"] is None:
         raise ValueError(f"ivfpq_index_topk: empty codebooks under {path}")
@@ -1027,7 +1065,7 @@ def ivfpq_index_topk(
     # whole codes table instead of nprobe/n_cells per query
     cand = codes.join(
         F.broadcast(query_cells.select("query_id", "cell_id")), "cell_id"
-    ).select("query_id", "neighbor_id", "m", "code")
+    ).select("query_id", "neighbor_id", "cell_id", "m", "code")
 
     qsub = q.select(
         "query_id", F.explode(_pq_sub_entries("qv", m, dsub)).alias("e")
@@ -1043,9 +1081,10 @@ def ivfpq_index_topk(
             & (cand["code"] == lut["cent_id"]),
         )
         .select(
-            cand["query_id"], "neighbor_id", cand["m"].alias("mm"), "pdot"
+            cand["query_id"], "neighbor_id", "cell_id",
+            cand["m"].alias("mm"), "pdot",
         )
-        .groupBy("query_id", "neighbor_id")
+        .groupBy("query_id", "neighbor_id", "cell_id")
         .agg(*[
             F.max(F.when(F.col("mm") == i, F.col("pdot"))).alias(f"p{i}")
             for i in range(m)
@@ -1054,6 +1093,27 @@ def ivfpq_index_topk(
     approx_sum = F.col("p0")
     for i in range(1, m):
         approx_sum = approx_sum + F.col(f"p{i}")
+    if residual:
+        # residual ADC: dot(q, v) ≈ dot(q, c_cell) + Σ dot(q_m, r_code_m);
+        # the coarse term is per-(query, probed cell) — a tiny broadcast
+        qc = (
+            query_cells.select("query_id", "cell_id")
+            .join(q, "query_id")
+            .join(
+                F.broadcast(
+                    centroids.select(
+                        F.col("cent_id").alias("cell_id"), "cent_vec"
+                    )
+                ),
+                "cell_id",
+            )
+            .select(
+                "query_id", "cell_id",
+                F.round(_dot_d("qv", "cent_vec"), 9).alias("qcdot"),
+            )
+        )
+        adc = adc.join(F.broadcast(qc), ["query_id", "cell_id"])
+        approx_sum = F.col("qcdot") + approx_sum
     adc = adc.select(
         "query_id", "neighbor_id", F.round(approx_sum, 6).alias("approx")
     ).filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1104,6 +1164,10 @@ def update_ivfpq_index(
     spark = new_vectors.sparkSession
     centroids = spark.read.parquet(f"{root}/centroids")
     cb = spark.read.parquet(f"{root}/codebooks")
+    residual = "residual" in cb.columns and bool(
+        cb.select("residual").first()["residual"]
+    )
+    cb = cb.drop("residual") if "residual" in cb.columns else cb
     mrow = cb.select(F.max("m").alias("mx")).first()
     if mrow is None or mrow["mx"] is None:
         raise ValueError(f"update_ivfpq_index: empty codebooks under {path}")
@@ -1121,7 +1185,8 @@ def update_ivfpq_index(
     )
     assigned.write.mode("append").partitionBy("cell_id").parquet(f"{root}/cells")
 
-    csub = c.select(
+    enc_src = _residualize(assigned, centroids) if residual else c
+    csub = enc_src.select(
         "neighbor_id", F.explode(_pq_sub_entries("cv", m, dsub)).alias("e")
     ).select("neighbor_id", F.col("e.m").alias("m"), F.col("e.sv").alias("sv"))
     codes = _pq_assign(csub, cb, "neighbor_id").select(
