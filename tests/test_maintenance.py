@@ -179,3 +179,70 @@ def test_zorder_key_temporal_and_unsupported_types(spark):
 
     with pytest.raises(TypeError, match="unsupported type"):
         zorder_key(df, ["x", "s"])
+
+
+def test_erase_keys_bloom_pruned(spark, sf_smoke_dir, tmp_path_factory):
+    """Erasure removes exactly the target rows, rewrites only candidate
+    files (untouched files keep their mtimes), and the refreshed Bloom
+    index still serves lookups."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from weather_data_warehouse_aws_spark.operators.file_index import (
+        build_bloom_index,
+        read_with_index,
+    )
+    from weather_data_warehouse_aws_spark.operators.maintenance import erase_keys
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    path = str(tmp_path_factory.mktemp("erase")) + "/t"
+    docs = load_table(spark, sf_smoke_dir, "documents").select("doc_id", "text")
+    docs.repartition(16, "doc_id").write.parquet(path)
+    build_bloom_index(spark, path, "doc_id", fpr=0.001)
+    before = {
+        f: os.path.getmtime(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    }
+    n_before = spark.read.parquet(path).count()
+
+    stats = erase_keys(spark, path, "doc_id", [7, 123, 400])
+    assert stats["rows_removed"] == 3
+    # hash-partitioned on doc_id: 3 keys live in ≤3 files (+rare FP)
+    assert 1 <= stats["files_rewritten"] <= 4
+
+    after = spark.read.parquet(path)
+    assert after.count() == n_before - 3
+    assert after.filter(F.col("doc_id").isin(7, 123, 400)).count() == 0
+    # untouched files byte-identical
+    untouched = 0
+    for f, mt in before.items():
+        if os.path.exists(f):
+            assert os.path.getmtime(f) == mt
+            untouched += 1
+    assert untouched >= 12
+    # index still no-false-negative after the refresh
+    assert read_with_index(spark, path, "doc_id", 8).count() == 1
+    assert read_with_index(spark, path, "doc_id", 7).count() == 0
+
+
+def test_erase_keys_partitioned_table(spark, tmp_path_factory):
+    """Hive-partitioned table: partition columns survive the rewrite and
+    rows land back in their partitions."""
+    from pyspark.sql import functions as F
+
+    from weather_data_warehouse_aws_spark.operators.maintenance import erase_keys
+
+    path = str(tmp_path_factory.mktemp("erasep")) + "/t"
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}", i * 10) for i in range(30)], "k int, part string, v int"
+    )
+    df.write.partitionBy("part").parquet(path)
+    stats = erase_keys(spark, path, "k", [4, 17])
+    assert stats["rows_removed"] == 2
+    back = spark.read.parquet(path)
+    assert back.count() == 28
+    assert back.filter(F.col("k").isin(4, 17)).count() == 0
+    assert {r.part for r in back.select("part").distinct().collect()} == {"p0", "p1", "p2"}
+    # values re-readable per partition (layout intact)
+    assert back.filter("part = 'p1'").count() == 9  # 10 minus k=4... k%3: 4->p1, 17->p2

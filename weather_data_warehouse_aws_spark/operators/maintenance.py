@@ -274,3 +274,132 @@ def file_key_ranges(path: str, column: str) -> list[tuple]:
         if lo is not None:
             out.append((lo, hi))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Surgical key erasure — right-to-be-forgotten over a parquet lake
+# ---------------------------------------------------------------------------
+
+_ERASE_MANIFEST = "_erase_pending.json"
+
+
+def recover_erase(table_path: str) -> bool:
+    """Finish an interrupted `erase_keys`: if the manifest exists, the
+    staged survivor files are authoritative — complete the moves, delete
+    the listed originals (idempotent), drop the manifest. Returns True if
+    recovery ran."""
+    import json
+
+    mpath = os.path.join(table_path, _ERASE_MANIFEST)
+    if not os.path.exists(mpath):
+        return False
+    with open(mpath) as f:
+        manifest = json.load(f)
+    for src, dst in manifest["moves"]:
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+    for old in manifest["deletes"]:
+        if os.path.exists(old):
+            os.remove(old)
+    os.remove(mpath)
+    stage = _stage_root(table_path)
+    if os.path.isdir(stage):
+        shutil.rmtree(stage, ignore_errors=True)
+    return True
+
+
+def erase_keys(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    values: list,
+    *,
+    update_index: bool = True,
+) -> dict[str, int]:
+    """Remove every row whose `column` is in `values`, rewriting ONLY the
+    files that can contain them — the right-to-be-forgotten sweep a lake
+    without a table format needs.
+
+    File targeting: with a per-file Bloom index on `column`
+    (operators/file_index.py) the candidate set is the union of each
+    value's pruned files — at 100 TB an erasure batch touches
+    ~|values|·(1 + fpr·|files|) files instead of the whole table. Without
+    an index every file is a candidate (correct, just a full rewrite).
+
+    Crash safety (same staging discipline as `compact_partitions`):
+    survivors are written OUTSIDE the table root, a manifest records the
+    pending (moves, deletes), then files move in and originals delete;
+    `recover_erase` (called on entry) completes an interrupted run from
+    the manifest. Local-filesystem staging like the compactor — a cluster
+    deployment swaps the os calls for the Hadoop FS client, protocol
+    unchanged. NULL keys cannot be erased this way (`isin` never matches
+    NULL) — filter those explicitly.
+
+    Returns {"files_rewritten": n, "rows_removed": n}.
+    """
+    from pyspark.sql import functions as F
+
+    from .file_index import bloom_index_path, prune_files, update_bloom_index
+
+    recover_erase(table_path)
+
+    has_index = os.path.isdir(bloom_index_path(table_path, column))
+    if has_index:
+        cand: set[str] = set()
+        for v in values:
+            cand.update(prune_files(spark, table_path, column, v))
+        candidates = sorted(cand)
+    else:
+        from .file_index import _list_data_files
+
+        candidates = _list_data_files(spark, table_path)
+    if not candidates:
+        return {"files_rewritten": 0, "rows_removed": 0}
+
+    df = spark.read.option("basePath", table_path).parquet(*candidates)
+    survivors = df.filter(~F.col(column).isin(values))
+    n_before = df.count()
+
+    # partition columns live in dir names, not file footers — detect them
+    # as the columns basePath reconstructed beyond the physical schema
+    file_cols = set(spark.read.parquet(candidates[0]).schema.names)
+    part_cols = [c for c in df.columns if c not in file_cols]
+
+    stage = _stage_root(table_path)
+    tmp_dir = os.path.join(stage, "erase_out")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    writer = survivors.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp_dir)
+    n_after = spark.read.parquet(tmp_dir).count()
+
+    # manifest: (stage→table moves preserving relative dirs) + deletes
+    import json
+
+    moves = []
+    for root, _dirs, names in os.walk(tmp_dir):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel = os.path.relpath(src, tmp_dir)
+            moves.append((src, os.path.join(table_path, rel)))
+    deletes = [
+        f[len("file:"):].lstrip("/") if f.startswith("file:") else f
+        for f in candidates
+    ]
+    deletes = [f if f.startswith("/") else "/" + f for f in deletes]
+    mpath = os.path.join(table_path, _ERASE_MANIFEST)
+    with open(mpath, "w") as f:
+        json.dump({"moves": moves, "deletes": deletes}, f)
+    recover_erase(table_path)  # executes the manifest (moves + deletes)
+
+    if update_index and has_index:
+        update_bloom_index(spark, table_path, column)
+    return {
+        "files_rewritten": len(candidates),
+        "rows_removed": int(n_before - n_after),
+    }
