@@ -246,3 +246,49 @@ def test_erase_keys_partitioned_table(spark, tmp_path_factory):
     assert {r.part for r in back.select("part").distinct().collect()} == {"p0", "p1", "p2"}
     # values re-readable per partition (layout intact)
     assert back.filter("part = 'p1'").count() == 9  # 10 minus k=4... k%3: 4->p1, 17->p2
+
+
+def test_recover_erase_completes_interrupted_run(spark, tmp_path_factory):
+    """A crash after the manifest is durable: recovery must finish the
+    moves, delete the originals, and leave the table consistent."""
+    import json
+    import os
+    import shutil
+
+    from weather_data_warehouse_aws_spark.operators.maintenance import (
+        _stage_root,
+        recover_erase,
+    )
+
+    path = str(tmp_path_factory.mktemp("erase_cr")) + "/t"
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)], "k int, v int")
+    df.repartition(4, "k").write.parquet(path)
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    victim = files[0]
+    n_victim = spark.read.parquet(victim).count()
+
+    # simulate: survivors staged (victim rows minus one key), manifest
+    # written, crash before moves/deletes
+    stage = _stage_root(path)
+    os.makedirs(stage, exist_ok=True)
+    erased_key = spark.read.parquet(victim).first()["k"]
+    staged = os.path.join(stage, "erase_out")
+    spark.read.parquet(victim).filter(f"k != {erased_key}").coalesce(1).write.parquet(staged)
+    part = [f for f in os.listdir(staged) if f.endswith(".parquet")][0]
+    manifest = {
+        "moves": [[os.path.join(staged, part), os.path.join(path, "recovered-" + part)]],
+        "deletes": [victim],
+    }
+    with open(os.path.join(path, "_erase_pending.json"), "w") as f:
+        json.dump(manifest, f)
+
+    assert recover_erase(path) is True
+    back = spark.read.parquet(path)
+    assert back.count() == 20 - 1
+    assert back.filter(f"k = {erased_key}").count() == 0
+    assert not os.path.exists(victim)
+    assert not os.path.exists(os.path.join(path, "_erase_pending.json"))
+    # idempotent: second recovery is a no-op
+    assert recover_erase(path) is False
