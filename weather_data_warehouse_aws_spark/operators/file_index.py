@@ -263,6 +263,31 @@ def prune_files(spark: SparkSession, table_path: str, column: str, value) -> lis
     return [f for f in actual if verdict.get(_norm_file(f), True)]
 
 
+def prune_files_any(
+    spark: SparkSession, table_path: str, column: str, values: list
+) -> list[str]:
+    """Files that might contain ANY of `values` — ONE index scan for the
+    whole batch (an OR of per-value probe expressions), not |values|
+    passes. Same stale-index safety as `prune_files`: unindexed files are
+    always candidates, index rows for vanished files are ignored."""
+    idx = spark.read.parquet(bloom_index_path(table_path, column))
+    actual = _list_data_files(spark, table_path)
+    first = idx.select("n_bits", "n_hashes").first()
+    if first is None or not values:
+        return actual if values else []
+    n_bits, n_hashes = first["n_bits"], first["n_hashes"]
+    dtype = spark.read.parquet(table_path).schema[column].dataType
+    probe = None
+    for v in values:
+        p = _row_might_contain(_key(F.lit(v).cast(dtype)), n_bits, n_hashes)
+        probe = p if probe is None else (probe | p)
+    verdict = {
+        _norm_file(r["file"]): bool(r["hit"])
+        for r in idx.select("file", probe.alias("hit")).collect()
+    }
+    return [f for f in actual if verdict.get(_norm_file(f), True)]
+
+
 def read_with_index(
     spark: SparkSession,
     table_path: str,

@@ -340,16 +340,14 @@ def erase_keys(
     """
     from pyspark.sql import functions as F
 
-    from .file_index import bloom_index_path, prune_files, update_bloom_index
+    from .file_index import bloom_index_path, prune_files_any, update_bloom_index
 
     recover_erase(table_path)
 
     has_index = os.path.isdir(bloom_index_path(table_path, column))
     if has_index:
-        cand: set[str] = set()
-        for v in values:
-            cand.update(prune_files(spark, table_path, column, v))
-        candidates = sorted(cand)
+        # ONE index scan covers the whole erase batch (OR of probes)
+        candidates = prune_files_any(spark, table_path, column, values)
     else:
         from .file_index import _list_data_files
 
