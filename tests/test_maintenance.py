@@ -292,3 +292,36 @@ def test_recover_erase_completes_interrupted_run(spark, tmp_path_factory):
     assert not os.path.exists(os.path.join(path, "_erase_pending.json"))
     # idempotent: second recovery is a no-op
     assert recover_erase(path) is False
+
+
+def test_vacuum_orphans_and_evolved_read(spark, tmp_path_factory):
+    """Vacuum removes staging debris + zero-byte parts and nothing else;
+    mergeSchema read null-extends pre-evolution files."""
+    import os
+
+    from weather_data_warehouse_aws_spark.operators.maintenance import vacuum_orphans
+    from weather_data_warehouse_aws_spark.sources.text_formats import read_evolved
+
+    path = str(tmp_path_factory.mktemp("vac")) + "/t"
+    spark.createDataFrame([(1, "a")], "k int, s string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k int, s string, extra double"
+    ).write.mode("append").parquet(path)
+
+    os.makedirs(os.path.join(path, "_temporary", "0"))
+    os.makedirs(os.path.join(path, ".spark-staging-abc"))
+    open(os.path.join(path, "part-junk.parquet"), "w").close()  # zero bytes
+    before_live = {
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and os.path.getsize(os.path.join(path, f)) > 0
+    }
+
+    removed = vacuum_orphans(path)
+    assert len(removed) == 3
+    after = set(os.listdir(path))
+    assert "_temporary" not in after and ".spark-staging-abc" not in after
+    assert "part-junk.parquet" not in after
+    assert before_live <= after  # live files untouched
+
+    rows = {r.k: r.extra for r in read_evolved(spark, path).collect()}
+    assert rows == {1: None, 2: 9.5}  # old file null-extended

@@ -401,3 +401,32 @@ def erase_keys(
         "files_rewritten": len(candidates),
         "rows_removed": int(n_before - n_after),
     }
+
+
+def vacuum_orphans(table_path: str) -> list[str]:
+    """Remove write-attempt debris a failed/killed Spark job leaves under
+    a parquet table: `_temporary` trees, `.spark-staging-*` dirs, and
+    zero-byte `.parquet` files (a crashed task's empty part file breaks
+    some readers). Never touches live data files, `_SUCCESS`, or index
+    sidecars (`_bloom_idx_*` contain data). Returns the removed paths.
+
+    Without a table format there is no manifest to diff against, so only
+    KNOWN-debris patterns are safe to delete — an unreferenced but
+    well-formed data file cannot be distinguished from a live one.
+    """
+    removed: list[str] = []
+    for root, dirs, names in os.walk(table_path):
+        for d in list(dirs):
+            if d == "_temporary" or d.startswith(".spark-staging"):
+                full = os.path.join(root, d)
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+                dirs.remove(d)
+        dirs[:] = [d for d in dirs if not d.startswith("_bloom_idx_")]
+        for name in names:
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                full = os.path.join(root, name)
+                if os.path.getsize(full) == 0:
+                    os.remove(full)
+                    removed.append(full)
+    return removed

@@ -106,3 +106,13 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source; schema comes from the file footers (self-describing,
     unlike the text formats — no explicit schema needed)."""
     return spark.read.orc(path)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table whose files carry EVOLVED schemas (columns
+    added by later writers): `mergeSchema` unions all file schemas and
+    null-extends older files — the parquet-side twin of the bronze JSON
+    optional-column handling (`pipeline/silver.py`'s wind.gust default).
+    Costs a footer read per file at planning (why it is not the default);
+    tables under a fixed contract should pass an explicit schema instead."""
+    return spark.read.option("mergeSchema", True).parquet(path)
