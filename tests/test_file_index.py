@@ -221,3 +221,22 @@ def test_stale_index_keeps_unindexed_files(spark, sf_smoke_dir, tmp_path_factory
     assert hit.count() == 1 and hit.first()["doc_id"] == 20_042
     # indexed keys still prune: candidates ≈ 1 indexed file + 2 unindexed
     assert len(prune_files(spark, path, "doc_id", 42)) <= 4
+
+
+def test_prune_files_any_large_batch(spark, sf_smoke_dir, tmp_path_factory):
+    """Constant-size plan: a 500-key batch probes in one pass and agrees
+    with per-key prune_files on every key."""
+    from weather_data_warehouse_aws_spark.operators.file_index import (
+        prune_files_any,
+    )
+
+    path = str(tmp_path_factory.mktemp("btab_any")) + "/t"
+    _write_table(spark, sf_smoke_dir, path, n_files=8)
+    build_bloom_index(spark, path, "doc_id", fpr=0.001)
+    keys = list(range(0, 500))
+    batch = set(prune_files_any(spark, path, "doc_id", keys))
+    # every per-key candidate set is contained in the batch set
+    for k in (0, 123, 499):
+        assert set(prune_files(spark, path, "doc_id", k)) <= batch
+    # all 8 files contain some of 0..499 -> batch covers all files
+    assert len(batch) == 8

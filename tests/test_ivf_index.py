@@ -188,3 +188,34 @@ def test_ivfpq_residual_mode_improves_clustered_recall(spark, tmp_path_factory):
     )
     top1 = {r.query_id: (r.neighbor_id, r.cos) for r in out.collect() if r.rank == 1}
     assert top1[0] == (900_000, 1.0)
+
+
+def test_ivfpq_update_retry_is_idempotent(spark, sf_smoke_dir, tmp_path_factory):
+    """Running the same update batch twice must not change results: ids
+    already committed in codes/ are filtered out on retry, and the rescore
+    pool dedups by id."""
+    from weather_data_warehouse_aws_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        update_ivfpq_index,
+    )
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke_dir, "embeddings")
+    path = str(tmp_path_factory.mktemp("ivfpq_r")) + "/idx"
+    build_ivfpq_index(emb, path, n_cells=8, m=4, ksub=16, dim=64)
+    batch = emb.filter(F.col("vec_id") == 1).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding", "label"
+    )
+    update_ivfpq_index(batch, path)
+    codes_once = spark.read.parquet(f"{path}/codes").count()
+    update_ivfpq_index(batch, path)  # retry: must be a no-op
+    assert spark.read.parquet(f"{path}/codes").count() == codes_once
+
+    out = ivfpq_index_topk(
+        spark, emb.filter(F.col("vec_id") == 1), path, k=3, nprobe=8, rerank=6
+    )
+    rows = [r for r in out.collect()]
+    assert [r.neighbor_id for r in rows if r.rank == 1] == [900_001]
+    # the duplicate never occupies two slots
+    assert len({r.neighbor_id for r in rows}) == 3

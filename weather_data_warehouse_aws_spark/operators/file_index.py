@@ -266,10 +266,15 @@ def prune_files(spark: SparkSession, table_path: str, column: str, value) -> lis
 def prune_files_any(
     spark: SparkSession, table_path: str, column: str, values: list
 ) -> list[str]:
-    """Files that might contain ANY of `values` — ONE index scan for the
-    whole batch (an OR of per-value probe expressions), not |values|
-    passes. Same stale-index safety as `prune_files`: unindexed files are
-    always candidates, index rows for vanished files are ignored."""
+    """Files that might contain ANY of `values` — ONE index pass for the
+    whole batch, with a CONSTANT-size plan: the values become a broadcast
+    relation carrying their probe-bit positions, and a single
+    forall-bits-set test runs per (file, value) pair. (An OR-chain of
+    per-value probe expressions would grow the plan by |values|·n_hashes
+    subtrees — a 10k-key right-to-be-forgotten batch would blow past the
+    codegen method limit.) Same stale-index safety as `prune_files`:
+    unindexed files are always candidates, index rows for vanished files
+    are ignored."""
     idx = spark.read.parquet(bloom_index_path(table_path, column))
     actual = _list_data_files(spark, table_path)
     first = idx.select("n_bits", "n_hashes").first()
@@ -277,15 +282,31 @@ def prune_files_any(
         return actual if values else []
     n_bits, n_hashes = first["n_bits"], first["n_hashes"]
     dtype = spark.read.parquet(table_path).schema[column].dataType
-    probe = None
-    for v in values:
-        p = _row_might_contain(_key(F.lit(v).cast(dtype)), n_bits, n_hashes)
-        probe = p if probe is None else (probe | p)
-    verdict = {
-        _norm_file(r["file"]): bool(r["hit"])
-        for r in idx.select("file", probe.alias("hit")).collect()
+    vals = spark.createDataFrame(
+        [(v,) for v in values], f"__v {dtype.simpleString()}"
+    ).select(
+        F.array(*_positions_expr(_key(F.col("__v")), n_bits, n_hashes)).alias(
+            "__pos"
+        )
+    ).distinct()
+    hit = F.expr(
+        "forall(transform(__pos, p ->"
+        " (shiftright(element_at(words, cast(p / 64 as int) + 1),"
+        "  cast(pmod(p, 64) as int)) & 1) = 1), x -> x)"
+    )
+    hits = {
+        _norm_file(r["file"])
+        for r in idx.crossJoin(F.broadcast(vals))
+        .filter(hit)
+        .select("file")
+        .distinct()
+        .collect()
     }
-    return [f for f in actual if verdict.get(_norm_file(f), True)]
+    indexed = {_norm_file(r["file"]) for r in idx.select("file").collect()}
+    return [
+        f for f in actual
+        if _norm_file(f) in hits or _norm_file(f) not in indexed
+    ]
 
 
 def read_with_index(

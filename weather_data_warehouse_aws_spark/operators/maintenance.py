@@ -283,6 +283,14 @@ def file_key_ranges(path: str, column: str) -> list[tuple]:
 _ERASE_MANIFEST = "_erase_pending.json"
 
 
+def _erase_stage_root(table_path: str) -> str:
+    """Erasure's OWN staging dir — deliberately distinct from the
+    compactor's `_stage_root`: each feature's crash recovery deletes its
+    whole stage, so sharing one root would let either recovery destroy the
+    other's staged-but-unrecovered state (permanent data loss)."""
+    return table_path.rstrip("/") + "__erase_stage"
+
+
 def recover_erase(table_path: str) -> bool:
     """Finish an interrupted `erase_keys`: if the manifest exists, the
     staged survivor files are authoritative — complete the moves, delete
@@ -303,7 +311,7 @@ def recover_erase(table_path: str) -> bool:
         if os.path.exists(old):
             os.remove(old)
     os.remove(mpath)
-    stage = _stage_root(table_path)
+    stage = _erase_stage_root(table_path)
     if os.path.isdir(stage):
         shutil.rmtree(stage, ignore_errors=True)
     return True
@@ -327,26 +335,36 @@ def erase_keys(
     ~|values|·(1 + fpr·|files|) files instead of the whole table. Without
     an index every file is a candidate (correct, just a full rewrite).
 
-    Crash safety (same staging discipline as `compact_partitions`):
-    survivors are written OUTSIDE the table root, a manifest records the
-    pending (moves, deletes), then files move in and originals delete;
-    `recover_erase` (called on entry) completes an interrupted run from
-    the manifest. Local-filesystem staging like the compactor — a cluster
-    deployment swaps the os calls for the Hadoop FS client, protocol
-    unchanged. NULL keys cannot be erased this way (`isin` never matches
-    NULL) — filter those explicitly.
+    Crash safety (manifest-staged like `compact_partitions`, but in its
+    OWN stage root — see `_erase_stage_root`): survivors are written
+    outside the table, a manifest records the pending (moves, deletes),
+    then files move in and originals delete; `recover_erase` (called on
+    entry) completes an interrupted run. Local-filesystem staging like
+    the compactor — a cluster deployment swaps the os calls for the
+    Hadoop FS client, protocol unchanged.
+
+    NULL-keyed rows are always KEPT (a NULL key is never "in" the erase
+    set; the filter is explicitly null-safe so 3VL cannot silently drop
+    them). Schema-evolved tables are read with mergeSchema so survivors
+    keep late-added columns; partition columns are detected from the
+    `key=value` directory segments, never guessed from footers.
 
     Returns {"files_rewritten": n, "rows_removed": n}.
     """
     from pyspark.sql import functions as F
 
-    from .file_index import bloom_index_path, prune_files_any, update_bloom_index
+    from .file_index import (
+        _norm_file,
+        bloom_index_path,
+        prune_files_any,
+        update_bloom_index,
+    )
 
     recover_erase(table_path)
 
     has_index = os.path.isdir(bloom_index_path(table_path, column))
     if has_index:
-        # ONE index scan covers the whole erase batch (OR of probes)
+        # ONE index scan covers the whole erase batch
         candidates = prune_files_any(spark, table_path, column, values)
     else:
         from .file_index import _list_data_files
@@ -355,16 +373,33 @@ def erase_keys(
     if not candidates:
         return {"files_rewritten": 0, "rows_removed": 0}
 
-    df = spark.read.option("basePath", table_path).parquet(*candidates)
-    survivors = df.filter(~F.col(column).isin(values))
+    # mergeSchema: candidate files may carry EVOLVED schemas; a single
+    # arbitrary footer would silently drop late-added columns from the
+    # rewrite
+    df = (
+        spark.read.option("basePath", table_path)
+        .option("mergeSchema", True)
+        .parquet(*candidates)
+    )
+    # null-safe keep: NULL keys are not erase targets, and a bare
+    # ~isin(values) is NULL for them — filter would DROP those rows
+    survivors = df.filter(
+        F.col(column).isNull() | ~F.col(column).isin(values)
+    )
     n_before = df.count()
+    n_after = survivors.count()
 
-    # partition columns live in dir names, not file footers — detect them
-    # as the columns basePath reconstructed beyond the physical schema
-    file_cols = set(spark.read.parquet(candidates[0]).schema.names)
-    part_cols = [c for c in df.columns if c not in file_cols]
+    # partition columns come from the key=value DIRECTORY segments of the
+    # candidate paths (footer-schema diffs would misclassify evolved data
+    # columns as partition columns)
+    norm_root = _norm_file(table_path).rstrip("/") + "/"
+    rel = _norm_file(candidates[0])
+    rel = rel[len(norm_root):] if rel.startswith(norm_root) else rel
+    part_cols = [
+        seg.split("=", 1)[0] for seg in rel.split("/")[:-1] if "=" in seg
+    ]
 
-    stage = _stage_root(table_path)
+    stage = _erase_stage_root(table_path)
     tmp_dir = os.path.join(stage, "erase_out")
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(stage, exist_ok=True)
@@ -372,9 +407,10 @@ def erase_keys(
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(tmp_dir)
-    n_after = spark.read.parquet(tmp_dir).count()
 
-    # manifest: (stage→table moves preserving relative dirs) + deletes
+    # manifest: (stage→table moves preserving relative dirs) + deletes.
+    # An all-rows-erased batch legally yields zero moves — the manifest
+    # then only deletes the emptied originals.
     import json
 
     moves = []
@@ -383,13 +419,9 @@ def erase_keys(
             if not name.endswith(".parquet"):
                 continue
             src = os.path.join(root, name)
-            rel = os.path.relpath(src, tmp_dir)
-            moves.append((src, os.path.join(table_path, rel)))
-    deletes = [
-        f[len("file:"):].lstrip("/") if f.startswith("file:") else f
-        for f in candidates
-    ]
-    deletes = [f if f.startswith("/") else "/" + f for f in deletes]
+            rel_p = os.path.relpath(src, tmp_dir)
+            moves.append((src, os.path.join(table_path, rel_p)))
+    deletes = [_norm_file(f) for f in candidates]
     mpath = os.path.join(table_path, _ERASE_MANIFEST)
     with open(mpath, "w") as f:
         json.dump({"moves": moves, "deletes": deletes}, f)

@@ -1125,9 +1125,15 @@ def ivfpq_index_topk(
         .filter(F.col("__r") <= rerank * k)
         .select("query_id", "neighbor_id")
     )
-    vecs = spark.read.parquet(f"{root}/cells").filter(
-        F.col("cell_id").isin(probed)
-    ).select("neighbor_id", "cv")
+    # dropDuplicates: an interrupted update can leave a vector twice in
+    # cells/ (codes are the commit marker); without the dedup a duplicate
+    # would occupy two top-k slots
+    vecs = (
+        spark.read.parquet(f"{root}/cells")
+        .filter(F.col("cell_id").isin(probed))
+        .select("neighbor_id", "cv")
+        .dropDuplicates(["neighbor_id"])
+    )
     scored = (
         shortlist.join(q, "query_id")
         .join(vecs, "neighbor_id")
@@ -1159,7 +1165,14 @@ def update_ivfpq_index(
     Cost ∝ |batch|, never the corpus. Like the Bloom index's sizing note:
     frozen codebooks drift from the data distribution as the corpus grows
     — rebuild with `build_ivfpq_index` when recall (measured, e.g. via the
-    ann_methods recall harness pattern) degrades past budget."""
+    ann_methods recall harness pattern) degrades past budget.
+
+    Retry safety: the CODES append is the commit marker — ids already in
+    codes/ are filtered out of the batch (a tiny int-column scan), so a
+    straight retry of a failed update is a no-op for committed vectors.
+    The one crash window (cells appended, codes not) leaves orphan
+    vectors that a retry re-appends; the query path dedups the rescore
+    pool by id, so duplicated cells rows cost bytes, never wrong top-k."""
     root = path.rstrip("/")
     spark = new_vectors.sparkSession
     centroids = spark.read.parquet(f"{root}/centroids")
@@ -1177,6 +1190,11 @@ def update_ivfpq_index(
     c = new_vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
+    # idempotence: drop ids whose codes already committed (retried batch)
+    committed = (
+        spark.read.parquet(f"{root}/codes").select("neighbor_id").distinct()
+    )
+    c = c.join(committed, "neighbor_id", "left_anti")
     # materialize once: the assignment feeds BOTH the cells append and the
     # codes join — batch-sized, so the checkpoint is cheap, and it avoids
     # re-running the crossJoin+window lineage (same lesson as the build)

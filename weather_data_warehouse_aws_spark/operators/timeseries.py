@@ -33,7 +33,11 @@ def ewma_long(
     groups must fit one executor's Arrow batch (the applyInPandas
     contract; a single multi-billion-row key needs time-chunking with
     boundary carry-over, same note as the as-of join). NULL values are
-    skipped (the fold ignores them), matching the prefix-frame variant.
+    skipped (the fold ignores them), matching the prefix-frame variant
+    ON NaN-FREE INPUTS: Arrow folds SQL NULL and literal NaN into one
+    value, so this path treats NaN as missing too, while the JVM
+    prefix-frame fold propagates a literal NaN forever — filter NaN
+    payloads upstream if the two paths must stay interchangeable.
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
