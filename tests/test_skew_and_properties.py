@@ -462,3 +462,46 @@ def test_merge_into_matches_python_model(
                 out[k] = (a, m)
     want = sorted((k, a, m) for k, (a, m) in out.items())
     assert got == want
+
+
+_erase_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),            # key (dups fine)
+        st.sampled_from(["p0", "p1"]),                     # partition
+        st.integers(min_value=-9, max_value=9),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(
+    rows=_erase_rows,
+    erase=st.sets(st.integers(min_value=0, max_value=18), max_size=5),
+    with_nulls=st.booleans(),
+)
+@_SETTINGS
+def test_erase_keys_fuzz_matches_filter(spark, tmp_path_factory, rows, erase, with_nulls):
+    """erase_keys over random partitioned tables ≡ a plain filter of the
+    same rows — including NULL keys (always kept) and erase values absent
+    from the table."""
+    from weather_data_warehouse_aws_spark.operators.maintenance import erase_keys
+
+    data = [(k, p, v) for k, p, v in rows]
+    if with_nulls:
+        data.append((None, "p0", 99))
+    path = str(tmp_path_factory.mktemp("erase_fz")) + "/t"
+    df = spark.createDataFrame(data, "k int, part string, v int")
+    df.write.partitionBy("part").parquet(path)
+
+    stats = erase_keys(spark, path, "k", sorted(erase))
+    got = sorted(
+        ((r.k, r.part, r.v) for r in spark.read.parquet(path).collect()),
+        key=str,
+    )
+    want = sorted(
+        ((k, p, v) for k, p, v in data if k is None or k not in erase),
+        key=str,
+    )
+    assert got == want
+    assert stats["rows_removed"] == len(data) - len(want)
