@@ -505,3 +505,26 @@ def test_erase_keys_fuzz_matches_filter(spark, tmp_path_factory, rows, erase, wi
     )
     assert got == want
     assert stats["rows_removed"] == len(data) - len(want)
+
+
+def test_key_skew_and_partition_balance(spark):
+    from weather_data_warehouse_aws_spark.operators.skew import (
+        key_skew,
+        partition_balance,
+    )
+
+    rows = [("hot",)] * 80 + [("a",)] * 15 + [(None,)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    top = key_skew(df, "k", top_k=2).collect()
+    assert top[0]["value"] == "hot" and abs(top[0]["share"] - 0.8) < 1e-9
+    assert top[1]["value"] == "a"
+    # NULL shows up as a countable value when heavy enough
+    top3 = {r["value"] for r in key_skew(df, "k", top_k=3).collect()}
+    assert None in top3
+
+    skewed = df.repartition(4, "k")  # one value dominates -> imbalance
+    bal = partition_balance(skewed).collect()
+    assert sum(r["n"] for r in bal) == 100
+    # the hot key's partition dominates (hash collisions may merge keys,
+    # so the exact ratio depends on layout — dominance is the invariant)
+    assert max(r["imbalance"] for r in bal) >= 1.5

@@ -90,3 +90,37 @@ def salted_broadcast_join(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )
     return salted_fact.join(exploded_dim, [*on, _SALT], "inner").drop(_SALT)
+
+
+def key_skew(df: DataFrame, col: str, *, top_k: int = 5) -> DataFrame:
+    """(value, n, share) for the `top_k` heaviest values of `col` — the
+    data-side skew diagnostic behind every salting decision: a join/agg
+    key whose top value carries >1/parallelism of the rows will stall its
+    stage on one task. One two-level count + a tiny top-k; run it BEFORE
+    shipping a join on an unfamiliar key, then reach for salted_agg /
+    salted_broadcast_join / AQE skew-join when share is high. NULL counts
+    as its own value (NULL-heavy keys are the classic silent skew)."""
+    total = df.count()
+    counts = df.groupBy(F.col(col).alias("value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("value"))
+        .limit(top_k)
+        .withColumn("share", F.round(F.col("n") / F.lit(max(total, 1)), 6))
+    )
+
+
+def partition_balance(df: DataFrame) -> DataFrame:
+    """(partition_id, n) + an `imbalance` column = n / mean(n): the
+    physical-layout skew diagnostic. An imbalance ≫ 1 after a shuffle
+    means the partitioner (or the key distribution) funnels work onto few
+    tasks — the thing AQE's skew split fixes for joins but NOT for
+    arbitrary downstream stages. One map pass + a tiny aggregate."""
+    per = df.select(F.spark_partition_id().alias("partition_id")).groupBy(
+        "partition_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = per.agg(F.avg("n").alias("mean_n"))
+    return per.crossJoin(F.broadcast(stats)).select(
+        "partition_id", "n", F.round(F.col("n") / F.col("mean_n"), 4).alias("imbalance")
+    )
