@@ -140,3 +140,29 @@ def test_audit_funnel_monotone(stages):
     assert audit["decontaminated"][0] == 12  # eval leak dropped
     assert audit["decontaminated"][1] == audit["mixed"][1]  # no budgets -> same tokens
     assert audit["packed"][1] == audit["mixed"][1]
+
+
+def test_curation_with_gopher_rules(spark):
+    """CurationConfig.extra_rules accepts the packaged Gopher rule set:
+    stopword-free docs quarantine with the gopher tag, normal curation
+    stages still compose."""
+    from weather_data_warehouse_aws_spark.operators.quality import gopher_rules
+    from weather_data_warehouse_aws_spark.pipeline.curate import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    good = "the data of the lake and the stream that we have with " + " ".join(
+        f"tok{i}" for i in range(60)
+    )
+    nostops = " ".join(f"zz{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, good), (2, nostops)], "doc_id long, text string"
+    )
+    cfg = CurationConfig(extra_rules=tuple(gopher_rules()))
+    stages = curate_corpus(docs, config=cfg)
+    passed = {r.doc_id for r in stages["passed"].collect()}
+    quarantined = {r.doc_id for r in stages["quarantined"].collect()}
+    assert 1 in passed and 2 in quarantined
+    tags = stages["quarantined"].filter("doc_id = 2").first()["dq_violations"]
+    assert any("gopher" in t for t in tags)

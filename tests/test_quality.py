@@ -251,7 +251,7 @@ def test_gopher_rules_gate(spark):
     assert m["gopher_word_count"] >= 1       # doc 2
     assert m["gopher_symbol_ratio"] >= 1     # doc 3
     assert m["gopher_required_stops"] >= 1   # doc 4
-    assert m["not_null_text"] >= 1           # doc 5
+    assert m["gopher_null_text"] >= 1        # doc 5
 
     # a stopword containing a quote stays a VALUE (no expr injection)
     q = validate(df, gopher_rules(required_stops=("don't", "the")))[2]

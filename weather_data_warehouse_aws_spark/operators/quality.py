@@ -242,8 +242,10 @@ def gopher_rules(
     return [
         # NULL text fails closed: every predicate below is NULL on NULL
         # input (3VL) and validate only tags True predicates, so without
-        # this rule a NULL-text doc would sail through the whole gate
-        not_null(text_col),
+        # this rule a NULL-text doc would sail through the whole gate.
+        # Own rule name — composing with a pipeline that already carries
+        # not_null(text) must not produce duplicate metric columns.
+        Rule(f"gopher_null_{text_col}", F.col(text_col).isNull()),
         Rule("gopher_word_count", ~n_tok.between(min_words, max_words)),
         Rule(
             "gopher_mean_word_len",
