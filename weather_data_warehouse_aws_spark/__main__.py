@@ -11,6 +11,7 @@ Athena console; the equivalent local surface:
     curate     --docs PATH --out DIR [--eval PATH]   corpus curation run
     index      --table DIR --column COL [--lookup V] per-file Bloom index
     merge      --table DIR --source P --keys K --partition-col C  upsert
+    doctor     --table DIR [--skew-col C]            table health report
 """
 
 from __future__ import annotations
@@ -71,6 +72,14 @@ def main(argv: list[str] | None = None) -> int:
         "--lookup", default=None,
         help="probe instead of build: print candidate files + matching rows",
     )
+
+    dr = sub.add_parser(
+        "doctor",
+        help="table health: vacuum write debris, report partition balance "
+        "and key skew, list index sidecars",
+    )
+    dr.add_argument("--table", required=True)
+    dr.add_argument("--skew-col", default=None, help="report top-5 heavy values")
 
     m = sub.add_parser(
         "merge",
@@ -180,6 +189,28 @@ def main(argv: list[str] | None = None) -> int:
         read_with_index(
             spark, args.table, args.column, value, files=files
         ).show(20, truncate=False)
+        return 0
+
+    if args.cmd == "doctor":
+        import os
+
+        from .operators.maintenance import recover_erase, vacuum_orphans
+        from .operators.skew import key_skew, partition_balance
+
+        if recover_erase(args.table):
+            print("recovered an interrupted erase run")
+        removed = vacuum_orphans(args.table)
+        print(f"vacuumed {len(removed)} debris path(s)")
+        sidecars = [
+            d for d in os.listdir(args.table) if d.startswith("_bloom_idx_")
+        ]
+        print(f"index sidecars: {sidecars or 'none'}")
+        df = spark.read.parquet(args.table)
+        print("partition balance (worst 5 by imbalance):")
+        partition_balance(df).orderBy("imbalance", ascending=False).show(5)
+        if args.skew_col:
+            print(f"heaviest values of {args.skew_col}:")
+            key_skew(df, args.skew_col).show(5, truncate=False)
         return 0
 
     if args.cmd == "merge":
