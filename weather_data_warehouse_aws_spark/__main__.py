@@ -194,11 +194,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "doctor":
         import os
 
-        from .operators.maintenance import recover_erase, vacuum_orphans
+        from .operators.maintenance import (
+            recover_compaction,
+            recover_erase,
+            vacuum_orphans,
+        )
         from .operators.skew import key_skew, partition_balance
 
         if recover_erase(args.table):
             print("recovered an interrupted erase run")
+        recovered = recover_compaction(args.table)
+        if recovered:
+            print(f"recovered interrupted compaction of {recovered}")
         removed = vacuum_orphans(args.table)
         print(f"vacuumed {len(removed)} debris path(s)")
         sidecars = [

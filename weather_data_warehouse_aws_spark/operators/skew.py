@@ -22,6 +22,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _SALT = "__salt"
 
@@ -100,14 +101,16 @@ def key_skew(df: DataFrame, col: str, *, top_k: int = 5) -> DataFrame:
     shipping a join on an unfamiliar key, then reach for salted_agg /
     salted_broadcast_join / AQE skew-join when share is high. NULL counts
     as its own value (NULL-heavy keys are the classic silent skew)."""
-    total = df.count()
     counts = df.groupBy(F.col(col).alias("value")).agg(
         F.count(F.lit(1)).alias("n")
     )
+    # share from the counts relation itself: ONE scan of df, lazy, the
+    # global-sum window runs over the (small) distinct-value relation only
+    total = F.sum("n").over(Window.partitionBy())
     return (
-        counts.orderBy(F.col("n").desc(), F.col("value"))
+        counts.withColumn("share", F.round(F.col("n") / total, 6))
+        .orderBy(F.col("n").desc(), F.col("value"))
         .limit(top_k)
-        .withColumn("share", F.round(F.col("n") / F.lit(max(total, 1)), 6))
     )
 
 
@@ -117,10 +120,15 @@ def partition_balance(df: DataFrame) -> DataFrame:
     means the partitioner (or the key distribution) funnels work onto few
     tasks — the thing AQE's skew split fixes for joins but NOT for
     arbitrary downstream stages. One map pass + a tiny aggregate."""
+    # denominator counts EMPTY partitions too: a layout funneling every
+    # row into one of 8 partitions must report imbalance 8, not 1 (the
+    # groupBy only yields populated partitions). One scan; the mean uses
+    # the physical partition count, a planning-time scalar.
+    n_parts = max(df.rdd.getNumPartitions(), 1)
     per = df.select(F.spark_partition_id().alias("partition_id")).groupBy(
         "partition_id"
     ).agg(F.count(F.lit(1)).alias("n"))
-    stats = per.agg(F.avg("n").alias("mean_n"))
-    return per.crossJoin(F.broadcast(stats)).select(
-        "partition_id", "n", F.round(F.col("n") / F.col("mean_n"), 4).alias("imbalance")
+    mean_n = F.sum("n").over(Window.partitionBy()) / F.lit(n_parts)
+    return per.select(
+        "partition_id", "n", F.round(F.col("n") / mean_n, 4).alias("imbalance")
     )
