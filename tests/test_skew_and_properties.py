@@ -533,3 +533,63 @@ def test_key_skew_and_partition_balance(spark):
     one_key = spark.createDataFrame([("x",)] * 40, "k string").repartition(4, "k")
     worst = max(r["imbalance"] for r in partition_balance(one_key).collect())
     assert abs(worst - 4.0) < 1e-6
+
+
+_tbl_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),            # key
+        st.sampled_from(["p0", "p1", "p2"]),               # partition
+        st.integers(min_value=-9, max_value=9),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(tgt=_tbl_rows, src=_tbl_rows, sync=st.booleans())
+@_SETTINGS
+def test_merge_into_table_fuzz(spark, tmp_path_factory, tgt, src, sync):
+    """Table-level merge ≡ a Python model of its partition-scoped
+    semantics: update-all + insert always; by-source deletes (sync) apply
+    only WITHIN partitions the source touches. Keys are deduped
+    last-write-wins to satisfy the unique-source precondition; a key's
+    partition is pinned to its target partition (the operator's
+    partition-stability contract)."""
+    from weather_data_warehouse_aws_spark.operators.merge import merge_into_table
+
+    tgt_d = {k: (p, v) for k, p, v in tgt}
+    src_d = {k: (p, v) for k, p, v in src}
+    # partition stability: a source key that exists in the target keeps
+    # the target's partition
+    src_d = {
+        k: (tgt_d[k][0] if k in tgt_d else p, v) for k, (p, v) in src_d.items()
+    }
+
+    path = str(tmp_path_factory.mktemp("mfz")) + "/t"
+    spark.createDataFrame(
+        [(k, p, v) for k, (p, v) in tgt_d.items()], "k int, part string, v int"
+    ).write.partitionBy("part").parquet(path)
+    source = spark.createDataFrame(
+        [(k, p, v) for k, (p, v) in src_d.items()], "k int, part string, v int"
+    )
+    kwargs = {}
+    if sync:
+        kwargs["when_not_matched_by_source_delete"] = F.lit(True)
+    merge_into_table(spark, path, source, ["k"], "part", **kwargs)
+
+    got = sorted((r.k, r.part, r.v) for r in spark.read.parquet(path).collect())
+
+    affected = {p for p, _ in src_d.values()}
+    out = {}
+    for k, (p, v) in tgt_d.items():
+        if k in src_d:
+            out[k] = src_d[k]            # matched: update-all
+        elif sync and p in affected:
+            continue                     # by-source delete, scoped
+        else:
+            out[k] = (p, v)              # untouched (or unaffected partition)
+    for k, (p, v) in src_d.items():
+        if k not in tgt_d:
+            out[k] = (p, v)              # insert
+    want = sorted((k, p, v) for k, (p, v) in out.items())
+    assert got == want
