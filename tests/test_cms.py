@@ -139,3 +139,14 @@ def test_merge_rejects_mixed_parameters(spark):
     mixed = a.unionByName(b)
     with pytest.raises(ValueError, match="mixed"):
         cms_estimate(mixed, probe, "tok")
+
+
+def test_probe_type_mismatch_is_bridged(spark):
+    """xxhash64 is type-sensitive: probing an INT-built sketch with BIGINT
+    keys must still find them (the probe casts to the recorded key type) —
+    without the bridge, real keys would silently estimate 0."""
+    df = spark.createDataFrame([(7,)] * 42, "k int")
+    sketch = cms_build(df, "k", width=256, depth=4)
+    probe = spark.createDataFrame([(7,)], "k bigint")
+    est = cms_estimate(sketch, probe, "k").first()["est"]
+    assert est >= 42

@@ -55,6 +55,7 @@ def cms_build(
     `weight_col` counts weighted occurrences (e.g. token counts per doc)
     instead of rows."""
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    key_type = df.schema[col].dataType.simpleString()
     rows = df.select(
         F.posexplode(
             F.array(*[_bucket(F.col(col), d, width) for d in range(depth)])
@@ -66,15 +67,19 @@ def cms_build(
         .agg(F.sum("__w").alias("cnt"))
         .withColumn("width", F.lit(width))
         .withColumn("depth", F.lit(depth))
+        .withColumn("key_type", F.lit(key_type))
     )
 
 
-def _params(sketch: DataFrame) -> tuple[int, int]:
-    """The sketch's single (width, depth) — raises on empty or MIXED
-    parameter relations (a mixed sketch would make MIN pick counters from
-    the wrong geometry and silently UNDERestimate, breaking the one-sided
-    guarantee)."""
-    rows = sketch.select("width", "depth").distinct().collect()
+def _params(sketch: DataFrame) -> tuple[int, int, str]:
+    """The sketch's single (width, depth, key_type) — raises on empty or
+    MIXED parameter relations (a mixed sketch would make MIN pick counters
+    from the wrong geometry and silently UNDERestimate, breaking the
+    one-sided guarantee)."""
+    cols = ["width", "depth"] + (
+        ["key_type"] if "key_type" in sketch.columns else []
+    )
+    rows = sketch.select(*cols).distinct().collect()
     if not rows:
         raise ValueError("cms: empty sketch relation (no rows at all)")
     if len(rows) > 1:
@@ -82,7 +87,8 @@ def _params(sketch: DataFrame) -> tuple[int, int]:
             f"cms: mixed sketch parameters {sorted(map(tuple, rows))} — "
             "sketches are only mergeable/probe-able at ONE (width, depth)"
         )
-    return rows[0]["width"], rows[0]["depth"]
+    r = rows[0]
+    return r["width"], r["depth"], (r["key_type"] if "key_type" in cols else "")
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
@@ -98,22 +104,30 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     out = first
     for s in rest:
         out = out.unionByName(s)
+    extra = ["key_type"] if "key_type" in out.columns else []
     return (
-        out.groupBy("d", "bucket", "width", "depth")
+        out.groupBy("d", "bucket", "width", "depth", *extra)
         .agg(F.sum("cnt").alias("cnt"))
-        .select("d", "bucket", "cnt", "width", "depth")
+        .select("d", "bucket", "cnt", "width", "depth", *extra)
     )
 
 
 def cms_estimate(sketch: DataFrame, keys: DataFrame, col: str) -> DataFrame:
     """(col, est): upper-bound frequency for every key in `keys`. The
     sketch broadcasts (d·width longs); each key probes its depth buckets
-    and takes the MIN — missing buckets count 0."""
-    width, depth = _params(sketch)
+    and takes the MIN — missing buckets count 0.
+
+    Probe keys are CAST to the sketch's recorded key type before hashing:
+    xxhash64 is input-type-sensitive, so probing an int-built sketch with
+    bigint keys would hash into the wrong buckets and return 0 for real
+    keys — a silent FALSE NEGATIVE, the one error class CMS promises
+    never to make."""
+    width, depth, key_type = _params(sketch)
+    kcol = F.col(col).cast(key_type) if key_type else F.col(col)
     probes = keys.select(col).distinct().select(
         col,
         F.posexplode(
-            F.array(*[_bucket(F.col(col), d, width) for d in range(depth)])
+            F.array(*[_bucket(kcol, d, width) for d in range(depth)])
         ).alias("d", "bucket"),
     )
     return (
