@@ -82,14 +82,22 @@ def test_weighted_build(spark):
     assert est["a"] >= 15 and est["b"] >= 1
 
 
-def test_unknown_key_estimates_small_and_empty_sketch_raises(spark):
+def test_unknown_key_small_and_empty_sketch_estimates_zero(spark):
     df = spark.createDataFrame([("x",)] * 3, "tok string")
     sketch = cms_build(df, "tok", width=256, depth=4)
     probe = spark.createDataFrame([("never-seen",)], "tok string")
     est = cms_estimate(sketch, probe, "tok").first()["est"]
     assert 0 <= est <= 3
-    with pytest.raises(ValueError, match="empty"):
-        cms_estimate(sketch.limit(0), probe, "tok")
+    # empty sketch = the merge-monoid identity (a streaming job's first
+    # micro-batch may legally persist one): every key estimates 0, and
+    # merging it with a real sketch is a no-op
+    empty = sketch.limit(0)
+    est0 = cms_estimate(empty, probe, "tok").first()["est"]
+    assert est0 == 0
+    remerged = cms_merge(empty, sketch)
+    assert sorted(map(tuple, remerged.collect())) == sorted(
+        map(tuple, sketch.collect())
+    )
 
 
 def test_streaming_cms_matches_batch(spark, tmp_path_factory):
@@ -130,21 +138,24 @@ def test_streaming_cms_matches_batch(spark, tmp_path_factory):
 
 
 def test_merge_rejects_mixed_parameters(spark):
+    """Validation is a LAZY tripwire riding the consuming action (no eager
+    collect that would recompute an unpersisted sketch build), so the
+    raise surfaces at evaluation time as a raise_error."""
     df = spark.createDataFrame([("x",)] * 3, "tok string")
     a = cms_build(df, "tok", width=256, depth=4)
     b = cms_build(df, "tok", width=512, depth=4)
-    with pytest.raises(ValueError, match="incompatible|mixed"):
-        cms_merge(a, b)
+    with pytest.raises(Exception, match="mixed"):
+        cms_merge(a, b).collect()
     probe = spark.createDataFrame([("x",)], "tok string")
     mixed = a.unionByName(b)
-    with pytest.raises(ValueError, match="mixed"):
-        cms_estimate(mixed, probe, "tok")
+    with pytest.raises(Exception, match="mixed"):
+        cms_estimate(mixed, probe, "tok").collect()
 
 
 def test_probe_type_mismatch_is_bridged(spark):
-    """xxhash64 is type-sensitive: probing an INT-built sketch with BIGINT
-    keys must still find them (the probe casts to the recorded key type) —
-    without the bridge, real keys would silently estimate 0."""
+    """Hashing goes through CAST(key AS STRING), so probing an INT-built
+    sketch with BIGINT keys must still find them ('7' == '7') — without
+    the bridge, real keys would silently estimate 0."""
     df = spark.createDataFrame([(7,)] * 42, "k int")
     sketch = cms_build(df, "k", width=256, depth=4)
     probe = spark.createDataFrame([(7,)], "k bigint")

@@ -234,3 +234,29 @@ def test_emptied_partition_with_special_chars_removed(spark, tmp_path_factory):
     )
     rows = spark.read.parquet(path).collect()
     assert {r.k for r in rows} == {2}
+
+
+def test_first_write_gets_duplicate_key_guard(spark, tmp_path_factory):
+    """A dup-keyed INITIAL batch must not silently seed a table that
+    violates the merge-key uniqueness invariant later merges assume."""
+    from weather_data_warehouse_aws_spark.operators.merge import merge_into_table
+
+    path = str(tmp_path_factory.mktemp("mrg_first")) + "/t"
+    dup = spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 20)], "k int, name string, part int"
+    )
+    with pytest.raises(Exception, match="nondeterministic"):
+        merge_into_table(spark, path, dup, ["k"], "part")
+    import os
+
+    assert not os.path.isdir(path) or not any(
+        f.endswith(".parquet")
+        for _r, _d, fs in os.walk(path)
+        for f in fs
+    )
+    # explicit opt-out still allowed on the first write too
+    merge_into_table(
+        spark, path + "2", dup, ["k"], "part",
+        check_duplicate_source_keys=False,
+    )
+    assert spark.read.parquet(path + "2").count() == 2

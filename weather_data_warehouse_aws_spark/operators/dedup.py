@@ -160,7 +160,15 @@ def leak_spans(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_covered_tokens"))
     )
-    return spans.join(ncov, "doc_id").withColumnRenamed("doc_id", id_col)
+    # per-doc result is small; materialize it and RELEASE the occurrence
+    # cache rather than pinning it for the session (checkpoint discipline)
+    out = (
+        spans.join(ncov, "doc_id")
+        .withColumnRenamed("doc_id", id_col)
+        .localCheckpoint(eager=True)
+    )
+    leak_occ.unpersist()
+    return out
 
 
 def cap_hot_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:

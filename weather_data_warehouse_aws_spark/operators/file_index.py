@@ -220,6 +220,12 @@ def _list_data_files(spark: SparkSession, table_path: str) -> list[str]:
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(table_path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    # Qualify BEFORE stringifying: listFiles yields fully-qualified URIs,
+    # and a relative/unqualified table_path spelling would fail the
+    # prefix match below — degrading the `_`/`.` sidecar filter to the
+    # basename only, so `_bloom_idx_*` part files would come back as
+    # table data (and get rewritten/deleted by erase/prune/vacuum).
+    root = fs.makeQualified(root)
     root_str = _norm_file(root.toString()) + "/"
     out: list[str] = []
     it = fs.listFiles(root, True)

@@ -362,6 +362,18 @@ def erase_keys(
 
     recover_erase(table_path)
 
+    # A None inside the erase list poisons the survivor filter: SQL IN
+    # with a NULL member makes `~isin(values)` NULL for every non-matching
+    # row, and filter(NULL) drops them all — a full-table wipe. NULL is
+    # never an erase target (NULL keys are always kept), so strip it; an
+    # all-None batch is a caller bug, not a no-op request.
+    values = [v for v in values if v is not None]
+    if not values:
+        raise ValueError(
+            "erase_keys: erase list is empty after dropping None "
+            "(NULL is never an erase target)"
+        )
+
     has_index = os.path.isdir(bloom_index_path(table_path, column))
     if has_index:
         # ONE index scan covers the whole erase batch
@@ -383,11 +395,20 @@ def erase_keys(
     )
     # null-safe keep: NULL keys are not erase targets, and a bare
     # ~isin(values) is NULL for them — filter would DROP those rows
-    survivors = df.filter(
-        F.col(column).isNull() | ~F.col(column).isin(values)
-    )
-    n_before = df.count()
-    n_after = survivors.count()
+    keep = F.col(column).isNull() | ~F.col(column).isin(values)
+    # observe() folds both row counts into the survivor write itself —
+    # ONE scan of the candidate files total, instead of two extra eager
+    # counts before the rewrite. CollectMetrics is a pushdown barrier, so
+    # the keep-filter cannot slide below the observation and skew
+    # n_before.
+    from pyspark.sql import Observation
+
+    obs = Observation("erase_metrics")
+    survivors = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(F.when(keep, F.lit(0)).otherwise(F.lit(1))).alias("n_removed"),
+    ).filter(keep)
 
     # partition columns come from the key=value DIRECTORY segments of the
     # candidate paths (footer-schema diffs would misclassify evolved data
@@ -429,9 +450,10 @@ def erase_keys(
 
     if update_index and has_index:
         update_bloom_index(spark, table_path, column)
+    metrics = obs.get  # available: the survivor write above completed
     return {
         "files_rewritten": len(candidates),
-        "rows_removed": int(n_before - n_after),
+        "rows_removed": int(metrics["n_removed"] or 0),
     }
 
 

@@ -38,6 +38,26 @@ from pyspark.sql.window import Window
 __all__ = ["merge_into", "merge_into_table"]
 
 
+def _guard_duplicate_keys(source: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Tripwire riding the plan (no eager pre-scan): raises at action time
+    if any merge key has >1 source row — MERGE would be nondeterministic."""
+    w = Window.partitionBy(*list(keys))
+    guard = F.when(
+        F.count(F.lit(1)).over(w) > 1,
+        F.raise_error(
+            F.concat(
+                F.lit("merge_into: multiple source rows for merge key ("),
+                F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+                F.lit(") — MERGE would be nondeterministic; dedupe the "
+                      "source (dedup_latest) first."),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    return source.withColumn("__mrg_guard", guard).filter("__mrg_guard").drop(
+        "__mrg_guard"
+    )
+
+
 def merge_into(
     target: DataFrame,
     source: DataFrame,
@@ -90,23 +110,7 @@ def merge_into(
 
     src = source
     if check_duplicate_source_keys:
-        w = Window.partitionBy(*keys)
-        guard = F.when(
-            F.count(F.lit(1)).over(w) > 1,
-            F.raise_error(
-                F.concat(
-                    F.lit("merge_into: multiple source rows for merge key ("),
-                    F.concat_ws(
-                        ", ", *[F.col(k).cast("string") for k in keys]
-                    ),
-                    F.lit(") — MERGE would be nondeterministic; dedupe the "
-                          "source (dedup_latest) first."),
-                )
-            ).cast("boolean"),
-        ).otherwise(F.lit(True))
-        src = src.withColumn("__mrg_guard", guard).filter("__mrg_guard").drop(
-            "__mrg_guard"
-        )
+        src = _guard_duplicate_keys(src, keys)
 
     # prefix-rename source payload so the joined row is unambiguous
     src = src.select(
@@ -188,7 +192,8 @@ def merge_into_table(
     clauses therefore act only WITHIN affected partitions — target rows
     in untouched partitions are out of scope by construction.
 
-    First write (no table yet) = plain partitioned write of the source.
+    First write (no table yet) = plain partitioned write of the source,
+    after the same duplicate-source-key guard later batches get.
     The merged result is localCheckpoint'ed before the overwrite because
     it reads the very partitions being replaced.
     """
@@ -196,7 +201,14 @@ def merge_into_table(
 
     target = read_parquet_if_exists(spark, table_path)
     if target is None:
-        source.write.partitionBy(partition_col).parquet(table_path)
+        # first write gets the SAME duplicate-source-key guard every later
+        # batch gets — a dup-keyed initial batch must not silently seed a
+        # table that violates the uniqueness invariant all subsequent
+        # merges assume
+        src = source
+        if merge_kwargs.get("check_duplicate_source_keys", True):
+            src = _guard_duplicate_keys(src, keys)
+        src.write.partitionBy(partition_col).parquet(table_path)
         return
     affected = [r[0] for r in source.select(partition_col).distinct().collect()]
     if not affected:

@@ -731,6 +731,7 @@ def pq_topk(
     ksub: int = 16,
     rerank: int = 3,
     dim: int,
+    caches_out: list | None = None,
 ) -> DataFrame:
     """Product-quantization ANN: split vectors into `m` subspaces, k-means
     a `ksub`-entry codebook per subspace (seeded + one Lloyd step), encode
@@ -750,6 +751,17 @@ def pq_topk(
     ROUND(·,9) before rank, centroid means cast to FLOAT; ADC partials
     are summed in fixed subspace order (p0+p1+...), never via a shuffle-
     ordered aggregate.
+
+    Cache discipline: the subvector relation and the trained codebook are
+    persisted (both feed two consumers; WITHOUT the caches the codebook
+    plan inlines itself into every consumer and Catalyst time explodes).
+    Spark's CacheManager holds cached plans until an explicit unpersist,
+    so by default (`caches_out=None`) the small result is materialized
+    eagerly and both caches are released before returning — nothing pins
+    executor storage after the call. A caller composing this into a
+    larger single-action plan passes `caches_out=[]` to keep the result
+    lazy and takes ownership: unpersist every DataFrame appended there
+    once the action has run.
     """
     if dim % m != 0:
         raise ValueError(f"pq_topk: dim {dim} not divisible by m {m}")
@@ -809,7 +821,7 @@ def pq_topk(
                 "transform(dm, e -> CAST(CAST(e.mu AS FLOAT) AS DOUBLE))"
             ).alias("cvec"),
         )
-    ).persist()
+    ).persist()  # tiny (m·ksub rows); feeds encode + the ADC lookup table
 
     codes = assign(cents).select("neighbor_id", "m", F.col("cent_id").alias("code"))
 
@@ -854,11 +866,21 @@ def pq_topk(
         .withColumn("cos", F.round(cosine("qv", "cv"), 6))
     )
     wf = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(wf))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )
+    if caches_out is not None:
+        # caller owns the caches: keep the result lazy so it fuses into
+        # the caller's single action; caller unpersists these afterwards
+        caches_out.extend([csub, cents])
+        return out
+    # standalone call: materialize the small result, release both caches
+    out = out.localCheckpoint(eager=True)
+    csub.unpersist()
+    cents.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -47,15 +47,20 @@ def ewma_long(
 
     def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")
-        out = []
-        acc = None
-        for x in pdf[value_col]:
-            if pd.isna(x):
-                out.append(acc)
-                continue
-            acc = float(x) if acc is None else alpha * float(x) + (1 - alpha) * acc
-            out.append(acc)
-        pdf[out_col] = out
+        # vectorized recurrence: pandas ewm(adjust=False) computes
+        # y_t = (1-α)·y_{t-1} + α·x_t — the same single fused
+        # multiply-add per step as the explicit fold, so results are
+        # bit-identical; ignore_na=True carries y over NaN gaps without
+        # decaying (the skip-NULL fold), and NaN positions surface the
+        # carried value, NaN before the first valid point. A per-row
+        # Python loop here would forfeit vectorization on exactly the
+        # long series this path exists for.
+        pdf[out_col] = (
+            pdf[value_col]
+            .astype("float64")
+            .ewm(alpha=alpha, adjust=False, ignore_na=True)
+            .mean()
+        )
         return pdf
 
     return df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(_scan, schema)

@@ -551,16 +551,19 @@ ORDER BY query_id, rank
 """
 
 
-def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pq_ann(
+    spark: SparkSession, sf_dir: str, caches_out: list | None = None
+) -> DataFrame:
     """Product-quantization ANN (operators/similarity.pq_topk): per-subspace
     codebooks trained seeded+one-Lloyd-step, corpus encoded to PQ_M codes,
     ADC lookup-table scoring, exact rescore of the top PQ_RERANK·k. The
-    whole pipeline — training included — is SQL-replicated in the oracle."""
+    whole pipeline — training included — is SQL-replicated in the oracle.
+    `caches_out` forwards pq_topk's cache-ownership contract."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return pq_topk(
         queries, emb, k=TOPK_K, m=PQ_M, ksub=PQ_KSUB, rerank=PQ_RERANK,
-        dim=EMB_DIM,
+        dim=EMB_DIM, caches_out=caches_out,
     ).orderBy("query_id", "rank")
 
 
@@ -672,11 +675,16 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     and identical cross-engine."""
     brute = q_embedding_topk(spark, sf_dir).withColumn(
         "method", F.lit("brute")
-    ).persist()  # reused: own rows + the 3 recall joins
+    ).persist()  # reused: own rows + the 4 recall joins
     ivf = q_ivf_ann(spark, sf_dir).withColumn("method", F.lit("ivf")).persist()
     lsh = q_lsh_topk(spark, sf_dir).withColumn("method", F.lit("lsh")).persist()
     q8 = q_quantized_ann(spark, sf_dir).withColumn("method", F.lit("q8")).persist()
-    pq = q_pq_ann(spark, sf_dir).withColumn("method", F.lit("pq")).persist()
+    inner_caches: list = []  # pq_topk's internal caches, released below
+    pq = (
+        q_pq_ann(spark, sf_dir, caches_out=inner_caches)
+        .withColumn("method", F.lit("pq"))
+        .persist()
+    )
 
     base = brute.select("query_id", "neighbor_id")
     qs = base.select("query_id").distinct()
@@ -697,7 +705,7 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n / TOPK_K).alias("cos"),
         )
 
-    return (
+    out = (
         brute.unionByName(ivf)
         .unionByName(lsh)
         .unionByName(q8)
@@ -709,6 +717,15 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(recall(pq, "pq"))
         .orderBy("method", "query_id", "rank")
     )
+    # materialize the 9-branch union ONCE (each tier computes a single
+    # time via its cache), then RELEASE the five tier caches — returning a
+    # lazy plan over never-unpersisted caches pinned executor storage for
+    # the rest of the session (ADVICE r5); the checkpointed result is
+    # k·|queries|·9 rows.
+    out = out.localCheckpoint(eager=True)
+    for t in (brute, ivf, lsh, q8, pq, *inner_caches):
+        t.unpersist()
+    return out
 
 
 def _oracle_ann_methods() -> str:

@@ -150,10 +150,12 @@ FROM scored
 # ---------------------------------------------------------------------------
 BPE_MERGES = 4
 BPE_SAMPLE_MOD = 10  # doc_id % 10 == 0 → 10% training subset, SF-stable
+CMS_WIDTH = 512  # small width on purpose: collisions exercise the MIN
+CMS_DEPTH = 3
 
 
 def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three tagged branches under one driver row (50-entry consolidation):
+    """Four tagged branches under one driver row (50-entry consolidation):
 
     * ``topk``      — top-20 tokens by frequency (count desc, token asc —
                       total order, so LIMIT is deterministic). Explode →
@@ -170,17 +172,35 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AFTER the merges, pinning the merge APPLICATION (the
                       Spark HOF fold ≡ the recursive-CTE fold) under the
                       hash gate, not just the selections.
+    * ``cms_est``   — Count-Min estimates (operators/cms.py) for the 20
+                      top tokens, from a deliberately-narrow width=512 ×
+                      depth=3 sketch built over ALL tokens: the portable
+                      md5 bucketing makes the whole sketch — build,
+                      broadcast probe, MIN over depth — bit-replicable in
+                      DuckDB, so the one-sided estimate values themselves
+                      sit under the hash gate (est ≥ true by construction;
+                      collisions at this width make several estimates
+                      strictly greater, proving the MIN path is live).
     """
     from ..operators.bpe import bpe_train
+    from ..operators.cms import cms_build, cms_estimate
 
     docs = load_table(spark, sf_dir, "documents")
-    topk = (
-        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
-        .groupBy("token")
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    top20 = (
+        toks.groupBy("token")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "token")
         .limit(20)
-        .select(F.lit("topk").alias("variant"), "token", "n")
+    )
+    topk = top20.select(F.lit("topk").alias("variant"), "token", "n")
+    sketch = cms_build(toks, "token", width=CMS_WIDTH, depth=CMS_DEPTH)
+    cms_df = cms_estimate(sketch, top20.select("token"), "token").select(
+        F.lit("cms_est").alias("variant"),
+        "token",
+        F.col("est").cast("long").alias("n"),
     )
     sub = docs.filter(F.col("doc_id") % BPE_SAMPLE_MOD == 0)
     merges, syms = bpe_train(
@@ -201,6 +221,7 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         topk.unionByName(merge_df)
         .unionByName(vocab)
+        .unionByName(cms_df)
         .orderBy("variant", F.col("n").desc(), "token")
     )
 
@@ -253,17 +274,37 @@ v{m} AS MATERIALIZED (SELECT word, n, acc AS syms FROM f{m} WHERE i = len(syms) 
         f"n_pairs AS n FROM t{m}"
         for m in range(1, BPE_MERGES + 1)
     )
+    from ..operators.cms import cms_bucket_sql
+
+    bucket_build = cms_bucket_sql("token", "d", str(CMS_WIDTH))
     parts.append(
-        rf"""
+        rf""",
+toks AS MATERIALIZED (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents
+),
+topt AS MATERIALIZED (
+    SELECT token, COUNT(*) AS n
+    FROM toks GROUP BY token ORDER BY n DESC, token LIMIT 20
+),
+cms AS MATERIALIZED (
+    SELECT dd.d, {bucket_build} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS d) dd
+    GROUP BY 1, 2
+),
+cms_probe AS (
+    SELECT t.token, dd.d, {bucket_build.replace("token", "t.token")} AS bucket
+    FROM (SELECT token FROM topt) t
+    CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS d) dd
+),
+cms_est AS (
+    SELECT p.token, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+    FROM cms_probe p
+    LEFT JOIN cms c ON c.d = p.d AND c.bucket = p.bucket
+    GROUP BY p.token
+)
 SELECT * FROM (
-    SELECT 'topk' AS variant, token, n FROM (
-        SELECT token, COUNT(*) AS n
-        FROM (
-            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-            FROM documents
-        )
-        GROUP BY token ORDER BY n DESC, token LIMIT 20
-    )
+    SELECT 'topk' AS variant, token, n FROM topt
     UNION ALL
     {merge_rows}
     UNION ALL
@@ -272,6 +313,8 @@ SELECT * FROM (
         FROM v{BPE_MERGES}, UNNEST(syms) AS u(sym)
         GROUP BY sym ORDER BY n DESC, token LIMIT 20
     )
+    UNION ALL
+    SELECT 'cms_est' AS variant, token, est AS n FROM cms_est
 )
 ORDER BY variant, n DESC, token"""
     )
