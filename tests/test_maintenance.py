@@ -248,6 +248,36 @@ def test_erase_keys_partitioned_table(spark, tmp_path_factory):
     assert back.filter("part = 'p1'").count() == 9  # 10 minus k=4... k%3: 4->p1, 17->p2
 
 
+def test_erase_keys_none_in_values_is_safe(spark, tmp_path_factory):
+    """SQL IN with a NULL member makes ~isin() NULL for every non-matching
+    row — unguarded, an erase list containing None would wipe the table.
+    None is stripped (NULL is never an erase target); an all-None batch
+    raises; a literally-empty batch is a no-op."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from weather_data_warehouse_aws_spark.operators.maintenance import erase_keys
+
+    path = str(tmp_path_factory.mktemp("erasen")) + "/t"
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)] + [(None, 999)], "k int, v int"
+    )
+    df.repartition(4).write.parquet(path)
+
+    stats = erase_keys(spark, path, "k", [3, None, 11])
+    assert stats["rows_removed"] == 2  # only 3 and 11; everything else KEPT
+    back = spark.read.parquet(path)
+    assert back.count() == 19
+    assert back.filter(F.col("k").isNull()).count() == 1  # NULL row survives
+
+    with pytest.raises(ValueError, match="only None"):
+        erase_keys(spark, path, "k", [None, None])
+    assert erase_keys(spark, path, "k", []) == {
+        "files_rewritten": 0, "rows_removed": 0,
+    }
+    assert spark.read.parquet(path).count() == 19
+
+
 def test_recover_erase_completes_interrupted_run(spark, tmp_path_factory):
     """A crash after the manifest is durable: recovery must finish the
     moves, delete the originals, and leave the table consistent."""

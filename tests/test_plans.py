@@ -83,10 +83,54 @@ def test_dedup_queries_no_cartesian(spark, sf_dir):
 
 def test_topk_crossjoin_is_intentional_and_bounded(spark, sf_dir):
     """cosine_topk is the one deliberate cross join — its left side must be
-    a broadcast (the bounded query set), making it a map-side pass."""
-    plan = physical_plan(_QUERIES["ann_methods"](spark, sf_dir))
+    a broadcast (the bounded query set), making it a map-side pass.
+
+    Inspect the brute tier directly: `ann_methods` now returns a
+    localCheckpoint (its caches are released before returning, ADVICE r5),
+    so the composite's plan is a Scan ExistingRDD and the join shape must
+    be asserted on the component that owns it."""
+    from weather_data_warehouse_aws_spark.queries.similarity import (
+        q_embedding_topk,
+    )
+
+    plan = physical_plan(q_embedding_topk(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_ann_tier_plans_are_scale_shaped(spark, sf_dir):
+    """Component-level invariants for the tiers `ann_methods` composes —
+    the composite's own plan is a checkpoint scan now, so each tier's
+    lazy plan is asserted directly: no non-broadcast cartesian, no
+    row-at-a-time Python, and the only nested loops allowed are the
+    bounded-broadcast kind (ivf's ≤16-row centroid assignment; the LSH
+    hyperplane/stat broadcasts) — the corpus-sized joins stay hash
+    joins."""
+    from weather_data_warehouse_aws_spark.queries import similarity as S
+
+    caches: list = []
+    # needs_hash: the bucketed tiers must carry an equi-join for candidate
+    # generation (cell/bucket/code joins); q8 is deliberately brute-shaped
+    # over int8 codes (broadcast bounded query set, linear corpus pass)
+    tiers = {
+        "ivf": (S.q_ivf_ann(spark, sf_dir), True),
+        "lsh": (S.q_lsh_topk(spark, sf_dir), True),
+        "q8": (S.q_quantized_ann(spark, sf_dir), False),
+        "pq": (S.q_pq_ann(spark, sf_dir, caches_out=caches), True),
+    }
+    try:
+        for name, (df, needs_hash) in tiers.items():
+            plan = physical_plan(df)
+            assert "CartesianProduct" not in plan, f"{name}: cartesian"
+            assert "BatchEvalPython" not in plan, f"{name}: python row UDF"
+            if needs_hash:
+                # candidate/rescore joins on the corpus side stay hash joins
+                assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, (
+                    f"{name}: no hash-shaped candidate join found"
+                )
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 def test_windows_in_data_paths_are_partitioned(spark, sf_dir):
@@ -317,6 +361,7 @@ _BNLJ_INTENTIONAL = {
     "gap_fill",           # broadcast 1-row min/max hour bounds
     "ivf_ann_refined",    # broadcast centroids (assignment + Lloyd step)
     "text_relevance",     # broadcast 1-row (N, avgdl) BM25 stats
+    "token_topk",         # broadcast 1-row CMS (width, depth) params rel
 }
 
 

@@ -365,14 +365,18 @@ def erase_keys(
     # A None inside the erase list poisons the survivor filter: SQL IN
     # with a NULL member makes `~isin(values)` NULL for every non-matching
     # row, and filter(NULL) drops them all — a full-table wipe. NULL is
-    # never an erase target (NULL keys are always kept), so strip it; an
-    # all-None batch is a caller bug, not a no-op request.
+    # never an erase target (NULL keys are always kept), so strip it. An
+    # all-None batch is a caller bug (they meant to erase SOMETHING);
+    # a literally-empty batch is a legal no-op request.
+    had_values = bool(values)
     values = [v for v in values if v is not None]
     if not values:
-        raise ValueError(
-            "erase_keys: erase list is empty after dropping None "
-            "(NULL is never an erase target)"
-        )
+        if had_values:
+            raise ValueError(
+                "erase_keys: erase list contains only None "
+                "(NULL is never an erase target)"
+            )
+        return {"files_rewritten": 0, "rows_removed": 0}
 
     has_index = os.path.isdir(bloom_index_path(table_path, column))
     if has_index:

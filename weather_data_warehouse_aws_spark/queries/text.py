@@ -150,8 +150,11 @@ FROM scored
 # ---------------------------------------------------------------------------
 BPE_MERGES = 4
 BPE_SAMPLE_MOD = 10  # doc_id % 10 == 0 → 10% training subset, SF-stable
-CMS_WIDTH = 512  # small width on purpose: collisions exercise the MIN
-CMS_DEPTH = 3
+CMS_WIDTH = 16  # deliberately tiny: the synthetic corpus has only ~31
+CMS_DEPTH = 3   # distinct tokens, so width must be below that for bucket
+#               collisions to exist at all — with ~2 tokens/bucket the MIN
+#               over depth visibly picks smaller counters (strict
+#               overestimates appear for most tokens, all still one-sided)
 
 
 def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,7 +176,7 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       Spark HOF fold ≡ the recursive-CTE fold) under the
                       hash gate, not just the selections.
     * ``cms_est``   — Count-Min estimates (operators/cms.py) for the 20
-                      top tokens, from a deliberately-narrow width=512 ×
+                      top tokens, from a deliberately-narrow width=16 ×
                       depth=3 sketch built over ALL tokens: the portable
                       md5 bucketing makes the whole sketch — build,
                       broadcast probe, MIN over depth — bit-replicable in
