@@ -161,3 +161,57 @@ def test_probe_type_mismatch_is_bridged(spark):
     probe = spark.createDataFrame([(7,)], "k bigint")
     est = cms_estimate(sketch, probe, "k").first()["est"]
     assert est >= 42
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: the CMS invariants must hold for ARBITRARY corpora, not
+# just the synthetic token stream (SURVEY §5 item 4 pattern)
+# ---------------------------------------------------------------------------
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_FUZZ_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow, HealthCheck.function_scoped_fixture,
+    ],
+)
+
+_corpus = st.lists(
+    st.sampled_from(["a", "b", "cc", "dd", "e f", "", "長", "0"]),
+    min_size=0,
+    max_size=80,
+)
+
+
+@given(toks=_corpus, width=st.sampled_from([2, 4, 16]), depth=st.sampled_from([1, 3]))
+@_FUZZ_SETTINGS
+def test_fuzz_one_sided_and_split_merge(spark, toks, width, depth):
+    """For any corpus and any (width, depth): est ≥ true for every key,
+    and sketch(A∪B) == merge(sketch(A), sketch(B)) exactly for any split."""
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    sketch = cms_build(df, "tok", width=width, depth=depth)
+    truth = Counter(toks)
+    if toks:
+        probe = spark.createDataFrame([(t,) for t in set(toks)], "tok string")
+        est = {r.tok: r.est for r in cms_estimate(sketch, probe, "tok").collect()}
+        assert all(est[t] >= n for t, n in truth.items()), (est, truth)
+    # arbitrary split point: merge algebra must be exact
+    cut = len(toks) // 3
+    a = spark.createDataFrame([(t,) for t in toks[:cut]] or [("x",)], "tok string")
+    b = spark.createDataFrame([(t,) for t in toks[cut:]] or [("x",)], "tok string")
+    whole = spark.createDataFrame(
+        [(t,) for t in (toks[:cut] or ["x"]) + (toks[cut:] or ["x"])],
+        "tok string",
+    )
+    merged = cms_merge(
+        cms_build(a, "tok", width=width, depth=depth),
+        cms_build(b, "tok", width=width, depth=depth),
+    )
+    single = cms_build(whole, "tok", width=width, depth=depth)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, single.collect())
+    )

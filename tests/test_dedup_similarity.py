@@ -648,3 +648,35 @@ def test_pq_dim_divisibility_guard(spark, sf_dir):
 
     with pytest.raises(ValueError, match="divisible"):
         pq_topk(emb, emb, m=5, dim=64)
+
+
+def test_reworked_callsites_leave_cache_manager_empty(spark, sf_smoke_dir):
+    """Regression for the ADVICE-r5 leak class: persist() registers plans
+    in Spark's GLOBAL CacheManager (never GC'd), so the reworked call
+    sites must release every internal cache before returning — otherwise
+    each call pins executor storage for the rest of the session."""
+    from pyspark.sql import functions as F
+
+    from weather_data_warehouse_aws_spark.operators.dedup import leak_spans
+    from weather_data_warehouse_aws_spark.operators.similarity import pq_topk
+    from weather_data_warehouse_aws_spark.queries.similarity import q_ann_methods
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    spark.catalog.clearCache()
+    mgr = spark._jsparkSession.sharedState().cacheManager()
+
+    emb = load_table(spark, sf_smoke_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    pq_topk(queries, emb, k=3, m=4, ksub=16, rerank=3, dim=64).collect()
+    assert mgr.isEmpty(), "pq_topk standalone leaked a cached plan"
+
+    docs = load_table(spark, sf_smoke_dir, "documents").select("doc_id", "text")
+    leaked = docs.select(
+        "doc_id",
+        F.xxhash64(F.split(F.trim("text"), r"\s+").getItem(0)).alias("sh"),
+    ).limit(5)
+    leak_spans(docs, leaked, 5).collect()
+    assert mgr.isEmpty(), "leak_spans leaked its occurrence cache"
+
+    q_ann_methods(spark, sf_smoke_dir).count()
+    assert mgr.isEmpty(), "q_ann_methods leaked tier caches"
