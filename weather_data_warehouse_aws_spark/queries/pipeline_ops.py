@@ -243,6 +243,7 @@ ORDER BY variant, group_key
 # q_profile — column profiling (the DQ-gate precursor)
 # ---------------------------------------------------------------------------
 PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+SKEW_KEY = "l_suppkey"  # the profile's key_skew branch diagnoses this key
 
 
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,6 +275,26 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
+    # `skew:` branch — operators/skew.py::key_skew as a driver-checked row
+    # (round-4 verdict: the diagnostics were pytest-only). Top-5 heaviest
+    # l_suppkey values ride the profile schema: n_rows = the value's row
+    # count, min_val = its ROUND(·,6) share of the table (the same
+    # ROUND-both-sides discipline the pct queries use), other stats NULL.
+    # The share is the number a salting / AQE-skew decision reads.
+    from ..operators.skew import key_skew
+
+    skew = key_skew(li, SKEW_KEY, top_k=5).select(
+        F.concat(
+            F.lit(f"skew:{SKEW_KEY}="), F.col("value").cast("string")
+        ).alias("column_name"),
+        F.col("n").alias("n_rows"),
+        F.lit(None).cast("long").alias("n_nulls"),
+        F.lit(None).cast("long").alias("n_distinct"),
+        F.col("share").alias("min_val"),
+        F.lit(None).cast("double").alias("max_val"),
+        F.lit(None).cast("double").alias("avg_val"),
+    )
+    out = out.unionByName(skew)
     return out.select(
         "column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val", "avg_val"
     ).orderBy("column_name")
@@ -326,11 +347,33 @@ FROM lineitem
 """
 
 
-ORACLE_PROFILE = (
-    " UNION ALL ".join(
-        _profile_branch(c) for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_ORACLE_SKEW_BRANCH = f"""
+SELECT 'skew:{SKEW_KEY}=' || CAST(value AS VARCHAR) AS column_name,
+       n AS n_rows,
+       CAST(NULL AS BIGINT) AS n_nulls,
+       CAST(NULL AS BIGINT) AS n_distinct,
+       share AS min_val,
+       CAST(NULL AS DOUBLE) AS max_val,
+       CAST(NULL AS DOUBLE) AS avg_val
+FROM (
+    SELECT value, n, ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 6) AS share
+    FROM (
+        SELECT {SKEW_KEY} AS value, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY {SKEW_KEY}
     )
-    + " ORDER BY column_name"
+)
+ORDER BY n DESC, value
+LIMIT 5
+"""
+
+ORACLE_PROFILE = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"({_profile_branch(c)})"
+        for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    )
+    + f" UNION ALL ({_ORACLE_SKEW_BRANCH})"
+    + ") ORDER BY column_name"
 )
 
 

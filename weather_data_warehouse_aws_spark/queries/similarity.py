@@ -714,6 +714,20 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
+    tiers = (brute, ivf, lsh, q8, pq)
+    try:
+        return _assemble_ann_methods(tiers, inner_caches)
+    except BaseException:
+        # the success path releases caches itself; on ANY failure mid-
+        # materialization the tier caches must not outlive the call
+        # (CacheManager entries are never GC'd)
+        for t in (*tiers, *inner_caches):
+            t.unpersist()
+        raise
+
+
+def _assemble_ann_methods(tiers, inner_caches: list) -> DataFrame:
+    brute, ivf, lsh, q8, pq = tiers
     # materialize the five tiers CONCURRENTLY (Spark runs jobs submitted
     # from separate threads in parallel; each tier's stage chain is serial
     # internally, so a single assembly action would pay their SUM — the
@@ -722,7 +736,7 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=5) as pool:
-        list(pool.map(lambda t: t.count(), (brute, ivf, lsh, q8, pq)))
+        list(pool.map(lambda t: t.count(), tiers))
 
     base = brute.select("query_id", "neighbor_id")
     qs = base.select("query_id").distinct()
