@@ -166,3 +166,117 @@ def test_curation_with_gopher_rules(spark):
     assert 1 in passed and 2 in quarantined
     tags = stages["quarantined"].filter("doc_id = 2").first()["dq_violations"]
     assert any("gopher" in t for t in tags)
+
+
+def test_cut_spans_operator(spark):
+    """Envelope cut: tokens [a, b] removed, outside kept verbatim,
+    n_tokens recomputed; docs without a span row pass through; whole-doc
+    spans yield empty text. DuckDB mirrors the slice arithmetic exactly."""
+    import duckdb
+
+    from weather_data_warehouse_aws_spark.operators.dedup import cut_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f", 6),
+            (2, "p q r s", 4),
+            (3, "x y z", 3),
+        ],
+        "doc_id int, text string, n_tokens int",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 4), (3, 1, 3)], "doc_id int, span_start int, span_end int"
+    )
+    out = {r.doc_id: (r.text, r.n_tokens) for r in cut_spans(docs, spans).collect()}
+    assert out[1] == ("a e f", 3)      # middle cut
+    assert out[2] == ("p q r s", 4)    # untouched
+    assert out[3] == ("", 0)           # whole doc cut
+
+    # DuckDB differential for the same arithmetic (1-based inclusive)
+    con = duckdb.connect()
+    got = con.execute(r"""
+        WITH d(doc_id, text, a, b) AS (VALUES (1, 'a b c d e f', 2, 4), (3, 'x y z', 1, 3)),
+        t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks, a, b FROM d)
+        SELECT doc_id, list_aggregate(toks[1:a-1] || toks[b+1:], 'string_agg', ' ')
+        FROM t ORDER BY doc_id
+    """).fetchall()
+    assert (got[0][1] or "") == out[1][0] and (got[1][1] or "") == out[3][0]
+
+
+def test_salvage_cuts_instead_of_dropping(spark):
+    """A doc whose contamination is a small leading slice (coverage under
+    the threshold) must survive with the envelope cut and a clean
+    re-probe; heavy contamination still drops; splits/packs see the
+    recomputed token counts."""
+    from weather_data_warehouse_aws_spark.pipeline.curate import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    rows = []
+    for i in range(1, 9):
+        rows.append((i, " ".join(f"w{i}{c}" for c in "abcdefghijklmnop"), "en"))
+    # doc 50: 5-token leaked prefix + 15 unique tokens (coverage 5/20=0.25)
+    leak = "s1 s2 s3 s4 s5"
+    rows.append((50, leak + " " + " ".join(f"u{c}" for c in "abcdefghijklmno"), "en"))
+    # doc 60: fully leaked (coverage 1.0) — must drop
+    rows.append((60, "t1 t2 t3 t4 t5 t6", "en"))
+    corpus = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    ev = spark.createDataFrame(
+        [(9001, leak), (9002, "t1 t2 t3 t4 t5 t6")], ["doc_id", "text"]
+    )
+    cfg = CurationConfig(
+        min_tokens=5, max_tokens=50, pack_budget=8, pack_shards=2,
+        split_weights=(1.0,), split_labels=("train",),
+        salvage_max_coverage=0.5,
+    )
+    out = curate_corpus(corpus, eval_docs=ev, config=cfg)
+    salv = {r.doc_id: r for r in out["salvaged"].collect()}
+    dec_ids = {r.doc_id for r in out["decontaminated"].select("doc_id").collect()}
+    assert 50 in salv and 50 in dec_ids
+    assert 60 not in dec_ids
+    assert salv[50].n_tokens == 15
+    assert not salv[50].text.startswith("s1")
+    assert "u" in salv[50].text  # unique tail kept
+    # salvaged doc flows into the split/pack with its new token count
+    assert 50 in {r.doc_id for r in out["split"].collect()}
+    # without the knob: both drop (baseline behavior unchanged)
+    base = curate_corpus(
+        corpus, eval_docs=ev,
+        config=CurationConfig(
+            min_tokens=5, max_tokens=50, pack_budget=8, pack_shards=2,
+            split_weights=(1.0,), split_labels=("train",),
+        ),
+    )
+    base_ids = {r.doc_id for r in base["decontaminated"].select("doc_id").collect()}
+    assert 50 not in base_ids and 60 not in base_ids
+    assert base["salvaged"].count() == 0
+
+
+def test_salvage_reprobe_rejects_splice_leak(spark):
+    """The cut splices tokens across the removed span; if the splice
+    itself recreates an eval n-gram the doc must STILL be dropped (the
+    verified-salvage re-probe, not just the cut, decides survival)."""
+    from weather_data_warehouse_aws_spark.pipeline.curate import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    # doc: g1 g2 [LEAK: m1..m5] g3 g4 g5 — cutting m1..m5 splices
+    # 'g1 g2 g3 g4 g5', which is EXACTLY an eval doc's 5-gram.
+    rows = [(1, "g1 g2 m1 m2 m3 m4 m5 g3 g4 g5", "en")]
+    for i in range(2, 8):
+        rows.append((i, " ".join(f"w{i}{c}" for c in "abcdefghij"), "en"))
+    corpus = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    ev = spark.createDataFrame(
+        [(9001, "m1 m2 m3 m4 m5"), (9002, "g1 g2 g3 g4 g5")],
+        ["doc_id", "text"],
+    )
+    cfg = CurationConfig(
+        min_tokens=3, max_tokens=50, pack_budget=8, pack_shards=2,
+        split_weights=(1.0,), split_labels=("train",),
+        salvage_max_coverage=0.9,
+    )
+    out = curate_corpus(corpus, eval_docs=ev, config=cfg)
+    dec_ids = {r.doc_id for r in out["decontaminated"].select("doc_id").collect()}
+    assert 1 not in dec_ids, "splice-created leak survived the re-probe"

@@ -171,6 +171,73 @@ def leak_spans(
     return out
 
 
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = "n_tokens",
+) -> DataFrame:
+    """Salvage documents by CUTTING a token span instead of dropping them:
+    given `spans` (id_col, span_start, span_end — 1-based inclusive, the
+    `leak_spans` envelope), rewrite `text_col` to the tokens OUTSIDE the
+    span (single-space rejoined) and recompute `tokens_col` when present.
+    Docs with no span row pass through unchanged.
+
+    The envelope is deliberately conservative: everything between the
+    FIRST and LAST leaked position goes, including clean middle tokens —
+    over-cutting can only lose yield, never leak. Cutting splices the
+    token before the span against the token after it, which can CREATE a
+    new n-gram that itself matches the eval set — callers doing
+    decontamination must RE-PROBE the cut docs (pipeline/curate.py's
+    salvage path does; 'verified salvage').
+
+    Shape: spans come from the eval-overlap side, orders of magnitude
+    smaller than the corpus → broadcast left join + one linear map pass
+    (slice/filter/concat are JVM HOFs); no shuffle of the corpus."""
+    sp = F.broadcast(
+        spans.select(
+            F.col(id_col),
+            F.col("span_start").alias("__cut_a"),
+            F.col("span_end").alias("__cut_b"),
+        )
+    )
+    joined = docs.join(sp, id_col, "left")
+    toks = f"split(trim(`{text_col}`), '\\\\s+')"
+    # kept = toks[1 .. a-1] ++ toks[b+1 .. end]; slice lengths clamped ≥ 0
+    # (ANSI mode raises on negative slice lengths)
+    kept = (
+        f"concat(slice({toks}, 1, greatest(__cut_a - 1, 0)), "
+        f"slice({toks}, __cut_b + 1, "
+        f"greatest(size({toks}) - __cut_b, 0)))"
+    )
+    # compute the kept array ONCE from the ORIGINAL text (a later
+    # withColumn would re-tokenize the already-rewritten text)
+    out = joined.withColumn(
+        "__kept",
+        F.when(F.col("__cut_a").isNotNull(), F.expr(kept)),
+    )
+    if tokens_col and tokens_col in docs.columns:
+        out = out.withColumn(
+            tokens_col,
+            F.when(
+                F.col("__cut_a").isNull(), F.col(tokens_col)
+            ).otherwise(
+                F.expr("size(filter(__kept, t -> t <> ''))").cast(
+                    docs.schema[tokens_col].dataType.simpleString()
+                )
+            ),
+        )
+    out = out.withColumn(
+        text_col,
+        F.when(F.col("__cut_a").isNull(), F.col(text_col)).otherwise(
+            F.expr("array_join(__kept, ' ')")
+        ),
+    )
+    return out.drop("__cut_a", "__cut_b", "__kept")
+
+
 def cap_hot_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
     """Drop shingles whose doc-frequency exceeds `max_doc_freq`.
 

@@ -67,6 +67,10 @@ class CurationConfig:
     pack_budget: int = 256          # tokens per packed sequence
     pack_shards: int = 8            # parallel pack streams
     extra_rules: tuple[Rule, ...] = field(default_factory=tuple)
+    # verified salvage: contaminated docs whose leaked-token coverage is
+    # ≤ this fraction get their leak ENVELOPE cut (operators/dedup.py::
+    # cut_spans) and re-probed instead of dropped; None = always drop
+    salvage_max_coverage: float | None = None
 
 
 def clean_documents(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -98,7 +102,10 @@ def curate_corpus(
 
       cleaned / passed / quarantined / dq_metrics
       dup_pairs / clusters / survivors
-      decontaminated   (== survivors when eval_docs is None)
+      salvaged         (verified-salvage docs, empty unless
+                        salvage_max_coverage is set with eval_docs)
+      decontaminated   (== survivors when eval_docs is None; includes
+                        salvaged docs with their leak envelope cut)
       split            (adds `split` column)
       mixed            (== train split when budgets is None)
       packed
@@ -149,14 +156,49 @@ def curate_corpus(
             surv_sh, "sh", eval_sh, "sh", fpr=cfg.decontam_fpr
         ).persist()  # cap consumes it twice (df groupBy + anti-join probe)
         capped = cap_hot_shingles(pruned, cfg.max_shingle_df)
-        contaminated = (
-            capped.join(eval_sh, "sh").select("doc_id").distinct()
-        )
+        hits = capped.join(eval_sh, "sh").select("doc_id", "sh")
+        contaminated = hits.select("doc_id").distinct()
         decontaminated = survivors.join(
             F.broadcast(contaminated), "doc_id", "left_anti"
         )
+        if cfg.salvage_max_coverage is not None:
+            # VERIFIED SALVAGE: cut the leak envelope out of lightly-
+            # contaminated docs instead of dropping them, then RE-PROBE
+            # the cut text against the eval shingles — the splice can
+            # create a brand-new matching n-gram, so salvage only counts
+            # when the re-probe comes back clean. All joins here are on
+            # the contaminated side (≪ corpus).
+            from ..operators.dedup import cut_spans, leak_spans
+
+            cont_docs = survivors.join(F.broadcast(contaminated), "doc_id")
+            spans = leak_spans(
+                cont_docs, hits.distinct(), cfg.shingle_n
+            )  # (doc_id, span_start, span_end, n_covered_tokens)
+            light = spans.join(
+                cont_docs.select("doc_id", "n_tokens"), "doc_id"
+            ).filter(
+                F.col("n_covered_tokens")
+                <= cfg.salvage_max_coverage * F.col("n_tokens")
+            ).select("doc_id", "span_start", "span_end")
+            cut = cut_spans(
+                cont_docs.join(F.broadcast(light.select("doc_id")), "doc_id"),
+                light,
+            ).filter(F.col("n_tokens") >= cfg.min_tokens)
+            still_hot = (
+                shingle_table(cut, "doc_id", "text", cfg.shingle_n)
+                .join(eval_sh, "sh")
+                .select("doc_id")
+                .distinct()
+            )
+            salvaged = cut.join(
+                F.broadcast(still_hot), "doc_id", "left_anti"
+            ).persist()
+            decontaminated = decontaminated.unionByName(salvaged)
+        else:
+            salvaged = survivors.limit(0)
     else:
         decontaminated = survivors
+        salvaged = survivors.limit(0)
     decontaminated = decontaminated.persist()
 
     split = leakage_safe_split(
@@ -192,6 +234,7 @@ def curate_corpus(
         "dup_pairs": dup_pairs,
         "clusters": clusters,
         "survivors": survivors,
+        "salvaged": salvaged,
         "decontaminated": decontaminated,
         "split": split,
         "mixed": mixed,
