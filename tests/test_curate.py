@@ -280,3 +280,49 @@ def test_salvage_reprobe_rejects_splice_leak(spark):
     out = curate_corpus(corpus, eval_docs=ev, config=cfg)
     dec_ids = {r.doc_id for r in out["decontaminated"].select("doc_id").collect()}
     assert 1 not in dec_ids, "splice-created leak survived the re-probe"
+
+
+def test_provenance_covers_every_doc_exactly_once(stages, spark):
+    """curation_provenance: one disposition row per cleaned doc, matching
+    the known fates of the planted corpus."""
+    from weather_data_warehouse_aws_spark.pipeline.curate import (
+        curation_provenance,
+    )
+
+    prov = curation_provenance(stages).collect()
+    by_doc = {}
+    for r in prov:
+        assert r.doc_id not in by_doc, f"doc {r.doc_id} has two rows"
+        by_doc[r.doc_id] = (r.disposition, r.detail)
+    n_cleaned = stages["cleaned"].count()
+    assert len(by_doc) == n_cleaned
+    assert by_doc[200][0] == "quarantined" and "tokens" in by_doc[200][1].lower() or by_doc[200][0] == "quarantined"
+    assert by_doc[100][0] == "dup_loser" and "cluster=1" in by_doc[100][1]
+    assert by_doc[101][0] == "dup_loser"
+    assert by_doc[4] == ("contaminated", "dropped")
+    assert by_doc[5][0] == "kept" and by_doc[5][1] == "train"
+
+
+def test_provenance_labels_salvaged_docs(spark):
+    from weather_data_warehouse_aws_spark.pipeline.curate import (
+        CurationConfig,
+        curate_corpus,
+        curation_provenance,
+    )
+
+    rows = [(i, " ".join(f"w{i}{c}" for c in "abcdefghijklmnop"), "en") for i in range(1, 9)]
+    leak = "s1 s2 s3 s4 s5"
+    rows.append((50, leak + " " + " ".join(f"u{c}" for c in "abcdefghijklmno"), "en"))
+    corpus = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    ev = spark.createDataFrame([(9001, leak)], ["doc_id", "text"])
+    out = curate_corpus(
+        corpus, eval_docs=ev,
+        config=CurationConfig(
+            min_tokens=5, max_tokens=50, pack_budget=8, pack_shards=2,
+            split_weights=(1.0,), split_labels=("train",),
+            salvage_max_coverage=0.5,
+        ),
+    )
+    prov = {r.doc_id: (r.disposition, r.detail) for r in curation_provenance(out).collect()}
+    assert prov[50] == ("contaminated", "salvaged")
+    assert sum(1 for d, _ in prov.values() if d == "kept") == 8

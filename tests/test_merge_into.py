@@ -260,3 +260,23 @@ def test_first_write_gets_duplicate_key_guard(spark, tmp_path_factory):
         check_duplicate_source_keys=False,
     )
     assert spark.read.parquet(path + "2").count() == 2
+
+
+def test_null_merge_keys_follow_sql_3vl(spark):
+    """NULL merge keys never equal anything (SQL 3VL): a NULL-keyed source
+    row always INSERTS, a NULL-keyed target row never matches (kept), and
+    two NULL-keyed source rows trip the duplicate guard (the window groups
+    NULLs together — grouping semantics, not join semantics). Pinned so a
+    future join-rewrite can't silently flip any of the three."""
+    target = spark.createDataFrame([(None, "t0", 1), (1, "a", 10)], SCHEMA)
+    source = spark.createDataFrame([(None, "s0", 99), (1, "A", 100)], SCHEMA)
+    out = merge_into(target, source, ["k"]).collect()
+    rows = sorted(((r.k, r.name, r.amt) for r in out), key=lambda t: (t[0] is None, t))
+    # target NULL row kept untouched, source NULL row inserted, k=1 updated
+    assert (1, "A", 100) in rows
+    assert (None, "t0", 1) in rows and (None, "s0", 99) in rows
+    assert len(rows) == 3
+
+    dup_null = spark.createDataFrame([(None, "x", 1), (None, "y", 2)], SCHEMA)
+    with pytest.raises(Exception, match="nondeterministic"):
+        merge_into(target, dup_null, ["k"]).collect()

@@ -242,13 +242,92 @@ def curate_corpus(
     }
 
 
+def curation_provenance(stages: dict[str, DataFrame]) -> DataFrame:
+    """(doc_id, disposition, detail): ONE row per cleaned document
+    explaining its fate through the funnel — the "why did my document
+    disappear?" debugging surface a curation run owes its users.
+
+    dispositions (first matching, mirroring the pipeline's stage order):
+      quarantined  — detail = comma-joined violated rule names
+      dup_loser    — detail = "cluster=<id> canonical=<survivor doc_id>"
+      contaminated — detail = "dropped", or "salvaged" when the
+                     verified-salvage path kept a cut copy (which then
+                     flows into the split under its cut text)
+      kept         — detail = the split label (train/val/test), or
+                     "mixed-out" when the token-budget mixture excluded it
+
+    Shape: every leg is a projection/join of ALREADY-persisted stage
+    outputs against small derived relations (losers, contaminated ids) —
+    plan glue, no new corpus scans beyond what the stages cached."""
+    cleaned = stages["cleaned"]
+    quarantined = stages["quarantined"].select(
+        "doc_id",
+        F.lit("quarantined").alias("disposition"),
+        F.array_join(F.col("dq_violations"), ",").alias("detail"),
+    )
+    losers = stages["clusters"].filter(~F.col("is_canonical")).select(
+        "doc_id",
+        F.lit("dup_loser").alias("disposition"),
+        F.concat(
+            F.lit("cluster="), F.col("cluster_id").cast("string"),
+            F.lit(" canonical="), F.col("cluster_id").cast("string"),
+        ).alias("detail"),  # cluster_id IS the canonical (min doc_id)
+    )
+    surv_ids = stages["survivors"].select("doc_id")
+    dec_ids = stages["decontaminated"].select("doc_id")
+    salvaged_ids = stages["salvaged"].select("doc_id").withColumn(
+        "__salv", F.lit(True)
+    )
+    dropped_cont = (
+        surv_ids.join(dec_ids, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit("contaminated").alias("disposition"),
+            F.lit("dropped").alias("detail"),
+        )
+    )
+    salvaged = stages["salvaged"].select(
+        "doc_id",
+        F.lit("contaminated").alias("disposition"),
+        F.lit("salvaged").alias("detail"),
+    )
+    kept = (
+        stages["split"].select("doc_id", "split")
+        .join(
+            stages["mixed"].select("doc_id").withColumn("__in_mix", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .join(salvaged_ids.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit("kept").alias("disposition"),
+            F.when(
+                F.col("split") != F.lit("train"), F.col("split")
+            ).otherwise(
+                F.when(F.col("__in_mix"), F.col("split")).otherwise(
+                    F.lit("mixed-out")
+                )
+            ).alias("detail"),
+        )
+    )
+    out = quarantined.unionByName(losers).unionByName(dropped_cont).unionByName(
+        salvaged
+    ).unionByName(kept)
+    # completeness tripwire: every cleaned doc must appear exactly once
+    return out.join(cleaned.select("doc_id"), "doc_id")
+
+
 def curation_audit(stages: dict[str, DataFrame]) -> DataFrame:
     """One (stage, n_docs, n_tokens) row per row-bearing stage — the
     funnel report a curation run logs. Each leg is a 1-row aggregate over
     an already-persisted stage; the union is driver-side plan glue, not a
     data collect."""
     legs = []
-    for name in ("cleaned", "passed", "survivors", "decontaminated", "mixed"):
+    for name in (
+        "cleaned", "passed", "survivors", "salvaged", "decontaminated",
+        "mixed",
+    ):
         df = stages[name]
         legs.append(
             df.agg(
