@@ -29,4 +29,9 @@ from .similarity import (  # noqa: F401
     lloyd_refine,
     lsh_topk,
 )
+from .privacy import (  # noqa: F401
+    depseudonymize,
+    forget_tokens,
+    pseudonymize,
+)
 from .skew import salted_agg, salted_broadcast_join  # noqa: F401
