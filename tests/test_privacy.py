@@ -99,3 +99,45 @@ def test_token_parity_with_duckdb(spark):
         ).fetchall()
     )
     assert spark_tokens == duck_tokens
+
+
+def test_gdpr_playbook_end_to_end(spark, tmp_path_factory):
+    """The full forget-me playbook the three primitives compose into:
+
+    1. land the fact table PSEUDONYMIZED (tokens in the lake, vault in
+       the restricted store) — analytics run normally;
+    2. erasure request: `forget_tokens` drops the identity from the
+       vault (crypto-erasure, instant, no data rewrite);
+    3. when policy additionally demands physical removal of the rows,
+       `erase_keys` Bloom-prunes and rewrites ONLY the files carrying
+       that token.
+    """
+    from weather_data_warehouse_aws_spark.operators.maintenance import erase_keys
+
+    events = spark.createDataFrame(
+        [(i, ["alice@example.com", "bob@example.com", "carol@example.com"][i % 3], i * 10)
+         for i in range(60)],
+        "event_id int, email string, amount int",
+    )
+    tok, vault = pseudonymize(events, ["email"], secret=SECRET)
+    alice_token = (
+        vault["email"].filter(F.col("value") == "alice@example.com").first().token
+    )
+
+    path = str(tmp_path_factory.mktemp("gdpr")) + "/events"
+    tok.repartition(8, "email").write.parquet(path)
+
+    # step 2: crypto-erasure — restore works for others, not for alice
+    vault["email"] = forget_tokens(vault["email"], ["alice@example.com"])
+    restored = depseudonymize(spark.read.parquet(path), vault)
+    assert restored.filter(F.col("email") == "bob@example.com").count() == 20
+    assert restored.filter(F.col("email") == "alice@example.com").count() == 0
+    # aggregates over the forgotten identity still consistent (tokens intact)
+    assert spark.read.parquet(path).groupBy("email").count().count() == 3
+
+    # step 3: physical removal of the rows themselves
+    stats = erase_keys(spark, path, "email", [alice_token])
+    assert stats["rows_removed"] == 20
+    back = spark.read.parquet(path)
+    assert back.count() == 40
+    assert back.filter(F.col("email") == alice_token).count() == 0
