@@ -41,6 +41,11 @@ __all__ = ["merge_into", "merge_into_table"]
 def _guard_duplicate_keys(source: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Tripwire riding the plan (no eager pre-scan): raises at action time
     if any merge key has >1 source row — MERGE would be nondeterministic."""
+    if "__mrg_guard" in source.columns:
+        # withColumn would silently REPLACE (then drop) a user column of
+        # this name — refuse up front, mirroring merge_into's reserved-
+        # name check, so the first-write path can't eat data either
+        raise ValueError("merge_into: reserved column names in input: ['__mrg_guard']")
     w = Window.partitionBy(*list(keys))
     guard = F.when(
         F.count(F.lit(1)).over(w) > 1,
