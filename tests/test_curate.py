@@ -326,3 +326,40 @@ def test_provenance_labels_salvaged_docs(spark):
     prov = {r.doc_id: (r.disposition, r.detail) for r in curation_provenance(out).collect()}
     assert prov[50] == ("contaminated", "salvaged")
     assert sum(1 for d, _ in prov.values() if d == "kept") == 8
+
+
+def test_fuzz_cut_spans_matches_python_reference(spark):
+    """cut_spans ≡ the obvious Python slice for arbitrary docs and spans
+    (1-based inclusive, clamped), including empty remainders."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from weather_data_warehouse_aws_spark.operators.dedup import cut_spans
+
+    toks_st = st.lists(
+        st.sampled_from(["a", "bb", "c1", "dd", "e"]), min_size=1, max_size=12
+    )
+
+    @given(toks=toks_st, a=st.integers(1, 12), width=st.integers(0, 12))
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow, HealthCheck.function_scoped_fixture,
+        ],
+    )
+    def run(toks, a, width):
+        n = len(toks)
+        a2 = min(a, n)
+        b = min(a2 + width, n)
+        df = spark.createDataFrame(
+            [(1, " ".join(toks), n)], "doc_id int, text string, n_tokens int"
+        )
+        spans = spark.createDataFrame(
+            [(1, a2, b)], "doc_id int, span_start int, span_end int"
+        )
+        r = cut_spans(df, spans).first()
+        expect = toks[: a2 - 1] + toks[b:]
+        assert r.text == " ".join(expect)
+        assert r.n_tokens == len(expect)
+
+    run()
