@@ -349,6 +349,13 @@ def erase_keys(
     keep late-added columns; partition columns are detected from the
     `key=value` directory segments, never guessed from footers.
 
+    An erasure that removes EVERY row leaves an empty table directory —
+    correct for a schema-on-read lake (the schema lived only in the data
+    files), but a bare `spark.read.parquet` on it then fails schema
+    inference; read an emptied table with an explicit schema, or treat
+    it as dropped. (A table format's metadata layer is what would
+    preserve the schema past the last row.)
+
     Returns {"files_rewritten": n, "rows_removed": n}.
     """
     from pyspark.sql import functions as F
