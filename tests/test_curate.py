@@ -363,3 +363,34 @@ def test_fuzz_cut_spans_matches_python_reference(spark):
         assert r.n_tokens == len(expect)
 
     run()
+
+
+def test_provenance_mixed_out_respects_custom_train_label(spark):
+    """The mixed-out detail must key off the PIPELINE's train label, not a
+    hardcoded "train" — under custom split labels a budget-excluded doc
+    still reads mixed-out."""
+    from weather_data_warehouse_aws_spark.pipeline.curate import (
+        curation_provenance,
+    )
+
+    corpus = _corpus(spark)
+    budgets = spark.createDataFrame([("en", 15), ("de", 15)], ["lang", "budget"])
+    cfg = CurationConfig(
+        min_tokens=5, max_tokens=50, neardup_threshold=0.5,
+        pack_budget=8, pack_shards=2,
+        split_weights=(1.0,), split_labels=("t",),
+    )
+    out = curate_corpus(corpus, budgets=budgets, config=cfg)
+    prov = {
+        r.doc_id: (r.disposition, r.detail)
+        for r in curation_provenance(out, train_label="t").collect()
+    }
+    kept_details = {d for disp, d in prov.values() if disp == "kept"}
+    # 15-token budgets over ~10-token docs keep one doc per lang; the rest
+    # of the split must surface as mixed-out, never as the bare label
+    assert kept_details == {"t", "mixed-out"}
+    n_mixed = sum(1 for disp, d in prov.values() if d == "mixed-out")
+    n_in = out["mixed"].count()
+    n_split = out["split"].count()
+    assert n_mixed == n_split - n_in > 0
+    spark.catalog.clearCache()

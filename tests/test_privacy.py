@@ -141,3 +141,25 @@ def test_gdpr_playbook_end_to_end(spark, tmp_path_factory):
     back = spark.read.parquet(path)
     assert back.count() == 40
     assert back.filter(F.col("email") == alice_token).count() == 0
+
+
+def test_sql_mirror_escapes_quoted_secret(spark):
+    """A secret containing a single quote must hash identically through
+    the DuckDB mirror, not splice broken SQL."""
+    hostile = "it's a ' secret"
+    df = spark.createDataFrame([(1, "x@y.z")], "id int, email string")
+    tok, _ = pseudonymize(df, ["email"], secret=hostile)
+    expr = pseudonym_token_sql("email", secret=hostile, domain="email")
+    got = duckdb.connect().execute(
+        f"SELECT {expr} FROM (VALUES ('x@y.z')) AS t(email)"
+    ).fetchone()[0]
+    assert got == tok.first().email
+
+
+def test_depseudonymize_rejects_reserved_scratch_names(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "t", "x")], "id int, email string, __tok_email string")
+    tok, vault = pseudonymize(df.drop("__tok_email"), ["email"], secret=SECRET)
+    with pytest.raises(ValueError):
+        depseudonymize(tok.withColumn("__tok_email", F.lit("x")), vault)

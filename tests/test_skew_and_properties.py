@@ -483,8 +483,10 @@ _erase_rows = st.lists(
 @_SETTINGS
 def test_erase_keys_fuzz_matches_filter(spark, tmp_path_factory, rows, erase, with_nulls):
     """erase_keys over random partitioned tables ≡ a plain filter of the
-    same rows — including NULL keys (always kept) and erase values absent
-    from the table."""
+    same rows — including NULL keys (always kept), erase values absent
+    from the table, and a batch that wipes EVERY row (the documented
+    schema-on-read corner: the emptied table dir has no footers left to
+    infer from, so the read-back must supply the schema explicitly)."""
     from weather_data_warehouse_aws_spark.operators.maintenance import erase_keys
 
     data = [(k, p, v) for k, p, v in rows]
@@ -496,7 +498,12 @@ def test_erase_keys_fuzz_matches_filter(spark, tmp_path_factory, rows, erase, wi
 
     stats = erase_keys(spark, path, "k", sorted(erase))
     got = sorted(
-        ((r.k, r.part, r.v) for r in spark.read.parquet(path).collect()),
+        (
+            (r.k, r.part, r.v)
+            for r in spark.read.schema("k int, v int, part string")
+            .parquet(path)
+            .collect()
+        ),
         key=str,
     )
     want = sorted(

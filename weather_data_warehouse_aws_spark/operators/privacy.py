@@ -47,7 +47,11 @@ __all__ = [
 def pseudonym_token(col: Column, *, secret: str, domain: str) -> Column:
     """Deterministic keyed token for `col` (NULL stays NULL: a missing
     identity is not an identity). `domain` scopes the token space —
-    normally the column name."""
+    normally the column name. The `|` separators make the preimage
+    unambiguous only while `secret` and `domain` are `|`-free (a trailing
+    secret `|` could otherwise alias a domain prefix); values may contain
+    anything — the value slot is last, so it can never bleed into the
+    label slots."""
     return F.when(
         col.isNotNull(),
         F.sha2(
@@ -58,11 +62,14 @@ def pseudonym_token(col: Column, *, secret: str, domain: str) -> Column:
 
 
 def pseudonym_token_sql(expr: str, *, secret: str, domain: str) -> str:
-    """DuckDB mirror of `pseudonym_token` — bit-identical lowercase hex."""
+    """DuckDB mirror of `pseudonym_token` — bit-identical lowercase hex.
+    Secret/domain are spliced as SQL literals, so quotes are doubled —
+    a secret containing `'` must hash identically, not break the SQL."""
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
     return (
         f"CASE WHEN {expr} IS NOT NULL THEN "
-        f"sha256('{secret}' || '|' || '{domain}' || '|' || CAST({expr} AS VARCHAR)) "
-        f"END"
+        f"sha256('{esc(secret)}' || '|' || '{esc(domain)}' || '|' "
+        f"|| CAST({expr} AS VARCHAR)) END"
     )
 
 
@@ -106,6 +113,10 @@ def depseudonymize(
     the FORGET semantics, not an error. NULL tokens stay NULL."""
     out = df
     for c in cols or list(vault):
+        if f"__tok_{c}" in df.columns or f"__val_{c}" in df.columns:
+            raise ValueError(
+                f"__tok_{c}/__val_{c} are reserved join-scratch names"
+            )
         v = F.broadcast(
             vault[c].select(
                 F.col("token").alias(f"__tok_{c}"),

@@ -242,7 +242,9 @@ def curate_corpus(
     }
 
 
-def curation_provenance(stages: dict[str, DataFrame]) -> DataFrame:
+def curation_provenance(
+    stages: dict[str, DataFrame], *, train_label: str = "train"
+) -> DataFrame:
     """(doc_id, disposition, detail): ONE row per cleaned document
     explaining its fate through the funnel — the "why did my document
     disappear?" debugging surface a curation run owes its users.
@@ -255,6 +257,9 @@ def curation_provenance(stages: dict[str, DataFrame]) -> DataFrame:
                      flows into the split under its cut text)
       kept         — detail = the split label (train/val/test), or
                      "mixed-out" when the token-budget mixture excluded it
+                     (`train_label` must match the pipeline's
+                     cfg.split_labels[0] — only the train split is
+                     subject to mixing)
 
     Shape: every leg is a projection/join of ALREADY-persisted stage
     outputs against small derived relations (losers, contaminated ids) —
@@ -303,7 +308,7 @@ def curation_provenance(stages: dict[str, DataFrame]) -> DataFrame:
             "doc_id",
             F.lit("kept").alias("disposition"),
             F.when(
-                F.col("split") != F.lit("train"), F.col("split")
+                F.col("split") != F.lit(train_label), F.col("split")
             ).otherwise(
                 F.when(F.col("__in_mix"), F.col("split")).otherwise(
                     F.lit("mixed-out")
