@@ -59,3 +59,46 @@ def test_epoch_roundtrip_all_exact(rows):
 def test_optional_default_covers_every_row(rows):
     n_events = sum(n for (v, _), (n, _) in rows.items() if v == "enrich")
     assert rows[("optional_default", "gust_default")][0] == n_events
+
+
+def test_pseudo_branch_groups_match_raw_user_grouping(rows, spark, sf_dir):
+    """The top-20-by-token grouping must be exactly the top-20-by-raw-user
+    grouping with user_id swapped for its token: same (n, checksum)
+    multiset, all group keys 64-hex, no raw user_id leaking through."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from weather_data_warehouse_aws_spark.sources.tables import load_table
+
+    from weather_data_warehouse_aws_spark.operators.privacy import (
+        pseudonym_token,
+    )
+    from weather_data_warehouse_aws_spark.queries.weather_enrich import (
+        PSEUDO_SECRET,
+    )
+
+    got = {k[1]: v for k, v in rows.items() if k[0] == "pseudo"}
+    assert len(got) == 20
+    assert all(re.fullmatch(r"[0-9a-f]{64}", t) for t in got)
+    ev = load_table(spark, sf_dir, "events")
+    # aggregate by RAW user first, tokenize AFTER, apply the query's own
+    # (n desc, token) order — grouping by token must be indistinguishable
+    # from grouping by user then mapping user -> token (injectivity in
+    # practice; an n-tie at the cut is broken by token on both paths)
+    raw = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("event_id").alias("checksum"))
+        .select(
+            pseudonym_token(
+                F.col("user_id"), secret=PSEUDO_SECRET, domain="user_id"
+            ).alias("token"),
+            "n",
+            "checksum",
+        )
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+        .collect()
+    )
+    assert {r.token: (r.n, r.checksum) for r in raw} == got

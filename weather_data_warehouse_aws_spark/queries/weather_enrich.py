@@ -21,6 +21,14 @@ on observations both engines synthesize identically from `events`:
                         `_wind_gust_col` (pipeline/silver.py:53,
                         `bronze_to_silver.py:35-42`); oracle applies the same
                         static default.
+* ``pseudo``          — operators/privacy.py keyed pseudonymization under
+                        the hash gate: the 20 busiest users grouped BY
+                        THEIR sha256 TOKEN, so a driver match pins (a) the
+                        token bytes cross-engine (Spark sha2 ≡ DuckDB
+                        sha256 on the secret|domain|value preimage) and
+                        (b) that tokenized identifiers stay groupable —
+                        the property the whole pseudonymize-then-analyze
+                        workflow rests on.
 
 Common schema (variant, group_key, n, checksum) — checksum is SUM(event_id)
 (or epoch-of-day sum for the F2 branch) so the hash gate pins the exact row
@@ -42,6 +50,10 @@ from ..functions.weather import (
     is_daytime,
 )
 from ..sources.tables import load_table
+
+# demo secret for the oracle branch — a fixed literal so both engines build
+# the identical preimage; real deployments inject theirs from a secret store
+PSEUDO_SECRET = "wdwa-oracle-secret"
 
 
 def _synth_obs(ev: DataFrame) -> DataFrame:
@@ -172,7 +184,25 @@ def q_weather_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("gust_default").alias("group_key"), "n", "checksum"),
     )
 
-    branches = [enrich, boundary, current, epochs, optional]
+    # -- pseudo: sha256 keyed tokens group identically to raw user_ids --
+    from ..operators.privacy import pseudonym_token
+
+    pseudo = schema(
+        "pseudo",
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            pseudonym_token(
+                F.col("user_id"), secret=PSEUDO_SECRET, domain="user_id"
+            ).alias("group_key"),
+            "event_id",
+        )
+        .groupBy("group_key")
+        .agg(F.count("*").alias("n"), F.sum("event_id").alias("checksum"))
+        .orderBy(F.col("n").desc(), "group_key")
+        .limit(20),
+    )
+
+    branches = [enrich, boundary, current, epochs, optional, pseudo]
     return reduce(lambda a, b: a.unionByName(b), branches).orderBy(
         "variant", "group_key"
     )
@@ -244,14 +274,31 @@ optional_d AS (
            COUNT(*) AS n,
            CAST(SUM(event_id) AS BIGINT) AS checksum
     FROM (SELECT event_id, 0.0 AS gust FROM events) WHERE gust = 0.0
+),
+pseudo AS (
+    SELECT 'pseudo' AS variant, group_key, n, checksum FROM (
+        SELECT {{token}} AS group_key,
+               COUNT(*) AS n,
+               CAST(SUM(event_id) AS BIGINT) AS checksum
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, group_key LIMIT 20
+    )
 )
 SELECT * FROM enrich
 UNION ALL SELECT * FROM boundary
 UNION ALL SELECT * FROM current_f
 UNION ALL SELECT * FROM epochs
 UNION ALL SELECT * FROM optional_d
+UNION ALL SELECT * FROM pseudo
 ORDER BY variant, group_key
 """
+
+from ..operators.privacy import pseudonym_token_sql  # noqa: E402
+
+ORACLE_WEATHER_ENRICH = ORACLE_WEATHER_ENRICH.replace(
+    "{token}",
+    pseudonym_token_sql("user_id", secret=PSEUDO_SECRET, domain="user_id"),
+)
 
 
 QUERIES = {"weather_enrich": q_weather_enrich}
