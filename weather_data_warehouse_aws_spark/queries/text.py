@@ -150,6 +150,9 @@ FROM scored
 # ---------------------------------------------------------------------------
 BPE_MERGES = 4
 BPE_SAMPLE_MOD = 10  # doc_id % 10 == 0 → 10% training subset, SF-stable
+# encode probes: 3 in-vocabulary words + 2 unseen (a suffix variant and a
+# char sequence training never saw) — application must handle both
+BPE_PROBE_WORDS = ["join", "scan", "customer", "joins", "zz"]
 CMS_WIDTH = 16  # deliberately tiny: the synthetic corpus has only ~31
 CMS_DEPTH = 3   # distinct tokens, so width must be below that for bucket
 #               collisions to exist at all — with ~2 tokens/bucket the MIN
@@ -158,7 +161,7 @@ CMS_DEPTH = 3   # distinct tokens, so width must be below that for bucket
 
 
 def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four tagged branches under one driver row (50-entry consolidation):
+    """Five tagged branches under one driver row (50-entry consolidation):
 
     * ``topk``      — top-20 tokens by frequency (count desc, token asc —
                       total order, so LIMIT is deterministic). Explode →
@@ -175,6 +178,15 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AFTER the merges, pinning the merge APPLICATION (the
                       Spark HOF fold ≡ the recursive-CTE fold) under the
                       hash gate, not just the selections.
+    * ``bpe_encode``— the INFERENCE half of the tokenizer
+                      (operators/bpe.py ``encode_words``): five probe
+                      words — in-vocab, suffix-variant, and unseen — run
+                      through the learned merge table; each row renders
+                      `word=tok1 tok2 ...` with n = token count, so the
+                      hash gate pins the exact segmentation. The oracle
+                      replays the same folds on the probes, reusing the
+                      per-step winning-pair CTEs the training replica
+                      already materializes.
     * ``cms_est``   — Count-Min estimates (operators/cms.py) for the 20
                       top tokens, from a deliberately-narrow width=16 ×
                       depth=3 sketch built over ALL tokens: the portable
@@ -221,10 +233,23 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.lit("bpe_vocab").alias("variant"), "token", "n")
     )
+    from ..operators.bpe import encode_words
+
+    probe = spark.createDataFrame(
+        [(w,) for w in BPE_PROBE_WORDS], "word string"
+    )
+    enc = encode_words(probe, merges).select(
+        F.lit("bpe_encode").alias("variant"),
+        F.concat(
+            F.col("word"), F.lit("="), F.array_join("toks", " ")
+        ).alias("token"),
+        F.size("toks").cast("long").alias("n"),
+    )
     return (
         topk.unionByName(merge_df)
         .unionByName(vocab)
         .unionByName(cms_df)
+        .unionByName(enc)
         .orderBy("variant", F.col("n").desc(), "token")
     )
 
@@ -272,6 +297,33 @@ f{m} AS (
 ),
 v{m} AS MATERIALIZED (SELECT word, n, acc AS syms FROM f{m} WHERE i = len(syms) + 1)"""
         )
+    # encode probes: the same leftmost-greedy fold, seeded with the fixed
+    # probe words and reusing the t{m} winning-pair CTEs per step
+    probe_values = ", ".join(f"('{w}')" for w in BPE_PROBE_WORDS)
+    parts.append(
+        """,
+e0 AS (
+    SELECT word,
+           list_append([word[i] FOR i IN range(1, length(word) + 1)], '{sep}') AS syms
+    FROM (VALUES {vals}) AS t(word)
+)""".format(sep=SEP, vals=probe_values)
+    )
+    for m in range(1, BPE_MERGES + 1):
+        parts.append(
+            f""",
+g{m} AS (
+    SELECT word, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM e{m - 1}
+    UNION ALL
+    SELECT word, syms, i + 1,
+        CASE WHEN len(acc) > 0
+                  AND acc[-1] = (SELECT a FROM t{m})
+                  AND syms[i] = (SELECT b FROM t{m})
+             THEN list_append(acc[1:len(acc) - 1], (SELECT a || b FROM t{m}))
+             ELSE list_append(acc, syms[i]) END
+    FROM g{m} WHERE i <= len(syms)
+),
+e{m} AS MATERIALIZED (SELECT word, acc AS syms FROM g{m} WHERE i = len(syms) + 1)"""
+        )
     merge_rows = "\nUNION ALL\n".join(
         f"SELECT 'bpe_merge' AS variant, 'step{m}:' || a || '+' || b AS token, "
         f"n_pairs AS n FROM t{m}"
@@ -318,6 +370,11 @@ SELECT * FROM (
     )
     UNION ALL
     SELECT 'cms_est' AS variant, token, est AS n FROM cms_est
+    UNION ALL
+    SELECT 'bpe_encode' AS variant,
+           word || '=' || array_to_string(syms, ' ') AS token,
+           CAST(len(syms) AS BIGINT) AS n
+    FROM e{BPE_MERGES}
 )
 ORDER BY variant, n DESC, token"""
     )
