@@ -153,3 +153,12 @@ def test_stream_reader_one_batch_per_trigger_and_resume(spark, tmp_path_factory)
     assert both.count() == 16
     ids2 = {r.batch_id for r in both.select("batch_id").distinct().collect()}
     assert len(ids2) == 2 and ids1 < ids2
+
+
+def test_zero_days_is_an_empty_feed(spark):
+    """days=0 declares an empty scan — Spark still probes read() with a
+    None partition; the source must answer with zero rows, not a crash."""
+    register_feed_source(spark)
+    df = spark.read.format("weatherfeed").option("days", 0).load()
+    assert df.count() == 0
+    assert len(df.schema) == 20

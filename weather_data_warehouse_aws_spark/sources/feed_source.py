@@ -113,6 +113,10 @@ class WeatherFeedReader(DataSourceReader):
         return [InputPartition(i) for i in range(n)]
 
     def read(self, partition: InputPartition):
+        if partition is None:
+            # an empty partitions() list (days=0) still gets one probe
+            # call with partition=None — an empty feed, not an error
+            return
         idx = partition.value
         ts = _batch_ts(self.start, idx, self.extractions_per_day)
         yield from _feed_rows(self.seed, idx, ts)
