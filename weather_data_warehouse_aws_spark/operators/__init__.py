@@ -29,6 +29,7 @@ from .similarity import (  # noqa: F401
     lloyd_refine,
     lsh_topk,
 )
+from .bpe import bpe_encode, bpe_train  # noqa: F401
 from .privacy import (  # noqa: F401
     depseudonymize,
     forget_tokens,
