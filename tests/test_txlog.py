@@ -1,0 +1,214 @@
+"""Transaction-log table format (operators/txlog.py): atomic commits,
+snapshot isolation, time travel, conflict detection, vacuum horizon,
+schema survival past the last row."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from weather_data_warehouse_aws_spark.operators.txlog import (
+    CHECKPOINT_INTERVAL,
+    TxConflict,
+    _commit,
+    tx_append,
+    tx_compact,
+    tx_erase_keys,
+    tx_history,
+    tx_overwrite,
+    tx_read,
+    tx_snapshot,
+    tx_vacuum,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame([Row(id=i, val=f"v{i}") for i in rows])
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.select("id").collect())
+
+
+def test_append_read_roundtrip_and_versions(spark, tmp_path):
+    t = str(tmp_path / "t")
+    v0 = tx_append(_mk(spark, range(5)), t)
+    v1 = tx_append(_mk(spark, range(5, 8)), t)
+    assert (v0, v1) == (0, 1)
+    assert _ids(tx_read(spark, t)) == list(range(8))
+    # time travel: version 0 sees only the first append
+    assert _ids(tx_read(spark, t, version=0)) == list(range(5))
+    hist = tx_history(t)
+    assert [h["op"] for h in hist] == ["append", "append"]
+    assert hist[0]["n_added"] >= 1 and hist[0]["n_removed"] == 0
+
+
+def test_overwrite_replaces_but_history_remains(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(4)), t)
+    v = tx_overwrite(_mk(spark, [100, 101]), t)
+    assert _ids(tx_read(spark, t)) == [100, 101]
+    assert _ids(tx_read(spark, t, version=0)) == [0, 1, 2, 3]
+    # idempotent re-run (the M4 fix shape): same result, new version
+    tx_overwrite(_mk(spark, [100, 101]), t)
+    assert _ids(tx_read(spark, t)) == [100, 101]
+    assert tx_snapshot(t)["version"] == v + 1
+
+
+def test_compact_preserves_rows_and_old_snapshots(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(4):
+        tx_append(_mk(spark, range(i * 10, i * 10 + 10)), t)
+    before = tx_snapshot(t)
+    assert len(before["files"]) >= 4
+    # a concurrent reader resolves its snapshot BEFORE the compaction...
+    old_files = before["files"]
+    v = tx_compact(spark, t, target_files=1)
+    after = tx_snapshot(t)
+    assert v == after["version"] and len(after["files"]) == 1
+    assert _ids(tx_read(spark, t)) == list(range(40))
+    # ...and still reads its own (uncompacted) files afterwards
+    assert _ids(tx_read(spark, t, version=before["version"])) == list(range(40))
+    assert all(os.path.exists(os.path.join(t, f)) for f in old_files)
+    # already compact → no-op
+    assert tx_compact(spark, t, target_files=1) is None
+
+
+def test_conflicting_remove_sets_raise(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(10)), t)
+    doomed = tx_snapshot(t)["files"][0]
+    _commit(t, "erase", lambda s: ([], [doomed], {}))
+    # a second writer whose stale snapshot still references the file
+    with pytest.raises(TxConflict):
+        _commit(t, "compact", lambda s: ([], [doomed], {}))
+
+
+def test_append_races_retry_past_claimed_version(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(3)), t)
+    # another writer claims version 1 out from under us
+    claimed = os.path.join(t, "_txn_log", f"{1:020d}.json")
+    with open(claimed, "x") as f:
+        json.dump({"version": 1, "op": "append", "add": [], "remove": [],
+                   "meta": {}}, f)
+    v = tx_append(_mk(spark, range(3, 6)), t)
+    assert v == 2  # lost the race for 1, won 2
+    assert _ids(tx_read(spark, t)) == list(range(6))
+
+
+def test_erase_keys_is_surgical_and_time_travelable(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(100)), t)       # file(s) A
+    tx_append(_mk(spark, range(100, 200)), t)  # file(s) B
+    snap = tx_snapshot(t)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(t, f)) for f in snap["files"]
+    }
+    res = tx_erase_keys(spark, t, "id", [150, 160, None])
+    assert res["rows_removed"] == 2
+    assert set(_ids(tx_read(spark, t))) == set(range(200)) - {150, 160}
+    # only files containing hits were rewritten; the rest are untouched
+    survivors = set(tx_snapshot(t)["files"])
+    untouched = survivors & set(snap["files"])
+    assert untouched, "files without hits must be reused verbatim"
+    for f in untouched:
+        assert os.path.getmtime(os.path.join(t, f)) == mtimes[f]
+    # erased rows remain in pre-erase versions until vacuum (documented)
+    assert 150 in _ids(tx_read(spark, t, version=snap["version"]))
+    # all-None erase list is a caller bug; empty list is a no-op
+    with pytest.raises(ValueError):
+        tx_erase_keys(spark, t, "id", [None])
+    assert tx_erase_keys(spark, t, "id", [])["rows_removed"] == 0
+    # no-hit erase commits nothing
+    assert tx_erase_keys(spark, t, "id", [10**9])["version"] is None
+
+
+def test_erase_to_empty_keeps_schema(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, [1, 2]), t)
+    tx_erase_keys(spark, t, "id", [1, 2])
+    out = tx_read(spark, t)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "val"}
+
+
+def test_vacuum_deletes_unreachable_and_gates_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(3):
+        tx_append(_mk(spark, range(i * 5, i * 5 + 5)), t)
+    pre = tx_snapshot(t)
+    tx_compact(spark, t, target_files=1)  # version 3 replaces all files
+    res = tx_vacuum(t, retain_versions=1)
+    assert res["horizon"] == 3
+    # every pre-compaction file is physically gone
+    for f in pre["files"]:
+        assert not os.path.exists(os.path.join(t, f))
+    # latest still reads fine; vacuumed versions fail at RESOLUTION
+    assert _ids(tx_read(spark, t)) == list(range(15))
+    with pytest.raises(ValueError, match="vacuum"):
+        tx_snapshot(t, version=pre["version"])
+    # live files never vacuumed even with retain_versions=1
+    assert _ids(tx_read(spark, t)) == list(range(15))
+
+
+def test_vacuum_orphan_sweep(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(5)), t)
+    orphan = os.path.join(t, "part-deadbeef-crashed.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    # default vacuum leaves unreferenced files alone (writer may be mid-flight)
+    tx_vacuum(t, retain_versions=1)
+    assert os.path.exists(orphan)
+    res = tx_vacuum(t, retain_versions=1, include_orphans=True)
+    assert os.path.basename(orphan) in [os.path.basename(d) for d in res["deleted"]]
+    assert not os.path.exists(orphan)
+    assert _ids(tx_read(spark, t)) == list(range(5))
+
+
+def test_checkpoint_written_and_equivalent(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = _mk(spark, [0])
+    for _ in range(CHECKPOINT_INTERVAL + 2):
+        tx_append(df, t)
+    cp = os.path.join(
+        t, "_txn_log", f"{CHECKPOINT_INTERVAL:020d}.checkpoint.json"
+    )
+    assert os.path.exists(cp)
+    with open(cp) as f:
+        cp_state = json.load(f)
+    # checkpoint live set == replay-from-zero live set at that version
+    full = tx_snapshot(t, version=CHECKPOINT_INTERVAL)
+    assert sorted(cp_state["files"]) == full["files"]
+    # and the latest snapshot (checkpoint + tail) counts every append
+    n_files_latest = len(tx_snapshot(t)["files"])
+    assert tx_read(spark, t).count() == CHECKPOINT_INTERVAL + 2
+    assert n_files_latest >= CHECKPOINT_INTERVAL + 2
+
+
+def test_schema_evolution_reads_union(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(spark.createDataFrame([Row(id=1, val="a")]), t)
+    tx_append(spark.createDataFrame([Row(id=2, val="b", extra=9)]), t)
+    out = tx_read(spark, t)
+    assert set(out.columns) == {"id", "val", "extra"}
+    got = {r["id"]: r["extra"] for r in out.collect()}
+    assert got == {1: None, 2: 9}
+
+
+def test_plain_directory_read_is_wrong_by_design(spark, tmp_path):
+    """The log, not the listing, defines the table: a raw parquet read of
+    the directory sees removed-but-unvacuumed files (duplicates after
+    compaction). This pins WHY readers must go through tx_read."""
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(10)), t)
+    tx_append(_mk(spark, range(10, 20)), t)
+    tx_compact(spark, t, target_files=1)
+    raw = spark.read.parquet(t).count()
+    assert raw == 40  # old + compacted copies both on disk pre-vacuum
+    assert tx_read(spark, t).count() == 20
+    tx_vacuum(t, retain_versions=1)
+    assert spark.read.parquet(t).count() == 20

@@ -12,6 +12,7 @@ Athena console; the equivalent local surface:
     index      --table DIR --column COL [--lookup V] per-file Bloom index
     merge      --table DIR --source P --keys K --partition-col C  upsert
     doctor     --table DIR [--skew-col C]            table health report
+    tx         {history,read,compact,erase,vacuum} --table DIR   txlog ops
 """
 
 from __future__ import annotations
@@ -81,6 +82,20 @@ def main(argv: list[str] | None = None) -> int:
     dr.add_argument("--table", required=True)
     dr.add_argument("--skew-col", default=None, help="report top-5 heavy values")
 
+    tx = sub.add_parser(
+        "tx",
+        help="transaction-log table ops: history / read / compact / "
+        "erase / vacuum (operators/txlog.py)",
+    )
+    tx.add_argument("action", choices=["history", "read", "compact", "erase", "vacuum"])
+    tx.add_argument("--table", required=True, help="txlog table directory")
+    tx.add_argument("--version", type=int, default=None, help="time-travel version (read)")
+    tx.add_argument("--target-files", type=int, default=1, help="compact target")
+    tx.add_argument("--column", default=None, help="erase key column")
+    tx.add_argument("--values", default=None, help="comma-separated erase keys")
+    tx.add_argument("--retain-versions", type=int, default=1, help="vacuum retention")
+    tx.add_argument("--limit", type=int, default=20)
+
     m = sub.add_parser(
         "merge",
         help="MERGE a source batch into a hive-partitioned parquet table "
@@ -117,6 +132,26 @@ def main(argv: list[str] | None = None) -> int:
         for name in sorted(qs):
             marker = "oracle" if name in oracle else "rows-only"
             print(f"{name:24s} [{marker}]")
+        return 0
+
+    if args.cmd == "tx" and args.action in ("history", "vacuum"):
+        # pure log/filesystem actions — no SparkSession needed
+        from .operators import txlog
+
+        if args.action == "history":
+            for rec in txlog.tx_history(args.table):
+                extra = f" {rec['meta']}" if rec["meta"] else ""
+                print(
+                    f"v{rec['version']:>6} {rec['op']:<10} "
+                    f"+{rec['n_added']} -{rec['n_removed']}{extra}"
+                )
+        else:
+            res = txlog.tx_vacuum(
+                args.table, retain_versions=args.retain_versions
+            )
+            print(
+                f"horizon v{res['horizon']}; deleted {len(res['deleted'])} file(s)"
+            )
         return 0
 
     from .session import get_spark
@@ -218,6 +253,30 @@ def main(argv: list[str] | None = None) -> int:
         if args.skew_col:
             print(f"heaviest values of {args.skew_col}:")
             key_skew(df, args.skew_col).show(5, truncate=False)
+        return 0
+
+    if args.cmd == "tx":
+        from .operators import txlog
+
+        if args.action == "read":
+            df = txlog.tx_read(spark, args.table, version=args.version)
+            df.show(args.limit, truncate=False)
+            print(f"{df.count()} rows at version "
+                  f"{txlog.tx_snapshot(args.table, args.version)['version']}")
+        elif args.action == "compact":
+            v = txlog.tx_compact(spark, args.table, target_files=args.target_files)
+            print("already compact" if v is None else f"compacted at v{v}")
+        elif args.action == "erase":
+            if not args.column or args.values is None:
+                print("erase needs --column and --values", file=sys.stderr)
+                return 2
+            dtype = txlog.tx_read(spark, args.table).schema[args.column].dataType
+            vals: list = [v.strip() for v in args.values.split(",")]
+            if dtype.simpleString() in ("bigint", "int", "smallint", "tinyint"):
+                vals = [int(v) for v in vals]
+            res = txlog.tx_erase_keys(spark, args.table, args.column, vals)
+            print(f"removed {res['rows_removed']} row(s), rewrote "
+                  f"{res['files_rewritten']} file(s) at v{res['version']}")
         return 0
 
     if args.cmd == "merge":

@@ -36,3 +36,13 @@ from .privacy import (  # noqa: F401
     pseudonymize,
 )
 from .skew import salted_agg, salted_broadcast_join  # noqa: F401
+from .txlog import (  # noqa: F401
+    tx_append,
+    tx_compact,
+    tx_erase_keys,
+    tx_history,
+    tx_overwrite,
+    tx_read,
+    tx_snapshot,
+    tx_vacuum,
+)
