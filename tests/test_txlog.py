@@ -212,3 +212,160 @@ def test_plain_directory_read_is_wrong_by_design(spark, tmp_path):
     assert tx_read(spark, t).count() == 20
     tx_vacuum(t, retain_versions=1)
     assert spark.read.parquet(t).count() == 20
+
+
+# ---------------------------------------------------------------------------
+# per-file stats, data skipping, MERGE, exactly-once streaming sink
+# ---------------------------------------------------------------------------
+
+from weather_data_warehouse_aws_spark.operators.txlog import (  # noqa: E402
+    tx_merge,
+    tx_prune,
+    tx_stream_sink,
+)
+
+
+def test_stats_recorded_and_range_pruning(spark, tmp_path):
+    t = str(tmp_path / "t")
+    # two appends with disjoint id ranges -> disjoint per-file [min,max]
+    tx_append(_mk(spark, range(0, 100)), t)
+    tx_append(_mk(spark, range(1000, 1100)), t)
+    snap = tx_snapshot(t)
+    assert all(
+        "id" in snap["stats"][f]["cols"] for f in snap["files"]
+    ), "numeric column stats must be recorded from the footers"
+    # strings are deliberately NOT stat'd (writer truncation is unsafe)
+    assert all(
+        "val" not in snap["stats"][f]["cols"] for f in snap["files"]
+    )
+    kept, skipped = tx_prune(t, [("id", ">=", 1000)])
+    assert skipped and kept
+    # every skipped file provably tops out below 1000
+    assert all(snap["stats"][f]["cols"]["id"][1] < 1000 for f in skipped)
+    assert _ids(tx_read(spark, t, predicate=[("id", ">=", 1000)])) == list(
+        range(1000, 1100)
+    )
+    # point lookup: exactly the same rows a full-scan filter yields
+    assert _ids(tx_read(spark, t, predicate=[("id", "=", 1050)])) == [1050]
+    # a predicate no file admits reads nothing but stays schema-correct
+    none = tx_read(spark, t, predicate=[("id", ">", 10**9)])
+    assert none.count() == 0 and set(none.columns) == {"id", "val"}
+    with pytest.raises(ValueError, match="unsupported op"):
+        tx_prune(t, [("id", "!=", 5)])
+
+
+def test_pruning_never_drops_rows_with_nulls_or_unstatted_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    rows = [Row(id=i, val=f"v{i}") for i in range(50)] + [
+        Row(id=None, val="nullkey")
+    ]
+    tx_append(spark.createDataFrame(rows).coalesce(1), t)
+    # hand-commit a file with NO stats (e.g. written by a foreign writer)
+    src = tx_snapshot(t)["files"][0]
+    foreign = "part-foreign.parquet"
+    import shutil as _sh
+
+    _sh.copy(os.path.join(t, src), os.path.join(t, foreign))
+    _commit(t, "append", lambda s: ([foreign], [], {}))
+    kept, _ = tx_prune(t, [("id", "<", 10)])
+    assert foreign in kept, "files without stats must never be skipped"
+    got = tx_read(spark, t, predicate=[("id", "<", 10)])
+    # NULL ids match no comparison; the foreign copy duplicates ids 0-9
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        list(range(10)) * 2
+    )
+
+
+def test_merge_rewrites_only_files_with_matched_keys(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(0, 50)), t)      # low-range files
+    tx_append(_mk(spark, range(1000, 1050)), t)  # high-range files
+    n_live = len(tx_snapshot(t)["files"])
+    src = spark.createDataFrame(
+        [Row(id=1010, val="UPDATED"), Row(id=7777, val="INSERTED")]
+    )
+    res = tx_merge(spark, t, src, ["id"])
+    assert res["files_rewritten"] >= 1
+    assert res["files_skipped"] >= 1, (
+        "low-range files hold no matched key and must be reused verbatim"
+    )
+    assert res["files_rewritten"] + res["files_skipped"] == n_live
+    out = {r["id"]: r["val"] for r in tx_read(spark, t).collect()}
+    assert out[1010] == "UPDATED" and out[7777] == "INSERTED"
+    assert out[0] == "v0" and len(out) == 101
+    # pre-merge snapshot still shows the old image (time travel)
+    old = {r["id"]: r["val"] for r in tx_read(spark, t, version=1).collect()}
+    assert old[1010] == "v1010" and 7777 not in old
+
+
+def test_merge_matched_delete_and_by_source_delete(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(10)), t)
+    src = spark.createDataFrame([Row(id=3, val="x"), Row(id=4, val="keep")])
+    tx_merge(
+        spark, t, src, ["id"],
+        when_matched_delete=F.col("__src_val") == "x",
+    )
+    assert _ids(tx_read(spark, t)) == [i for i in range(10) if i != 3]
+    # not-matched-by-source delete forces a full rewrite (all files candidates)
+    res = tx_merge(
+        spark, t, src.filter("id = 4"), ["id"],
+        when_not_matched_by_source_delete=F.lit(True),
+    )
+    assert res["files_skipped"] == 0
+    assert _ids(tx_read(spark, t)) == [4]
+
+
+def test_merge_first_write_guards_duplicates(spark, tmp_path):
+    t = str(tmp_path / "t")
+    dup = spark.createDataFrame([Row(id=1, val="a"), Row(id=1, val="b")])
+    with pytest.raises(Exception, match="multiple source rows"):
+        tx_merge(spark, t, dup, ["id"])
+    ok = tx_merge(spark, t, _mk(spark, range(5)), ["id"])
+    assert ok["version"] is not None
+    assert _ids(tx_read(spark, t)) == list(range(5))
+    # second merge into the now-existing table updates in place
+    tx_merge(spark, t, spark.createDataFrame([Row(id=2, val="Z")]), ["id"])
+    assert {r["val"] for r in tx_read(spark, t).filter("id=2").collect()} == {"Z"}
+
+
+def test_stream_sink_is_exactly_once_under_replay(spark, tmp_path):
+    t = str(tmp_path / "t")
+    sink = tx_stream_sink(t, "q1")
+    sink(_mk(spark, range(5)), 0)
+    sink(_mk(spark, range(5, 10)), 1)
+    v_before = tx_snapshot(t)["version"]
+    # foreachBatch is at-least-once: batch 1 is REDELIVERED after a crash
+    sink(_mk(spark, range(5, 10)), 1)
+    assert tx_snapshot(t)["version"] == v_before, "replay must commit nothing"
+    assert _ids(tx_read(spark, t)) == list(range(10))
+    # the replay's staged files were dropped, not stranded as orphans
+    on_disk = {n for n in os.listdir(t) if n.endswith(".parquet")}
+    assert on_disk == set(tx_snapshot(t)["files"])
+    # a DIFFERENT app's batch 1 is its own token space
+    sink2 = tx_stream_sink(t, "q2")
+    sink2(_mk(spark, range(10, 12)), 1)
+    assert _ids(tx_read(spark, t)) == list(range(12))
+    assert tx_snapshot(t)["txns"] == {"q1": 1, "q2": 1}
+
+
+def test_checkpoint_folds_stats_and_txns(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(CHECKPOINT_INTERVAL + 1):
+        tx_append(_mk(spark, range(i * 10, i * 10 + 10)), t,
+                  txn=("loader", i))
+    # drop every pre-checkpoint commit file: replay must succeed from the
+    # checkpoint alone (log truncation, as Delta does after checkpointing)
+    for v in range(CHECKPOINT_INTERVAL):
+        os.remove(os.path.join(t, "_txn_log", f"{v:020d}.json"))
+    snap = tx_snapshot(t)
+    assert snap["txns"]["loader"] == CHECKPOINT_INTERVAL
+    assert len(snap["files"]) >= CHECKPOINT_INTERVAL + 1
+    # stats survived through the checkpoint: pruning still works
+    kept, skipped = tx_prune(t, [("id", ">=", 100)])
+    assert skipped and kept
+    assert _ids(tx_read(spark, t, predicate=[("id", ">=", 100)])) == list(
+        range(100, 110)
+    )
+    # and the idempotence token still gates a pre-checkpoint batch replay
+    assert tx_append(_mk(spark, [999]), t, txn=("loader", 3)) is None

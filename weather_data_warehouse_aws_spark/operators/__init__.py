@@ -41,8 +41,11 @@ from .txlog import (  # noqa: F401
     tx_compact,
     tx_erase_keys,
     tx_history,
+    tx_merge,
     tx_overwrite,
+    tx_prune,
     tx_read,
     tx_snapshot,
+    tx_stream_sink,
     tx_vacuum,
 )
