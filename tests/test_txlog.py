@@ -369,3 +369,45 @@ def test_checkpoint_folds_stats_and_txns(spark, tmp_path):
     )
     # and the idempotence token still gates a pre-checkpoint batch replay
     assert tx_append(_mk(spark, [999]), t, txn=("loader", 3)) is None
+
+
+def test_merge_reserved_tx_file_name_raises(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(3)), t)
+    bad = spark.createDataFrame([Row(id=1, val="x", __tx_file="boom")])
+    with pytest.raises(ValueError, match="__tx_file"):
+        tx_merge(spark, t, bad, ["id"])
+    with pytest.raises(ValueError, match="__tx_file"):
+        tx_merge(spark, t, bad.withColumnRenamed("__tx_file", "z"),
+                 ["__tx_file"])
+
+
+def test_cli_tx_roundtrip(spark, tmp_path, capsys):
+    """CLI smoke: append via API, then merge / read --where / history /
+    compact / vacuum through the `tx` subcommand."""
+    from weather_data_warehouse_aws_spark.__main__ import main
+
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(0, 50)), t)
+    tx_append(_mk(spark, range(1000, 1050)), t)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [Row(id=1010, val="UPD"), Row(id=9999, val="NEW")]
+    ).write.parquet(src)
+    assert main(["tx", "merge", "--table", t, "--source", src,
+                 "--keys", "id"]) == 0
+    out = capsys.readouterr().out
+    assert "rewrote" in out and "skipped" in out
+    assert main(["tx", "read", "--table", t,
+                 "--where", "id >= 1000", "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "stats pruning" in out and "skipped" in out
+    assert "52 rows" not in out  # predicate applied: only the high range
+    assert main(["tx", "history", "--table", t]) == 0
+    hist = capsys.readouterr().out
+    assert "merge" in hist and "append" in hist
+    assert main(["tx", "compact", "--table", t]) == 0
+    assert main(["tx", "vacuum", "--table", t]) == 0
+    assert _ids(tx_read(spark, t)) == sorted(
+        list(range(0, 50)) + list(range(1000, 1050)) + [9999]
+    )

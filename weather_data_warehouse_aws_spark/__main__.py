@@ -87,7 +87,10 @@ def main(argv: list[str] | None = None) -> int:
         help="transaction-log table ops: history / read / compact / "
         "erase / vacuum (operators/txlog.py)",
     )
-    tx.add_argument("action", choices=["history", "read", "compact", "erase", "vacuum"])
+    tx.add_argument(
+        "action",
+        choices=["history", "read", "compact", "erase", "vacuum", "merge"],
+    )
     tx.add_argument("--table", required=True, help="txlog table directory")
     tx.add_argument("--version", type=int, default=None, help="time-travel version (read)")
     tx.add_argument("--target-files", type=int, default=1, help="compact target")
@@ -95,6 +98,14 @@ def main(argv: list[str] | None = None) -> int:
     tx.add_argument("--values", default=None, help="comma-separated erase keys")
     tx.add_argument("--retain-versions", type=int, default=1, help="vacuum retention")
     tx.add_argument("--limit", type=int, default=20)
+    tx.add_argument(
+        "--where",
+        default=None,
+        help="read predicate 'col OP value' (stats-pruned scan), e.g. "
+        "--where 'id >= 100'; value parsed as number when possible",
+    )
+    tx.add_argument("--source", default=None, help="merge source parquet path")
+    tx.add_argument("--keys", default=None, help="merge keys, comma-separated")
 
     m = sub.add_parser(
         "merge",
@@ -259,10 +270,50 @@ def main(argv: list[str] | None = None) -> int:
         from .operators import txlog
 
         if args.action == "read":
-            df = txlog.tx_read(spark, args.table, version=args.version)
+            predicate = None
+            if args.where:
+                import re as _re
+
+                m_ = _re.fullmatch(
+                    r"\s*(\w+)\s*(>=|<=|=|<|>)\s*(.+?)\s*", args.where
+                )
+                if not m_:
+                    print("--where must look like 'col >= 100'", file=sys.stderr)
+                    return 2
+                col_, op_, raw = m_.groups()
+                try:
+                    val: object = int(raw)
+                except ValueError:
+                    try:
+                        val = float(raw)
+                    except ValueError:
+                        val = raw.strip("'\"")
+                predicate = [(col_, op_, val)]
+                kept, skipped = txlog.tx_prune(
+                    args.table, predicate, args.version
+                )
+                print(f"# stats pruning: scanning {len(kept)} file(s), "
+                      f"skipped {len(skipped)}")
+            df = txlog.tx_read(
+                spark, args.table, version=args.version, predicate=predicate
+            )
             df.show(args.limit, truncate=False)
             print(f"{df.count()} rows at version "
                   f"{txlog.tx_snapshot(args.table, args.version)['version']}")
+        elif args.action == "merge":
+            if not args.source or not args.keys:
+                print("tx merge needs --source and --keys", file=sys.stderr)
+                return 2
+            res = txlog.tx_merge(
+                spark,
+                args.table,
+                spark.read.parquet(args.source),
+                [k.strip() for k in args.keys.split(",")],
+            )
+            print(
+                f"merged at v{res['version']}: rewrote {res['files_rewritten']} "
+                f"file(s), skipped {res['files_skipped']} untouched"
+            )
         elif args.action == "compact":
             v = txlog.tx_compact(spark, args.table, target_files=args.target_files)
             print("already compact" if v is None else f"compacted at v{v}")

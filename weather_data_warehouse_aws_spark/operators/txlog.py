@@ -558,7 +558,10 @@ def tx_read(
     `predicate=[(col, op, value), ...]` (conjunctive, ops {=,<,<=,>,>=})
     both PRUNES files via the committed min/max stats (tx_prune) and
     applies the same conditions as row filters, so the result is exactly
-    the filtered table — stats only decide which files are opened."""
+    the filtered table — stats only decide which files are opened. Note:
+    a predicate that prunes EVERY file returns the last writer's logged
+    schema, which on a schema-evolved table may lack columns only older
+    files carry (the unpruned read's mergeSchema union would have them)."""
     snap = tx_snapshot(path, version)
     files = snap["files"]
     if predicate:
@@ -772,10 +775,22 @@ def tx_merge(
     absent/empty table degenerates to a guarded first write (insert-only),
     honoring `check_duplicate_source_keys` like merge_into_table.
 
+    Isolation: write-serializable against REPLACING writers — a concurrent
+    compact/erase/merge that rewrote a candidate file raises TxConflict.
+    A concurrent blind APPEND whose new rows carry matched keys is NOT
+    detected (the append's files postdate this merge's snapshot), exactly
+    Delta's WriteSerializable level; serialize merges against appends of
+    overlapping keys at the application layer if full serializability is
+    required.
+
     Returns {"version", "files_rewritten", "files_skipped"}.
     """
     from .merge import _guard_duplicate_keys, merge_into
 
+    if "__tx_file" in keys or "__tx_file" in source.columns:
+        # candidate detection projects input_file_name() under this name;
+        # a same-named key would make the semi-join match on file URIs
+        raise ValueError("tx_merge: reserved column name in input: ['__tx_file']")
     check_dups = merge_kwargs.get("check_duplicate_source_keys", True)
     if not tx_exists(path) or not tx_snapshot(path)["files"]:
         if not merge_kwargs.get("when_not_matched_insert", True):
