@@ -411,3 +411,301 @@ def test_cli_tx_roundtrip(spark, tmp_path, capsys):
     assert _ids(tx_read(spark, t)) == sorted(
         list(range(0, 50)) + list(range(1000, 1050)) + [9999]
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 hardening: LogStore seam, torn-tail recovery, stray-file tolerance,
+# NaN-safe float pruning, vacuum horizon race, stage-dir sweep
+# ---------------------------------------------------------------------------
+
+from weather_data_warehouse_aws_spark.operators import txlog as _tx
+from weather_data_warehouse_aws_spark.operators.txlog import (
+    LogStore,
+    TxCorruption,
+    register_log_store,
+)
+
+
+class InMemoryLogStore(LogStore):
+    """Dict-backed fake proving _commit/_replay depend only on the
+    protocol (put_if_absent / list / read) — the seam a cluster
+    object-store implementation plugs into."""
+
+    def __init__(self):
+        self.entries: dict[tuple[str, str], str] = {}
+        self.on_put = None  # one-shot hook to inject a racing commit
+
+    def put_if_absent(self, log_dir, name, payload):
+        if self.on_put is not None:
+            hook, self.on_put = self.on_put, None
+            hook()
+        if (log_dir, name) in self.entries:
+            return False
+        self.entries[(log_dir, name)] = payload
+        return True
+
+    def list(self, log_dir):
+        return sorted(n for d, n in self.entries if d == log_dir)
+
+    def read(self, log_dir, name):
+        return self.entries[(log_dir, name)]
+
+
+@pytest.fixture
+def mem_store(tmp_path):
+    store = InMemoryLogStore()
+    prefix = str(tmp_path)
+    register_log_store(prefix, store)
+    yield store
+    _tx._STORES.pop(prefix, None)
+
+
+def test_inmemory_store_roundtrip(spark, tmp_path, mem_store):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(5)), t)
+    tx_overwrite(_mk(spark, range(5, 8)), t)
+    assert _ids(tx_read(spark, t)) == [5, 6, 7]
+    assert _ids(tx_read(spark, t, version=0)) == [0, 1, 2, 3, 4]
+    # the log lives ONLY in the store — nothing on disk under _txn_log
+    assert not os.path.isdir(os.path.join(t, "_txn_log"))
+    assert len(mem_store.entries) == 2
+
+
+def test_lost_race_retries_on_fresh_snapshot(spark, tmp_path, mem_store):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(3)), t)  # version 0
+
+    def racing_commit():
+        _commit(t, "noop", lambda s: ([], [], {"racer": True}),
+                validate_remove_live=False)
+
+    mem_store.on_put = racing_commit  # fires inside the append's first try
+    v = tx_append(_mk(spark, range(10, 13)), t)
+    assert v == 2  # lost version 1 to the racer, retried, won version 2
+    ops = [h["op"] for h in tx_history(t)]
+    assert ops == ["append", "noop", "append"]
+    assert _ids(tx_read(spark, t)) == [0, 1, 2, 10, 11, 12]
+
+
+def test_stray_files_in_log_dir_are_ignored(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(4)), t)
+    log = tmp_path / "t" / "_txn_log"
+    (log / "notes.json").write_text("not a commit")          # non-numeric
+    (log / "00000000000000000000.json.bak").write_text("x")  # editor backup
+    (log / ".tmp-deadbeef").write_text("{")                  # torn staging
+    assert _ids(tx_read(spark, t)) == [0, 1, 2, 3]
+    assert tx_append(_mk(spark, [9]), t) == 1
+
+
+def test_torn_newest_commit_reads_as_aborted_and_commit_raises(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(3)), t)            # v0
+    tx_append(_mk(spark, range(10, 12)), t)       # v1
+    torn = tmp_path / "t" / "_txn_log" / f"{2:020d}.json"
+    torn.write_text('{"version": 2, "op": "append", "ad')  # crashed mid-dump
+    # reads: torn tail = aborted commit, table serves v1
+    assert tx_snapshot(t)["version"] == 1
+    assert _ids(tx_read(spark, t)) == [0, 1, 2, 10, 11]
+    # writes: version 2 is claimed but unparseable -> loud recovery hint
+    with pytest.raises(TxCorruption, match="torn|unparseable"):
+        tx_append(_mk(spark, [99]), t)
+    torn.unlink()
+    assert tx_append(_mk(spark, [99]), t) == 2
+
+
+def test_interior_corruption_raises_not_heals(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(3)), t)
+    tx_append(_mk(spark, range(5, 8)), t)
+    tx_append(_mk(spark, range(10, 12)), t)
+    # damage an INTERIOR commit: replay must refuse, not silently skip
+    (tmp_path / "t" / "_txn_log" / f"{1:020d}.json").write_text("{bad")
+    with pytest.raises((TxCorruption, ValueError)):
+        tx_read(spark, t).collect()
+
+
+def test_float_stats_never_skip_nan_rows(spark, tmp_path):
+    t = str(tmp_path / "t")
+    nan = float("nan")
+    spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, nan)], "id int, x double"
+    ).coalesce(1).write.format("noop").mode("overwrite").save()  # warm
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, nan)], "id int, x double"
+    ).coalesce(1)
+    tx_append(df, t)
+    # Spark orders NaN above every double: x > 5.0 matches the NaN row.
+    # Footer stats say max=2.0 (parquet excludes NaN) — the file must NOT
+    # be pruned, or the row is silently lost.
+    got = tx_read(spark, t, predicate=[("x", ">", 5.0)]).collect()
+    assert [r["id"] for r in got] == [3]
+    # lower-bound proofs stay usable on float stats (NaN can't sort low):
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_prune
+    t2 = str(tmp_path / "t2")
+    tx_append(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, x double")
+        .coalesce(1),
+        t2,
+    )
+    kept, skipped = tx_prune(t2, [("x", "<", 5.0)])
+    assert kept == [] and len(skipped) == 1
+
+
+def test_vacuum_loser_inherits_winner_horizon(spark, tmp_path, mem_store):
+    t = str(tmp_path / "t")
+    for i in range(6):
+        tx_overwrite(_mk(spark, range(i, i + 2)), t)  # versions 0..5
+
+    winner_horizon = {}
+
+    def racing_vacuum():
+        # aggressive concurrent vacuum wins the version this caller wanted
+        winner_horizon["h"] = tx_vacuum(t, retain_versions=1)["horizon"]
+
+    mem_store.on_put = racing_vacuum
+    # the loser asked to RETAIN more (lower horizon) — its retry must
+    # commit the winner's higher horizon, never roll it back
+    res = tx_vacuum(t, retain_versions=4)
+    assert res["horizon"] == winner_horizon["h"] == 5
+    assert tx_snapshot(t)["horizon"] == 5
+    # deletes are idempotent (the winner already dropped them from disk);
+    # what matters is the latest version still reads clean afterwards
+    assert _ids(tx_read(spark, t)) == [5, 6]
+    with pytest.raises(ValueError, match="vacuumed"):
+        tx_read(spark, t, version=3)
+
+
+def test_vacuum_sweeps_stage_dirs(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(3)), t)
+    stage = tmp_path / "t__tx_stage" / "deadbeefcafe"
+    stage.mkdir(parents=True)
+    (stage / "part-000.parquet").write_bytes(b"stranded")
+    tx_vacuum(t, include_orphans=True)
+    assert not (tmp_path / "t__tx_stage").exists()
+    assert _ids(tx_read(spark, t)) == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# round-6 ops: replace_where, restore, change feed
+# ---------------------------------------------------------------------------
+
+from weather_data_warehouse_aws_spark.operators.txlog import (
+    tx_changes,
+    tx_replace_where,
+    tx_restore,
+)
+
+
+def _day(spark, d, ids):
+    return spark.createDataFrame(
+        [Row(id=i, day=d, val=f"d{d}v{i}") for i in ids]
+    )
+
+
+def test_replace_where_swaps_only_matching_region(spark, tmp_path):
+    t = str(tmp_path / "t")
+    # seed: day 1 and day 2 in separate files
+    tx_append(_day(spark, 1, range(3)).coalesce(1), t)
+    tx_append(_day(spark, 2, range(10, 13)).coalesce(1), t)
+    n_before = len(tx_snapshot(t)["files"])
+    # recompute day 2 → different rows
+    res = tx_replace_where(
+        spark, t, _day(spark, 2, range(20, 22)).coalesce(1), "day = 2"
+    )
+    assert res["rows_deleted"] == 3
+    assert res["files_rewritten"] >= 1
+    got = tx_read(spark, t)
+    assert sorted(r["id"] for r in got.collect()) == [0, 1, 2, 20, 21]
+    # day-1 file untouched (skipped, not rewritten)
+    assert res["files_skipped"] == n_before - res["files_rewritten"]
+    # old state still time-travelable
+    assert sorted(
+        r["id"] for r in tx_read(spark, t, version=1).collect()
+    ) == [0, 1, 2, 10, 11, 12]
+
+
+def test_replace_where_validates_payload(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_day(spark, 1, range(3)).coalesce(1), t)
+    v_before = tx_snapshot(t)["version"]
+    with pytest.raises(Exception, match="does not satisfy"):
+        # payload claims day=2 but carries a day=3 row → abort pre-commit
+        tx_replace_where(spark, t, _day(spark, 3, [99]), "day = 2")
+    assert tx_snapshot(t)["version"] == v_before  # nothing committed
+
+
+def test_replace_where_keeps_null_condition_rows(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 1), (2, None), (3, 2)], "id int, day int"
+    ).coalesce(1)
+    tx_append(df, t)
+    tx_replace_where(
+        spark, t,
+        spark.createDataFrame([(10, 1)], "id int, day int"),
+        "day = 1",
+    )
+    # NULL-day row is NOT in the delete region (3VL) — must survive
+    assert sorted(
+        r["id"] for r in tx_read(spark, t).collect()
+    ) == [2, 3, 10]
+
+
+def test_replace_where_first_write_and_prune(spark, tmp_path):
+    t = str(tmp_path / "t")
+    res = tx_replace_where(spark, t, _day(spark, 1, range(3)), "day = 1")
+    assert res["version"] == 0 and res["rows_deleted"] == 0
+    tx_append(_day(spark, 9, range(50, 53)).coalesce(1), t)
+    # stats prune: the day=9 file's [min,max] excludes day=1 → not scanned
+    res = tx_replace_where(
+        spark, t, _day(spark, 1, [7]), "day = 1", prune=[("day", "=", 1)]
+    )
+    assert res["files_rewritten"] >= 1
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == [7, 50, 51, 52]
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(3)), t)            # v0
+    tx_overwrite(_mk(spark, range(10, 12)), t)    # v1
+    tx_append(_mk(spark, [20]), t)                # v2
+    v = tx_restore(t, 0)
+    assert v == 3
+    assert _ids(tx_read(spark, t)) == [0, 1, 2]
+    # restore of current state is a no-op
+    assert tx_restore(t, 3) is None
+    # the rollback itself is in history and time travel still works
+    assert [h["op"] for h in tx_history(t)][-1] == "restore"
+    assert _ids(tx_read(spark, t, version=2)) == [10, 11, 20]
+
+
+def test_changes_feed_transforms_snapshots_exactly(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(3)), t)                      # v0: +3
+    tx_append(_mk(spark, range(10, 12)), t)                 # v1: +2
+    tx_erase_keys(spark, t, "id", [1, 10])                  # v2: rewrite
+    tx_append(_mk(spark, [30]), t)                          # v3: +1
+    ch = tx_changes(spark, t, from_version=1)
+    rows = ch.collect()
+    assert set(r["_change_type"] for r in rows) <= {"insert", "delete"}
+    # apply the feed to snapshot v1 -> must equal latest snapshot
+    base = {r["id"] for r in tx_read(spark, t, version=1).collect()}
+    for v in sorted({r["_commit_version"] for r in rows}):
+        dels = {r["id"] for r in rows
+                if r["_commit_version"] == v and r["_change_type"] == "delete"}
+        ins = {r["id"] for r in rows
+               if r["_commit_version"] == v and r["_change_type"] == "insert"}
+        base = (base - dels) | ins
+    assert base == set(_ids(tx_read(spark, t)))
+    # pure-append range is insert-only
+    ch3 = tx_changes(spark, t, from_version=2, to_version=3)
+    assert {r["_change_type"] for r in ch3.collect()} == {"insert"}
+    # empty range returns an empty frame with the CDC columns
+    ch0 = tx_changes(spark, t, from_version=tx_snapshot(t)["version"])
+    assert ch0.count() == 0 and "_change_type" in ch0.columns
+    # vacuumed-away from_version fails loudly
+    tx_vacuum(t, retain_versions=1)
+    with pytest.raises(ValueError, match="horizon"):
+        tx_changes(spark, t, from_version=0)

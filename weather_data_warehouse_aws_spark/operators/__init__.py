@@ -37,7 +37,13 @@ from .privacy import (  # noqa: F401
 )
 from .skew import salted_agg, salted_broadcast_join  # noqa: F401
 from .txlog import (  # noqa: F401
+    LocalFSLogStore,
+    LogStore,
+    TxConflict,
+    TxCorruption,
+    register_log_store,
     tx_append,
+    tx_changes,
     tx_compact,
     tx_erase_keys,
     tx_history,
@@ -45,6 +51,8 @@ from .txlog import (  # noqa: F401
     tx_overwrite,
     tx_prune,
     tx_read,
+    tx_replace_where,
+    tx_restore,
     tx_snapshot,
     tx_stream_sink,
     tx_vacuum,

@@ -28,12 +28,16 @@ checkpoint ≤ v): live = adds − removes, in order. Data files are IMMUTABLE
   list once; compaction/erasure running concurrently add/remove OTHER
   files and never touch the ones the reader resolved (until vacuum, whose
   retention window is the documented covenant, as in Delta).
-* **Commits are atomic.** The next version's log file is created with
-  `open(..., "x")` — exclusive create; exactly one writer wins a version.
-  Losers re-read the snapshot and retry (optimistic concurrency). On a
-  cluster store this maps to the LogStore contract: a conditional/
-  atomic-rename PUT of the next log entry (public Delta LogStore design);
-  the protocol here is identical, only the primitive changes.
+* **Commits are atomic.** The next version's log entry is claimed through
+  the `LogStore` protocol (`put_if_absent` / `list` / `read` — exactly
+  the public Delta LogStore contract): exactly one writer wins a version,
+  losers re-read the snapshot and retry (optimistic concurrency). The
+  local-FS default publishes a fully-fsynced temp file via exclusive
+  hard-link, so a claimed version is never torn; a cluster deployment
+  `register_log_store`s an object-store implementation (S3 conditional
+  PUT / DynamoDB mutex, HDFS rename-without-overwrite) and nothing else
+  changes — data files need no seam because they are immutable and
+  single-writer.
 * **Conflicts are semantic, not physical.** Blind appends never conflict
   (retry always succeeds). Operations that REPLACE files (compact, erase,
   overwrite) validate at commit time that every file they remove is still
@@ -65,6 +69,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -76,6 +81,11 @@ from pyspark.sql.types import StructType
 CHECKPOINT_INTERVAL = 10
 _LOG_DIR = "_txn_log"
 _PAD = 20
+# strict log-entry names: anything else in _txn_log (editor backups,
+# '.json'-suffixed temps, the store's own .tmp-* staging files) is IGNORED
+# rather than int()-crashed on — a stray file must never brick the table
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.json$")
 
 
 class TxConflict(RuntimeError):
@@ -83,35 +93,160 @@ class TxConflict(RuntimeError):
     it rewrites/removes is no longer live). Re-run the operation."""
 
 
+class TxCorruption(RuntimeError):
+    """A log entry that is not the newest commit failed to parse — the
+    log's history is damaged (torn tails are self-healing; interior
+    damage is not). The message names the file; restore it from a
+    replica or checkpoint before using the table."""
+
+
+# --------------------------------------------------------------------------
+# LogStore seam — the three primitives commit/replay need, exactly the
+# public Delta Lake LogStore contract (Armbrust et al. VLDB 2020 §3.2):
+# mutual exclusion on writes of a named entry, listing, and reads. The
+# DATA files never need a seam: they are immutable and single-writer, so
+# any plain object PUT/GET works — all consensus lives in the log.
+# --------------------------------------------------------------------------
+
+
+class LogStore:
+    """Minimal storage protocol for the transaction log.
+
+    Implementations for cluster object stores plug in here:
+    * S3 + DynamoDB mutex, or S3 conditional PUT (If-None-Match) —
+      `put_if_absent` maps to the conditional write;
+    * HDFS / ABFS / GCS — atomic rename-without-overwrite.
+    The local-FS default uses exclusive hard-link of a fully-fsynced temp
+    file, so a claimed version is always COMPLETE on disk (no torn
+    commits — the crash-safety half of "commits are atomic")."""
+
+    def put_if_absent(self, log_dir: str, name: str, payload: str) -> bool:
+        """Durably create `log_dir/name` with `payload` iff absent.
+        Returns False (never partial content) if the name already exists."""
+        raise NotImplementedError
+
+    def list(self, log_dir: str) -> list[str]:
+        """Entry names under `log_dir` (empty if the dir doesn't exist)."""
+        raise NotImplementedError
+
+    def read(self, log_dir: str, name: str) -> str:
+        """Full payload of an entry."""
+        raise NotImplementedError
+
+
+class LocalFSLogStore(LogStore):
+    def put_if_absent(self, log_dir: str, name: str, payload: str) -> bool:
+        os.makedirs(log_dir, exist_ok=True)
+        dst = os.path.join(log_dir, name)
+        if os.path.exists(dst):
+            return False  # fast path; the link below is the real arbiter
+        tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                # link preserves exclusive-create semantics AND publishes a
+                # complete, fsynced payload in one metadata op — a crash
+                # mid-write leaves only an ignored .tmp-* file, never a
+                # truncated commit at a claimed version
+                os.link(tmp, dst)
+            except FileExistsError:
+                return False
+            return True
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    def list(self, log_dir: str) -> list[str]:
+        if not os.path.isdir(log_dir):
+            return []
+        return sorted(os.listdir(log_dir))
+
+    def read(self, log_dir: str, name: str) -> str:
+        with open(os.path.join(log_dir, name)) as f:
+            return f.read()
+
+
+_DEFAULT_STORE = LocalFSLogStore()
+_STORES: dict[str, LogStore] = {}  # path prefix -> store
+
+
+def register_log_store(prefix: str, store: LogStore) -> None:
+    """Route tables under `prefix` through `store` (longest prefix wins).
+    This is how a cluster deployment mounts its object-store commit
+    primitive without touching any operator."""
+    _STORES[prefix] = store
+
+
+def get_log_store(path: str) -> LogStore:
+    best = None
+    for prefix in _STORES:
+        if path.startswith(prefix) and (best is None or len(prefix) > len(best)):
+            best = prefix
+    return _STORES[best] if best is not None else _DEFAULT_STORE
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, _LOG_DIR)
 
 
-def _commit_file(path: str, version: int) -> str:
-    return os.path.join(_log_dir(path), f"{version:0{_PAD}d}.json")
+def _commit_name(version: int) -> str:
+    return f"{version:0{_PAD}d}.json"
 
 
-def _checkpoint_file(path: str, version: int) -> str:
-    return os.path.join(_log_dir(path), f"{version:0{_PAD}d}.checkpoint.json")
+def _checkpoint_name(version: int) -> str:
+    return f"{version:0{_PAD}d}.checkpoint.json"
 
 
 def _list_log(path: str) -> tuple[list[int], list[int]]:
-    """(sorted commit versions, sorted checkpoint versions)."""
-    log = _log_dir(path)
-    if not os.path.isdir(log):
-        return [], []
+    """(sorted commit versions, sorted checkpoint versions). Only names
+    matching the strict log-entry patterns count; stray files are ignored."""
     commits, checkpoints = [], []
-    for name in os.listdir(log):
-        if name.endswith(".checkpoint.json"):
-            checkpoints.append(int(name[: -len(".checkpoint.json")]))
-        elif name.endswith(".json"):
-            commits.append(int(name[: -len(".json")]))
+    for name in get_log_store(path).list(_log_dir(path)):
+        m = _COMMIT_RE.match(name)
+        if m:
+            commits.append(int(m.group(1)))
+            continue
+        m = _CHECKPOINT_RE.match(name)
+        if m:
+            checkpoints.append(int(m.group(1)))
     return sorted(commits), sorted(checkpoints)
 
 
-def _read_json(fp: str) -> dict:
-    with open(fp) as f:
-        return json.load(f)
+def _load_rec(path: str, version: int, *, checkpoint: bool = False) -> dict:
+    name = _checkpoint_name(version) if checkpoint else _commit_name(version)
+    payload = get_log_store(path).read(_log_dir(path), name)
+    return json.loads(payload)
+
+
+def _usable_log(path: str) -> tuple[list[int], list[int]]:
+    """Like `_list_log`, but an unparseable NEWEST commit is treated as an
+    ABORTED commit and dropped (a torn tail from a crashed pre-LogStore
+    writer must not make the whole table unreadable). An unparseable
+    commit that is NOT the newest raises TxCorruption — history damage
+    has no safe self-healing story."""
+    commits, checkpoints = _list_log(path)
+    if commits:
+        try:
+            _load_rec(path, commits[-1])
+        except (json.JSONDecodeError, ValueError):
+            torn = commits[-1]
+            commits = commits[:-1]
+            if commits:
+                try:
+                    _load_rec(path, commits[-1])
+                except (json.JSONDecodeError, ValueError):
+                    raise TxCorruption(
+                        f"{path}: commits {commits[-1]} and {torn} are both "
+                        "unparseable — only a single torn tail is "
+                        "recoverable; restore the log from a replica"
+                    ) from None
+    return commits, checkpoints
 
 
 def tx_exists(path: str) -> bool:
@@ -128,7 +263,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
     prefix — a vacuum committed after version v may have deleted files v
     needs, so reading below the newest horizon must fail loudly.
     """
-    commits, checkpoints = _list_log(path)
+    commits, checkpoints = _usable_log(path)
     if not commits:
         return None
     latest = commits[-1]
@@ -146,15 +281,13 @@ def _replay(path: str, version: int | None = None) -> dict | None:
     for v in reversed(commits):
         if v <= scan_floor:
             break
-        rec = _read_json(_commit_file(path, v))
+        rec = _load_rec(path, v)
         if rec.get("op") == "vacuum":
             horizon = int(rec["meta"]["horizon"])
             break
     if horizon == 0 and checkpoints:
         horizon = int(
-            _read_json(_checkpoint_file(path, checkpoints[-1])).get(
-                "horizon", 0
-            )
+            _load_rec(path, checkpoints[-1], checkpoint=True).get("horizon", 0)
         )
     if target < horizon:
         raise ValueError(
@@ -168,7 +301,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
     schema_json = None
     usable = [c for c in checkpoints if c <= target]
     if usable:
-        cp = _read_json(_checkpoint_file(path, usable[-1]))
+        cp = _load_rec(path, usable[-1], checkpoint=True)
         base_v = cp["version"]
         cp_stats = cp.get("stats", {})
         live = {f: cp_stats.get(f, {}) for f in cp["files"]}
@@ -177,7 +310,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
     for v in commits:
         if v <= base_v or v > target:
             continue
-        rec = _read_json(_commit_file(path, v))
+        rec = _load_rec(path, v)
         for f in rec.get("remove", []):
             live.pop(f, None)
         rec_stats = rec.get("stats", {})
@@ -209,8 +342,8 @@ def tx_history(path: str) -> list[dict]:
     """All commit records, oldest first, with file LISTS reduced to counts
     (the audit view; full lists stay in the log files)."""
     out = []
-    for v in _list_log(path)[0]:
-        rec = _read_json(_commit_file(path, v))
+    for v in _usable_log(path)[0]:
+        rec = _load_rec(path, v)
         out.append(
             {
                 "version": rec["version"],
@@ -250,7 +383,7 @@ def _commit(
     commit is a no-op (returns None). The token check runs INSIDE the
     retry loop, so two writers racing the same (app, batch) commit it
     exactly once."""
-    os.makedirs(_log_dir(path), exist_ok=True)
+    store = get_log_store(path)
     for _ in range(max_retries):
         snap = _replay(path)
         if txn is not None:
@@ -283,28 +416,39 @@ def _commit(
             rec["stats"] = {f: stats[f] for f in add if f in stats}
         if txn is not None:
             rec["txn"] = {"app": txn[0], "batch": int(txn[1])}
-        try:
-            with open(_commit_file(path, next_v), "x") as f:
-                json.dump(rec, f)
-        except FileExistsError:
-            continue  # lost the race — retry on the newer snapshot
+        if not store.put_if_absent(_log_dir(path), _commit_name(next_v), json.dumps(rec)):
+            # lost the race. If the winner's entry is UNPARSEABLE the loser
+            # would spin forever (replay treats a torn tail as aborted, so
+            # next_v never advances) — surface that loudly with a recovery
+            # hint instead of burning retries into a misleading TxConflict.
+            try:
+                _load_rec(path, next_v)
+            except (json.JSONDecodeError, ValueError):
+                raise TxCorruption(
+                    f"{op}: version {next_v} is claimed by an unparseable "
+                    f"commit file ({_commit_name(next_v)}) — a torn write "
+                    "from a crashed pre-LogStore writer; delete that file "
+                    "to restore writability (replay already ignores it)"
+                ) from None
+            except OSError:
+                pass  # winner's entry not visible yet — plain lost race
+            continue  # retry on the newer snapshot
         if next_v > 0 and next_v % CHECKPOINT_INTERVAL == 0:
             cp = _replay(path, next_v)
-            try:
-                with open(_checkpoint_file(path, next_v), "x") as f:
-                    json.dump(
-                        {
-                            "version": next_v,
-                            "files": cp["files"],
-                            "stats": cp["stats"],
-                            "schema": cp["schema"],
-                            "horizon": cp["horizon"],
-                            "txns": cp["txns"],
-                        },
-                        f,
-                    )
-            except FileExistsError:
-                pass  # another process already wrote it — identical content
+            store.put_if_absent(  # False = another process already wrote it
+                _log_dir(path),
+                _checkpoint_name(next_v),
+                json.dumps(
+                    {
+                        "version": next_v,
+                        "files": cp["files"],
+                        "stats": cp["stats"],
+                        "schema": cp["schema"],
+                        "horizon": cp["horizon"],
+                        "txns": cp["txns"],
+                    }
+                ),
+            )
         return next_v
     raise TxConflict(f"{op}: exceeded {max_retries} commit retries")
 
@@ -399,6 +543,16 @@ def _can_skip(stats: dict, col: str, op: str, value) -> bool:
     rows = stats.get("rows")
     if nulls is not None and rows is not None and nulls == rows:
         return True  # every value NULL — no comparison can match
+    # NaN hazard on float columns: parquet writers EXCLUDE NaN from
+    # min/max, but Spark SQL orders NaN ABOVE every double — a file
+    # holding [1.0, 2.0, NaN] has footer max=2.0 yet its NaN row matches
+    # `> 5.0`. So on float stats the footer max is NOT an upper bound for
+    # Spark's ordering: refuse the proofs that rely on it (>, >=).
+    # Still safe on floats: `<`/`<=` (NaN never sorts below a finite
+    # value) and `=` vs a finite literal (NaN equals only NaN; a NaN
+    # literal makes both Python comparisons False → no skip).
+    if (isinstance(mn, float) or isinstance(mx, float)) and op in (">", ">="):
+        return False
     try:
         if op == "=":
             return value < mn or value > mx
@@ -541,6 +695,227 @@ def tx_overwrite(df: DataFrame, path: str) -> int:
         validate_remove_live=False,
         stats=stats,
     )
+
+
+def tx_replace_where(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    condition,
+    *,
+    prune: list[tuple] | None = None,
+    validate: bool = True,
+) -> dict:
+    """Atomically DELETE every row matching `condition` and INSERT `df`,
+    in one commit — Delta's `replaceWhere` (the transactional form of
+    dynamic-partition overwrite, without needing a partitioned layout).
+    This is what incremental maintenance wants: "replace the affected
+    date range with its recomputed rows" as a single atomic swap that
+    concurrent readers never see half-applied.
+
+    `condition` is a SQL boolean expression string (or Column) over the
+    table's columns. Only live files containing ≥1 matching row are
+    rewritten (found by one `input_file_name()` scan, optionally
+    stats-pruned first via `prune=[(col, op, value), ...]` — pass the
+    numeric envelope of the replaced region when the layout clusters on
+    it, and the scan itself shrinks to the plausible files). Non-matching
+    rows in rewritten files are preserved; every other live file is
+    untouched.
+
+    Unless `validate=False`, each `df` row is checked to satisfy
+    `condition` DURING the write scan (an inline CASE tripwire — no extra
+    pass); a violating row aborts before anything is committed, so the
+    delete region and the insert payload can never drift apart silently
+    (Delta's replaceWhere constraint check).
+
+    Returns {"version", "files_rewritten", "files_skipped",
+    "rows_deleted"}. TxConflict if a concurrent commit replaced a
+    candidate file first.
+    """
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    if validate:
+        payload = df.filter(
+            F.when(cond, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "tx_replace_where: an inserted row does not satisfy "
+                        "the replace condition — delete region and insert "
+                        "payload would drift apart"
+                    )
+                )
+            )
+        )
+    else:
+        payload = df
+
+    if not tx_exists(path) or not tx_snapshot(path)["files"]:
+        rels, stats = _write_new_files(payload, path)
+        v = _commit(
+            path,
+            "replace_where",
+            lambda s: (rels, [], {"schema": df.schema.json()}),
+            validate_remove_live=False,
+            stats=stats,
+        )
+        return {
+            "version": v, "files_rewritten": 0, "files_skipped": 0,
+            "rows_deleted": 0,
+        }
+
+    snap = tx_snapshot(path)
+    live_files = snap["files"]
+    plausible = live_files
+    if prune:
+        plausible = [
+            f
+            for f in live_files
+            if not any(
+                _can_skip(snap["stats"].get(f, {}), c, op, v)
+                for c, op, v in prune
+            )
+        ]
+    candidates: list[str] = []
+    rows_deleted = 0
+    if plausible:
+        hit_rows = (
+            spark.read.option("mergeSchema", True)
+            .parquet(*_abs(path, plausible))
+            .withColumn("__tx_file", F.input_file_name())
+            .filter(cond)
+            .groupBy("__tx_file")
+            .count()
+            .collect()
+        )
+        norm_root = os.path.abspath(path).rstrip("/") + "/"
+        candidates = sorted(
+            _rel_from_uri(r["__tx_file"], norm_root) for r in hit_rows
+        )
+        rows_deleted = int(sum(r["count"] for r in hit_rows))
+
+    rels, stats = _write_new_files(payload, path)
+    surv_rels: list[str] = []
+    if candidates:
+        survivors = (
+            spark.read.option("mergeSchema", True)
+            .parquet(*_abs(path, candidates))
+            # keep rows where the condition is NOT TRUE — a NULL condition
+            # row is not in the delete region (3VL: DELETE WHERE never
+            # fires on NULL), so it must survive the rewrite
+            .filter(~F.coalesce(cond, F.lit(False)))
+        )
+        surv_rels, surv_stats = _write_new_files(survivors, path)
+        stats = {**stats, **surv_stats}
+    try:
+        v = _commit(
+            path,
+            "replace_where",
+            lambda s: (
+                rels + surv_rels,
+                candidates,
+                {
+                    "schema": df.schema.json(),
+                    "condition": condition if isinstance(condition, str) else str(condition),
+                },
+            ),
+            stats=stats,
+        )
+    except Exception:
+        _drop_files(path, rels + surv_rels)  # never referenced — clean up
+        raise
+    return {
+        "version": v,
+        "files_rewritten": len(candidates),
+        "files_skipped": len(live_files) - len(candidates),
+        "rows_deleted": rows_deleted,
+    }
+
+
+def tx_restore(path: str, version: int) -> int:
+    """Roll the table's LATEST state back to `version` — as a NEW commit,
+    so the rollback itself is atomic, audited, and time-travelable (the
+    "bad load landed, undo it" lever). No data is copied: the restore
+    commit re-adds the old live set (still on disk — `tx_snapshot` raises
+    if `version` is already below the vacuum horizon) and removes
+    whatever is newer."""
+    old = tx_snapshot(path, version)
+    old_stats = old["stats"]
+
+    def _build(snap):
+        cur, tgt = set(snap["files"]), set(old["files"])
+        if cur == tgt:
+            return None  # already at that state — nothing to commit
+        return (
+            sorted(tgt - cur),
+            sorted(cur - tgt),
+            {"restored_to": version, "schema": old["schema"]},
+        )
+
+    return _commit(
+        path, "restore", _build, validate_remove_live=True, stats=old_stats
+    )
+
+
+def tx_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """File-granular change feed: the table's columns plus
+    `_change_type` ('insert' | 'delete') and `_commit_version`, covering
+    commits in (from_version, to_version]. Applying each version's
+    deletes then inserts transforms the `from_version` snapshot EXACTLY
+    into `to_version` — the incremental-consumer contract (downstream
+    IVM, search-index refresh, cache invalidation) without storing any
+    extra CDC data: immutable files ARE the change log. Blind appends
+    yield pure 'insert' batches; rewrite commits (merge/erase/compact/
+    replace_where) yield the removed files as 'delete' and the rewritten
+    files as 'insert' — a consumer treats them as delete-then-upsert.
+    Raises if `from_version` predates the vacuum horizon (the removed
+    files would be gone)."""
+    snap = tx_snapshot(path, to_version)  # validates to_version + horizon
+    to_v = snap["version"]
+    if from_version > to_v:
+        raise ValueError(f"from_version {from_version} > to_version {to_v}")
+    if from_version < snap["horizon"]:
+        raise ValueError(
+            f"from_version {from_version} predates the vacuum horizon "
+            f"({snap['horizon']}) — removed files are gone"
+        )
+    schema = (
+        StructType.fromJson(json.loads(snap["schema"]))
+        if snap["schema"] is not None
+        else None
+    )
+    pieces: list[DataFrame] = []
+    for v in _usable_log(path)[0]:
+        if v <= from_version or v > to_v:
+            continue
+        rec = _load_rec(path, v)
+        for kind, rels in (("delete", rec.get("remove", [])),
+                           ("insert", rec.get("add", []))):
+            if not rels:
+                continue
+            part = (
+                spark.read.option("mergeSchema", True)
+                .parquet(*_abs(path, rels))
+                .withColumn("_change_type", F.lit(kind))
+                .withColumn("_commit_version", F.lit(v))
+            )
+            pieces.append(part)
+    if not pieces:
+        if schema is None:
+            raise ValueError(f"{path}: empty change range with no logged schema")
+        empty = spark.createDataFrame([], schema)
+        return (
+            empty.withColumn("_change_type", F.lit("x"))
+            .withColumn("_commit_version", F.lit(0))
+            .limit(0)
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def tx_read(
@@ -707,43 +1082,56 @@ def tx_vacuum(
 
     Returns {"version", "horizon", "deleted": [...]}.
     """
-    snap = tx_snapshot(path)
-    latest = snap["version"]
-    horizon = max(snap["horizon"], latest - max(retain_versions, 1) + 1)
+    if not tx_exists(path):
+        raise ValueError(f"no transaction log at {path}")
+    # horizon AND the deletable set are computed INSIDE the build closure,
+    # from the retry's fresh snapshot: if a concurrent vacuum with a HIGHER
+    # horizon wins the commit race, this retry re-derives
+    # max(their_horizon, ours) instead of committing a stale lower horizon
+    # that would re-admit versions whose files the winner already deleted
+    state: dict = {}
 
-    # file -> version removed (None = still live at latest)
-    commits, _ = _list_log(path)
-    removed_at: dict[str, int] = {}
-    referenced: set[str] = set()
-    for v in commits:
-        rec = _read_json(_commit_file(path, v))
-        for f in rec.get("add", []):
-            referenced.add(f)
-            removed_at.pop(f, None)  # re-add after remove (shouldn't happen)
-        for f in rec.get("remove", []):
-            removed_at[f] = rec["version"]
-    # live at some version v ≥ horizon  ⇔  removed_at > horizon (or never):
-    # a file removed AT commit r is last visible in snapshot r-1.
-    deletable = sorted(
-        f for f, r in removed_at.items() if r <= horizon
-    )
-    orphans: list[str] = []
-    if include_orphans:
-        on_disk = {
-            n for n in os.listdir(path)
-            if n.endswith(".parquet") and os.path.isfile(os.path.join(path, n))
-        }
-        orphans = sorted(on_disk - referenced)
+    def _build(snap):
+        latest = snap["version"]
+        horizon = max(snap["horizon"], latest - max(retain_versions, 1) + 1)
+        # file -> version removed (absent = still live at latest)
+        commits, _ = _usable_log(path)
+        removed_at: dict[str, int] = {}
+        referenced: set[str] = set()
+        for v in commits:
+            rec = _load_rec(path, v)
+            for f in rec.get("add", []):
+                referenced.add(f)
+                removed_at.pop(f, None)  # re-add after remove (shouldn't happen)
+            for f in rec.get("remove", []):
+                removed_at[f] = rec["version"]
+        # live at some version v ≥ horizon ⇔ removed_at > horizon (or
+        # never): a file removed AT commit r is last visible in r-1.
+        deletable = sorted(f for f, r in removed_at.items() if r <= horizon)
+        orphans: list[str] = []
+        if include_orphans:
+            on_disk = {
+                n for n in os.listdir(path)
+                if n.endswith(".parquet") and os.path.isfile(os.path.join(path, n))
+            }
+            orphans = sorted(on_disk - referenced)
+        state.update(horizon=horizon, deletable=deletable, orphans=orphans)
+        return ([], [], {"horizon": horizon, "n_deleted": len(deletable)})
 
-    version = _commit(
-        path,
-        "vacuum",
-        lambda s: ([], [], {"horizon": horizon, "n_deleted": len(deletable)}),
-        validate_remove_live=False,
+    version = _commit(path, "vacuum", _build, validate_remove_live=False)
+    horizon, deletable, orphans = (
+        state["horizon"], state["deletable"], state["orphans"]
     )
     # delete AFTER the horizon commit: a reader that resolves a pre-horizon
     # snapshot from here on fails at resolution, not mid-scan
     _drop_files(path, deletable + orphans)
+    if include_orphans:
+        # crashed writers also strand whole staging dirs under the
+        # __tx_stage sibling (df.write completed but the rename loop never
+        # ran) — same no-writes-in-flight covenant as the orphan sweep
+        stage = path.rstrip("/") + "__tx_stage"
+        if os.path.isdir(stage):
+            shutil.rmtree(stage, ignore_errors=True)
     return {"version": version, "horizon": horizon, "deleted": deletable + orphans}
 
 
