@@ -114,7 +114,10 @@ def main() -> None:
     # this SF's documents with a 1%-slice eval set
     from pyspark.sql import functions as F
 
-    from weather_data_warehouse_aws_spark.pipeline.curate import curate_corpus
+    from weather_data_warehouse_aws_spark.pipeline.curate import (
+        curate_corpus,
+        release_curation,
+    )
     from weather_data_warehouse_aws_spark.sources.tables import load_table
 
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -129,7 +132,7 @@ def main() -> None:
         elapsed = time.perf_counter() - start
         print(f"# curation_pipeline.iter{it}: {elapsed:.3f}s", file=sys.stderr)
         best = elapsed if best is None else min(best, elapsed)
-        spark.catalog.clearCache()  # stages persist() intermediates
+        release_curation(stages)  # the run's cache-ownership contract
     timings["curation_pipeline"] = round(best, 3)
     print(
         f"# curation_pipeline: {timings['curation_pipeline']:.3f}s "

@@ -235,3 +235,78 @@ def test_apply_join_delta_missing_image_raises(spark):
 
     with pytest.raises(ValueError, match="new-images"):
         apply_join_delta(prior, bad_diff, dim, ["k"], ["fk"])
+
+
+def test_streaming_incremental_agg_tx_state_store(spark, tmp_path_factory):
+    """state_format='tx': the maintained aggregate is a transaction-log
+    table — same final state as the versioned-dir protocol, exactly-once
+    under checkpoint re-run, readable through the same read_current_agg,
+    and time-travelable to the previous batch's state."""
+    import time
+
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_history,
+        tx_read,
+        tx_snapshot,
+    )
+    from weather_data_warehouse_aws_spark.streaming.jobs import (
+        read_current_agg,
+        run_incremental_agg_foreachbatch,
+    )
+
+    feed = str(tmp_path_factory.mktemp("txs_feed"))
+    aggd = str(tmp_path_factory.mktemp("txs_agg")) + "/agg"
+    ckpt = str(tmp_path_factory.mktemp("txs_ckpt"))
+
+    s0, s1 = _frames(spark)
+    s2 = s1.filter(F.col("k") != 2).unionByName(
+        spark.createDataFrame(
+            [(7, "b", 70, None)], "k int, grp string, amt int, note string"
+        )
+    )
+    snapshot_diff(s0, s1, ["k"]).coalesce(1).write.parquet(f"{feed}/d1")
+    time.sleep(1.1)
+    snapshot_diff(s1, s2, ["k"]).coalesce(1).write.parquet(f"{feed}/d2")
+
+    diff_schema = snapshot_diff(s0, s1, ["k"]).schema
+
+    def _stream():
+        return (
+            spark.readStream.schema(diff_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(feed)
+        )
+
+    run_incremental_agg_foreachbatch(
+        _stream(), aggd, ckpt, ["grp"], ["amt"],
+        initial_agg=grouped_sums(s0, ["grp"], ["amt"]),
+        state_format="tx",
+    )
+    direct = grouped_sums(s2, ["grp"], ["amt"])
+    assert sorted(map(tuple, read_current_agg(spark, aggd).collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # two batches folded -> two overwrite commits with txn tokens
+    snap = tx_snapshot(aggd)
+    assert snap["txns"].get("incremental_agg") == 1
+    ops = [h["op"] for h in tx_history(aggd)]
+    assert ops.count("overwrite") == 2
+
+    # drained checkpoint: re-run is a no-op (no new commits)
+    v_before = tx_snapshot(aggd)["version"]
+    run_incremental_agg_foreachbatch(
+        _stream(), aggd, ckpt, ["grp"], ["amt"],
+        initial_agg=grouped_sums(s0, ["grp"], ["amt"]),
+        state_format="tx",
+    )
+    assert tx_snapshot(aggd)["version"] == v_before
+
+    # time travel: the state right after batch 0 = grouped_sums(s1)
+    v_b0 = next(
+        h["version"] for h in tx_history(aggd) if h["op"] == "overwrite"
+    )
+    after_b0 = tx_read(spark, aggd, version=v_b0)
+    assert sorted(map(tuple, after_b0.collect())) == sorted(
+        map(tuple, grouped_sums(s1, ["grp"], ["amt"]).collect())
+    )

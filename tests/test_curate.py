@@ -394,3 +394,20 @@ def test_provenance_mixed_out_respects_custom_train_label(spark):
     n_split = out["split"].count()
     assert n_mixed == n_split - n_in > 0
     spark.catalog.clearCache()
+
+
+def test_release_curation_empties_cache_manager(spark):
+    """Cache-ownership contract: curate_corpus pins its fan-out boundaries;
+    release_curation(stages) unpersists exactly this run's plans — the
+    CacheManager ends empty without nuking a shared session's caches."""
+    from weather_data_warehouse_aws_spark.pipeline.curate import release_curation
+
+    spark.catalog.clearCache()  # start from a clean manager
+    corpus = _corpus(spark)
+    out = curate_corpus(corpus, eval_docs=_eval_set(spark, corpus), config=CFG)
+    assert out["packed"].count() >= 0  # consume the pipeline
+    mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert not mgr.isEmpty(), "fan-out boundaries should be pinned while in use"
+    release_curation(out)
+    assert mgr.isEmpty(), "release_curation must drop every pinned plan"
+    release_curation(out)  # idempotent

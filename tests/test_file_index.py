@@ -240,3 +240,57 @@ def test_prune_files_any_large_batch(spark, sf_smoke_dir, tmp_path_factory):
         assert set(prune_files(spark, path, "doc_id", k)) <= batch
     # all 8 files contain some of 0..499 -> batch covers all files
     assert len(batch) == 8
+
+
+def test_bloom_index_composes_with_tx_tables(spark, tmp_path_factory):
+    """On a transaction-log table the index's file universe is the LOG's
+    live set, not the directory: after an erase + compact, a point lookup
+    through the (stale) sidecar must never resurrect a removed file's
+    rows, and freshly-committed unindexed files stay candidates."""
+    from pyspark.sql import Row
+
+    from weather_data_warehouse_aws_spark.operators.file_index import (
+        update_bloom_index,
+    )
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_append,
+        tx_compact,
+        tx_erase_keys,
+        tx_read,
+        tx_snapshot,
+    )
+
+    t = str(tmp_path_factory.mktemp("btab_tx")) + "/t"
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(200)]
+    )
+    tx_append(df.repartition(4, "doc_id"), t)
+    build_bloom_index(spark, t, "doc_id", fpr=0.001)
+
+    # indexed point lookup works and prunes on the tx table
+    assert read_with_index(spark, t, "doc_id", 42).count() == 1
+    assert len(prune_files(spark, t, "doc_id", 42)) < len(tx_snapshot(t)["files"])
+
+    # erase a key, then compact — the dir now holds MORE parquet than is
+    # live, and the sidecar references only dead files
+    tx_erase_keys(spark, t, "doc_id", [42])
+    tx_compact(spark, t, target_files=1)
+    on_disk = [n for n in __import__("os").listdir(t) if n.endswith(".parquet")]
+    assert len(on_disk) > len(tx_snapshot(t)["files"])
+
+    # stale sidecar: candidates come only from the live set -> erased row
+    # cannot resurrect, and the unindexed (compacted) file is a candidate
+    assert read_with_index(spark, t, "doc_id", 42).count() == 0
+    assert read_with_index(spark, t, "doc_id", 43).count() == 1
+    cand = prune_files(spark, t, "doc_id", 43)
+    live_abs = {__import__("os").path.join(t, f) for f in tx_snapshot(t)["files"]}
+    assert set(cand) <= live_abs
+
+    # append new rows on the log, refresh incrementally: only the new
+    # live file is scanned; lookups cover old + new
+    tx_append(
+        spark.createDataFrame([Row(doc_id=9999, text="late")]).coalesce(1), t
+    )
+    update_bloom_index(spark, t, "doc_id")
+    assert read_with_index(spark, t, "doc_id", 9999).count() == 1
+    assert tx_read(spark, t).count() == 200  # 200 - erased 1 + appended 1

@@ -219,3 +219,38 @@ def test_ivfpq_update_retry_is_idempotent(spark, sf_smoke_dir, tmp_path_factory)
     assert [r.neighbor_id for r in rows if r.rank == 1] == [900_001]
     # the duplicate never occupies two slots
     assert len({r.neighbor_id for r in rows}) == 3
+
+
+def test_pq_serve_cache_rebuilds_on_corpus_rewrite(spark, tmp_path):
+    """The once-per-process IVFPQ serving cache is keyed by (path, corpus
+    fingerprint): rewriting the embeddings under the SAME path must
+    trigger a rebuild, never silently serve the stale index."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from weather_data_warehouse_aws_spark.queries import similarity as S
+
+    d = str(tmp_path / "sfcopy")
+    os.makedirs(d)
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    shutil.copy(src, os.path.join(d, "embeddings.parquet"))
+
+    n_before = len(S._IVFPQ_SERVE_CACHE)
+    r1 = S.q_pq_ann(spark, d)
+    assert r1.count() > 0
+    assert len(S._IVFPQ_SERVE_CACHE) == n_before + 1
+
+    # same path, same corpus -> cache hit, no new entry
+    S.q_pq_ann(spark, d).count()
+    assert len(S._IVFPQ_SERVE_CACHE) == n_before + 1
+
+    # REWRITE the corpus in place (drop the tail -> different file bytes)
+    t = pq.read_table(os.path.join(d, "embeddings.parquet"))
+    pq.write_table(t.slice(0, t.num_rows - 5), os.path.join(d, "embeddings.parquet"))
+    r2 = S.q_pq_ann(spark, d)
+    assert r2.count() > 0
+    assert len(S._IVFPQ_SERVE_CACHE) == n_before + 2, (
+        "rewritten corpus must build a fresh index entry"
+    )

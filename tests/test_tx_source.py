@@ -1,0 +1,153 @@
+"""`txtable` streaming source (sources/tx_source.py): commit-version
+offsets, checkpointed resume, delete/insert change semantics, batch
+symmetry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from weather_data_warehouse_aws_spark.operators.txlog import (
+    tx_append,
+    tx_erase_keys,
+    tx_read,
+    tx_snapshot,
+    tx_vacuum,
+)
+from weather_data_warehouse_aws_spark.sources.tx_source import register_tx_source
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame([Row(id=i, val=f"v{i}") for i in rows])
+
+
+def _drain(spark, path, ckpt, sink_rows):
+    """One trigger-once pass of the txtable stream into a collecting sink."""
+    register_tx_source(spark)
+
+    def _sink(batch_df, batch_id):
+        sink_rows.extend(
+            (r["id"], r["val"], r["_change_type"], r["_commit_version"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        spark.readStream.format("txtable")
+        .option("path", path)
+        .load()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stream_delivers_history_then_resumes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    tx_append(_mk(spark, range(3)).coalesce(1), t)       # v0
+    tx_append(_mk(spark, range(10, 12)).coalesce(1), t)  # v1
+
+    got: list = []
+    _drain(spark, t, ckpt, got)
+    assert sorted(r[0] for r in got) == [0, 1, 2, 10, 11]
+    assert {r[2] for r in got} == {"insert"}
+    assert {r[3] for r in got} == {0, 1}  # provenance: which commit
+
+    # new commit lands; the SAME checkpoint resumes at exactly v2
+    tx_append(_mk(spark, [20]).coalesce(1), t)           # v2
+    got2: list = []
+    _drain(spark, t, ckpt, got2)
+    assert [(r[0], r[2], r[3]) for r in got2] == [(20, "insert", 2)]
+
+    # nothing new -> empty batch (or none), never redelivery
+    got3: list = []
+    _drain(spark, t, ckpt, got3)
+    assert got3 == []
+
+
+def test_stream_folds_rewrites_into_live_table(spark, tmp_path):
+    """deletes-then-inserts per commit folds the stream into tx_read."""
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(6)).coalesce(1), t)
+    tx_erase_keys(spark, t, "id", [2, 4])
+    tx_append(_mk(spark, [30]).coalesce(1), t)
+
+    got: list = []
+    _drain(spark, t, str(tmp_path / "ckpt"), got)
+    live: set = set()
+    for v in sorted({r[3] for r in got}):
+        dels = {r[0] for r in got if r[3] == v and r[2] == "delete"}
+        ins = {r[0] for r in got if r[3] == v and r[2] == "insert"}
+        live = (live - dels) | ins
+    assert live == {r["id"] for r in tx_read(spark, t).collect()}
+
+
+def test_starting_version_latest_skips_history(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(5)).coalesce(1), t)
+    register_tx_source(spark)
+    got: list = []
+
+    def _sink(batch_df, batch_id):
+        got.extend(r["id"] for r in batch_df.collect())
+
+    def _run():
+        q = (
+            spark.readStream.format("txtable")
+            .option("path", t)
+            .option("starting_version", "latest")
+            .load()
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run()
+    assert got == []  # history skipped
+    tx_append(_mk(spark, [99]).coalesce(1), t)
+    _run()
+    assert got == [99]  # only the post-subscription commit
+
+
+def test_batch_read_matches_tx_read(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(4)).coalesce(1), t)
+    tx_erase_keys(spark, t, "id", [1])
+    register_tx_source(spark)
+    df = spark.read.format("txtable").option("path", t).load()
+    assert {r["id"] for r in df.collect()} == {0, 2, 3}
+    assert {r["_change_type"] for r in df.collect()} == {"insert"}
+    # time travel through the batch reader
+    df0 = (
+        spark.read.format("txtable").option("path", t).option("version", "0").load()
+    )
+    assert {r["id"] for r in df0.collect()} == {0, 1, 2, 3}
+
+
+def test_stream_from_vacuumed_history_fails_loudly(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        tx_append(_mk(spark, [i]).coalesce(1), t)
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_compact
+
+    tx_compact(spark, t, target_files=1)
+    tx_vacuum(t, retain_versions=1)
+    assert tx_snapshot(t)["horizon"] > 0
+    register_tx_source(spark)
+    q = (
+        spark.readStream.format("txtable")
+        .option("path", t)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(once=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="horizon"):
+        q.awaitTermination()

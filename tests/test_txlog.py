@@ -709,3 +709,53 @@ def test_changes_feed_transforms_snapshots_exactly(spark, tmp_path):
     tx_vacuum(t, retain_versions=1)
     with pytest.raises(ValueError, match="horizon"):
         tx_changes(spark, t, from_version=0)
+
+
+def test_clustered_compaction_restores_skipping(spark, tmp_path):
+    """tx_compact(sort_by=...) re-clusters during the rewrite: after
+    unclustered appends nothing prunes; after a clustered compaction a
+    range predicate opens a strict subset of files (and the result is
+    unchanged). zorder_by narrows BOTH clustered columns' spans."""
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_prune
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 100, f"p{i}") for i in range(4000)], "id int, x int, val string"
+    )
+    # hash-shuffled appends: every file spans ~the whole id range
+    for k in range(4):
+        tx_append(df.filter(F.col("id") % 4 == k).repartition(3), t)
+    kept, skipped = tx_prune(t, [("id", "<", 100)])
+    assert skipped == []  # nothing prunable on the unclustered layout
+
+    v = tx_compact(spark, t, target_files=8, sort_by=["id"])
+    assert v is not None
+    kept2, skipped2 = tx_prune(t, [("id", "<", 100)])
+    assert len(skipped2) >= 6  # narrow disjoint ranges -> most files skip
+    got = tx_read(spark, t, predicate=[("id", "<", 100)])
+    assert got.count() == 100
+
+    # zorder: re-cluster the SAME table on (id, x); both columns prune now
+    v2 = tx_compact(spark, t, target_files=8, zorder_by=["id", "x"])
+    assert v2 == v + 1  # recluster runs even though count is at target
+    _, skip_id = tx_prune(t, [("id", "<", 100)])
+    _, skip_x = tx_prune(t, [("x", ">=", 90)])
+    assert skip_id and skip_x, "both z-ordered columns must skip files"
+    assert tx_read(spark, t).count() == 4000
+
+
+def test_cli_tx_restore_and_changes(spark, tmp_path, capsys):
+    from weather_data_warehouse_aws_spark.__main__ import main
+
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(5)), t)
+    tx_overwrite(_mk(spark, [9]), t)
+    assert main(["tx", "changes", "--table", t, "--from-version", "0"]) == 0
+    out = capsys.readouterr().out
+    assert "delete" in out and "insert" in out
+    assert main(["tx", "restore", "--table", t, "--version", "0"]) == 0
+    assert "restored to v0" in capsys.readouterr().out
+    assert _ids(tx_read(spark, t)) == [0, 1, 2, 3, 4]
+    assert main(["tx", "compact", "--table", t, "--sort-by", "id"]) == 0
+    assert "compacted" in capsys.readouterr().out
+    assert _ids(tx_read(spark, t)) == [0, 1, 2, 3, 4]

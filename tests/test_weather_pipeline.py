@@ -328,3 +328,54 @@ def test_write_silver_compact_single_file_per_partition(spark, bronze_dir, tmp_p
             continue
         files = [f for f in os.listdir(os.path.join(out, part)) if f.endswith(".parquet")]
         assert len(files) == 1, (part, files)
+
+
+# ------------------------------------------------------- gold on the txlog
+def test_gold_tables_are_transactional_and_time_travelable(
+    spark, bronze_dir, tmp_path_factory
+):
+    """Round-6 headline: gold dims + the materialized accuracy fact ride
+    the transaction log — a re-run is a new atomic version, the
+    pre-refresh state stays readable (time travel), and a bad load is
+    `tx_restore`-able. The reference's M4 re-run bug is impossible by
+    construction here."""
+    import os
+
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_exists,
+        tx_history,
+        tx_read,
+        tx_restore,
+        tx_snapshot,
+    )
+
+    wh = str(tmp_path_factory.mktemp("warehouse_tx"))
+    layers1 = run_pipeline(spark, bronze_dir, wh, effective_date=EFFECTIVE, now=NOW)
+    acc_path = os.path.join(wh, "gold", "fact_forecast_accuracy")
+    dim_path = os.path.join(wh, "gold", "dim_location")
+    for p in (acc_path, dim_path, os.path.join(wh, "gold", "dim_date")):
+        assert tx_exists(p), f"{p} must be a tx table"
+    v0 = tx_snapshot(acc_path)["version"]
+    n0 = layers1["fact_forecast_accuracy"].count()
+    rows0 = sorted(
+        str(r) for r in tx_read(spark, acc_path).drop("processed_timestamp").collect()
+    )
+
+    # idempotent re-run: same rows, NEW version; old version still readable
+    layers2 = run_pipeline(spark, bronze_dir, wh, effective_date=EFFECTIVE, now=NOW)
+    v1 = tx_snapshot(acc_path)["version"]
+    assert v1 > v0
+    assert layers2["fact_forecast_accuracy"].count() == n0
+    pre = tx_read(spark, acc_path, version=v0)
+    assert sorted(
+        str(r) for r in pre.drop("processed_timestamp").collect()
+    ) == rows0
+    # the SCD2 dim merged against its own previous tx version
+    assert [h["op"] for h in tx_history(dim_path)].count("overwrite") == 2
+
+    # bad-load rollback: restore the fact to the pre-refresh version
+    tx_restore(acc_path, v0)
+    assert sorted(
+        str(r)
+        for r in tx_read(spark, acc_path).drop("processed_timestamp").collect()
+    ) == rows0

@@ -12,7 +12,8 @@ Athena console; the equivalent local surface:
     index      --table DIR --column COL [--lookup V] per-file Bloom index
     merge      --table DIR --source P --keys K --partition-col C  upsert
     doctor     --table DIR [--skew-col C]            table health report
-    tx         {history,read,compact,erase,vacuum} --table DIR   txlog ops
+    tx         {history,read,compact,erase,vacuum,merge,restore,
+                changes} --table DIR                  txlog ops
 """
 
 from __future__ import annotations
@@ -35,6 +36,13 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("pipeline", help="bronze → silver → gold → facts")
     p.add_argument("--bronze", required=True)
     p.add_argument("--warehouse", required=True)
+    p.add_argument(
+        "--source", choices=["files", "weatherfeed"], default="files",
+        help="weatherfeed: land the pluggable feed source into --bronze "
+        "first (checkpointed stream), then run the batch pipeline over it",
+    )
+    p.add_argument("--feed-batches", type=int, default=3,
+                   help="micro-batches to land when --source weatherfeed")
 
     i = sub.add_parser("ingest", help="checkpointed incremental bronze→silver")
     i.add_argument("--bronze", required=True)
@@ -89,11 +97,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     tx.add_argument(
         "action",
-        choices=["history", "read", "compact", "erase", "vacuum", "merge"],
+        choices=["history", "read", "compact", "erase", "vacuum", "merge",
+                 "restore", "changes"],
     )
     tx.add_argument("--table", required=True, help="txlog table directory")
     tx.add_argument("--version", type=int, default=None, help="time-travel version (read)")
     tx.add_argument("--target-files", type=int, default=1, help="compact target")
+    tx.add_argument("--sort-by", default=None,
+                    help="compact: re-cluster on these comma-separated columns")
+    tx.add_argument("--zorder-by", default=None,
+                    help="compact: Z-order re-cluster on these columns")
+    tx.add_argument("--from-version", type=int, default=None,
+                    help="changes: feed covers commits AFTER this version")
     tx.add_argument("--column", default=None, help="erase key column")
     tx.add_argument("--values", default=None, help="comma-separated erase keys")
     tx.add_argument("--retain-versions", type=int, default=1, help="vacuum retention")
@@ -173,6 +188,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "pipeline":
         from .pipeline.run import run_pipeline
 
+        if args.source == "weatherfeed":
+            import os
+
+            from .pipeline.feed_ingest import feed_stream_to_bronze
+
+            n = feed_stream_to_bronze(
+                spark, args.bronze,
+                os.path.join(args.warehouse, "_feed_ckpt"),
+                n_triggers=args.feed_batches,
+            )
+            print(f"weatherfeed: landed {n} extraction batch(es)")
         layers = run_pipeline(spark, args.bronze, args.warehouse)
         for name, df in layers.items():
             print(f"{name}: {df.count()} rows")
@@ -188,7 +214,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "curate":
         import os
 
-        from .pipeline.curate import CurationConfig, curate_corpus, curation_audit
+        from .pipeline.curate import (
+            CurationConfig,
+            curate_corpus,
+            curation_audit,
+            release_curation,
+        )
 
         docs = spark.read.parquet(args.docs)
         ev = spark.read.parquet(args.eval) if args.eval else None
@@ -199,6 +230,7 @@ def main(argv: list[str] | None = None) -> int:
         for name in ("quarantined", "split", "packed"):
             stages[name].write.mode("overwrite").parquet(os.path.join(args.out, name))
         curation_audit(stages).show(truncate=False)
+        release_curation(stages)
         return 0
 
     if args.cmd == "lint":
@@ -315,8 +347,28 @@ def main(argv: list[str] | None = None) -> int:
                 f"file(s), skipped {res['files_skipped']} untouched"
             )
         elif args.action == "compact":
-            v = txlog.tx_compact(spark, args.table, target_files=args.target_files)
+            v = txlog.tx_compact(
+                spark, args.table, target_files=args.target_files,
+                sort_by=args.sort_by.split(",") if args.sort_by else None,
+                zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
+            )
             print("already compact" if v is None else f"compacted at v{v}")
+        elif args.action == "restore":
+            if args.version is None:
+                print("tx restore needs --version", file=sys.stderr)
+                return 2
+            v = txlog.tx_restore(args.table, args.version)
+            print("already at that state" if v is None
+                  else f"restored to v{args.version} as commit v{v}")
+        elif args.action == "changes":
+            if args.from_version is None:
+                print("tx changes needs --from-version", file=sys.stderr)
+                return 2
+            df = txlog.tx_changes(
+                spark, args.table, args.from_version, args.version
+            )
+            df.show(args.limit, truncate=False)
+            print(f"{df.count()} change rows after v{args.from_version}")
         elif args.action == "erase":
             if not args.column or args.values is None:
                 print("erase needs --column and --values", file=sys.stderr)

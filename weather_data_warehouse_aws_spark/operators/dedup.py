@@ -378,6 +378,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3, threshold: float = 0.5, seed: int = 42,
     shingles: DataFrame | None = None,
     signatures: DataFrame | None = None,
+    caches_out: list | None = None,
 ) -> DataFrame:
     """LSH candidate pairs + estimated Jaccard (signature agreement rate).
 
@@ -397,9 +398,15 @@ def minhash_lsh_pairs(
     if signatures is not None:
         sig = signatures
     else:
+        # `caches_out`: cache-ownership contract (the pq_topk pattern) —
+        # the persisted signature plan is handed to the caller to
+        # unpersist after its action; without it the pin lives for the
+        # session (CacheManager is never GC'd)
         sig = minhash_signatures(
             df, id_col, text_col, k=k, shingle_n=shingle_n, seed=seed, shingles=shingles
         ).persist()
+        if caches_out is not None:
+            caches_out.append(sig)
     banded = band_table(sig, k=k, bands=bands)
     lhs = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
     rhs = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key")

@@ -47,6 +47,36 @@ def bloom_index_path(table_path: str, column: str) -> str:
     return os.path.join(table_path.rstrip("/"), f"_bloom_idx_{column}")
 
 
+def _tx_live_files(table_path: str) -> list[str] | None:
+    """Absolute paths of the LIVE data files when `table_path` is a
+    transaction-log table (operators/txlog.py), else None.
+
+    On a tx table the directory listing is WRONG in both directions:
+    removed-but-unvacuumed files still sit on disk (a point lookup through
+    a stale listing would return rows a committed erase/compact already
+    deleted), and a just-committed file is live regardless of what a
+    racing lister saw. Every file-universe decision below goes through
+    this gate so the Bloom index composes with the transactional format:
+    candidates are drawn from the log's live set, index rows for removed
+    files are ignored, and unindexed live files stay candidates."""
+    from .txlog import tx_exists, tx_snapshot
+
+    if not tx_exists(table_path):
+        return None
+    snap = tx_snapshot(table_path)
+    return [os.path.join(table_path, f) for f in snap["files"]]
+
+
+def _table_df(spark: SparkSession, table_path: str):
+    """The table's rows: log-resolved for tx tables, plain dir read else."""
+    live = _tx_live_files(table_path)
+    if live is None:
+        return spark.read.parquet(table_path)
+    from .txlog import tx_read
+
+    return tx_read(spark, table_path)
+
+
 def _key(col_expr) -> F.Column:
     # xxhash64 gives the well-mixed BIGINT the double-hashing scheme needs,
     # for any input type, engine-deterministic (seed 42 fixed)
@@ -79,7 +109,7 @@ def build_bloom_index(
     (`keys_per_file` skips that sizing pass when the caller knows it).
     Returns the index DataFrame (also written to the sidecar path).
     """
-    data = spark.read.parquet(table_path).select(
+    data = _table_df(spark, table_path).select(
         F.input_file_name().alias("file"), _key(F.col(column)).alias("k")
     )
     if keys_per_file is None:
@@ -140,11 +170,14 @@ def update_bloom_index(
         return build_bloom_index(spark, table_path, column)
     n_bits, n_hashes = first["n_bits"], first["n_hashes"]
     indexed = {_norm_file(r["file"]) for r in existing.select("file").collect()}
-    # Hadoop-FS directory listing (no table scan, any filesystem);
-    # _norm_file bridges the URI-encoding difference vs input_file_name()
+    # file universe: the tx log's live set when present, else a Hadoop-FS
+    # directory listing (no table scan, any filesystem); _norm_file
+    # bridges the URI-encoding difference vs input_file_name()
+    universe = _tx_live_files(table_path)
+    if universe is None:
+        universe = _list_data_files(spark, table_path)
     new_files = sorted(
-        f for f in _list_data_files(spark, table_path)
-        if _norm_file(f) not in indexed
+        f for f in universe if _norm_file(f) not in indexed
     )
     if not new_files:
         return existing
@@ -248,19 +281,24 @@ def prune_files(spark: SparkSession, table_path: str, column: str, value) -> lis
     """Files that might contain `value` (no false negatives).
 
     Stale-index safe: candidates are drawn from the table's CURRENT file
-    listing; a data file appended after the last (update_)build call has no
-    index row and is always kept as a candidate, so the pruned scan stays a
-    superset of the true match set even when the sidecar lags the table.
-    Index rows for files that no longer exist (compacted away) are ignored."""
+    universe (the tx log's live set on transactional tables, the directory
+    listing otherwise); a data file appended after the last (update_)build
+    call has no index row and is always kept as a candidate, so the pruned
+    scan stays a superset of the true match set even when the sidecar lags
+    the table. Index rows for files that no longer exist (compacted away,
+    erased, or tx-removed) are ignored — a point lookup on a tx table can
+    never resurrect a removed file through a stale sidecar."""
     idx = spark.read.parquet(bloom_index_path(table_path, column))
-    actual = _list_data_files(spark, table_path)
+    actual = _tx_live_files(table_path)
+    if actual is None:
+        actual = _list_data_files(spark, table_path)
     first = idx.select("n_bits", "n_hashes").first()
     if first is None:
         return actual  # empty index prunes nothing
     n_bits, n_hashes = first["n_bits"], first["n_hashes"]
     # xxhash64 is type-sensitive: probe with the literal cast to the data
     # column's exact type or the hash won't match the indexed one
-    dtype = spark.read.parquet(table_path).schema[column].dataType
+    dtype = _table_df(spark, table_path).schema[column].dataType
     probe = _row_might_contain(_key(F.lit(value).cast(dtype)), n_bits, n_hashes)
     verdict = {
         _norm_file(r["file"]): bool(r["hit"])
@@ -280,14 +318,16 @@ def prune_files_any(
     subtrees — a 10k-key right-to-be-forgotten batch would blow past the
     codegen method limit.) Same stale-index safety as `prune_files`:
     unindexed files are always candidates, index rows for vanished files
-    are ignored."""
+    are ignored (tx-aware, like `prune_files`)."""
     idx = spark.read.parquet(bloom_index_path(table_path, column))
-    actual = _list_data_files(spark, table_path)
+    actual = _tx_live_files(table_path)
+    if actual is None:
+        actual = _list_data_files(spark, table_path)
     first = idx.select("n_bits", "n_hashes").first()
     if first is None or not values:
         return actual if values else []
     n_bits, n_hashes = first["n_bits"], first["n_hashes"]
-    dtype = spark.read.parquet(table_path).schema[column].dataType
+    dtype = _table_df(spark, table_path).schema[column].dataType
     vals = spark.createDataFrame(
         [(v,) for v in values], f"__v {dtype.simpleString()}"
     ).select(
@@ -332,7 +372,7 @@ def read_with_index(
     if files is None:
         files = prune_files(spark, table_path, column, value)
     if not files:
-        schema = spark.read.parquet(table_path).schema
+        schema = _table_df(spark, table_path).schema
         return spark.createDataFrame([], schema)
     return (
         spark.read.option("basePath", table_path)

@@ -678,13 +678,19 @@ def tx_append(
     return v
 
 
-def tx_overwrite(df: DataFrame, path: str) -> int:
+def tx_overwrite(
+    df: DataFrame, path: str, *, txn: tuple[str, int] | None = None
+) -> int | None:
     """Replace the table's contents atomically (the transactional form of
     the reference's non-idempotent re-run — M4). The remove set is
     whatever is live AT COMMIT TIME, so a lost race simply re-removes the
-    racer's files on retry: last overwrite wins, no conflict."""
+    racer's files on retry: last overwrite wins, no conflict.
+    `txn=(app, batch)` makes the overwrite idempotent per (app, batch),
+    like `tx_append` — a replayed micro-batch that already committed its
+    state version is a no-op (returns None); this is what gives the
+    streaming STATE sink (maintained aggregates, sketches) exactly-once."""
     rels, stats = _write_new_files(df, path)
-    return _commit(
+    v = _commit(
         path,
         "overwrite",
         lambda snap: (
@@ -694,7 +700,11 @@ def tx_overwrite(df: DataFrame, path: str) -> int:
         ),
         validate_remove_live=False,
         stats=stats,
+        txn=txn,
     )
+    if v is None:
+        _drop_files(path, rels)  # duplicate delivery — files never referenced
+    return v
 
 
 def tx_replace_where(
@@ -794,18 +804,18 @@ def tx_replace_where(
 
     rels, stats = _write_new_files(payload, path)
     surv_rels: list[str] = []
-    if candidates:
-        survivors = (
-            spark.read.option("mergeSchema", True)
-            .parquet(*_abs(path, candidates))
-            # keep rows where the condition is NOT TRUE — a NULL condition
-            # row is not in the delete region (3VL: DELETE WHERE never
-            # fires on NULL), so it must survive the rewrite
-            .filter(~F.coalesce(cond, F.lit(False)))
-        )
-        surv_rels, surv_stats = _write_new_files(survivors, path)
-        stats = {**stats, **surv_stats}
     try:
+        if candidates:
+            survivors = (
+                spark.read.option("mergeSchema", True)
+                .parquet(*_abs(path, candidates))
+                # keep rows where the condition is NOT TRUE — a NULL
+                # condition row is not in the delete region (3VL: DELETE
+                # WHERE never fires on NULL), so it must survive the rewrite
+                .filter(~F.coalesce(cond, F.lit(False)))
+            )
+            surv_rels, surv_stats = _write_new_files(survivors, path)
+            stats = {**stats, **surv_stats}
         v = _commit(
             path,
             "replace_where",
@@ -958,26 +968,64 @@ def tx_read(
 
 
 def tx_compact(
-    spark: SparkSession, path: str, *, target_files: int = 1
+    spark: SparkSession,
+    path: str,
+    *,
+    target_files: int = 1,
+    sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int | None:
     """Rewrite the live file set down to `target_files` and swap it in ONE
     atomic commit. Readers of older snapshots keep their (still-on-disk)
     files; `TxConflict` if a concurrent commit replaced any input file
-    first. Returns the new version, or None if already compact."""
+    first. Returns the new version, or None if already compact.
+
+    `sort_by` / `zorder_by` RE-CLUSTER during the rewrite (Delta's
+    OPTIMIZE ... ZORDER BY): range-partition + sort-within-file on the
+    key (or its Morton interleave, `operators/maintenance.zorder_key`),
+    so the per-file min/max recorded in the compaction commit become
+    narrow and disjoint — this is what gives `tx_read(predicate=...)` /
+    `tx_prune` / `tx_merge` / `tx_erase_keys` their file-skipping power
+    on the transactional format; appends arrive unclustered and periodic
+    clustered compaction restores skippability. With a clustering key the
+    rewrite runs even when the file COUNT is already at target (the
+    layout, not the count, is the point)."""
     snap = tx_snapshot(path)
-    if len(snap["files"]) <= max(target_files, 1):
+    recluster = bool(sort_by or zorder_by)
+    if len(snap["files"]) <= max(target_files, 1) and not recluster:
         return None
-    df = (
-        spark.read.option("mergeSchema", True)
-        .parquet(*_abs(path, snap["files"]))
-        .repartition(target_files)
+    if not snap["files"]:
+        return None
+    df = spark.read.option("mergeSchema", True).parquet(
+        *_abs(path, snap["files"])
     )
+    n = max(target_files, 1)
+    if zorder_by:
+        from .maintenance import zorder_key
+
+        zdf, zkey = zorder_key(df, zorder_by)
+        df = (
+            zdf.repartitionByRange(n, zkey)
+            .sortWithinPartitions(zkey)
+            .drop(zkey)
+        )
+    elif sort_by:
+        df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n)
     rels, stats = _write_new_files(df, path)
     try:
         return _commit(
             path,
             "compact",
-            lambda s: (rels, snap["files"], {"n_before": len(snap["files"])}),
+            lambda s: (
+                rels,
+                snap["files"],
+                {
+                    "n_before": len(snap["files"]),
+                    **({"clustered_by": sort_by or zorder_by} if recluster else {}),
+                },
+            ),
             stats=stats,
         )
     except TxConflict:

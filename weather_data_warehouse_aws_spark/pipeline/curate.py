@@ -113,9 +113,23 @@ def curate_corpus(
     `eval_docs` must carry (id_col, text_col); `budgets` is a
     (`lang`, budget) relation joined on the documents' `lang` column when
     present (callers without a lang column pass budgets=None).
+
+    CACHE OWNERSHIP: the fan-out boundaries are `persist()`-ed, and
+    Spark's CacheManager is not GC'd — the caller OWNS them and must call
+    `release_curation(stages)` once done consuming the returned frames
+    (every persisted plan, including internals not in the dict, rides the
+    `"_caches"` key). A caller that drops the dict without releasing pins
+    executor storage for the session — the same contract as
+    `operators/similarity.pq_topk(caches_out=...)`.
     """
     cfg = config
-    cleaned = clean_documents(docs, id_col, text_col).persist()
+    caches: list[DataFrame] = []
+
+    def _pin(df: DataFrame) -> DataFrame:
+        caches.append(df.persist())
+        return df
+
+    cleaned = _pin(clean_documents(docs, id_col, text_col))
 
     rules = [
         not_null("text"),
@@ -128,7 +142,7 @@ def curate_corpus(
     # exists for the cleaned/quarantined audit surfaces only, and carrying
     # it forward would double every downstream cache and land each
     # document's full text twice in the packed output
-    passed = passed.drop("raw_text").persist()
+    passed = _pin(passed.drop("raw_text"))
 
     dup_pairs = minhash_lsh_pairs(
         passed,
@@ -138,7 +152,9 @@ def curate_corpus(
         bands=cfg.minhash_bands,
         shingle_n=cfg.shingle_n,
         threshold=cfg.neardup_threshold,
-    ).persist()  # feeds clustering AND the leakage-safe split keying
+        caches_out=caches,  # the signature pin joins this run's release set
+    )
+    dup_pairs = _pin(dup_pairs)  # feeds clustering AND the split keying
     clusters = dedup_clusters(dup_pairs)
     losers = clusters.filter(~F.col("is_canonical")).select("doc_id")
     # clustered docs ≪ corpus at real scale → broadcast anti-join
@@ -149,12 +165,12 @@ def curate_corpus(
             shingle_table(eval_docs, id_col, text_col, cfg.shingle_n)
             .select("sh")
             .distinct()
-            .persist()  # bloom build (count + bitmap) + the exact probe
         )
+        eval_sh = _pin(eval_sh)  # bloom build (count + bitmap) + exact probe
         surv_sh = shingle_table(survivors, "doc_id", "text", cfg.shingle_n)
-        pruned = bloom_prune(
+        pruned = _pin(bloom_prune(
             surv_sh, "sh", eval_sh, "sh", fpr=cfg.decontam_fpr
-        ).persist()  # cap consumes it twice (df groupBy + anti-join probe)
+        ))  # cap consumes it twice (df groupBy + anti-join probe)
         capped = cap_hot_shingles(pruned, cfg.max_shingle_df)
         hits = capped.join(eval_sh, "sh").select("doc_id", "sh")
         contaminated = hits.select("doc_id").distinct()
@@ -190,16 +206,16 @@ def curate_corpus(
                 .select("doc_id")
                 .distinct()
             )
-            salvaged = cut.join(
+            salvaged = _pin(cut.join(
                 F.broadcast(still_hot), "doc_id", "left_anti"
-            ).persist()
+            ))
             decontaminated = decontaminated.unionByName(salvaged)
         else:
             salvaged = survivors.limit(0)
     else:
         decontaminated = survivors
         salvaged = survivors.limit(0)
-    decontaminated = decontaminated.persist()
+    decontaminated = _pin(decontaminated)
 
     split = leakage_safe_split(
         decontaminated,
@@ -239,7 +255,17 @@ def curate_corpus(
         "split": split,
         "mixed": mixed,
         "packed": packed,
+        "_caches": caches,
     }
+
+
+def release_curation(stages: dict[str, DataFrame]) -> None:
+    """Release every cache `curate_corpus` pinned — call once the returned
+    frames have been consumed (written out, counted, collected). Targeted:
+    unpersists ONLY this run's plans, so a shared session's unrelated
+    caches survive (unlike `spark.catalog.clearCache()`). Idempotent."""
+    for df in stages.get("_caches", []):
+        df.unpersist()
 
 
 def curation_provenance(

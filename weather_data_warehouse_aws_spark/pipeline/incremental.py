@@ -64,18 +64,7 @@ def rebuild_accuracy_partitions(
     """
     targets = affected_forecast_dates(changed_dates, horizon_days=horizon_days)
     lo, hi = min(targets), max(targets)
-
-    f_slice = fact_forecast.filter(
-        (F.to_date("forecast_for_time") >= F.lit(lo))
-        & (F.to_date("forecast_for_time") <= F.lit(hi))
-    )
-    pad_lo = dt.datetime.combine(lo, dt.time()) - dt.timedelta(hours=1)
-    pad_hi = dt.datetime.combine(hi + dt.timedelta(days=1), dt.time()) + dt.timedelta(hours=1)
-    a_slice = fact_actual.filter(
-        (F.col("observation_time") >= F.lit(pad_lo))
-        & (F.col("observation_time") < F.lit(pad_hi))
-    )
-
+    f_slice, a_slice = _accuracy_slices(fact_forecast, fact_actual, lo, hi)
     acc = fact_forecast_accuracy(f_slice, a_slice).withColumn(
         "forecast_for_date", F.to_date("forecast_for_time")
     )
@@ -86,4 +75,66 @@ def rebuild_accuracy_partitions(
         acc.write.partitionBy("forecast_for_date").mode("overwrite").parquet(accuracy_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return targets
+
+
+def _accuracy_slices(
+    fact_forecast: DataFrame,
+    fact_actual: DataFrame,
+    lo: dt.date,
+    hi: dt.date,
+) -> tuple[DataFrame, DataFrame]:
+    """Date-prune both band-join inputs to the affected envelope (+1 h pad
+    on the actual side) so the recompute scans O(affected days)."""
+    f_slice = fact_forecast.filter(
+        (F.to_date("forecast_for_time") >= F.lit(lo))
+        & (F.to_date("forecast_for_time") <= F.lit(hi))
+    )
+    pad_lo = dt.datetime.combine(lo, dt.time()) - dt.timedelta(hours=1)
+    pad_hi = dt.datetime.combine(hi + dt.timedelta(days=1), dt.time()) + dt.timedelta(hours=1)
+    a_slice = fact_actual.filter(
+        (F.col("observation_time") >= F.lit(pad_lo))
+        & (F.col("observation_time") < F.lit(pad_hi))
+    )
+    return f_slice, a_slice
+
+
+def rebuild_accuracy_tx(
+    spark: SparkSession,
+    fact_forecast: DataFrame,
+    fact_actual: DataFrame,
+    accuracy_table: str,
+    changed_dates: Iterable[dt.date],
+    *,
+    horizon_days: int = HORIZON_DAYS,
+) -> list[dt.date]:
+    """Transaction-log twin of `rebuild_accuracy_partitions`: recompute the
+    affected `forecast_for_date` envelope and swap it in with ONE atomic
+    `tx_replace_where` commit against the gold accuracy table
+    `pipeline/run.py` materializes.
+
+    What the log buys over dynamic-partition overwrite:
+    * the delete-region + insert is a single commit — a concurrent reader
+      sees the whole refresh or none of it, and a crash mid-refresh leaves
+      the table at the previous version instead of half-replaced;
+    * a date whose recompute comes back EMPTY is actually emptied —
+      dynamic overwrite only rewrites partitions PRESENT in the output, so
+      deleted rows resurrect (the documented gotcha this replaces);
+    * the pre-refresh fact stays time-travelable and `tx_restore`-able.
+    Returns the affected dates.
+    """
+    targets = affected_forecast_dates(changed_dates, horizon_days=horizon_days)
+    lo, hi = min(targets), max(targets)
+    f_slice, a_slice = _accuracy_slices(fact_forecast, fact_actual, lo, hi)
+    acc = fact_forecast_accuracy(f_slice, a_slice).withColumn(
+        "forecast_for_date", F.to_date("forecast_for_time")
+    )
+    from ..operators.txlog import tx_replace_where
+
+    tx_replace_where(
+        spark,
+        accuracy_table,
+        acc,
+        f"forecast_for_date >= DATE'{lo}' AND forecast_for_date <= DATE'{hi}'",
+    )
     return targets

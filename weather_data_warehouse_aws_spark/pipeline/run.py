@@ -5,6 +5,17 @@ The reference chains jobs via a fire-and-forget Glue trigger
 stages in order against a local warehouse directory:
 
     bronze JSON  →  silver parquet (partitioned)  →  gold dims  →  fact views
+
+Gold tables (dims + the materialized accuracy fact) live on the
+TRANSACTION LOG (`operators/txlog.py`): every refresh is one atomic
+commit, concurrent readers keep their snapshot through a mid-refresh
+crash or race, the pre-refresh state stays time-travelable
+(`tx_read(..., version=v)`), and a bad load rolls back with `tx_restore`.
+This makes the reference's M4 class of bug (non-idempotent re-runs,
+`bronze_to_silver.py:114-117`) impossible by construction for gold — the
+silver layer keeps hive-partitioned parquet (dynamic-partition overwrite
+is its idempotence story AND its date-pruning layout; the log adds
+nothing to a partition-replace that the date columns don't already give).
 """
 
 from __future__ import annotations
@@ -13,9 +24,10 @@ import datetime as _dt
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..operators.txlog import tx_exists, tx_overwrite, tx_read
 from ..session import ensure_session_conf
-from ..sources.tables import read_parquet_if_exists
 from .gold import build_dim_date, build_dim_location
 from .silver import build_silver_current, build_silver_forecast, read_bronze, write_silver
 from .views import register_fact_views
@@ -54,38 +66,40 @@ def run_pipeline(
     silver_forecast = spark.read.parquet(fc_path)
 
     dim_location_path = os.path.join(warehouse_dir, "gold", "dim_location")
-    # path-missing → first run → initial load (reference build_dimensions.py:
-    # 52-58); any OTHER read failure re-raises — falling through to the
-    # initial-load overwrite on a transient error would destroy SCD2 history
-    existing = read_parquet_if_exists(spark, dim_location_path)
+    # no-log-yet → first run → initial load (reference build_dimensions.py:
+    # 52-58). The SCD2 merge READS the existing dim while tx_overwrite
+    # WRITES its replacement — safe without any stage/swap dance because
+    # data files are immutable: the new files land beside the old ones and
+    # one commit swaps the live set (the old stage-then-double-write path
+    # this replaces cost an extra full write per refresh)
+    existing = (
+        tx_read(spark, dim_location_path) if tx_exists(dim_location_path) else None
+    )
     dim_location = build_dim_location(
         silver_current, existing, effective_date=effective_date, now=now
     )
-    if existing is None:
-        # first run: nothing being read from the target — write directly
-        dim_location.write.mode("overwrite").parquet(dim_location_path)
-    else:
-        # merge reads the existing dim: stage, swap, clean (no
-        # overwrite-while-reading, no leftover staging dir)
-        import shutil
-
-        tmp = dim_location_path + "__new"
-        dim_location.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(dim_location_path)
-        shutil.rmtree(tmp, ignore_errors=True)
-    dim_location = spark.read.parquet(dim_location_path)
+    tx_overwrite(dim_location, dim_location_path)
+    dim_location = tx_read(spark, dim_location_path)
 
     dim_date = build_dim_date(spark, *dim_date_range)
     dim_date_path = os.path.join(warehouse_dir, "gold", "dim_date")
-    dim_date.write.mode("overwrite").parquet(dim_date_path)
-    dim_date = spark.read.parquet(dim_date_path)
+    tx_overwrite(dim_date, dim_date_path)
+    dim_date = tx_read(spark, dim_date_path)
 
     facts = register_fact_views(spark, silver_current, silver_forecast, dim_location, dim_date)
     # materialize the accuracy fact — the reference recomputes its band join
-    # inside every query (views inlined by Athena); we pay it once per load
+    # inside every query (views inlined by Athena); we pay it once per load.
+    # `forecast_for_date` rides along so incremental maintenance
+    # (pipeline/incremental.py::rebuild_accuracy_tx) can replace affected
+    # date ranges with tx_replace_where instead of full recomputes.
     acc_path = os.path.join(warehouse_dir, "gold", "fact_forecast_accuracy")
-    facts["fact_forecast_accuracy"].write.mode("overwrite").parquet(acc_path)
-    facts["fact_forecast_accuracy"] = spark.read.parquet(acc_path)
+    tx_overwrite(
+        facts["fact_forecast_accuracy"].withColumn(
+            "forecast_for_date", F.to_date("forecast_for_time")
+        ),
+        acc_path,
+    )
+    facts["fact_forecast_accuracy"] = tx_read(spark, acc_path)
     facts["fact_forecast_accuracy"].createOrReplaceTempView("fact_forecast_accuracy")
 
     return {

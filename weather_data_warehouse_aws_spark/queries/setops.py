@@ -50,6 +50,10 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``ivm`` — per-orderstatus (count, sum-of-cents) maintained
       incrementally: grouped_sums(v1) + apply_agg_delta(diff). The oracle
       aggregates v2 directly — matching hashes prove the delta algebra.
+    * ``tx_roundtrip`` — per-nation supplier counts transported through
+      the transaction-log table format (tx_overwrite → sentinel append →
+      tx_erase_keys → snapshot read); the oracle computes the relation
+      directly, so equal hashes prove the tx ops are value-preserving.
     """
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -129,10 +133,51 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("checksum").cast("long"),
     )
 
+    # -- tx_roundtrip: per-nation supplier counts transported through the
+    # transaction-log table format (operators/txlog.py): tx_overwrite →
+    # tx_append a sentinel partition → tx_erase_keys it back out →
+    # snapshot read. The DuckDB oracle computes the relation DIRECTLY and
+    # knows nothing of the log — matching hashes prove the tx ops are
+    # value-preserving end-to-end (commit, stats, erase pruning, replay),
+    # the driver-visible face of the table format. Materialized
+    # (localCheckpoint) so the scratch table can be deleted eagerly.
+    import shutil
+    import tempfile
+
+    from ..operators.txlog import tx_append, tx_erase_keys, tx_overwrite, tx_read
+
+    per_nation = (
+        supplier.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("s_suppkey").cast("long").alias("checksum"),
+        )
+        .coalesce(1)  # 25-row relation — one part file
+    )
+    tdir = tempfile.mkdtemp(prefix="wdwa_txq_")
+    tpath = tdir + "/t"
+    try:
+        tx_overwrite(per_nation, tpath)
+        # sentinel carries the EXACT table schema (s_nationkey's width
+        # follows the source parquet) so the mergeSchema read stays clean
+        sentinel = spark.createDataFrame([(999, 0, 0)], per_nation.schema)
+        tx_append(sentinel, tpath)
+        tx_erase_keys(spark, tpath, "s_nationkey", [999])
+        tx_out = tx_read(spark, tpath).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    txb = tx_out.select(
+        F.lit("tx_roundtrip").alias("op"),
+        F.col("s_nationkey").cast("string").alias("group_key"),
+        F.col("n"),
+        F.col("checksum"),
+    )
+
     return (
         sets.unionByName(cdc)
         .unionByName(ivm)
         .unionByName(ivm_join)
+        .unionByName(txb)
         .orderBy("op", "group_key")
     )
 
@@ -183,6 +228,13 @@ UNION ALL
 SELECT 'ivm_join', c_mktsegment, COUNT(*), CAST(SUM(cents) AS BIGINT)
 FROM v2 JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
+UNION ALL
+-- the Spark side transports this relation through the transaction-log
+-- table (overwrite -> sentinel append -> erase -> snapshot read); the
+-- oracle computes it directly — equality proves the tx ops preserve values
+SELECT 'tx_roundtrip', CAST(s_nationkey AS VARCHAR),
+       CAST(COUNT(*) AS BIGINT), CAST(SUM(s_suppkey) AS BIGINT)
+FROM supplier GROUP BY s_nationkey
 ORDER BY op, group_key
 """
 

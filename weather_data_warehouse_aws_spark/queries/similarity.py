@@ -555,11 +555,32 @@ ORDER BY query_id, rank
 
 PQ_SERVE_CELLS = 8  # coarse cells in the served index; probed in full
 
-# one persisted IVFPQ index per (process, sf_dir): training + encoding are
-# BUILD-time costs in the serving architecture, amortized across every
-# query against the same corpus — re-training per query call (the old
-# in-query pq_topk path) billed the whole build to each invocation
-_IVFPQ_SERVE_CACHE: dict[str, str] = {}
+# one persisted IVFPQ index per (process, sf_dir, corpus fingerprint):
+# training + encoding are BUILD-time costs in the serving architecture,
+# amortized across every query against the same corpus — re-training per
+# query call (the old in-query pq_topk path) billed the whole build to
+# each invocation. The fingerprint (embeddings file listing + mtime +
+# size) guards the cache against an in-process REWRITE of the corpus
+# under the same path: a changed corpus triggers a rebuild instead of
+# silently serving the stale index.
+_IVFPQ_SERVE_CACHE: dict[tuple, str] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """Cheap change detector for the embeddings corpus under `sf_dir`:
+    (relpath, mtime_ns, size) per data file. Metadata-only — no scan."""
+    root = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
+    ents = []
+    if os.path.isfile(root):
+        st = os.stat(root)
+        ents.append(("", st.st_mtime_ns, st.st_size))
+    elif os.path.isdir(root):
+        for dirpath, _, names in os.walk(root):
+            for n in sorted(names):
+                fp = os.path.join(dirpath, n)
+                st = os.stat(fp)
+                ents.append((os.path.relpath(fp, root), st.st_mtime_ns, st.st_size))
+    return tuple(ents)
 
 
 def q_pq_ann(
@@ -580,7 +601,7 @@ def q_pq_ann(
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    key = os.path.realpath(sf_dir)
+    key = (os.path.realpath(sf_dir), _corpus_fingerprint(sf_dir))
     path = _IVFPQ_SERVE_CACHE.get(key)
     if path is None:
         path = tempfile.mkdtemp(prefix="wdwa_ivfpq_serve_") + "/idx"

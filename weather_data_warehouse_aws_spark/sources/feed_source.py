@@ -53,6 +53,17 @@ FEED_SCHEMA = (
     "visibility int, condition string, sunrise bigint, sunset bigint"
 )
 
+# forecast mode (`option("data_type", "forecast")`): one row per
+# (city, horizon point) — 40 points @ 3 h, the reference's 5-day forecast
+# (README.md:339-340). `forecast_dt` stays an epoch BIGINT (like
+# sunrise/sunset) so values are timezone-independent on the wire.
+FORECAST_FEED_SCHEMA = (
+    "city_name string, country string, extraction_timestamp timestamp, "
+    "batch_id string, forecast_dt bigint, temp double, feels_like double, "
+    "humidity int, pressure int, wind_speed double, wind_deg int, "
+    "clouds_all int, pop double, condition string"
+)
+
 
 def _batch_ts(start: dt.date, idx: int, extractions_per_day: int) -> dt.datetime:
     d, e = divmod(idx, extractions_per_day)
@@ -99,14 +110,50 @@ def _feed_rows(seed: int, idx: int, batch_ts: dt.datetime) -> list[tuple]:
     return out
 
 
+def _forecast_rows(seed: int, idx: int, batch_ts: dt.datetime) -> list[tuple]:
+    """One extraction batch's flattened forecast: (city × 40 points) rows
+    from a batch-local RNG (`:forecast`-suffixed stream so the current and
+    forecast draws of the same batch are independent — per-batch
+    reproducibility without any cross-data-type draw-order coupling)."""
+    from ..pipeline.generate import CITIES, _forecast_payload
+
+    rng = random.Random(f"{seed}:{idx}:forecast")
+    out = []
+    for c in CITIES:
+        p = _forecast_payload(rng, c, batch_ts)
+        for pt in p["list"]:
+            out.append(
+                (
+                    p["city_name"],
+                    p["country"],
+                    batch_ts,
+                    p["batch_id"],
+                    pt["dt"],
+                    pt["main"]["temp"],
+                    pt["main"]["feels_like"],
+                    pt["main"]["humidity"],
+                    pt["main"]["pressure"],
+                    pt["wind"]["speed"],
+                    pt["wind"]["deg"],
+                    pt["clouds"]["all"],
+                    pt["pop"],
+                    pt["weather"][0]["main"],
+                )
+            )
+    return out
+
+
 class WeatherFeedReader(DataSourceReader):
     def __init__(self, options: dict):
         self.start = dt.date.fromisoformat(options.get("start", "2024-01-01"))
         self.days = int(options.get("days", 3))
         self.extractions_per_day = int(options.get("extractions_per_day", 1))
         self.seed = int(options.get("seed", 42))
+        self.data_type = options.get("data_type", "current")
         if self.days < 0 or self.extractions_per_day < 1:
             raise ValueError("days must be >= 0, extractions_per_day >= 1")
+        if self.data_type not in ("current", "forecast"):
+            raise ValueError("data_type must be 'current' or 'forecast'")
 
     def partitions(self):
         n = self.days * self.extractions_per_day
@@ -119,7 +166,12 @@ class WeatherFeedReader(DataSourceReader):
             return
         idx = partition.value
         ts = _batch_ts(self.start, idx, self.extractions_per_day)
-        yield from _feed_rows(self.seed, idx, ts)
+        rows = (
+            _feed_rows(self.seed, idx, ts)
+            if self.data_type == "current"
+            else _forecast_rows(self.seed, idx, ts)
+        )
+        yield from rows
 
 
 class WeatherFeedStreamReader(SimpleDataSourceStreamReader):
@@ -139,14 +191,18 @@ class WeatherFeedStreamReader(SimpleDataSourceStreamReader):
         self.start = dt.date.fromisoformat(options.get("start", "2024-01-01"))
         self.extractions_per_day = int(options.get("extractions_per_day", 1))
         self.seed = int(options.get("seed", 42))
+        self.data_type = options.get("data_type", "current")
+        if self.data_type not in ("current", "forecast"):
+            raise ValueError("data_type must be 'current' or 'forecast'")
 
     def initialOffset(self) -> dict:
         return {"index": 0}
 
     def _rows(self, idx: int) -> list[tuple]:
-        return _feed_rows(
-            self.seed, idx, _batch_ts(self.start, idx, self.extractions_per_day)
-        )
+        ts = _batch_ts(self.start, idx, self.extractions_per_day)
+        if self.data_type == "forecast":
+            return _forecast_rows(self.seed, idx, ts)
+        return _feed_rows(self.seed, idx, ts)
 
     def read(self, start: dict):
         idx = int(start["index"])
@@ -167,6 +223,8 @@ class WeatherFeedDataSource(DataSource):
         return "weatherfeed"
 
     def schema(self) -> str:
+        if self.options.get("data_type", "current") == "forecast":
+            return FORECAST_FEED_SCHEMA
         return FEED_SCHEMA
 
     def reader(self, schema) -> WeatherFeedReader:

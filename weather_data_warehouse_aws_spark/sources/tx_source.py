@@ -1,0 +1,197 @@
+"""`txtable` — a Spark DataSource that streams a transaction-log table's
+CHANGE FEED (the Delta-streaming-source analogue for `operators/txlog.py`).
+
+    register_tx_source(spark)
+    df = (spark.readStream.format("txtable")
+          .option("path", "/lake/gold/fact").load())
+
+Offsets are COMMIT VERSIONS: the checkpoint stores the last delivered
+version, each micro-batch covers the commit range (start, end], and a
+restart resumes at exactly the next undelivered commit — the immutable
+data files ARE the replay buffer, so redelivery is deterministic with no
+extra storage (same contract as `tx_changes`, which this source serves
+incrementally). Rows carry the table's columns plus `_change_type`
+('insert' | 'delete') and `_commit_version`; applying each version's
+deletes-then-inserts folds the stream into the live table (downstream IVM
+/ index-refresh consumers), and an append-only table yields a pure insert
+stream.
+
+Scale shape: `partitions()` emits ONE InputPartition PER (commit, file),
+so a micro-batch fans out across executors exactly as wide as the commit
+wrote files; each partition reads its one immutable parquet file with
+pyarrow (no driver-side data movement). Offsets/planning touch only the
+KB-scale log. Rows are yielded as Python tuples aligned to the declared
+schema (None-filled for columns a pre-evolution file lacks) — robust
+across schema evolution; the arrow-batch fast path is a drop-in upgrade
+when column types are stable.
+
+Retention covenant (as with any CDC on the log): the stream must not lag
+behind `tx_vacuum`'s horizon — a vacuumed commit's removed files are
+gone, and planning raises rather than silently skipping. Start a new
+stream on a vacuumed table with `starting_version` ≥ the horizon (or
+`"latest"` to stream only future commits).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+_CDC_COLS = ("_change_type", "_commit_version")
+
+
+def _table_schema(path: str) -> StructType:
+    from ..operators.txlog import tx_snapshot
+
+    snap = tx_snapshot(path)
+    if snap["schema"] is None:
+        raise ValueError(f"{path}: transaction log carries no schema yet")
+    return StructType.fromJson(json.loads(snap["schema"]))
+
+
+def _read_file_rows(path: str, rel: str, colnames: list[str], tail: tuple):
+    """One immutable data file → tuples aligned to `colnames` + `tail`
+    (None for columns the file predates). Runs on the EXECUTOR."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(os.path.join(path, rel))
+    present = set(table.column_names)
+    cols = [
+        table.column(c).to_pylist() if c in present else [None] * table.num_rows
+        for c in colnames
+    ]
+    for row in zip(*cols):
+        yield row + tail
+
+
+class TxTableStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("txtable: option 'path' is required")
+        self.starting = options.get("starting_version", "-1")
+
+    def _snapshot(self):
+        from ..operators.txlog import tx_exists, tx_snapshot
+
+        return tx_snapshot(self.path) if tx_exists(self.path) else None
+
+    def initialOffset(self) -> dict:
+        if self.starting == "latest":
+            snap = self._snapshot()
+            return {"version": snap["version"] if snap else -1}
+        return {"version": int(self.starting)}
+
+    def latestOffset(self) -> dict:
+        snap = self._snapshot()
+        return {"version": snap["version"] if snap else -1}
+
+    def partitions(self, start: dict, end: dict):
+        from ..operators.txlog import _load_rec, _usable_log, tx_snapshot
+
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return [InputPartition(None)]
+        snap = tx_snapshot(self.path)
+        # a commit v > horizon can reference no deleted file (deletion
+        # requires removal at r <= horizon < v) — so the range is safe
+        # iff it starts at or after the horizon
+        if snap["horizon"] > 0 and lo < snap["horizon"]:
+            raise ValueError(
+                f"txtable: stream offset {lo} predates the vacuum horizon "
+                f"({snap['horizon']}) — removed files are gone; restart with "
+                "starting_version >= the horizon (or 'latest')"
+            )
+        colnames = [f.name for f in _table_schema(self.path).fields]
+        out = []
+        for v in _usable_log(self.path)[0]:
+            if v <= lo or v > hi:
+                continue
+            rec = _load_rec(self.path, v)
+            for kind, rels in (
+                ("delete", rec.get("remove", [])),
+                ("insert", rec.get("add", [])),
+            ):
+                for rel in rels:
+                    out.append(
+                        InputPartition((self.path, rel, colnames, kind, v))
+                    )
+        return out or [InputPartition(None)]
+
+    def read(self, partition: InputPartition):
+        if partition is None or partition.value is None:
+            return
+        path, rel, colnames, kind, v = partition.value
+        yield from _read_file_rows(path, rel, colnames, (kind, v))
+
+    def commit(self, end: dict) -> None:
+        pass  # delivered versions need no source-side bookkeeping
+
+
+class TxTableBatchReader(DataSourceReader):
+    """Batch read of a snapshot, presented as an insert-feed (every row
+    `_change_type='insert'`, `_commit_version` = the snapshot version) so
+    batch and stream share one schema: one partition per live file.
+    Exists for format symmetry — `operators/txlog.tx_read` is the
+    preferred batch path (native JVM parquet scan, filter pushdown, stats
+    pruning); this reader serves the places a `format("txtable")`
+    spelling is required."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("txtable: option 'path' is required")
+        self.version = options.get("version")
+
+    def partitions(self):
+        from ..operators.txlog import tx_snapshot
+
+        v = int(self.version) if self.version is not None else None
+        snap = tx_snapshot(self.path, v)
+        colnames = [f.name for f in _table_schema(self.path).fields]
+        tail = ("insert", snap["version"])
+        return [
+            InputPartition((self.path, rel, colnames, tail))
+            for rel in snap["files"]
+        ] or [InputPartition(None)]
+
+    def read(self, partition: InputPartition):
+        if partition is None or partition.value is None:
+            return
+        path, rel, colnames, tail = partition.value
+        yield from _read_file_rows(path, rel, colnames, tail)
+
+
+class TxTableDataSource(DataSource):
+    """Options: `path` (required); stream: `starting_version` (int commit
+    version, default -1 = full history, or 'latest'); batch: `version`
+    (time travel)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txtable"
+
+    def schema(self):
+        # a FRESH StructType (StructType.add mutates in place — never
+        # extend the table's own schema object)
+        out = StructType(list(_table_schema(self.options["path"]).fields))
+        out.add(_CDC_COLS[0], "string").add(_CDC_COLS[1], "long")
+        return out
+
+    def reader(self, schema) -> TxTableBatchReader:
+        return TxTableBatchReader(self.options)
+
+    def streamReader(self, schema) -> TxTableStreamReader:
+        return TxTableStreamReader(self.options)
+
+
+def register_tx_source(spark) -> None:
+    spark.dataSource.register(TxTableDataSource)

@@ -249,6 +249,7 @@ def run_incremental_agg_foreachbatch(
     initial_agg: DataFrame | None = None,
     count_col: str = "n_rows",
     timeout_sec: int = 180,
+    state_format: str = "versioned",
 ) -> None:
     """Streaming incremental gold maintenance: each micro-batch is a slice
     of a CDC changefeed (operators/cdc.py::snapshot_diff shape — op +
@@ -293,9 +294,90 @@ def run_incremental_agg_foreachbatch(
                 prior = grouped_sums(empty_snap, group_by, sum_cols, count_col)
         return apply_agg_delta(prior, batch_df, group_by, sum_cols, count_col)
 
-    _run_versioned_foreachbatch(
-        diff_stream, agg_path, checkpoint_path, _merge, timeout_sec=timeout_sec
+    _run_state_foreachbatch(
+        diff_stream, agg_path, checkpoint_path, _merge,
+        timeout_sec=timeout_sec, state_format=state_format,
+        app="incremental_agg",
     )
+
+
+def _run_state_foreachbatch(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    merge_fn,
+    *,
+    timeout_sec: int = 180,
+    state_format: str = "versioned",
+    app: str = "state",
+) -> None:
+    """Dispatch a mergeable-state streaming job to its state store:
+    `versioned` (the self-contained versioned-dir protocol below) or `tx`
+    (the transaction-log table — `_run_tx_foreachbatch`)."""
+    if state_format == "tx":
+        _run_tx_foreachbatch(
+            stream_df, state_path, checkpoint_path, merge_fn,
+            timeout_sec=timeout_sec, app=app,
+        )
+    elif state_format == "versioned":
+        _run_versioned_foreachbatch(
+            stream_df, state_path, checkpoint_path, merge_fn,
+            timeout_sec=timeout_sec,
+        )
+    else:
+        raise ValueError(f"state_format must be 'versioned' or 'tx', got {state_format!r}")
+
+
+def _run_tx_foreachbatch(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    merge_fn,
+    *,
+    timeout_sec: int = 180,
+    app: str = "state",
+) -> None:
+    """Transaction-log state store: the maintained state is a txlog TABLE.
+    Per micro-batch: read the current snapshot as the prior, fold the
+    batch with ``merge_fn(spark, batch_df, prior)``, and `tx_overwrite`
+    the result under the idempotence token ``(app, batch_id)`` — a batch
+    REPLAYED after a sink-side crash finds its token already folded and
+    commits nothing (exactly-once, the Delta txn-action design), so no
+    versioned-dir bookkeeping, completeness markers, or manual GC: history
+    is the log, retention is `tx_vacuum`, and consumers read the state
+    with `tx_read` (time-travelable to any retained batch's version).
+
+    vs the versioned-dir protocol: same guarantees, but the prior-read /
+    publish race needs no care at all here (data files are immutable; the
+    overwrite is one atomic commit), and the state keeps the full audit
+    trail until vacuumed instead of exactly two versions."""
+    from ..operators.txlog import tx_exists, tx_read, tx_snapshot, tx_vacuum
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.txlog import tx_overwrite
+
+        spark = batch_df.sparkSession
+        prior = None
+        if tx_exists(state_path):
+            snap = tx_snapshot(state_path)
+            if int(snap["txns"].get(app, -1)) >= int(batch_id):
+                return  # replayed batch — already folded, exactly-once
+            if snap["files"]:
+                prior = tx_read(spark, state_path)
+        updated = merge_fn(spark, batch_df, prior)
+        tx_overwrite(updated, state_path, txn=(app, int(batch_id)))
+        # retention: current + retry-safety prior STATE, matching the
+        # versioned protocol's footprint. Each folded batch appends TWO
+        # commits (overwrite + this vacuum), so 2 states = 4 versions.
+        tx_vacuum(state_path, retain_versions=4)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
 
 
 def _run_versioned_foreachbatch(
@@ -367,11 +449,16 @@ def _complete_versions(agg_path: str) -> list[int]:
 
 
 def read_current_agg(spark: SparkSession, agg_path: str) -> DataFrame:
-    """Newest COMPLETE maintained-aggregate version written by
-    run_incremental_agg_foreachbatch (versions without _SUCCESS are
-    in-flight or torn and are skipped)."""
+    """Newest COMPLETE maintained-aggregate state, whichever store the job
+    used: a transaction-log table reads through its snapshot; a
+    versioned dir resolves the newest version carrying _SUCCESS
+    (in-flight or torn versions are skipped in both stores)."""
     import os
 
+    from ..operators.txlog import tx_exists, tx_read
+
+    if tx_exists(agg_path):
+        return tx_read(spark, agg_path)
     ids = _complete_versions(agg_path)
     if not ids:
         raise FileNotFoundError(f"no complete aggregate versions under {agg_path}")
@@ -505,6 +592,7 @@ def run_cms_foreachbatch(
     width: int = 2048,
     depth: int = 5,
     timeout_sec: int = 180,
+    state_format: str = "versioned",
 ) -> None:
     """Streaming heavy-hitter maintenance: each micro-batch's Count-Min
     sketch (operators/cms.py) merges into a persisted sketch — frequency
@@ -522,6 +610,7 @@ def run_cms_foreachbatch(
         batch_sketch = cms_build(batch_df, col, width=width, depth=depth)
         return batch_sketch if prior is None else cms_merge(prior, batch_sketch)
 
-    _run_versioned_foreachbatch(
-        stream_df, cms_path, checkpoint_path, _merge, timeout_sec=timeout_sec
+    _run_state_foreachbatch(
+        stream_df, cms_path, checkpoint_path, _merge,
+        timeout_sec=timeout_sec, state_format=state_format, app="cms",
     )
