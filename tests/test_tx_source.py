@@ -151,3 +151,92 @@ def test_stream_from_vacuumed_history_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="horizon"):
         q.awaitTermination()
+
+
+def test_batch_and_stream_fill_partition_columns(spark, tmp_path):
+    """On a hive-partitioned tx table the partition values live in the
+    file PATHS, not the footers — the txtable readers splice them back in,
+    typed by the logged schema."""
+    import datetime as dt
+
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1 + i % 2), f"v{i}") for i in range(6)],
+        "id int, d date, val string",
+    )
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_append
+
+    tx_append(df, t, partition_by=["d"])
+    register_tx_source(spark)
+
+    b = spark.read.format("txtable").option("path", t).load()
+    assert b.filter(b["d"].isNull()).count() == 0
+    assert sorted(str(r[0]) for r in b.select("d").distinct().collect()) == [
+        "2024-01-01",
+        "2024-01-02",
+    ]
+
+    got: list = []
+    _drain(spark, t, ckpt, got)
+    assert len(got) == 6 and all(r[2] == "insert" for r in got)
+
+
+def test_txtable_changefeed_drives_incremental_aggregate(spark, tmp_path):
+    """The full composition: a gold tx table streams its own change feed
+    (txtable source) into a maintained grouped aggregate whose state is
+    itself a tx table — erase and append move the aggregate, a pure-layout
+    compaction nets to zero, and a drained checkpoint re-run is a no-op."""
+    import datetime as dt
+
+    from weather_data_warehouse_aws_spark.operators.cdc import grouped_sums
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_append,
+        tx_compact,
+        tx_erase_keys,
+        tx_read,
+    )
+    from weather_data_warehouse_aws_spark.streaming.jobs import (
+        read_current_agg,
+        run_txtable_agg_foreachbatch,
+    )
+
+    t = str(tmp_path / "t")
+    agg = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt")
+    register_tx_source(spark)
+
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1 + i % 3), ["a", "b"][i % 2], i * 10) for i in range(40)],
+        "id int, d date, grp string, amt int",
+    )
+    tx_append(df, t, partition_by=["d"])       # v0
+    tx_erase_keys(spark, t, "id", [5, 6, 7])   # v1: logical deletes
+    tx_compact(spark, t, target_files=2)       # v2: layout only — net zero
+
+    def drain():
+        s = spark.readStream.format("txtable").option("path", t).load()
+        run_txtable_agg_foreachbatch(s, agg, ckpt, ["grp"], ["amt"])
+
+    def direct():
+        return sorted(
+            map(tuple, grouped_sums(tx_read(spark, t), ["grp"], ["amt"]).collect())
+        )
+
+    drain()
+    assert sorted(map(tuple, read_current_agg(spark, agg).collect())) == direct()
+
+    drain()  # drained checkpoint: replay is a no-op
+    assert sorted(map(tuple, read_current_agg(spark, agg).collect())) == direct()
+
+    tx_append(
+        spark.createDataFrame(
+            [(100, dt.date(2024, 1, 2), "a", 999)],
+            "id int, d date, grp string, amt int",
+        ),
+        t,
+        partition_by=["d"],
+    )
+    tx_erase_keys(spark, t, "id", [0])
+    drain()  # only the two new commits' files are read
+    assert sorted(map(tuple, read_current_agg(spark, agg).collect())) == direct()

@@ -759,3 +759,149 @@ def test_cli_tx_restore_and_changes(spark, tmp_path, capsys):
     assert main(["tx", "compact", "--table", t, "--sort-by", "id"]) == 0
     assert "compacted" in capsys.readouterr().out
     assert _ids(tx_read(spark, t)) == [0, 1, 2, 3, 4]
+
+
+# ---------------------------------------------------- partitioned tables
+def test_partitioned_table_roundtrip_and_exact_pruning(spark, tmp_path):
+    """Hive-partitioned tx tables: the log-relative path carries the
+    partition values, so pruning is EXACT on partition columns — strings
+    and dates included, which footer min/max stats can never prune — and
+    every rewrite op preserves the layout."""
+    import datetime as dt
+
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_prune,
+        tx_replace_where,
+        tx_restore,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (i, dt.date(2024, 1, 1 + i % 5), ["0123", "NYC", "SF"][i % 3], float(i))
+            for i in range(100)
+        ],
+        "id int, d date, city string, v double",
+    )
+    tx_append(df.repartition(2), t, partition_by=["d"])
+    snap = tx_snapshot(t)
+    assert snap["partition_by"] == ["d"]
+    assert all(f.startswith("d=") for f in snap["files"])
+
+    # read-back: logged column ORDER and TYPES survive partition recovery
+    out = tx_read(spark, t)
+    assert out.columns == ["id", "d", "city", "v"]
+    assert dict(out.dtypes)["d"] == "date"
+    assert out.count() == 100
+
+    # exact pruning on the DATE partition (stats-only tables can't skip
+    # non-numerics; the partition path can)
+    kept, skipped = tx_prune(t, [("d", "=", dt.date(2024, 1, 3))])
+    assert skipped and len(kept) < len(snap["files"])
+    assert (
+        tx_read(spark, t, predicate=[("d", "=", dt.date(2024, 1, 3))]).count()
+        == 20
+    )
+
+    # a mismatched append layout is rejected
+    with pytest.raises(ValueError, match="partitioned by"):
+        tx_append(df.limit(1), t, partition_by=["city"])
+
+    # erase + replace_where + compact all preserve the layout
+    tx_erase_keys(spark, t, "id", [7, 13])
+    assert tx_read(spark, t).count() == 98
+    res = tx_replace_where(
+        spark,
+        t,
+        tx_read(spark, t).limit(0),
+        "d = DATE'2024-01-05'",
+        prune=[("d", "=", dt.date(2024, 1, 5))],
+    )
+    assert res["files_skipped"] > 0  # untouched partitions never opened
+    assert (
+        tx_read(spark, t)
+        .filter(F.col("d") == F.lit(dt.date(2024, 1, 5)))
+        .count()
+        == 0
+    )
+    tx_compact(spark, t, target_files=4)
+    snap2 = tx_snapshot(t)
+    assert snap2["partition_by"] == ["d"]
+    assert all(f.startswith("d=") for f in snap2["files"])
+
+    # restore carries the scheme back with the old file set
+    tx_restore(t, 0)
+    assert tx_snapshot(t)["partition_by"] == ["d"]
+    assert tx_read(spark, t).count() == 100
+
+
+def test_partitioned_string_values_roundtrip_exactly(spark, tmp_path):
+    """A STRING partition column must come back byte-exact — partition
+    type inference would corrupt a numeric-looking value ('0123' → 123),
+    so string-partitioned tables read through the logged schema."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "0123"), (2, "NYC"), (3, "007")], "id int, city string"
+    )
+    tx_append(df, t, partition_by=["city"])
+    vals = sorted(r[0] for r in tx_read(spark, t).select("city").collect())
+    assert vals == ["007", "0123", "NYC"]
+    # exact equality pruning on the string partition
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_prune
+
+    kept, skipped = tx_prune(t, [("city", "=", "NYC")])
+    assert len(kept) == 1 and len(skipped) == 2
+
+
+def test_null_partition_value_skips_all_comparisons(spark, tmp_path):
+    """NULL partition rows land in __HIVE_DEFAULT_PARTITION__; SQL
+    comparisons never match NULL, so those files are always skippable —
+    and the rows still read back as NULL."""
+    import datetime as dt
+
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_prune
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1)), (2, None)], "id int, d date"
+    )
+    tx_append(df.coalesce(1), t, partition_by=["d"])
+    assert tx_read(spark, t).filter(F.col("d").isNull()).count() == 1
+    kept, skipped = tx_prune(t, [("d", "=", dt.date(2024, 1, 1))])
+    assert len(kept) == 1 and len(skipped) == 1  # the NULL file skips
+    assert (
+        tx_read(spark, t, predicate=[("d", "=", dt.date(2024, 1, 1))]).count()
+        == 1
+    )
+
+
+def test_date_footer_stats_prune_unpartitioned(spark, tmp_path):
+    """DATE columns ride the footer stats as ISO strings (int32-backed —
+    exact, unlike truncatable binary stats): a date-clustered flat table
+    prunes date ranges with no partitioning at all."""
+    import datetime as dt
+
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_prune
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1 + i % 8)) for i in range(400)],
+        "id int, d date",
+    )
+    tx_append(df.repartitionByRange(4, "d").sortWithinPartitions("d"), t)
+    snap = tx_snapshot(t)
+    some_stats = next(iter(snap["stats"].values()))
+    assert "d" in some_stats["cols"], "date column must carry footer stats"
+    kept, skipped = tx_prune(t, [("d", "=", dt.date(2024, 1, 1))])
+    assert skipped, "clustered date layout must skip files"
+    assert (
+        tx_read(spark, t, predicate=[("d", "=", dt.date(2024, 1, 1))]).count()
+        == 50
+    )
+    # string (binary) stats stay excluded — truncation is writer-legal
+    t2 = str(tmp_path / "t2")
+    tx_append(
+        spark.createDataFrame([(1, "aaa"), (2, "zzz")], "id int, s string"), t2
+    )
+    st2 = next(iter(tx_snapshot(t2)["stats"].values()))
+    assert "s" not in st2["cols"]

@@ -57,16 +57,33 @@ vacuumed. `tx_vacuum` advances a horizon (recorded as a commit, so the
 refusal to read pre-horizon versions is itself transactional) and only
 then deletes files whose last reference is below it.
 
-Tables are unpartitioned at the file level (partition/cluster columns are
-ordinary data columns; pair with `write_sorted`/`write_zorder` layouts for
-skipping — the log stores explicit file lists, so scans never rely on
-directory structure). Reference parity: the reference has no table format
-at all — its silver re-runs duplicate rows (`bronze_to_silver.py:27,87`,
-the M4 bug); `tx_overwrite` is the transactional fix for that class.
+File skipping, two layers (both proof-based — a file is skipped only when
+it provably holds no matching row):
+
+* **Hive partitioning** (`partition_by=` on append/overwrite/merge/
+  replace_where): data files land under `col=value/` prefixes and the
+  log-relative path ITSELF carries the partition values — no extra
+  metadata, and pruning is EXACT for any comparable type including
+  strings and dates (`_pv_skip`). Scans still never list directories
+  (the log stores the hive-prefixed relpaths); the layout exists so
+  paths encode values, readers recover the columns via basePath, and
+  every rewrite op preserves the scheme. Only `tx_overwrite` may change
+  it (it replaces every file).
+* **Footer stats** recorded at commit time for numeric AND date columns
+  (dates as ISO strings — int32-backed, exact, unlike truncatable binary
+  stats); pair with `tx_compact(sort_by=/zorder_by=)` to concentrate
+  ranges into few files.
+
+Reference parity: the reference has no table format at all — its silver
+re-runs duplicate rows (`bronze_to_silver.py:27,87`, the M4 bug);
+`tx_overwrite` is the transactional fix for that class, and its
+hive-partitioned bronze/silver keyspace is what `partition_by` carries
+onto the transactional format.
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import re
@@ -299,6 +316,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
     live: dict[str, dict] = {}  # relpath -> per-file stats ({} if none)
     txns: dict[str, int] = {}  # idempotence tokens: app -> max batch seen
     schema_json = None
+    partition_by: list[str] | None = None
     usable = [c for c in checkpoints if c <= target]
     if usable:
         cp = _load_rec(path, usable[-1], checkpoint=True)
@@ -307,6 +325,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         live = {f: cp_stats.get(f, {}) for f in cp["files"]}
         schema_json = cp.get("schema")
         txns = dict(cp.get("txns", {}))
+        partition_by = cp.get("partition_by") or None
     for v in commits:
         if v <= base_v or v > target:
             continue
@@ -318,6 +337,9 @@ def _replay(path: str, version: int | None = None) -> dict | None:
             live[f] = rec_stats.get(f, {})
         if rec.get("meta", {}).get("schema"):
             schema_json = rec["meta"]["schema"]
+        if "partition_by" in rec.get("meta", {}):
+            # [] = explicitly unpartitioned (an overwrite may flatten)
+            partition_by = rec["meta"]["partition_by"] or None
         txn = rec.get("txn")
         if txn:
             txns[txn["app"]] = max(txns.get(txn["app"], -1), int(txn["batch"]))
@@ -328,6 +350,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         "schema": schema_json,
         "horizon": horizon,
         "txns": txns,
+        "partition_by": partition_by,
     }
 
 
@@ -446,6 +469,7 @@ def _commit(
                         "schema": cp["schema"],
                         "horizon": cp["horizon"],
                         "txns": cp["txns"],
+                        "partition_by": cp["partition_by"],
                     }
                 ),
             )
@@ -464,13 +488,18 @@ def _file_stats(path: str, rels: list[str]) -> dict[str, dict]:
     never a data scan, so recording stats costs O(files), not O(rows),
     exactly as Delta computes its add-file stats during the write.
 
-    Only top-level NUMERIC columns are kept: parquet writers may TRUNCATE
-    binary (string) min/max to a prefix, which is unsafe as an upper bound
-    for pruning; bool/nested/timestamp are skipped for the same
-    conservative reason. A column missing stats in ANY row group (or with
-    a non-finite float bound — NaN ordering is writer-dependent) is
-    dropped for that file; pruning treats absent stats as "cannot skip".
+    Only top-level NUMERIC and DATE columns are kept: parquet writers may
+    TRUNCATE binary (string) min/max to a prefix, which is unsafe as an
+    upper bound for pruning; bool/nested/timestamp are skipped for the
+    same conservative reason. DATE is safe — physically an int32, min/max
+    exact, no truncation — and is recorded as an ISO string (lexicographic
+    order ≡ date order), which is what lets the gold fact's
+    `forecast_for_date` range maintenance skip files at all. A column
+    missing stats in ANY row group (or with a non-finite float bound —
+    NaN ordering is writer-dependent) is dropped for that file; pruning
+    treats absent stats as "cannot skip".
     """
+    import datetime as _dt
     import math
 
     import pyarrow.parquet as pq
@@ -493,7 +522,18 @@ def _file_stats(path: str, rels: list[str]) -> dict[str, dict]:
                     cols.pop(name, None)
                     continue
                 mn, mx = st.min, st.max
-                ok_type = (
+                is_date = (
+                    isinstance(mn, _dt.date)
+                    and isinstance(mx, _dt.date)
+                    and not isinstance(mn, _dt.datetime)
+                    and not isinstance(mx, _dt.datetime)
+                )
+                if is_date:
+                    # ISO strings: JSON-safe, and lexicographic ≡ date order
+                    mn, mx = mn.isoformat(), mx.isoformat()
+                # str stats are admitted ONLY via the date conversion above —
+                # raw binary (string-column) min/max may be prefix-truncated
+                ok_type = is_date or (
                     isinstance(mn, (int, float))
                     and isinstance(mx, (int, float))
                     and not isinstance(mn, bool)
@@ -540,6 +580,11 @@ def _can_skip(stats: dict, col: str, op: str, value) -> bool:
         rows = (stats or {}).get("rows")
         return False if rows is None else rows == 0
     mn, mx, nulls = cs
+    if isinstance(value, datetime.date) and not isinstance(value, datetime.datetime):
+        # date stats are stored as ISO strings (lexicographic ≡ date order);
+        # a date literal compares in the same encoding. Against NUMERIC
+        # stats the str comparison TypeErrors → "cannot skip", as intended.
+        value = value.isoformat()
     rows = stats.get("rows")
     if nulls is not None and rows is not None and nulls == rows:
         return True  # every value NULL — no comparison can match
@@ -569,6 +614,62 @@ def _can_skip(stats: dict, col: str, op: str, value) -> bool:
     return False
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_values(rel: str) -> dict[str, str | None]:
+    """Hive partition values encoded in a file's log-relative path
+    (`date=2024-01-01/part-x.parquet` → {"date": "2024-01-01"}). Values
+    stay raw strings (unescaped); the hive NULL sentinel maps to None."""
+    from urllib.parse import unquote
+
+    out: dict[str, str | None] = {}
+    for comp in rel.split("/")[:-1]:
+        if "=" not in comp:
+            continue
+        k, _, v = comp.partition("=")
+        out[k] = None if v == _HIVE_NULL else unquote(v)
+    return out
+
+
+def _pv_skip(raw: str | None, op: str, value) -> bool:
+    """True iff the partition value PROVES no row matches `col op value` —
+    EXACT (the whole file shares one value), so unlike footer min/max it
+    prunes string and date columns too. `raw` is the path-encoded string;
+    it is coerced to the literal's type (uncoercible → cannot skip).
+    A NULL partition (None) never satisfies any comparison → always skip."""
+    if raw is None:
+        return True
+    pv: object
+    try:
+        if isinstance(value, bool):
+            return False  # boolean partitions: not worth the edge cases
+        if isinstance(value, int):
+            pv = int(raw)
+        elif isinstance(value, float):
+            pv = float(raw)
+        elif isinstance(value, datetime.datetime):
+            return False  # timestamp partition encoding is writer-specific
+        elif isinstance(value, datetime.date):
+            pv = datetime.date.fromisoformat(raw)
+        elif isinstance(value, str):
+            pv = raw
+        else:
+            return False
+    except ValueError:
+        return False
+    return not _OPS[op](pv, value)
+
+
+def _skip_file(snap: dict, rel: str, col: str, op: str, value) -> bool:
+    """Unified skip proof for one conjunct against one live file: exact
+    partition-value pruning when `col` is a partition column of the
+    snapshot, footer min/max stats otherwise."""
+    if col in (snap.get("partition_by") or []):
+        return _pv_skip(_partition_values(rel).get(col), op, value)
+    return _can_skip(snap["stats"].get(rel, {}), col, op, value)
+
+
 def tx_prune(
     path: str,
     predicate: list[tuple],
@@ -588,8 +689,7 @@ def tx_prune(
     snap = tx_snapshot(path, version)
     kept, skipped = [], []
     for f in snap["files"]:
-        st = snap["stats"].get(f, {})
-        if any(_can_skip(st, c, op, v) for c, op, v in predicate):
+        if any(_skip_file(snap, f, c, op, v) for c, op, v in predicate):
             skipped.append(f)
         else:
             kept.append(f)
@@ -597,23 +697,42 @@ def tx_prune(
 
 
 def _write_new_files(
-    df: DataFrame, path: str, *, collect_stats: bool = True
+    df: DataFrame,
+    path: str,
+    *,
+    collect_stats: bool = True,
+    partition_by: list[str] | None = None,
 ) -> tuple[list[str], dict[str, dict]]:
     """Write `df` as new immutable part files inside the table root;
     returns (relpaths, per-file stats). Staging is a sibling dir (never
     visible to the log until committed; a crash strands ORPHANS, which
-    vacuum's `include_orphans` sweeps — the log never references them)."""
+    vacuum's `include_orphans` sweeps — the log never references them).
+
+    With `partition_by`, the write is hive-laid-out and each relpath KEEPS
+    its `col=value/` prefix — the log-recorded path itself carries the
+    partition values, so pruning reads them with zero extra metadata
+    (`_partition_values`) and `tx_read`'s basePath scan reconstitutes the
+    partition columns."""
     stage = path.rstrip("/") + "__tx_stage"
     tmp = os.path.join(stage, uuid.uuid4().hex)
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     os.makedirs(path, exist_ok=True)
     rels = []
-    for name in sorted(os.listdir(tmp)):
-        if not name.endswith(".parquet"):
-            continue
-        rel = f"part-{uuid.uuid4().hex}.parquet"
-        os.rename(os.path.join(tmp, name), os.path.join(path, rel))
-        rels.append(rel)
+    for dirpath, _dirs, names in os.walk(tmp):
+        sub = os.path.relpath(dirpath, tmp)
+        prefix = "" if sub == "." else sub + "/"
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            rel = f"{prefix}part-{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(os.path.join(dirpath, name), dst)
+            rels.append(rel)
+    rels.sort()
     shutil.rmtree(tmp, ignore_errors=True)
     if os.path.isdir(stage) and not os.listdir(stage):
         os.rmdir(stage)
@@ -622,15 +741,78 @@ def _write_new_files(
 
 
 def _drop_files(path: str, rels: list[str]) -> None:
+    root = os.path.abspath(path)
     for rel in rels:
         try:
             os.remove(os.path.join(path, rel))
         except FileNotFoundError:
             pass
+        # prune now-empty hive partition dirs (never the table root)
+        d = os.path.dirname(os.path.join(root, rel))
+        while d != root and os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)
+            d = os.path.dirname(d)
 
 
 def _abs(path: str, rels: list[str]) -> list[str]:
     return [os.path.join(path, r) for r in rels]
+
+
+def _read_live(
+    spark: SparkSession, path: str, rels: list[str], snap: dict | None = None
+) -> DataFrame:
+    """Scan an explicit live-file list. basePath pins partition discovery
+    to the table root, so hive-laid-out rels get their partition columns
+    back (and a flat layout is unaffected). When the snapshot is supplied,
+    recovered partition columns are CAST to the logged schema's types and
+    the logged column order is restored — partition inference would
+    otherwise guess types (a string partition value '0123' must not come
+    back as the int 123) and append partition columns at the end."""
+    pby = (snap or {}).get("partition_by") or []
+    logged = (
+        StructType.fromJson(json.loads(snap["schema"]))
+        if pby and (snap or {}).get("schema")
+        else None
+    )
+    types = {f.name: f.dataType for f in logged.fields} if logged else {}
+    reader = spark.read.option("basePath", os.path.abspath(path))
+    if any(types.get(c, None) is not None and types[c].typeName() == "string"
+           for c in pby):
+        # a STRING partition column through type inference corrupts
+        # numeric-looking values ('0123' → 123 → '123'): pin the read to
+        # the logged schema (inference off per-column). Costs mergeSchema
+        # on such tables — old-only columns drop until the next rewrite.
+        out = reader.schema(logged).parquet(*_abs(path, rels))
+    else:
+        out = reader.option("mergeSchema", True).parquet(*_abs(path, rels))
+        for c in pby:
+            if c in types and c in out.columns:
+                out = out.withColumn(c, F.col(c).cast(types[c]))
+        if types and all(c in out.columns for c in types):
+            extras = [c for c in out.columns if c not in types]
+            out = out.select(*[f.name for f in logged.fields], *extras)
+    return out
+
+
+def _resolve_partition_by(
+    snap: dict | None, partition_by: list[str] | None, op: str
+) -> list[str] | None:
+    """Writer-side partitioning contract: None inherits the table's
+    scheme; an explicit scheme must MATCH an existing one (append-type
+    ops never re-layout — only `tx_overwrite`, which replaces every file,
+    may change it)."""
+    existing = (snap or {}).get("partition_by")
+    if partition_by is None:
+        return existing
+    partition_by = list(partition_by)
+    has_rows = bool((snap or {}).get("files"))
+    if op != "overwrite" and has_rows and partition_by != list(existing or []):
+        raise ValueError(
+            f"tx_{op}: table is partitioned by {existing}, got "
+            f"{partition_by} — appends must match the table layout "
+            "(tx_overwrite may re-partition)"
+        )
+    return partition_by
 
 
 def _rel_from_uri(uri: str, norm_root: str) -> str:
@@ -657,29 +839,55 @@ def _rel_from_uri(uri: str, norm_root: str) -> str:
 
 
 def tx_append(
-    df: DataFrame, path: str, *, txn: tuple[str, int] | None = None
+    df: DataFrame,
+    path: str,
+    *,
+    txn: tuple[str, int] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int | None:
-    """Blind append: write new files, commit. Never conflicts.
+    """Blind append: write new files, commit. Never conflicts (except
+    against a concurrent RE-LAYOUT: an overwrite that changed the
+    partition scheme after this append staged its files raises TxConflict
+    rather than committing wrongly-laid-out files).
     `txn=(app, batch)` makes the append IDEMPOTENT per (app, batch) —
     a replayed batch whose id the log has already folded is a no-op
     (returns None) and its just-written files are dropped as if never
-    staged; this is what gives the streaming sink exactly-once."""
-    rels, stats = _write_new_files(df, path)
-    v = _commit(
-        path,
-        "append",
-        lambda snap: (rels, [], {"schema": df.schema.json()}),
-        validate_remove_live=False,
-        stats=stats,
-        txn=txn,
-    )
+    staged; this is what gives the streaming sink exactly-once.
+    `partition_by` must match the table's scheme (None inherits it)."""
+    pby = _resolve_partition_by(_replay(path), partition_by, "append")
+    rels, stats = _write_new_files(df, path, partition_by=pby)
+
+    def _build(snap):
+        live_pby = (snap or {}).get("partition_by") or None
+        if snap is not None and snap["files"] and live_pby != (pby or None):
+            raise TxConflict(
+                f"tx_append: table partitioning changed to {live_pby} while "
+                f"this append staged {pby or None}-laid-out files — re-run"
+            )
+        meta = {"schema": df.schema.json()}
+        if pby:
+            meta["partition_by"] = pby
+        return (rels, [], meta)
+
+    try:
+        v = _commit(
+            path, "append", _build,
+            validate_remove_live=False, stats=stats, txn=txn,
+        )
+    except TxConflict:
+        _drop_files(path, rels)
+        raise
     if v is None:
         _drop_files(path, rels)  # duplicate delivery — files never referenced
     return v
 
 
 def tx_overwrite(
-    df: DataFrame, path: str, *, txn: tuple[str, int] | None = None
+    df: DataFrame,
+    path: str,
+    *,
+    txn: tuple[str, int] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int | None:
     """Replace the table's contents atomically (the transactional form of
     the reference's non-idempotent re-run — M4). The remove set is
@@ -688,19 +896,23 @@ def tx_overwrite(
     `txn=(app, batch)` makes the overwrite idempotent per (app, batch),
     like `tx_append` — a replayed micro-batch that already committed its
     state version is a no-op (returns None); this is what gives the
-    streaming STATE sink (maintained aggregates, sketches) exactly-once."""
-    rels, stats = _write_new_files(df, path)
+    streaming STATE sink (maintained aggregates, sketches) exactly-once.
+    `partition_by` sets the table's hive layout: None inherits the
+    existing scheme, an explicit list RE-LAYOUTS (overwrite replaces every
+    file, so it is the one op allowed to change partitioning; pass [] to
+    flatten)."""
+    pby = _resolve_partition_by(_replay(path), partition_by, "overwrite")
+    rels, stats = _write_new_files(df, path, partition_by=pby)
+
+    def _build(snap):
+        meta: dict = {"schema": df.schema.json()}
+        if pby is not None or (snap or {}).get("partition_by"):
+            meta["partition_by"] = pby or []
+        return (rels, snap["files"] if snap else [], meta)
+
     v = _commit(
-        path,
-        "overwrite",
-        lambda snap: (
-            rels,
-            snap["files"] if snap else [],
-            {"schema": df.schema.json()},
-        ),
-        validate_remove_live=False,
-        stats=stats,
-        txn=txn,
+        path, "overwrite", _build,
+        validate_remove_live=False, stats=stats, txn=txn,
     )
     if v is None:
         _drop_files(path, rels)  # duplicate delivery — files never referenced
@@ -715,6 +927,7 @@ def tx_replace_where(
     *,
     prune: list[tuple] | None = None,
     validate: bool = True,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Atomically DELETE every row matching `condition` and INSERT `df`,
     in one commit — Delta's `replaceWhere` (the transactional form of
@@ -726,9 +939,10 @@ def tx_replace_where(
     `condition` is a SQL boolean expression string (or Column) over the
     table's columns. Only live files containing ≥1 matching row are
     rewritten (found by one `input_file_name()` scan, optionally
-    stats-pruned first via `prune=[(col, op, value), ...]` — pass the
-    numeric envelope of the replaced region when the layout clusters on
-    it, and the scan itself shrinks to the plausible files). Non-matching
+    pruned first via `prune=[(col, op, value), ...]` — exact on partition
+    columns, footer-stats-proof on clustered numeric/date columns — pass
+    the envelope of the replaced region and the scan itself shrinks to
+    the plausible files). Non-matching
     rows in rewritten files are preserved; every other live file is
     untouched.
 
@@ -759,11 +973,16 @@ def tx_replace_where(
         payload = df
 
     if not tx_exists(path) or not tx_snapshot(path)["files"]:
-        rels, stats = _write_new_files(payload, path)
+        snap0 = _replay(path)
+        pby0 = _resolve_partition_by(snap0, partition_by, "replace_where")
+        rels, stats = _write_new_files(payload, path, partition_by=pby0)
+        meta0: dict = {"schema": df.schema.json()}
+        if pby0:
+            meta0["partition_by"] = pby0
         v = _commit(
             path,
             "replace_where",
-            lambda s: (rels, [], {"schema": df.schema.json()}),
+            lambda s: (rels, [], meta0),
             validate_remove_live=False,
             stats=stats,
         )
@@ -774,22 +993,19 @@ def tx_replace_where(
 
     snap = tx_snapshot(path)
     live_files = snap["files"]
+    pby = _resolve_partition_by(snap, partition_by, "replace_where")
     plausible = live_files
     if prune:
         plausible = [
             f
             for f in live_files
-            if not any(
-                _can_skip(snap["stats"].get(f, {}), c, op, v)
-                for c, op, v in prune
-            )
+            if not any(_skip_file(snap, f, c, op, v) for c, op, v in prune)
         ]
     candidates: list[str] = []
     rows_deleted = 0
     if plausible:
         hit_rows = (
-            spark.read.option("mergeSchema", True)
-            .parquet(*_abs(path, plausible))
+            _read_live(spark, path, plausible, snap)
             .withColumn("__tx_file", F.input_file_name())
             .filter(cond)
             .groupBy("__tx_file")
@@ -802,19 +1018,20 @@ def tx_replace_where(
         )
         rows_deleted = int(sum(r["count"] for r in hit_rows))
 
-    rels, stats = _write_new_files(payload, path)
+    rels, stats = _write_new_files(payload, path, partition_by=pby)
     surv_rels: list[str] = []
     try:
         if candidates:
             survivors = (
-                spark.read.option("mergeSchema", True)
-                .parquet(*_abs(path, candidates))
+                _read_live(spark, path, candidates, snap)
                 # keep rows where the condition is NOT TRUE — a NULL
                 # condition row is not in the delete region (3VL: DELETE
                 # WHERE never fires on NULL), so it must survive the rewrite
                 .filter(~F.coalesce(cond, F.lit(False)))
             )
-            surv_rels, surv_stats = _write_new_files(survivors, path)
+            surv_rels, surv_stats = _write_new_files(
+                survivors, path, partition_by=pby
+            )
             stats = {**stats, **surv_stats}
         v = _commit(
             path,
@@ -857,7 +1074,13 @@ def tx_restore(path: str, version: int) -> int:
         return (
             sorted(tgt - cur),
             sorted(cur - tgt),
-            {"restored_to": version, "schema": old["schema"]},
+            {
+                "restored_to": version,
+                "schema": old["schema"],
+                # the restored files live under the OLD layout — the
+                # snapshot's partition scheme must travel back with them
+                "partition_by": old["partition_by"] or [],
+            },
         )
 
     return _commit(
@@ -907,8 +1130,7 @@ def tx_changes(
             if not rels:
                 continue
             part = (
-                spark.read.option("mergeSchema", True)
-                .parquet(*_abs(path, rels))
+                _read_live(spark, path, rels, snap)
                 .withColumn("_change_type", F.lit(kind))
                 .withColumn("_commit_version", F.lit(v))
             )
@@ -958,10 +1180,7 @@ def tx_read(
             [], StructType.fromJson(json.loads(snap["schema"]))
         )
     else:
-        out = (
-            spark.read.option("mergeSchema", True)
-            .parquet(*_abs(path, files))
-        )
+        out = _read_live(spark, path, files, snap)
     for col, op, value in predicate or []:
         out = out.filter(_OPS[op](F.col(col), F.lit(value)))
     return out
@@ -996,24 +1215,29 @@ def tx_compact(
         return None
     if not snap["files"]:
         return None
-    df = spark.read.option("mergeSchema", True).parquet(
-        *_abs(path, snap["files"])
-    )
+    df = _read_live(spark, path, snap["files"], snap)
     n = max(target_files, 1)
+    pby = snap["partition_by"]
     if zorder_by:
         from .maintenance import zorder_key
 
         zdf, zkey = zorder_key(df, zorder_by)
         df = (
             zdf.repartitionByRange(n, zkey)
-            .sortWithinPartitions(zkey)
+            .sortWithinPartitions(*(pby or []), zkey)
             .drop(zkey)
         )
     elif sort_by:
-        df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+        df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(
+            *(pby or []), *sort_by
+        )
+    elif pby:
+        # one task per hash(partition values) → one output file per live
+        # partition value (n caps concurrent tasks, not the file count)
+        df = df.repartition(n, *pby)
     else:
         df = df.repartition(n)
-    rels, stats = _write_new_files(df, path)
+    rels, stats = _write_new_files(df, path, partition_by=pby)
     try:
         return _commit(
             path,
@@ -1066,16 +1290,11 @@ def tx_erase_keys(
     plausible = [
         f
         for f in snap["files"]
-        if not all(
-            _can_skip(snap["stats"].get(f, {}), column, "=", v) for v in values
-        )
+        if not all(_skip_file(snap, f, column, "=", v) for v in values)
     ]
     if not plausible:
         return {"version": None, "files_rewritten": 0, "rows_removed": 0}
-    live = (
-        spark.read.option("mergeSchema", True)
-        .parquet(*_abs(path, plausible))
-    )
+    live = _read_live(spark, path, plausible, snap)
     # one scan finds the candidate files AND the exact per-file hit counts
     hits = (
         live.filter(F.col(column).isin(values))
@@ -1089,13 +1308,12 @@ def tx_erase_keys(
     candidates = [_rel_from_uri(row["f"], norm_root) for row in hits]
     rows_removed = sum(r["count"] for r in hits)
 
-    cand_df = (
-        spark.read.option("mergeSchema", True)
-        .parquet(*_abs(path, candidates))
-    )
+    cand_df = _read_live(spark, path, candidates, snap)
     keep = F.col(column).isNull() | ~F.col(column).isin(values)
     survivors = cand_df.filter(keep)
-    rels, stats = _write_new_files(survivors, path)
+    rels, stats = _write_new_files(
+        survivors, path, partition_by=snap["partition_by"]
+    )
     try:
         version = _commit(
             path,
@@ -1158,10 +1376,14 @@ def tx_vacuum(
         deletable = sorted(f for f, r in removed_at.items() if r <= horizon)
         orphans: list[str] = []
         if include_orphans:
-            on_disk = {
-                n for n in os.listdir(path)
-                if n.endswith(".parquet") and os.path.isfile(os.path.join(path, n))
-            }
+            on_disk: set[str] = set()
+            for dirpath, dirs, names in os.walk(path):
+                dirs[:] = [d for d in dirs if d != _LOG_DIR]
+                sub = os.path.relpath(dirpath, path)
+                prefix = "" if sub == "." else sub + "/"
+                on_disk.update(
+                    prefix + n for n in names if n.endswith(".parquet")
+                )
             orphans = sorted(on_disk - referenced)
         state.update(horizon=horizon, deletable=deletable, orphans=orphans)
         return ([], [], {"horizon": horizon, "n_deleted": len(deletable)})
@@ -1188,6 +1410,7 @@ def tx_merge(
     path: str,
     source: DataFrame,
     keys: list[str],
+    partition_by: list[str] | None = None,
     **merge_kwargs,
 ) -> dict:
     """MERGE `source` into the txlog table: same clause semantics as
@@ -1232,11 +1455,15 @@ def tx_merge(
         if not merge_kwargs.get("when_not_matched_insert", True):
             return {"version": None, "files_rewritten": 0, "files_skipped": 0}
         first = _guard_duplicate_keys(source, keys) if check_dups else source
-        rels, stats = _write_new_files(first, path)
+        pby0 = _resolve_partition_by(_replay(path), partition_by, "merge")
+        rels, stats = _write_new_files(first, path, partition_by=pby0)
+        meta0: dict = {"schema": first.schema.json()}
+        if pby0:
+            meta0["partition_by"] = pby0
         v = _commit(
             path,
             "merge",
-            lambda s: (rels, [], {"schema": first.schema.json()}),
+            lambda s: (rels, [], meta0),
             validate_remove_live=False,
             stats=stats,
         )
@@ -1244,6 +1471,7 @@ def tx_merge(
 
     snap = tx_snapshot(path)
     live_files = snap["files"]
+    pby = _resolve_partition_by(snap, partition_by, "merge")
 
     if merge_kwargs.get("when_not_matched_by_source_delete") is not None:
         candidates = list(live_files)
@@ -1260,8 +1488,8 @@ def tx_merge(
                     f
                     for f in live_files
                     if not (
-                        _can_skip(snap["stats"].get(f, {}), keys[0], ">=", b["mn"])
-                        or _can_skip(snap["stats"].get(f, {}), keys[0], "<=", b["mx"])
+                        _skip_file(snap, f, keys[0], ">=", b["mn"])
+                        or _skip_file(snap, f, keys[0], "<=", b["mx"])
                     )
                 ]
         candidates = []
@@ -1270,8 +1498,7 @@ def tx_merge(
             # after the join boundary it returns '' (the row no longer
             # belongs to a file scan) and the relpath would escape the root
             hit_rows = (
-                spark.read.option("mergeSchema", True)
-                .parquet(*_abs(path, plausible))
+                _read_live(spark, path, plausible, snap)
                 .withColumn("__tx_file", F.input_file_name())
                 .join(source.select(*keys).distinct(), keys, "leftsemi")
                 .groupBy("__tx_file")
@@ -1284,9 +1511,7 @@ def tx_merge(
             )
 
     if candidates:
-        target = spark.read.option("mergeSchema", True).parquet(
-            *_abs(path, candidates)
-        )
+        target = _read_live(spark, path, candidates, snap)
     else:
         if snap["schema"] is None:
             raise ValueError(f"{path}: table has no logged schema")
@@ -1294,7 +1519,7 @@ def tx_merge(
             [], StructType.fromJson(json.loads(snap["schema"]))
         )
     merged = merge_into(target, source, keys, **merge_kwargs)
-    rels, stats = _write_new_files(merged, path)
+    rels, stats = _write_new_files(merged, path, partition_by=pby)
     try:
         v = _commit(
             path,
@@ -1316,7 +1541,7 @@ def tx_merge(
     }
 
 
-def tx_stream_sink(path: str, app: str):
+def tx_stream_sink(path: str, app: str, partition_by: list[str] | None = None):
     """Exactly-once Structured Streaming sink: use as
     ``writeStream.foreachBatch(tx_stream_sink(table, "my-query"))``.
     Each micro-batch appends under the idempotence token `(app,
@@ -1328,6 +1553,8 @@ def tx_stream_sink(path: str, app: str):
     the lookup stays O(tail)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        tx_append(batch_df, path, txn=(app, int(batch_id)))
+        tx_append(
+            batch_df, path, txn=(app, int(batch_id)), partition_by=partition_by
+        )
 
     return _sink

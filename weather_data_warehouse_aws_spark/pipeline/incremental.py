@@ -136,5 +136,10 @@ def rebuild_accuracy_tx(
         accuracy_table,
         acc,
         f"forecast_for_date >= DATE'{lo}' AND forecast_for_date <= DATE'{hi}'",
+        # exact partition pruning (run_pipeline date-partitions the fact;
+        # an unpartitioned table still prunes via date footer stats):
+        # the candidate scan opens only the affected days' files
+        prune=[("forecast_for_date", ">=", lo), ("forecast_for_date", "<=", hi)],
+        partition_by=["forecast_for_date"],
     )
     return targets

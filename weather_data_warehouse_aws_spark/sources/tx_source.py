@@ -57,15 +57,46 @@ def _table_schema(path: str) -> StructType:
     return StructType.fromJson(json.loads(snap["schema"]))
 
 
-def _read_file_rows(path: str, rel: str, colnames: list[str], tail: tuple):
+def _partition_fill(rel: str, schema: StructType) -> dict:
+    """Python values for the hive partition columns encoded in `rel`'s
+    path (absent from the data file's footer), typed by the logged
+    schema — what the per-file reader splices into rows."""
+    import datetime as dt
+
+    from ..operators.txlog import _partition_values
+
+    out = {}
+    by_name = {f.name: f.dataType.typeName() for f in schema.fields}
+    for col, raw in _partition_values(rel).items():
+        t = by_name.get(col)
+        if raw is None or t is None:
+            out[col] = None
+        elif t in ("integer", "long", "short", "byte"):
+            out[col] = int(raw)
+        elif t in ("double", "float"):
+            out[col] = float(raw)
+        elif t == "date":
+            out[col] = dt.date.fromisoformat(raw)
+        elif t == "boolean":
+            out[col] = raw == "true"
+        else:
+            out[col] = raw  # string (exact: no inference roundtrip)
+    return out
+
+
+def _read_file_rows(path: str, rel: str, colnames: list[str], tail: tuple,
+                    fill: dict | None = None):
     """One immutable data file → tuples aligned to `colnames` + `tail`
-    (None for columns the file predates). Runs on the EXECUTOR."""
+    (hive partition values spliced from `fill`; None for columns the file
+    predates). Runs on the EXECUTOR."""
     import pyarrow.parquet as pq
 
+    fill = fill or {}
     table = pq.read_table(os.path.join(path, rel))
     present = set(table.column_names)
     cols = [
-        table.column(c).to_pylist() if c in present else [None] * table.num_rows
+        table.column(c).to_pylist() if c in present
+        else [fill.get(c)] * table.num_rows
         for c in colnames
     ]
     for row in zip(*cols):
@@ -110,7 +141,8 @@ class TxTableStreamReader(DataSourceStreamReader):
                 f"({snap['horizon']}) — removed files are gone; restart with "
                 "starting_version >= the horizon (or 'latest')"
             )
-        colnames = [f.name for f in _table_schema(self.path).fields]
+        schema = _table_schema(self.path)
+        colnames = [f.name for f in schema.fields]
         out = []
         for v in _usable_log(self.path)[0]:
             if v <= lo or v > hi:
@@ -121,16 +153,19 @@ class TxTableStreamReader(DataSourceStreamReader):
                 ("insert", rec.get("add", [])),
             ):
                 for rel in rels:
+                    fill = _partition_fill(rel, schema)
                     out.append(
-                        InputPartition((self.path, rel, colnames, kind, v))
+                        InputPartition(
+                            (self.path, rel, colnames, kind, v, fill)
+                        )
                     )
         return out or [InputPartition(None)]
 
     def read(self, partition: InputPartition):
         if partition is None or partition.value is None:
             return
-        path, rel, colnames, kind, v = partition.value
-        yield from _read_file_rows(path, rel, colnames, (kind, v))
+        path, rel, colnames, kind, v, fill = partition.value
+        yield from _read_file_rows(path, rel, colnames, (kind, v), fill)
 
     def commit(self, end: dict) -> None:
         pass  # delivered versions need no source-side bookkeeping
@@ -156,18 +191,21 @@ class TxTableBatchReader(DataSourceReader):
 
         v = int(self.version) if self.version is not None else None
         snap = tx_snapshot(self.path, v)
-        colnames = [f.name for f in _table_schema(self.path).fields]
+        schema = _table_schema(self.path)
+        colnames = [f.name for f in schema.fields]
         tail = ("insert", snap["version"])
         return [
-            InputPartition((self.path, rel, colnames, tail))
+            InputPartition(
+                (self.path, rel, colnames, tail, _partition_fill(rel, schema))
+            )
             for rel in snap["files"]
         ] or [InputPartition(None)]
 
     def read(self, partition: InputPartition):
         if partition is None or partition.value is None:
             return
-        path, rel, colnames, tail = partition.value
-        yield from _read_file_rows(path, rel, colnames, tail)
+        path, rel, colnames, tail, fill = partition.value
+        yield from _read_file_rows(path, rel, colnames, tail, fill)
 
 
 class TxTableDataSource(DataSource):

@@ -301,6 +301,75 @@ def run_incremental_agg_foreachbatch(
     )
 
 
+def changefeed_to_diff(
+    feed: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Adapt a `txtable` change-feed batch (table columns +
+    `_change_type` in {'insert','delete'} + `_commit_version`) to the
+    `snapshot_diff` shape `apply_agg_delta` consumes: inserts become
+    after-images (op I), deletes become before-images (op D). A rewrite
+    commit (compact/erase/merge) arrives as delete+insert of the
+    overlapping rows; the delta algebra nets them out, so a pure-layout
+    rewrite contributes zero — only logical changes move the aggregate."""
+    types = dict(feed.dtypes)
+
+    def side(df: DataFrame, op: str, prefix: str, other: str) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            *[F.col(c).alias(f"{prefix}_{c}") for c in cols],
+            *[
+                F.lit(None).cast(types[c]).alias(f"{other}_{c}")
+                for c in cols
+            ],
+        )
+
+    return side(
+        feed.filter(F.col("_change_type") == "insert"), "I", "new", "old"
+    ).unionByName(
+        side(feed.filter(F.col("_change_type") == "delete"), "D", "old", "new")
+    )
+
+
+def run_txtable_agg_foreachbatch(
+    feed_stream: DataFrame,
+    agg_path: str,
+    checkpoint_path: str,
+    group_by: list[str],
+    sum_cols: list[str],
+    *,
+    count_col: str = "n_rows",
+    timeout_sec: int = 180,
+    state_format: str = "tx",
+) -> None:
+    """End-to-end incremental view maintenance ON the table format: the
+    input is a `txtable` change-feed stream (sources/tx_source.py —
+    commit-version offsets over a transaction-log table), the state is a
+    maintained grouped SUM/COUNT aggregate, and with the default
+    ``state_format="tx"`` the state itself lives on a transaction-log
+    table with `(app, batch_id)` exactly-once tokens. Per micro-batch the
+    cost is |changed files| + |aggregate| — the base table is never
+    re-scanned, and a crashed/replayed batch can neither double-count nor
+    skip. This is the composition the pieces were built for: gold tables
+    on the log (pipeline/run.py) stream their own changes into downstream
+    aggregates with no extra CDC storage."""
+    from ..operators.cdc import apply_agg_delta, grouped_sums
+
+    cols = list(group_by) + list(sum_cols)
+
+    def _merge(spark: SparkSession, batch_df: DataFrame, prior) -> DataFrame:
+        diff = changefeed_to_diff(batch_df, cols)
+        if prior is None:
+            empty_snap = batch_df.select(*cols).limit(0)
+            prior = grouped_sums(empty_snap, group_by, sum_cols, count_col)
+        return apply_agg_delta(prior, diff, group_by, sum_cols, count_col)
+
+    _run_state_foreachbatch(
+        feed_stream, agg_path, checkpoint_path, _merge,
+        timeout_sec=timeout_sec, state_format=state_format,
+        app="txtable_agg",
+    )
+
+
 def _run_state_foreachbatch(
     stream_df: DataFrame,
     state_path: str,
