@@ -240,3 +240,60 @@ def test_txtable_changefeed_drives_incremental_aggregate(spark, tmp_path):
     tx_erase_keys(spark, t, "id", [0])
     drain()  # only the two new commits' files are read
     assert sorted(map(tuple, read_current_agg(spark, agg).collect())) == direct()
+
+
+def test_changefeed_handles_deletion_vectors_and_restore(spark, tmp_path):
+    """DV-exact streaming: a tx_delete_where commit streams exactly the
+    newly-deleted rows, the batch reader serves the LOGICAL snapshot, a
+    restore resurrects rows as inserts, and the maintained aggregate
+    tracks the direct recompute through all of it."""
+    from weather_data_warehouse_aws_spark.operators.cdc import grouped_sums
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_append,
+        tx_compact,
+        tx_delete_where,
+        tx_read,
+        tx_restore,
+    )
+    from weather_data_warehouse_aws_spark.streaming.jobs import (
+        read_current_agg,
+        run_txtable_agg_foreachbatch,
+    )
+
+    t = str(tmp_path / "t")
+    agg = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt")
+    register_tx_source(spark)
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], i * 10) for i in range(40)],
+        "id int, grp string, amt int",
+    )
+    tx_append(df.repartition(2), t)        # v0
+    tx_delete_where(spark, t, "id < 6")    # v1: DV, no rewrite
+
+    def drain():
+        s = spark.readStream.format("txtable").option("path", t).load()
+        run_txtable_agg_foreachbatch(s, agg, ckpt, ["grp"], ["amt"])
+
+    def direct():
+        return sorted(
+            map(tuple, grouped_sums(tx_read(spark, t), ["grp"], ["amt"]).collect())
+        )
+
+    drain()
+    assert sorted(map(tuple, read_current_agg(spark, agg).collect())) == direct()
+
+    # the batch reader serves logical rows (DV'd positions excluded)
+    b = spark.read.format("txtable").option("path", t).load()
+    assert b.count() == 34
+
+    tx_restore(t, 0)                       # v2: un-deletes via dv_state
+    drain()
+    assert sorted(map(tuple, read_current_agg(spark, agg).collect())) == direct()
+    assert tx_read(spark, t).count() == 40
+
+    tx_delete_where(spark, t, "id >= 38")  # v3
+    tx_compact(spark, t, target_files=1)   # v4: materialization nets zero
+    drain()
+    assert sorted(map(tuple, read_current_agg(spark, agg).collect())) == direct()

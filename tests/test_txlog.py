@@ -374,12 +374,12 @@ def test_checkpoint_folds_stats_and_txns(spark, tmp_path):
 def test_merge_reserved_tx_file_name_raises(spark, tmp_path):
     t = str(tmp_path / "t")
     tx_append(_mk(spark, range(3)), t)
-    bad = spark.createDataFrame([Row(id=1, val="x", __tx_file="boom")])
-    with pytest.raises(ValueError, match="__tx_file"):
+    bad = spark.createDataFrame([Row(id=1, val="x", __tx_rel="boom")])
+    with pytest.raises(ValueError, match="__tx_rel"):
         tx_merge(spark, t, bad, ["id"])
-    with pytest.raises(ValueError, match="__tx_file"):
-        tx_merge(spark, t, bad.withColumnRenamed("__tx_file", "z"),
-                 ["__tx_file"])
+    with pytest.raises(ValueError, match="__tx_pos"):
+        tx_merge(spark, t, bad.withColumnRenamed("__tx_rel", "z"),
+                 ["__tx_pos"])
 
 
 def test_cli_tx_roundtrip(spark, tmp_path, capsys):
@@ -905,3 +905,163 @@ def test_date_footer_stats_prune_unpartitioned(spark, tmp_path):
     )
     st2 = next(iter(tx_snapshot(t2)["stats"].values()))
     assert "s" not in st2["cols"]
+
+
+# ----------------------------------------------------- deletion vectors
+def test_delete_where_is_rewrite_free_and_time_travelable(spark, tmp_path):
+    """tx_delete_where: row-level DELETE as a deletion-vector commit — no
+    data file rewritten, rows gone logically, composable with a second
+    delete, old versions still read the rows until vacuum."""
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_delete_where
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 5, f"v{i}") for i in range(100)], "id int, g int, val string"
+    )
+    tx_append(df.repartition(4), t)
+    files_v0 = tx_snapshot(t)["files"]
+
+    res = tx_delete_where(spark, t, "g = 3")
+    assert res["rows_deleted"] == 20 and res["files_touched"] >= 1
+    snap = tx_snapshot(t)
+    assert snap["files"] == files_v0, "no data file may be rewritten"
+    assert snap["dvs"], "the DV map must record the deletion"
+    assert tx_read(spark, t).count() == 80
+    assert tx_read(spark, t).filter("g = 3").count() == 0
+    assert tx_read(spark, t, version=0).count() == 100  # time travel
+
+    # DVs compose (set union of positions)
+    tx_delete_where(spark, t, "id < 5")  # ids 0,1,2,4 still alive (3 has g=3)
+    assert tx_read(spark, t).count() == 76
+
+    # a no-match delete commits nothing
+    r2 = tx_delete_where(spark, t, "id = -1")
+    assert r2["version"] is None
+
+    # rewrites MATERIALIZE: compaction clears the DV map, count unchanged
+    tx_compact(spark, t, target_files=2)
+    snap2 = tx_snapshot(t)
+    assert not snap2["dvs"]
+    assert tx_read(spark, t).count() == 76
+
+
+def test_delete_where_change_feed_and_restore(spark, tmp_path):
+    """The change feed is row-exact under DVs: a DV commit emits exactly
+    the newly-deleted rows; a rewrite of a DV'd file emits only its
+    LOGICAL rows on both sides; a restore that reverts a DV resurrects
+    rows as inserts."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_changes,
+        tx_delete_where,
+        tx_restore,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, i % 5) for i in range(50)], "id int, g int")
+    tx_append(df.coalesce(2), t)            # v0
+    tx_delete_where(spark, t, "g = 0")      # v1: 10 rows via DV
+    ch = tx_changes(spark, t, 0, 1)
+    assert ch.filter("_change_type='delete'").count() == 10
+    assert ch.filter("_change_type='insert'").count() == 0
+
+    tx_compact(spark, t, target_files=1)    # v2: materialize (40 logical)
+    ch2 = tx_changes(spark, t, 1, 2)
+    assert ch2.filter("_change_type='delete'").count() == 40
+    assert ch2.filter("_change_type='insert'").count() == 40
+
+    tx_append(df.filter("g = 0").coalesce(1), t)  # v3: 10 rows back
+    tx_delete_where(spark, t, "id < 25")          # v4
+    tx_restore(t, 3)                              # v5: un-deletes v4's rows
+    ch3 = tx_changes(spark, t, 4, 5)
+    assert ch3.filter("_change_type='insert'").count() == 25  # resurrected
+    assert tx_read(spark, t).count() == 50
+
+
+def test_delete_where_conflicts_with_concurrent_rewrite(spark, tmp_path):
+    """Positions address physical rows: a rewrite racing a DV commit in
+    either order must surface as TxConflict, never silent resurrection."""
+    from unittest import mock
+
+    from weather_data_warehouse_aws_spark.operators import txlog as TX
+
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(20)).repartition(2), t)  # 2 files: compact is real
+
+    # DV loses: the covered file is compacted away between scan and commit
+    real_commit = TX._commit
+
+    def _race_then_commit(path, op, build, **kw):
+        if op == "delete" and not getattr(_race_then_commit, "fired", False):
+            _race_then_commit.fired = True
+            TX.tx_compact(spark, t, target_files=1)
+        return real_commit(path, op, build, **kw)
+
+    with mock.patch.object(TX, "_commit", _race_then_commit):
+        with pytest.raises(TxConflict, match="rewritten|no longer"):
+            TX.tx_delete_where(spark, t, "id = 3")
+    assert tx_read(spark, t).count() == 20
+
+    # rewrite loses: a DV lands after the compaction took its snapshot
+    snap = TX.tx_snapshot(t)
+    df2 = TX._read_live(spark, t, snap["files"], snap).repartition(1)
+    rels, stats = TX._write_new_files(df2, t)
+
+    def _build(s):
+        TX._dv_stable(snap, s, snap["files"])
+        return (rels, snap["files"], {})
+
+    TX.tx_delete_where(spark, t, "id = 7")
+    with pytest.raises(TxConflict, match="deletion vectors"):
+        TX._commit(t, "compact", _build, stats=stats)
+    assert tx_read(spark, t).count() == 19  # the DV won; no resurrection
+
+
+def test_vacuum_reclaims_dead_dvs_and_keeps_live_ones(spark, tmp_path):
+    """A DV file dies with its covered data files: vacuum keeps it while
+    the cover is live (readers need it!) and reclaims it after a rewrite
+    pushes the cover below the horizon."""
+    import os
+
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_delete_where
+
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(30)).repartition(2), t)  # v0 (2 files)
+    tx_delete_where(spark, t, "id < 10")                # v1 -> dv file
+    dv_rel = next(iter(tx_snapshot(t)["dvs"].values()))[0]
+    assert dv_rel.startswith("dv-")
+    assert os.path.exists(os.path.join(t, dv_rel))
+
+    # cover still live: vacuum must NOT touch the DV
+    res = tx_vacuum(t, retain_versions=1)
+    assert dv_rel not in res["deleted"]
+    assert tx_read(spark, t).count() == 20
+
+    # materialize (cover removed), vacuum past it: DV reclaimed
+    tx_compact(spark, t, target_files=1)                # v3
+    res2 = tx_vacuum(t, retain_versions=1)
+    assert dv_rel in res2["deleted"]
+    assert not os.path.exists(os.path.join(t, dv_rel))
+    assert tx_read(spark, t).count() == 20
+
+
+def test_delete_where_on_partitioned_table_prunes(spark, tmp_path):
+    """DVs compose with hive partitioning: the delete scan opens only the
+    plausible partitions and the read-back recovers partition columns."""
+    import datetime as dt
+
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_delete_where
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1 + i % 4)) for i in range(80)], "id int, d date"
+    )
+    tx_append(df, t, partition_by=["d"])
+    res = tx_delete_where(
+        spark, t, "id < 40 AND d = DATE'2024-01-02'",
+        prune=[("d", "=", dt.date(2024, 1, 2))],
+    )
+    assert res["rows_deleted"] == 10  # ids 1,5,...,37 live in d=2024-01-02
+    out = tx_read(spark, t)
+    assert out.count() == 70
+    assert out.filter("d = DATE'2024-01-02'").count() == 10
+    assert dict(out.dtypes)["d"] == "date"

@@ -13,7 +13,7 @@ Athena console; the equivalent local surface:
     merge      --table DIR --source P --keys K --partition-col C  upsert
     doctor     --table DIR [--skew-col C]            table health report
     tx         {history,read,compact,erase,vacuum,merge,restore,
-                changes} --table DIR                  txlog ops
+                changes,delete} --table DIR           txlog ops
 """
 
 from __future__ import annotations
@@ -98,7 +98,7 @@ def main(argv: list[str] | None = None) -> int:
     tx.add_argument(
         "action",
         choices=["history", "read", "compact", "erase", "vacuum", "merge",
-                 "restore", "changes"],
+                 "restore", "changes", "delete"],
     )
     tx.add_argument("--table", required=True, help="txlog table directory")
     tx.add_argument("--version", type=int, default=None, help="time-travel version (read)")
@@ -353,6 +353,19 @@ def main(argv: list[str] | None = None) -> int:
                 zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
             )
             print("already compact" if v is None else f"compacted at v{v}")
+        elif args.action == "delete":
+            if not args.where:
+                print("tx delete needs --where", file=sys.stderr)
+                return 2
+            res = txlog.tx_delete_where(spark, args.table, args.where)
+            if res["version"] is None:
+                print("no rows matched — nothing committed")
+            else:
+                print(
+                    f"deleted {res['rows_deleted']} row(s) across "
+                    f"{res['files_touched']} file(s) at v{res['version']} "
+                    "(deletion vectors — no data files rewritten)"
+                )
         elif args.action == "restore":
             if args.version is None:
                 print("tx restore needs --version", file=sys.stderr)

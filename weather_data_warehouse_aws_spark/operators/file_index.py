@@ -368,12 +368,22 @@ def read_with_index(
     row-identical to `read.parquet(table).filter(col == value)`.
     Pass `files` (from a prior `prune_files` call) to avoid probing the
     index twice. `basePath` keeps hive partition columns intact when the
-    candidate files live under `key=value` directories."""
+    candidate files live under `key=value` directories. On a
+    transaction-log table the candidate scan goes through the log's
+    reader, so deletion-vector'd rows (txlog.tx_delete_where) can never
+    resurrect through a point lookup."""
     if files is None:
         files = prune_files(spark, table_path, column, value)
     if not files:
         schema = _table_df(spark, table_path).schema
         return spark.createDataFrame([], schema)
+    if _tx_live_files(table_path) is not None:
+        from .txlog import _read_live, tx_snapshot
+
+        root = os.path.abspath(table_path)
+        rels = [os.path.relpath(os.path.abspath(f), root) for f in files]
+        scan = _read_live(spark, table_path, rels, tx_snapshot(table_path))
+        return scan.filter(F.col(column) == F.lit(value))
     return (
         spark.read.option("basePath", table_path)
         .parquet(*files)

@@ -315,6 +315,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
     base_v = -1
     live: dict[str, dict] = {}  # relpath -> per-file stats ({} if none)
     txns: dict[str, int] = {}  # idempotence tokens: app -> max batch seen
+    dvs: dict[str, list[str]] = {}  # data relpath -> [dv relpaths]
     schema_json = None
     partition_by: list[str] | None = None
     usable = [c for c in checkpoints if c <= target]
@@ -326,15 +327,24 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         schema_json = cp.get("schema")
         txns = dict(cp.get("txns", {}))
         partition_by = cp.get("partition_by") or None
+        dvs = {f: list(d) for f, d in cp.get("dvs", {}).items()}
     for v in commits:
         if v <= base_v or v > target:
             continue
         rec = _load_rec(path, v)
         for f in rec.get("remove", []):
             live.pop(f, None)
+            dvs.pop(f, None)  # a rewrite materializes the deletes
         rec_stats = rec.get("stats", {})
         for f in rec.get("add", []):
             live[f] = rec_stats.get(f, {})
+        dv_add = rec.get("dv_add")
+        if dv_add:
+            for f in dv_add["covers"]:
+                dvs.setdefault(f, []).append(dv_add["file"])
+        if "dv_state" in rec.get("meta", {}):
+            # restore: the target version's DV map travels with its files
+            dvs = {f: list(d) for f, d in rec["meta"]["dv_state"].items()}
         if rec.get("meta", {}).get("schema"):
             schema_json = rec["meta"]["schema"]
         if "partition_by" in rec.get("meta", {}):
@@ -351,6 +361,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         "horizon": horizon,
         "txns": txns,
         "partition_by": partition_by,
+        "dvs": dvs,
     }
 
 
@@ -393,6 +404,7 @@ def _commit(
     max_retries: int = 50,
     stats: dict | None = None,
     txn: tuple[str, int] | None = None,
+    dv_add: dict | None = None,
 ) -> int | None:
     """Optimistically commit: `build(snapshot_or_None)` returns
     (add, remove, meta) — or None to abandon (nothing to commit); the next
@@ -439,6 +451,8 @@ def _commit(
             rec["stats"] = {f: stats[f] for f in add if f in stats}
         if txn is not None:
             rec["txn"] = {"app": txn[0], "batch": int(txn[1])}
+        if dv_add is not None:
+            rec["dv_add"] = dv_add
         if not store.put_if_absent(_log_dir(path), _commit_name(next_v), json.dumps(rec)):
             # lost the race. If the winner's entry is UNPARSEABLE the loser
             # would spin forever (replay treats a torn tail as aborted, so
@@ -470,6 +484,7 @@ def _commit(
                         "horizon": cp["horizon"],
                         "txns": cp["txns"],
                         "partition_by": cp["partition_by"],
+                        "dvs": cp["dvs"],
                     }
                 ),
             )
@@ -702,6 +717,7 @@ def _write_new_files(
     *,
     collect_stats: bool = True,
     partition_by: list[str] | None = None,
+    prefix: str = "part",
 ) -> tuple[list[str], dict[str, dict]]:
     """Write `df` as new immutable part files inside the table root;
     returns (relpaths, per-file stats). Staging is a sibling dir (never
@@ -723,11 +739,11 @@ def _write_new_files(
     rels = []
     for dirpath, _dirs, names in os.walk(tmp):
         sub = os.path.relpath(dirpath, tmp)
-        prefix = "" if sub == "." else sub + "/"
+        dir_prefix = "" if sub == "." else sub + "/"
         for name in sorted(names):
             if not name.endswith(".parquet"):
                 continue
-            rel = f"{prefix}part-{uuid.uuid4().hex}.parquet"
+            rel = f"{dir_prefix}{prefix}-{uuid.uuid4().hex}.parquet"
             dst = os.path.join(path, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(os.path.join(dirpath, name), dst)
@@ -759,15 +775,33 @@ def _abs(path: str, rels: list[str]) -> list[str]:
 
 
 def _read_live(
-    spark: SparkSession, path: str, rels: list[str], snap: dict | None = None
+    spark: SparkSession,
+    path: str,
+    rels: list[str],
+    snap: dict | None = None,
+    *,
+    keep_meta: bool = False,
+    apply_dvs: bool = True,
 ) -> DataFrame:
-    """Scan an explicit live-file list. basePath pins partition discovery
-    to the table root, so hive-laid-out rels get their partition columns
-    back (and a flat layout is unaffected). When the snapshot is supplied,
-    recovered partition columns are CAST to the logged schema's types and
-    the logged column order is restored — partition inference would
-    otherwise guess types (a string partition value '0123' must not come
-    back as the int 123) and append partition columns at the end."""
+    """Scan an explicit live-file list — the table's LOGICAL rows.
+
+    basePath pins partition discovery to the table root, so hive-laid-out
+    rels get their partition columns back (and a flat layout is
+    unaffected). When the snapshot is supplied, recovered partition
+    columns are CAST to the logged schema's types and the logged column
+    order is restored — partition inference would otherwise guess types
+    (a string partition value '0123' must not come back as the int 123)
+    and append partition columns at the end.
+
+    Deletion vectors: rows whose (file, row position) the snapshot's DV
+    map marks deleted are filtered out with a broadcast anti-join on
+    `_metadata.row_index` — BEFORE any projection, so every operation
+    built on this helper (read, merge, replace, compact, erase, the
+    rewrite survivor scans) sees the post-delete table and rewrites
+    MATERIALIZE the deletes. `keep_meta=True` keeps the
+    `__tx_rel`/`__tx_pos` (log-relative path, row position) columns for
+    callers that address rows physically (tx_delete_where, the change
+    feed); `apply_dvs=False` yields the RAW file contents."""
     pby = (snap or {}).get("partition_by") or []
     logged = (
         StructType.fromJson(json.loads(snap["schema"]))
@@ -776,8 +810,11 @@ def _read_live(
     )
     types = {f.name: f.dataType for f in logged.fields} if logged else {}
     reader = spark.read.option("basePath", os.path.abspath(path))
-    if any(types.get(c, None) is not None and types[c].typeName() == "string"
-           for c in pby):
+    string_pcol = any(
+        types.get(c, None) is not None and types[c].typeName() == "string"
+        for c in pby
+    )
+    if string_pcol:
         # a STRING partition column through type inference corrupts
         # numeric-looking values ('0123' → 123 → '123'): pin the read to
         # the logged schema (inference off per-column). Costs mergeSchema
@@ -785,6 +822,33 @@ def _read_live(
         out = reader.schema(logged).parquet(*_abs(path, rels))
     else:
         out = reader.option("mergeSchema", True).parquet(*_abs(path, rels))
+
+    dv_map = (snap or {}).get("dvs") or {}
+    dv_rels = sorted(
+        {d for r in rels for d in dv_map.get(r, [])}
+    ) if apply_dvs else []
+    if keep_meta or dv_rels:
+        uri_root = "file:" + os.path.abspath(path).rstrip("/") + "/"
+        out = out.withColumn(
+            "__tx_rel",
+            F.expr(f"substring(_metadata.file_path, {len(uri_root) + 1})"),
+        ).withColumn("__tx_pos", F.col("_metadata.row_index"))
+    if dv_rels:
+        # deleted-position lists are KB-to-MB scale → broadcast anti-join;
+        # the scan side pays two metadata columns, no shuffle
+        dvf = spark.read.parquet(*_abs(path, dv_rels)).select(
+            F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+        )
+        out = out.join(
+            F.broadcast(dvf),
+            (F.col("__tx_rel") == F.col("__dv_file"))
+            & (F.col("__tx_pos") == F.col("__dv_pos")),
+            "left_anti",
+        )
+    if not keep_meta and dv_rels:
+        out = out.drop("__tx_rel", "__tx_pos")
+
+    if not string_pcol:
         for c in pby:
             if c in types and c in out.columns:
                 out = out.withColumn(c, F.col(c).cast(types[c]))
@@ -813,24 +877,6 @@ def _resolve_partition_by(
             "(tx_overwrite may re-partition)"
         )
     return partition_by
-
-
-def _rel_from_uri(uri: str, norm_root: str) -> str:
-    """input_file_name() returns a URL-ENCODED file URI — unquote and
-    strip the scheme before computing the log-relative path."""
-    from urllib.parse import unquote, urlparse
-
-    p = uri
-    if "://" in p or p.startswith("file:"):
-        p = urlparse(p).path
-    rel = os.path.relpath(os.path.abspath(unquote(p)), norm_root)
-    if rel.startswith("..") or os.path.isabs(rel):
-        raise ValueError(
-            f"txlog: scanned file {uri!r} resolves outside the table root "
-            f"{norm_root!r} — input_file_name() was likely evaluated past "
-            "a shuffle/join boundary"
-        )
-    return rel
 
 
 # --------------------------------------------------------------------------
@@ -938,7 +984,7 @@ def tx_replace_where(
 
     `condition` is a SQL boolean expression string (or Column) over the
     table's columns. Only live files containing ≥1 matching row are
-    rewritten (found by one `input_file_name()` scan, optionally
+    rewritten (found by one logical scan, optionally
     pruned first via `prune=[(col, op, value), ...]` — exact on partition
     columns, footer-stats-proof on clustered numeric/date columns — pass
     the envelope of the replaced region and the scan itself shrinks to
@@ -1004,18 +1050,17 @@ def tx_replace_where(
     candidates: list[str] = []
     rows_deleted = 0
     if plausible:
+        # one LOGICAL scan (DVs applied) finds the candidate files and the
+        # exact per-file hit counts; __tx_rel is the log-relative path
+        # captured at scan time (join-safe, unlike input_file_name)
         hit_rows = (
-            _read_live(spark, path, plausible, snap)
-            .withColumn("__tx_file", F.input_file_name())
+            _read_live(spark, path, plausible, snap, keep_meta=True)
             .filter(cond)
-            .groupBy("__tx_file")
+            .groupBy("__tx_rel")
             .count()
             .collect()
         )
-        norm_root = os.path.abspath(path).rstrip("/") + "/"
-        candidates = sorted(
-            _rel_from_uri(r["__tx_file"], norm_root) for r in hit_rows
-        )
+        candidates = sorted(r["__tx_rel"] for r in hit_rows)
         rows_deleted = int(sum(r["count"] for r in hit_rows))
 
     rels, stats = _write_new_files(payload, path, partition_by=pby)
@@ -1033,19 +1078,18 @@ def tx_replace_where(
                 survivors, path, partition_by=pby
             )
             stats = {**stats, **surv_stats}
-        v = _commit(
-            path,
-            "replace_where",
-            lambda s: (
+        def _build_rw(s):
+            _dv_stable(snap, s, candidates)
+            return (
                 rels + surv_rels,
                 candidates,
                 {
                     "schema": df.schema.json(),
                     "condition": condition if isinstance(condition, str) else str(condition),
                 },
-            ),
-            stats=stats,
-        )
+            )
+
+        v = _commit(path, "replace_where", _build_rw, stats=stats)
     except Exception:
         _drop_files(path, rels + surv_rels)  # never referenced — clean up
         raise
@@ -1054,6 +1098,119 @@ def tx_replace_where(
         "files_rewritten": len(candidates),
         "files_skipped": len(live_files) - len(candidates),
         "rows_deleted": rows_deleted,
+    }
+
+
+def _dv_stable(base_snap: dict, now_snap: dict | None, rels: list[str]) -> None:
+    """Raise TxConflict if any of `rels` gained/lost deletion vectors
+    since `base_snap` — a rewrite computed from the base would otherwise
+    RESURRECT rows a concurrent tx_delete_where removed (the file itself
+    stays live, so the remove-set liveness check cannot catch this)."""
+    b = base_snap.get("dvs", {})
+    n = (now_snap or {}).get("dvs", {})
+    for r in rels:
+        if b.get(r, []) != n.get(r, []):
+            raise TxConflict(
+                f"deletion vectors on {r} changed since this rewrite's "
+                "snapshot — a concurrent row-level delete landed; re-run "
+                "against the new snapshot"
+            )
+
+
+def tx_delete_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    *,
+    prune: list[tuple] | None = None,
+) -> dict:
+    """Row-level DELETE without rewriting a single data file — deletion
+    vectors, the Delta/Iceberg merge-on-read design. One scan finds the
+    matching rows' (file, row position) pairs; they are written as a tiny
+    DV relation and committed as a `dv_add` record. Every reader
+    (`tx_read` and all rewrite ops, via `_read_live`) anti-joins the
+    broadcast DV, so the rows are gone logically; the next rewrite of a
+    covered file (compact/erase/merge/replace_where) MATERIALIZES the
+    deletes and retires its DVs.
+
+    Why it matters at 100 TB: deleting 0.01% of rows scattered across a
+    petabyte of immutable parquet costs a full rewrite of every touched
+    file under copy-on-write; a DV commit costs one scan + KBs of
+    positions. `prune` narrows the scan exactly like `tx_replace_where`
+    (exact on partition columns, stats-proof on clustered ones).
+
+    Positions are physical row indexes (`_metadata.row_index`) —
+    immutable for an immutable file, so concurrent DV commits on the
+    same file COMPOSE (set union); a concurrent rewrite that removed a
+    covered file raises TxConflict (the positions would address the
+    wrong bytes). Deleted rows remain time-travelable until vacuum, same
+    covenant as every other delete on the log.
+
+    Returns {"version", "rows_deleted", "files_touched"} (version None if
+    nothing matched)."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    snap = tx_snapshot(path)
+    if not snap["files"]:
+        return {"version": None, "rows_deleted": 0, "files_touched": 0}
+    plausible = snap["files"]
+    if prune:
+        plausible = [
+            f
+            for f in snap["files"]
+            if not any(_skip_file(snap, f, c, op, v) for c, op, v in prune)
+        ]
+    if not plausible:
+        return {"version": None, "rows_deleted": 0, "files_touched": 0}
+    hits = (
+        _read_live(spark, path, plausible, snap, keep_meta=True)
+        .filter(cond)
+        .select(F.col("__tx_rel").alias("file"), F.col("__tx_pos").alias("pos"))
+        # one DV file per commit; repartition (NOT coalesce — coalesce
+        # would propagate below the filter and serialize the delete scan
+        # into one task) shuffles only the KB-scale positions
+        .repartition(1)
+    )
+    dv_rels, _ = _write_new_files(hits, path, collect_stats=False, prefix="dv")
+    per_file = (
+        spark.read.parquet(*_abs(path, dv_rels))
+        .groupBy("file")
+        .count()
+        .collect()
+    )
+    covers = sorted(r["file"] for r in per_file)
+    rows_deleted = int(sum(r["count"] for r in per_file))
+    if rows_deleted == 0:
+        _drop_files(path, dv_rels)
+        return {"version": None, "rows_deleted": 0, "files_touched": 0}
+    [dv_rel] = dv_rels  # coalesce(1) → exactly one
+
+    def _build(s):
+        gone = sorted(set(covers) - set(s["files"]))
+        if gone:
+            raise TxConflict(
+                f"tx_delete_where: covered file {gone[0]} was rewritten by "
+                "a concurrent commit — its row positions no longer address "
+                "the same rows; re-run"
+            )
+        return (
+            [],
+            [],
+            {
+                "condition": condition if isinstance(condition, str) else str(condition),
+                "rows_deleted": rows_deleted,
+            },
+        )
+
+    try:
+        v = _commit(path, "delete", _build, validate_remove_live=False,
+                    dv_add={"file": dv_rel, "covers": covers})
+    except Exception:
+        _drop_files(path, dv_rels)
+        raise
+    return {
+        "version": v,
+        "rows_deleted": rows_deleted,
+        "files_touched": len(covers),
     }
 
 
@@ -1069,7 +1226,7 @@ def tx_restore(path: str, version: int) -> int:
 
     def _build(snap):
         cur, tgt = set(snap["files"]), set(old["files"])
-        if cur == tgt:
+        if cur == tgt and snap["dvs"] == old["dvs"]:
             return None  # already at that state — nothing to commit
         return (
             sorted(tgt - cur),
@@ -1078,13 +1235,61 @@ def tx_restore(path: str, version: int) -> int:
                 "restored_to": version,
                 "schema": old["schema"],
                 # the restored files live under the OLD layout — the
-                # snapshot's partition scheme must travel back with them
+                # snapshot's partition scheme AND deletion-vector map must
+                # travel back with them (a file live across the restore
+                # reverts to the target version's delete state)
                 "partition_by": old["partition_by"] or [],
+                "dv_state": old["dvs"],
             },
         )
 
     return _commit(
         path, "restore", _build, validate_remove_live=True, stats=old_stats
+    )
+
+
+def _dv_positions(
+    spark: SparkSession, path: str, snap: dict | None, files: list[str]
+) -> DataFrame | None:
+    """(file, pos) relation of every DV-deleted row position `snap`
+    records for `files`; None when those files carry no DVs."""
+    dv_rels = sorted(
+        {d for f in files for d in (snap or {}).get("dvs", {}).get(f, [])}
+    )
+    if not dv_rels:
+        return None
+    return (
+        spark.read.parquet(*_abs(path, dv_rels))
+        .filter(F.col("file").isin(files))
+        .select("file", "pos")
+        .distinct()
+    )
+
+
+def _rows_at_positions(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    layout_snap: dict,
+    pos_df: DataFrame,
+) -> DataFrame:
+    """The table rows at exactly the given (file, row position) pairs —
+    a broadcast semi-join against the RAW file contents (positions are
+    physical, so DVs must not be applied here)."""
+    scan = _read_live(
+        spark, path, files, layout_snap, keep_meta=True, apply_dvs=False
+    )
+    probe = pos_df.select(
+        F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+    )
+    return (
+        scan.join(
+            F.broadcast(probe),
+            (F.col("__tx_rel") == F.col("__dv_file"))
+            & (F.col("__tx_pos") == F.col("__dv_pos")),
+            "left_semi",
+        )
+        .drop("__tx_rel", "__tx_pos")
     )
 
 
@@ -1121,20 +1326,67 @@ def tx_changes(
         else None
     )
     pieces: list[DataFrame] = []
+    prev: dict | None = None
+    prev_for: int | None = None
     for v in _usable_log(path)[0]:
         if v <= from_version or v > to_v:
             continue
         rec = _load_rec(path, v)
-        for kind, rels in (("delete", rec.get("remove", [])),
-                           ("insert", rec.get("add", []))):
-            if not rels:
-                continue
-            part = (
-                _read_live(spark, path, rels, snap)
-                .withColumn("_change_type", F.lit(kind))
-                .withColumn("_commit_version", F.lit(v))
+        if prev_for != v - 1:
+            prev = _replay(path, v - 1) if v > 0 else None
+        cur = _replay(path, v)
+
+        def _tag(df: DataFrame, kind: str, ver: int = v) -> DataFrame:
+            return df.withColumn("_change_type", F.lit(kind)).withColumn(
+                "_commit_version", F.lit(ver)
             )
-            pieces.append(part)
+
+        # file-level changes, read at the LOGICAL state of each side: a
+        # removed file contributes only the rows still visible at v-1
+        # (its DV'd rows were already emitted as deletes), an added file
+        # only the rows visible at v (a restore re-adds files WITH their
+        # target-version DVs)
+        removed, added = rec.get("remove", []), rec.get("add", [])
+        if removed:
+            pieces.append(_tag(_read_live(spark, path, removed, prev), "delete"))
+        if added:
+            pieces.append(_tag(_read_live(spark, path, added, cur), "insert"))
+
+        # row-level changes on files live across the commit: deletion
+        # vectors added (tx_delete_where) emit exactly the newly-deleted
+        # rows; a restore that reverts a DV resurrects rows as inserts
+        common = sorted(
+            set((prev or {}).get("files", [])) & set(cur["files"])
+        )
+        changed = [
+            f
+            for f in common
+            if (prev or {}).get("dvs", {}).get(f, []) != cur["dvs"].get(f, [])
+        ]
+        if changed:
+            p_pos = _dv_positions(spark, path, prev, changed)
+            c_pos = _dv_positions(spark, path, cur, changed)
+            newly = backout = None
+            if c_pos is not None:  # positions deleted at v but not at v-1
+                newly = c_pos if p_pos is None else c_pos.join(
+                    p_pos, ["file", "pos"], "left_anti"
+                )
+            if p_pos is not None:  # positions un-deleted by a restore
+                backout = p_pos if c_pos is None else p_pos.join(
+                    c_pos, ["file", "pos"], "left_anti"
+                )
+            if newly is not None:
+                pieces.append(
+                    _tag(_rows_at_positions(spark, path, changed, cur, newly),
+                         "delete")
+                )
+            if backout is not None:
+                pieces.append(
+                    _tag(_rows_at_positions(spark, path, changed, cur, backout),
+                         "insert")
+                )
+        prev = cur
+        prev_for = v
     if not pieces:
         if schema is None:
             raise ValueError(f"{path}: empty change range with no logged schema")
@@ -1238,20 +1490,20 @@ def tx_compact(
     else:
         df = df.repartition(n)
     rels, stats = _write_new_files(df, path, partition_by=pby)
-    try:
-        return _commit(
-            path,
-            "compact",
-            lambda s: (
-                rels,
-                snap["files"],
-                {
-                    "n_before": len(snap["files"]),
-                    **({"clustered_by": sort_by or zorder_by} if recluster else {}),
-                },
-            ),
-            stats=stats,
+
+    def _build_cp(s):
+        _dv_stable(snap, s, snap["files"])
+        return (
+            rels,
+            snap["files"],
+            {
+                "n_before": len(snap["files"]),
+                **({"clustered_by": sort_by or zorder_by} if recluster else {}),
+            },
         )
+
+    try:
+        return _commit(path, "compact", _build_cp, stats=stats)
     except TxConflict:
         _drop_files(path, rels)  # never referenced — clean up, then surface
         raise
@@ -1294,18 +1546,18 @@ def tx_erase_keys(
     ]
     if not plausible:
         return {"version": None, "files_rewritten": 0, "rows_removed": 0}
-    live = _read_live(spark, path, plausible, snap)
-    # one scan finds the candidate files AND the exact per-file hit counts
+    live = _read_live(spark, path, plausible, snap, keep_meta=True)
+    # one LOGICAL scan finds the candidate files AND exact per-file hit
+    # counts (__tx_rel: scan-time log-relative path, join-safe)
     hits = (
         live.filter(F.col(column).isin(values))
-        .groupBy(F.input_file_name().alias("f"))
+        .groupBy("__tx_rel")
         .count()
         .collect()
     )
     if not hits:
         return {"version": None, "files_rewritten": 0, "rows_removed": 0}
-    norm_root = os.path.abspath(path).rstrip("/") + "/"
-    candidates = [_rel_from_uri(row["f"], norm_root) for row in hits]
+    candidates = [row["__tx_rel"] for row in hits]
     rows_removed = sum(r["count"] for r in hits)
 
     cand_df = _read_live(spark, path, candidates, snap)
@@ -1314,17 +1566,12 @@ def tx_erase_keys(
     rels, stats = _write_new_files(
         survivors, path, partition_by=snap["partition_by"]
     )
+    def _build_er(s):
+        _dv_stable(snap, s, candidates)
+        return (rels, candidates, {"column": column, "n_values": len(values)})
+
     try:
-        version = _commit(
-            path,
-            "erase",
-            lambda s: (
-                rels,
-                candidates,
-                {"column": column, "n_values": len(values)},
-            ),
-            stats=stats,
-        )
+        version = _commit(path, "erase", _build_er, stats=stats)
     except TxConflict:
         _drop_files(path, rels)
         raise
@@ -1364,16 +1611,29 @@ def tx_vacuum(
         commits, _ = _usable_log(path)
         removed_at: dict[str, int] = {}
         referenced: set[str] = set()
+        dv_covers: dict[str, list[str]] = {}  # dv rel -> covered data rels
         for v in commits:
             rec = _load_rec(path, v)
             for f in rec.get("add", []):
                 referenced.add(f)
-                removed_at.pop(f, None)  # re-add after remove (shouldn't happen)
+                removed_at.pop(f, None)  # re-add after remove (restore)
             for f in rec.get("remove", []):
                 removed_at[f] = rec["version"]
+            dv = rec.get("dv_add")
+            if dv:
+                referenced.add(dv["file"])
+                dv_covers[dv["file"]] = dv["covers"]
         # live at some version v ≥ horizon ⇔ removed_at > horizon (or
         # never): a file removed AT commit r is last visible in r-1.
         deletable = sorted(f for f, r in removed_at.items() if r <= horizon)
+        # a DV dies with its covered data files: deletable only when EVERY
+        # covered file's last visible version is below the horizon (a live
+        # or recently-removed cover keeps the DV readable for time travel)
+        deletable += sorted(
+            d
+            for d, covers in dv_covers.items()
+            if all(removed_at.get(c, 1 << 62) <= horizon for c in covers)
+        )
         orphans: list[str] = []
         if include_orphans:
             on_disk: set[str] = set()
@@ -1422,7 +1682,7 @@ def tx_merge(
     1. stats-prune: files whose [min,max] on the (single, numeric) merge
        key excludes the source's key range are untouched without opening;
     2. one semi-join scan of the remaining files finds those with ≥1 hit
-       (grouped by input_file_name — the exact candidate set);
+       (grouped by the scan-time relpath — the exact candidate set);
     3. merge_into runs over candidates ∪ source; unmatched source rows
        insert into the rewritten output; non-candidate files are reused
        verbatim (they provably hold no matched key);
@@ -1446,10 +1706,12 @@ def tx_merge(
     """
     from .merge import _guard_duplicate_keys, merge_into
 
-    if "__tx_file" in keys or "__tx_file" in source.columns:
-        # candidate detection projects input_file_name() under this name;
-        # a same-named key would make the semi-join match on file URIs
-        raise ValueError("tx_merge: reserved column name in input: ['__tx_file']")
+    reserved = {"__tx_rel", "__tx_pos"}
+    bad = sorted(reserved.intersection(keys) | reserved.intersection(source.columns))
+    if bad:
+        # candidate detection carries the scan-time relpath/position under
+        # these names; a same-named key would corrupt the semi-join
+        raise ValueError(f"tx_merge: reserved column name in input: {bad}")
     check_dups = merge_kwargs.get("check_duplicate_source_keys", True)
     if not tx_exists(path) or not tx_snapshot(path)["files"]:
         if not merge_kwargs.get("when_not_matched_insert", True):
@@ -1494,21 +1756,16 @@ def tx_merge(
                 ]
         candidates = []
         if plausible:
-            # input_file_name() must be captured AT SCAN TIME: evaluated
-            # after the join boundary it returns '' (the row no longer
-            # belongs to a file scan) and the relpath would escape the root
+            # __tx_rel (the _metadata-derived relpath) is captured AT
+            # SCAN TIME, so it survives the join boundary
             hit_rows = (
-                _read_live(spark, path, plausible, snap)
-                .withColumn("__tx_file", F.input_file_name())
+                _read_live(spark, path, plausible, snap, keep_meta=True)
                 .join(source.select(*keys).distinct(), keys, "leftsemi")
-                .groupBy("__tx_file")
+                .groupBy("__tx_rel")
                 .count()
                 .collect()
             )
-            norm_root = os.path.abspath(path).rstrip("/") + "/"
-            candidates = sorted(
-                _rel_from_uri(row["__tx_file"], norm_root) for row in hit_rows
-            )
+            candidates = sorted(row["__tx_rel"] for row in hit_rows)
 
     if candidates:
         target = _read_live(spark, path, candidates, snap)
@@ -1520,17 +1777,13 @@ def tx_merge(
         )
     merged = merge_into(target, source, keys, **merge_kwargs)
     rels, stats = _write_new_files(merged, path, partition_by=pby)
+
+    def _build_mg(s):
+        _dv_stable(snap, s, candidates)
+        return (rels, candidates, {"keys": list(keys), "schema": merged.schema.json()})
+
     try:
-        v = _commit(
-            path,
-            "merge",
-            lambda s: (
-                rels,
-                candidates,
-                {"keys": list(keys), "schema": merged.schema.json()},
-            ),
-            stats=stats,
-        )
+        v = _commit(path, "merge", _build_mg, stats=stats)
     except TxConflict:
         _drop_files(path, rels)
         raise

@@ -84,11 +84,30 @@ def _partition_fill(rel: str, schema: StructType) -> dict:
     return out
 
 
+def _dv_pos_set(path: str, rel: str, dv_rels: list[str]) -> set[int]:
+    """Row positions the given deletion-vector relations mark deleted in
+    `rel`. DVs are KB-scale (file, pos) parquets — read executor-side."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pos: set[int] = set()
+    for d in dv_rels:
+        t = pq.read_table(os.path.join(path, d))
+        mask = pc.equal(t.column("file"), rel)
+        pos.update(t.filter(mask).column("pos").to_pylist())
+    return pos
+
+
 def _read_file_rows(path: str, rel: str, colnames: list[str], tail: tuple,
-                    fill: dict | None = None):
+                    fill: dict | None = None,
+                    exclude_dv: list[str] | None = None,
+                    only_dv: tuple[list[str], list[str]] | None = None):
     """One immutable data file → tuples aligned to `colnames` + `tail`
     (hive partition values spliced from `fill`; None for columns the file
-    predates). Runs on the EXECUTOR."""
+    predates). `exclude_dv` drops the positions those DV relations mark
+    deleted (the file's LOGICAL rows at the relevant version); `only_dv=
+    (now_rels, prev_rels)` yields ONLY positions in now − prev (the rows a
+    DV commit newly deleted). Runs on the EXECUTOR."""
     import pyarrow.parquet as pq
 
     fill = fill or {}
@@ -99,8 +118,16 @@ def _read_file_rows(path: str, rel: str, colnames: list[str], tail: tuple,
         else [fill.get(c)] * table.num_rows
         for c in colnames
     ]
-    for row in zip(*cols):
-        yield row + tail
+    keep = None  # default: every position
+    if only_dv is not None:
+        now_rels, prev_rels = only_dv
+        keep = _dv_pos_set(path, rel, now_rels) - _dv_pos_set(path, rel, prev_rels)
+    elif exclude_dv:
+        dead = _dv_pos_set(path, rel, exclude_dv)
+        keep = set(range(table.num_rows)) - dead if dead else None
+    for pos, row in enumerate(zip(*cols)):
+        if keep is None or pos in keep:
+            yield row + tail
 
 
 class TxTableStreamReader(DataSourceStreamReader):
@@ -141,31 +168,60 @@ class TxTableStreamReader(DataSourceStreamReader):
                 f"({snap['horizon']}) — removed files are gone; restart with "
                 "starting_version >= the horizon (or 'latest')"
             )
+        from ..operators.txlog import _replay
+
         schema = _table_schema(self.path)
         colnames = [f.name for f in schema.fields]
         out = []
+        prev: dict | None = None
+        prev_for: int | None = None
         for v in _usable_log(self.path)[0]:
             if v <= lo or v > hi:
                 continue
             rec = _load_rec(self.path, v)
-            for kind, rels in (
-                ("delete", rec.get("remove", [])),
-                ("insert", rec.get("add", [])),
+            if prev_for != v - 1:
+                prev = _replay(self.path, v - 1) if v > 0 else None
+            cur = _replay(self.path, v)
+            prev_for = v
+            p_dvs = (prev or {}).get("dvs", {})
+            c_dvs = cur["dvs"]
+            # file-level: removed files emit their v-1 LOGICAL rows as
+            # deletes, added files their v rows as inserts
+            for kind, rels, dvs in (
+                ("delete", rec.get("remove", []), p_dvs),
+                ("insert", rec.get("add", []), c_dvs),
             ):
                 for rel in rels:
-                    fill = _partition_fill(rel, schema)
-                    out.append(
-                        InputPartition(
-                            (self.path, rel, colnames, kind, v, fill)
-                        )
-                    )
+                    out.append(InputPartition((
+                        self.path, rel, colnames, kind, v,
+                        _partition_fill(rel, schema),
+                        dvs.get(rel, []), None,
+                    )))
+            # row-level: DV deltas on files live across the commit
+            common = set((prev or {}).get("files", [])) & set(cur["files"])
+            for rel in sorted(common):
+                if p_dvs.get(rel, []) == c_dvs.get(rel, []):
+                    continue
+                fill = _partition_fill(rel, schema)
+                out.append(InputPartition((  # newly deleted: cur − prev
+                    self.path, rel, colnames, "delete", v, fill,
+                    None, (c_dvs.get(rel, []), p_dvs.get(rel, [])),
+                )))
+                if p_dvs.get(rel):
+                    out.append(InputPartition((  # restore-resurrected rows
+                        self.path, rel, colnames, "insert", v, fill,
+                        None, (p_dvs.get(rel, []), c_dvs.get(rel, [])),
+                    )))
+            prev = cur
         return out or [InputPartition(None)]
 
     def read(self, partition: InputPartition):
         if partition is None or partition.value is None:
             return
-        path, rel, colnames, kind, v, fill = partition.value
-        yield from _read_file_rows(path, rel, colnames, (kind, v), fill)
+        path, rel, colnames, kind, v, fill, exclude_dv, only_dv = partition.value
+        yield from _read_file_rows(
+            path, rel, colnames, (kind, v), fill, exclude_dv, only_dv
+        )
 
     def commit(self, end: dict) -> None:
         pass  # delivered versions need no source-side bookkeeping
@@ -195,17 +251,21 @@ class TxTableBatchReader(DataSourceReader):
         colnames = [f.name for f in schema.fields]
         tail = ("insert", snap["version"])
         return [
-            InputPartition(
-                (self.path, rel, colnames, tail, _partition_fill(rel, schema))
-            )
+            InputPartition((
+                self.path, rel, colnames, tail,
+                _partition_fill(rel, schema),
+                snap["dvs"].get(rel, []),  # logical rows: DV'd positions out
+            ))
             for rel in snap["files"]
         ] or [InputPartition(None)]
 
     def read(self, partition: InputPartition):
         if partition is None or partition.value is None:
             return
-        path, rel, colnames, tail, fill = partition.value
-        yield from _read_file_rows(path, rel, colnames, tail, fill)
+        path, rel, colnames, tail, fill, exclude_dv = partition.value
+        yield from _read_file_rows(
+            path, rel, colnames, tail, fill, exclude_dv
+        )
 
 
 class TxTableDataSource(DataSource):
