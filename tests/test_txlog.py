@@ -1065,3 +1065,49 @@ def test_delete_where_on_partitioned_table_prunes(spark, tmp_path):
     assert out.count() == 70
     assert out.filter("d = DATE'2024-01-02'").count() == 10
     assert dict(out.dtypes)["d"] == "date"
+
+
+def test_update_where_merge_on_read(spark, tmp_path, capsys):
+    """tx_update_where: matched rows' positions become a DV and their
+    updated images append — ONE commit, untouched rows never rewritten,
+    the change feed emits old images as deletes + new images as inserts,
+    and it composes with prior deletes and partitioned layouts."""
+    from weather_data_warehouse_aws_spark.__main__ import main
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_changes,
+        tx_delete_where,
+        tx_update_where,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(100)], "id int, g int, v double"
+    )
+    tx_append(df.repartition(3), t)
+    files0 = set(tx_snapshot(t)["files"])
+
+    res = tx_update_where(spark, t, "g = 2", {"v": "v * 10", "g": "g + 100"})
+    assert res["rows_updated"] == 25
+    out = tx_read(spark, t)
+    assert out.count() == 100
+    assert out.filter("g = 2").count() == 0
+    assert out.filter("g = 102 AND v = 20.0").count() == 1  # id=2: 2.0*10
+    assert files0 < set(tx_snapshot(t)["files"]), "old files untouched"
+    assert tx_read(spark, t, version=0).filter("g = 2").count() == 25
+
+    ch = tx_changes(spark, t, 0, 1)
+    assert ch.filter("_change_type='delete'").count() == 25
+    assert ch.filter("_change_type='insert' AND g = 102").count() == 25
+
+    # composes with a prior row delete (already-deleted rows can't match)
+    tx_delete_where(spark, t, "id = 2")
+    r2 = tx_update_where(spark, t, "g = 102", {"v": "v + 0.5"})
+    assert r2["rows_updated"] == 24
+    assert tx_read(spark, t).count() == 99
+
+    # no-match: nothing committed; CLI surface
+    assert tx_update_where(spark, t, "id = -1", {"v": "0.0"})["version"] is None
+    assert main(["tx", "update", "--table", t,
+                 "--where", "id = 7", "--set", "v=v+1,g=0"]) == 0
+    assert "updated 1 row(s)" in capsys.readouterr().out
+    assert tx_read(spark, t).filter("id = 7 AND g = 0").count() == 1

@@ -98,7 +98,7 @@ def main(argv: list[str] | None = None) -> int:
     tx.add_argument(
         "action",
         choices=["history", "read", "compact", "erase", "vacuum", "merge",
-                 "restore", "changes", "delete"],
+                 "restore", "changes", "delete", "update"],
     )
     tx.add_argument("--table", required=True, help="txlog table directory")
     tx.add_argument("--version", type=int, default=None, help="time-travel version (read)")
@@ -109,6 +109,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="compact: Z-order re-cluster on these columns")
     tx.add_argument("--from-version", type=int, default=None,
                     help="changes: feed covers commits AFTER this version")
+    tx.add_argument("--set", dest="set_exprs", default=None,
+                    help="update: comma-separated col=SQL-expr assignments")
     tx.add_argument("--column", default=None, help="erase key column")
     tx.add_argument("--values", default=None, help="comma-separated erase keys")
     tx.add_argument("--retain-versions", type=int, default=1, help="vacuum retention")
@@ -365,6 +367,22 @@ def main(argv: list[str] | None = None) -> int:
                     f"deleted {res['rows_deleted']} row(s) across "
                     f"{res['files_touched']} file(s) at v{res['version']} "
                     "(deletion vectors — no data files rewritten)"
+                )
+        elif args.action == "update":
+            if not args.where or not args.set_exprs:
+                print("tx update needs --where and --set", file=sys.stderr)
+                return 2
+            assigns = dict(
+                kv.split("=", 1) for kv in args.set_exprs.split(",")
+            )
+            res = txlog.tx_update_where(spark, args.table, args.where, assigns)
+            if res["version"] is None:
+                print("no rows matched — nothing committed")
+            else:
+                print(
+                    f"updated {res['rows_updated']} row(s) across "
+                    f"{res['files_touched']} file(s) at v{res['version']} "
+                    "(merge-on-read — untouched rows not rewritten)"
                 )
         elif args.action == "restore":
             if args.version is None:

@@ -1214,6 +1214,113 @@ def tx_delete_where(
     }
 
 
+def tx_update_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    set_exprs: dict[str, str],
+    *,
+    prune: list[tuple] | None = None,
+) -> dict:
+    """Row-level UPDATE without rewriting the untouched rows: the matching
+    rows' positions become a deletion vector and their UPDATED images are
+    appended as new files — both in ONE commit, so readers see the update
+    atomically (never the deleted-but-not-yet-reinserted middle state).
+    This is merge-on-read UPDATE: cost is O(matched rows), not
+    O(touched files × file size) as a copy-on-write rewrite would be.
+
+    `set_exprs` maps column name → SQL expression evaluated per matched
+    row (e.g. ``{"status": "'fixed'", "n": "n + 1"}``); other columns are
+    carried unchanged. `prune` narrows the scan as in `tx_delete_where`.
+    Updated rows land UNCLUSTERED (appended); periodic clustered
+    compaction restores locality, the usual merge-on-read rhythm.
+
+    Returns {"version", "rows_updated", "files_touched"}."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    bad = {"__tx_rel", "__tx_pos"}.intersection(set_exprs)
+    if bad:
+        raise ValueError(f"tx_update_where: reserved column name: {sorted(bad)}")
+    snap = tx_snapshot(path)
+    if not snap["files"]:
+        return {"version": None, "rows_updated": 0, "files_touched": 0}
+    plausible = snap["files"]
+    if prune:
+        plausible = [
+            f
+            for f in snap["files"]
+            if not any(_skip_file(snap, f, c, op, v) for c, op, v in prune)
+        ]
+    if not plausible:
+        return {"version": None, "rows_updated": 0, "files_touched": 0}
+
+    # pinned: the new images AND the DV positions must come from the SAME
+    # matched set (two independent scans could drift apart under a
+    # non-deterministic condition — rand(), current_timestamp())
+    matched = (
+        _read_live(spark, path, plausible, snap, keep_meta=True)
+        .filter(cond)
+        .persist()
+    )
+    try:
+        updated = matched
+        for col, expr in set_exprs.items():
+            if col not in updated.columns:
+                raise ValueError(f"tx_update_where: unknown column {col!r}")
+            updated = updated.withColumn(col, F.expr(expr))
+        updated = updated.drop("__tx_rel", "__tx_pos")
+        new_rels, stats = _write_new_files(
+            updated, path, partition_by=snap["partition_by"]
+        )
+        hits = matched.select(
+            F.col("__tx_rel").alias("file"), F.col("__tx_pos").alias("pos")
+        ).repartition(1)
+        dv_rels, _ = _write_new_files(
+            hits, path, collect_stats=False, prefix="dv"
+        )
+    finally:
+        matched.unpersist()
+    per_file = (
+        spark.read.parquet(*_abs(path, dv_rels)).groupBy("file").count().collect()
+    )
+    covers = sorted(r["file"] for r in per_file)
+    rows_updated = int(sum(r["count"] for r in per_file))
+    if rows_updated == 0:
+        _drop_files(path, new_rels + dv_rels)
+        return {"version": None, "rows_updated": 0, "files_touched": 0}
+    [dv_rel] = dv_rels
+
+    def _build(s):
+        gone = sorted(set(covers) - set(s["files"]))
+        if gone:
+            raise TxConflict(
+                f"tx_update_where: covered file {gone[0]} was rewritten by a "
+                "concurrent commit — row positions are stale; re-run"
+            )
+        # the update's OLD images must not have been re-deleted/changed
+        _dv_stable(snap, s, covers)
+        return (
+            new_rels,
+            [],
+            {
+                "condition": condition if isinstance(condition, str) else str(condition),
+                "rows_updated": rows_updated,
+                "schema": updated.schema.json(),
+            },
+        )
+
+    try:
+        v = _commit(path, "update", _build, validate_remove_live=False,
+                    stats=stats, dv_add={"file": dv_rel, "covers": covers})
+    except Exception:
+        _drop_files(path, new_rels + dv_rels)
+        raise
+    return {
+        "version": v,
+        "rows_updated": rows_updated,
+        "files_touched": len(covers),
+    }
+
+
 def tx_restore(path: str, version: int) -> int:
     """Roll the table's LATEST state back to `version` — as a NEW commit,
     so the rollback itself is atomic, audited, and time-travelable (the
