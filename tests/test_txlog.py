@@ -1111,3 +1111,82 @@ def test_update_where_merge_on_read(spark, tmp_path, capsys):
                  "--where", "id = 7", "--set", "v=v+1,g=0"]) == 0
     assert "updated 1 row(s)" in capsys.readouterr().out
     assert tx_read(spark, t).filter("id = 7 AND g = 0").count() == 1
+
+
+def test_concurrent_writers_stress(spark, tmp_path):
+    """8 threads × mixed ops (append / delete_where / update_where /
+    compact) race on one table: every commit that REPORTED success must
+    be fully visible, versions are gapless, the final row accounting
+    balances exactly, and losers failed loudly (TxConflict) — never by
+    corrupting state."""
+    import threading
+
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_delete_where,
+        tx_update_where,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(
+        spark.createDataFrame(
+            [(i, 0) for i in range(400)], "id int, touch int"
+        ).repartition(4),
+        t,
+    )
+
+    appended: list[int] = []          # per-thread appended row counts
+    deleted: list[int] = []           # rows_deleted of successful deletes
+    conflicts: list[str] = []
+    lock = threading.Lock()
+
+    def worker(k: int) -> None:
+        try:
+            if k % 4 == 0:  # append 10 fresh ids (never conflicts)
+                base = 1000 + k * 100
+                tx_append(
+                    spark.createDataFrame(
+                        [(base + j, 0) for j in range(10)], "id int, touch int"
+                    ).coalesce(1),
+                    t,
+                )
+                with lock:
+                    appended.append(10)
+            elif k % 4 == 1:  # row-level delete of a thread-unique slice
+                res = tx_delete_where(
+                    spark, t, f"id >= {k * 30} AND id < {k * 30 + 10}"
+                )
+                with lock:
+                    deleted.append(res["rows_deleted"] or 0)
+            elif k % 4 == 2:  # update a thread-unique slice
+                tx_update_where(
+                    spark, t,
+                    f"id >= {k * 30} AND id < {k * 30 + 5}",
+                    {"touch": "touch + 1"},
+                )
+            else:  # compaction — the rewrite that loses DV races
+                tx_compact(spark, t, target_files=2)
+        except TxConflict as e:
+            with lock:
+                conflicts.append(str(e))
+
+    threads = [threading.Thread(target=worker, args=(k,)) for k in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    # log integrity: gapless versions, snapshot resolves, reads work
+    snap = tx_snapshot(t)
+    versions = [h["version"] for h in tx_history(t)]
+    assert versions == list(range(len(versions)))
+    out = tx_read(spark, t)
+    n = out.count()
+    # accounting: initial 400 + successful appends − successful deletes
+    assert n == 400 + sum(appended) - sum(deleted), (
+        n, appended, deleted, conflicts
+    )
+    # every surviving row readable; updates (if they won) touched ≤5 rows each
+    assert out.filter("touch > 1").count() == 0
+    # DV'd positions never resurrect through any files left by losers
+    if deleted and sum(deleted):
+        assert out.filter("id >= 30 AND id < 40").count() in (0, 10)

@@ -25,6 +25,12 @@ schema (None-filled for columns a pre-evolution file lacks) — robust
 across schema evolution; the arrow-batch fast path is a drop-in upgrade
 when column types are stable.
 
+Deletion vectors are row-exact in the feed: a `tx_delete_where` commit
+streams ONLY the newly-deleted rows (one partition per covered file,
+positions resolved executor-side from the KB-scale DV parquets), file
+reads exclude the DV'd positions of the relevant version's state, and a
+restore that reverts a DV streams the resurrected rows as inserts.
+
 Retention covenant (as with any CDC on the log): the stream must not lag
 behind `tx_vacuum`'s horizon — a vacuumed commit's removed files are
 gone, and planning raises rather than silently skipping. Start a new
