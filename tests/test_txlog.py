@@ -234,9 +234,11 @@ def test_stats_recorded_and_range_pruning(spark, tmp_path):
     assert all(
         "id" in snap["stats"][f]["cols"] for f in snap["files"]
     ), "numeric column stats must be recorded from the footers"
-    # strings are deliberately NOT stat'd (writer truncation is unsafe)
+    # string BOUNDS are deliberately not stat'd (writer truncation is
+    # unsafe) — the column carries null-count-only stats
     assert all(
-        "val" not in snap["stats"][f]["cols"] for f in snap["files"]
+        snap["stats"][f]["cols"]["val"][:2] == [None, None]
+        for f in snap["files"]
     )
     kept, skipped = tx_prune(t, [("id", ">=", 1000)])
     assert skipped and kept
@@ -898,13 +900,20 @@ def test_date_footer_stats_prune_unpartitioned(spark, tmp_path):
         tx_read(spark, t, predicate=[("d", "=", dt.date(2024, 1, 1))]).count()
         == 50
     )
-    # string (binary) stats stay excluded — truncation is writer-legal
+    # string (binary) BOUNDS stay excluded (truncation is writer-legal);
+    # the column degrades to null-count-only stats so is_null/not_null
+    # still prove, but no comparison ever skips on it
     t2 = str(tmp_path / "t2")
     tx_append(
         spark.createDataFrame([(1, "aaa"), (2, "zzz")], "id int, s string"), t2
     )
     st2 = next(iter(tx_snapshot(t2)["stats"].values()))
-    assert "s" not in st2["cols"]
+    assert st2["cols"]["s"][0] is None and st2["cols"]["s"][1] is None
+    from weather_data_warehouse_aws_spark.operators.txlog import _can_skip
+
+    assert not _can_skip(st2, "s", "=", "zzz")
+    assert not _can_skip(st2, "s", ">", "a")  # no bounds → no skip
+    assert _can_skip(st2, "s", "is_null", None)  # null_count == 0 proves
 
 
 # ----------------------------------------------------- deletion vectors
@@ -1190,3 +1199,58 @@ def test_concurrent_writers_stress(spark, tmp_path):
     # DV'd positions never resurrect through any files left by losers
     if deleted and sum(deleted):
         assert out.filter("id >= 30 AND id < 40").count() in (0, 10)
+
+
+def test_prune_ops_in_isnull_notnull(spark, tmp_path):
+    """Extended predicate language: `in` (conjunction of = proofs, exact
+    on partitions), `is_null` (footer null_count / NULL-partition aware —
+    an all-null file MATCHES and must not skip), `not_null`."""
+    import datetime as dt
+
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_prune
+
+    # flat table clustered on id: `in` prunes via footer stats
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, None if i < 50 else f"v{i}") for i in range(200)],
+        "id int, val string",
+    )
+    tx_append(df.repartitionByRange(4, "id").sortWithinPartitions("id"), t)
+    kept, skipped = tx_prune(t, [("id", "in", [3, 7, 199])])
+    assert skipped and len(kept) == 2  # first and last range files
+    got = tx_read(spark, t, predicate=[("id", "in", [3, 7, 199])])
+    assert sorted(r["id"] for r in got.collect()) == [3, 7, 199]
+    # NULL member never matches (3VL) and doesn't break pruning
+    got2 = tx_read(spark, t, predicate=[("id", "in", [3, None])])
+    assert [r["id"] for r in got2.collect()] == [3]
+    # empty IN-list: everything prunes, zero rows
+    kept3, skipped3 = tx_prune(t, [("id", "in", [])])
+    assert not kept3
+    assert tx_read(spark, t, predicate=[("id", "in", [])]).count() == 0
+
+    # is_null / not_null via footer null_count: ids < 50 are the all-null
+    # val rows and live in the first range file
+    kept4, _ = tx_prune(t, [("val", "is_null", None)])
+    assert len(kept4) >= 1 and len(kept4) < 4
+    assert (
+        tx_read(spark, t, predicate=[("val", "is_null", None)]).count() == 50
+    )
+    assert (
+        tx_read(spark, t, predicate=[("val", "not_null", None)]).count() == 150
+    )
+
+    # partitioned: NULL partition answers both exactly
+    t2 = str(tmp_path / "t2")
+    df2 = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1)), (2, dt.date(2024, 1, 2)), (3, None)],
+        "id int, d date",
+    )
+    tx_append(df2.repartition(3, "d"), t2, partition_by=["d"])
+    k_null, s_null = tx_prune(t2, [("d", "is_null", None)])
+    assert len(k_null) == 1  # only the __HIVE_DEFAULT_PARTITION__ file
+    assert tx_read(spark, t2, predicate=[("d", "is_null", None)]).count() == 1
+    assert tx_read(spark, t2, predicate=[("d", "not_null", None)]).count() == 2
+    k_in, _ = tx_prune(
+        t2, [("d", "in", [dt.date(2024, 1, 1), dt.date(2024, 1, 2)])]
+    )
+    assert len(k_in) == 2

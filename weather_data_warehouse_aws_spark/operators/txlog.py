@@ -532,41 +532,49 @@ def _file_stats(path: str, rels: list[str]) -> dict[str, dict]:
                 if "." in name or name in dead:
                     continue  # nested leaf — min/max not row-level
                 st = cc.statistics
-                if st is None or not st.has_min_max:
-                    dead.add(name)
-                    cols.pop(name, None)
-                    continue
-                mn, mx = st.min, st.max
-                is_date = (
-                    isinstance(mn, _dt.date)
-                    and isinstance(mx, _dt.date)
-                    and not isinstance(mn, _dt.datetime)
-                    and not isinstance(mx, _dt.datetime)
-                )
-                if is_date:
-                    # ISO strings: JSON-safe, and lexicographic ≡ date order
-                    mn, mx = mn.isoformat(), mx.isoformat()
-                # str stats are admitted ONLY via the date conversion above —
-                # raw binary (string-column) min/max may be prefix-truncated
-                ok_type = is_date or (
-                    isinstance(mn, (int, float))
-                    and isinstance(mx, (int, float))
-                    and not isinstance(mn, bool)
-                    and not isinstance(mx, bool)
-                )
-                if not ok_type or (
-                    isinstance(mn, float) and not math.isfinite(mn)
-                ) or (isinstance(mx, float) and not math.isfinite(mx)):
+                if st is None:
                     dead.add(name)
                     cols.pop(name, None)
                     continue
                 nulls = st.null_count if st.has_null_count else None
+                mn = mx = None  # bound-less: only NULL proofs apply
+                if st.has_min_max:
+                    mn, mx = st.min, st.max
+                    is_date = (
+                        isinstance(mn, _dt.date)
+                        and isinstance(mx, _dt.date)
+                        and not isinstance(mn, _dt.datetime)
+                        and not isinstance(mx, _dt.datetime)
+                    )
+                    if is_date:
+                        # ISO: JSON-safe, and lexicographic ≡ date order
+                        mn, mx = mn.isoformat(), mx.isoformat()
+                    # str bounds are admitted ONLY via the date conversion —
+                    # raw binary (string) min/max may be prefix-truncated.
+                    # Unusable bounds DEGRADE to null-count-only stats
+                    # (is_null/not_null still prove; comparisons can't).
+                    ok_type = is_date or (
+                        isinstance(mn, (int, float))
+                        and isinstance(mx, (int, float))
+                        and not isinstance(mn, bool)
+                        and not isinstance(mx, bool)
+                    )
+                    if not ok_type or (
+                        isinstance(mn, float) and not math.isfinite(mn)
+                    ) or (isinstance(mx, float) and not math.isfinite(mx)):
+                        mn = mx = None
                 prev = cols.get(name)
                 if prev is None:
                     cols[name] = [mn, mx, nulls]
                 else:
-                    prev[0] = min(prev[0], mn)
-                    prev[1] = max(prev[1], mx)
+                    prev[0] = (
+                        None if prev[0] is None or mn is None
+                        else min(prev[0], mn)
+                    )
+                    prev[1] = (
+                        None if prev[1] is None or mx is None
+                        else max(prev[1], mx)
+                    )
                     prev[2] = (
                         None if prev[2] is None or nulls is None
                         else prev[2] + nulls
@@ -575,26 +583,44 @@ def _file_stats(path: str, rels: list[str]) -> dict[str, dict]:
     return out
 
 
-# predicate conjunct ops understood by the pruner AND the reader filter
+# predicate conjunct ops understood by the pruner AND the reader filter.
+# Works on Columns (row filter) and plain Python values (partition proof);
+# "in" strips NULL members (IN's 3VL: a NULL member is never TRUE),
+# is_null/not_null ignore the value slot.
 _OPS = {
     "=": lambda c, v: c == v,
     "<": lambda c, v: c < v,
     "<=": lambda c, v: c <= v,
     ">": lambda c, v: c > v,
     ">=": lambda c, v: c >= v,
+    "in": lambda c, v: c.isin([x for x in v if x is not None]),
+    "is_null": lambda c, v: c.isNull(),
+    "not_null": lambda c, v: c.isNotNull(),
 }
 
 
 def _can_skip(stats: dict, col: str, op: str, value) -> bool:
     """True iff the file's stats PROVE no row satisfies `col op value`.
     Comparisons never match NULL (SQL), so an all-null file is always
-    skippable and null_count never blocks pruning. Absent/foreign-typed
-    stats → False (must read the file)."""
+    skippable and null_count never blocks pruning; `is_null`/`not_null`
+    prove from the exact footer null_count; `in` is the conjunction of
+    per-member `=` proofs. Absent/foreign-typed stats → False (must read
+    the file)."""
     cs = (stats or {}).get("cols", {}).get(col)
+    if op == "is_null":
+        # must run BEFORE the all-null shortcut (an all-null file MATCHES)
+        nulls = None if cs is None else cs[2]
+        return nulls == 0 if nulls is not None else False
+    if op == "in":
+        vals = [x for x in value if x is not None]
+        return all(_can_skip(stats, col, "=", x) for x in vals)
     if cs is None:
         rows = (stats or {}).get("rows")
         return False if rows is None else rows == 0
     mn, mx, nulls = cs
+    if op == "not_null":
+        rows = stats.get("rows")
+        return rows is not None and nulls is not None and nulls == rows
     if isinstance(value, datetime.date) and not isinstance(value, datetime.datetime):
         # date stats are stored as ISO strings (lexicographic ≡ date order);
         # a date literal compares in the same encoding. Against NUMERIC
@@ -653,6 +679,13 @@ def _pv_skip(raw: str | None, op: str, value) -> bool:
     prunes string and date columns too. `raw` is the path-encoded string;
     it is coerced to the literal's type (uncoercible → cannot skip).
     A NULL partition (None) never satisfies any comparison → always skip."""
+    if op == "is_null":
+        return raw is not None  # a non-NULL partition holds no NULL rows
+    if op == "not_null":
+        return raw is None
+    if op == "in":
+        vals = [x for x in value if x is not None]
+        return all(_pv_skip(raw, "=", x) for x in vals)
     if raw is None:
         return True
     pv: object
@@ -1541,7 +1574,9 @@ def tx_read(
     else:
         out = _read_live(spark, path, files, snap)
     for col, op, value in predicate or []:
-        out = out.filter(_OPS[op](F.col(col), F.lit(value)))
+        # raw value, not F.lit: "in" takes a list, is_null/not_null none;
+        # Column comparisons lift plain Python literals themselves
+        out = out.filter(_OPS[op](F.col(col), value))
     return out
 
 
