@@ -905,7 +905,10 @@ def test_date_footer_stats_prune_unpartitioned(spark, tmp_path):
     # still prove, but no comparison ever skips on it
     t2 = str(tmp_path / "t2")
     tx_append(
-        spark.createDataFrame([(1, "aaa"), (2, "zzz")], "id int, s string"), t2
+        spark.createDataFrame(
+            [(1, "aaa"), (2, "zzz")], "id int, s string"
+        ).coalesce(1),
+        t2,
     )
     st2 = next(iter(tx_snapshot(t2)["stats"].values()))
     assert st2["cols"]["s"][0] is None and st2["cols"]["s"][1] is None
