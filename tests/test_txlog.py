@@ -199,6 +199,32 @@ def test_schema_evolution_reads_union(spark, tmp_path):
     assert got == {1: None, 2: 9}
 
 
+def test_schema_evolution_union_on_string_partitioned_table(spark, tmp_path):
+    """Evolution parity across partition-column types: a STRING-partitioned
+    table reads through a pinned schema (type inference would corrupt
+    '0123' → '123'), which used to DROP columns only older files carry.
+    The pinned schema must be the logged ∪ file-present union — same
+    answer the int-partitioned mergeSchema branch gives — while the
+    string partition value stays exact."""
+    t = str(tmp_path / "t")
+    tx_append(
+        spark.createDataFrame([Row(id=1, old_col="keepme", city="0123")]),
+        t, partition_by=["city"],
+    )
+    # evolved writer: old_col gone, new_col added
+    tx_append(
+        spark.createDataFrame([Row(id=2, new_col=7, city="0123")]),
+        t, partition_by=["city"],
+    )
+    out = tx_read(spark, t)
+    assert set(out.columns) == {"id", "old_col", "new_col", "city"}
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["old_col"] == "keepme" and rows[1]["new_col"] is None
+    assert rows[2]["old_col"] is None and rows[2]["new_col"] == 7
+    # numeric-looking string partition value survives exactly
+    assert {r["city"] for r in rows.values()} == {"0123"}
+
+
 def test_plain_directory_read_is_wrong_by_design(spark, tmp_path):
     """The log, not the listing, defines the table: a raw parquet read of
     the directory sees removed-but-unvacuumed files (duplicates after
@@ -1079,6 +1105,42 @@ def test_delete_where_on_partitioned_table_prunes(spark, tmp_path):
     assert dict(out.dtypes)["d"] == "date"
 
 
+def test_row_ops_on_url_encodable_paths(spark, tmp_path):
+    """Row-level ops on partition values (and table roots) with
+    URL-encodable characters: `_metadata.file_path` is a URI, so a
+    'city=New York' directory scans as 'city=New%20York' — the scan-time
+    relpath must be decoded back to the raw OS relpath the log and DV
+    records store, or delete/update resolve to nonexistent files and die
+    with a misleading TxConflict. A literal '+' must survive the decode
+    (URLDecoder would turn it into a space)."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_delete_where,
+        tx_update_where,
+    )
+
+    t = str(tmp_path / "ware house" / "t")  # space in the root too
+    df = spark.createDataFrame(
+        [(i, ["New York", "São Paulo", "a+b c%20d"][i % 3], float(i))
+         for i in range(30)],
+        "id int, city string, v double",
+    )
+    tx_append(df, t, partition_by=["city"])
+
+    res = tx_delete_where(spark, t, "city = 'New York' AND id < 15")
+    assert res["rows_deleted"] == 5  # ids 0,3,6,9,12
+    out = tx_read(spark, t)
+    assert out.count() == 25
+    assert out.filter("city = 'New York'").count() == 5
+
+    r2 = tx_update_where(spark, t, "city = 'a+b c%20d'", {"v": "v + 0.5"})
+    assert r2["rows_updated"] == 10
+    assert tx_read(spark, t).filter(
+        "city = 'a+b c%20d' AND v = id + 0.5"
+    ).count() == 10
+    # deleted rows stayed deleted through the update's rewrite-free path
+    assert tx_read(spark, t).count() == 25
+
+
 def test_update_where_merge_on_read(spark, tmp_path, capsys):
     """tx_update_where: matched rows' positions become a DV and their
     updated images append — ONE commit, untouched rows never rewritten,
@@ -1120,9 +1182,16 @@ def test_update_where_merge_on_read(spark, tmp_path, capsys):
     # no-match: nothing committed; CLI surface
     assert tx_update_where(spark, t, "id = -1", {"v": "0.0"})["version"] is None
     assert main(["tx", "update", "--table", t,
-                 "--where", "id = 7", "--set", "v=v+1,g=0"]) == 0
+                 "--where", "id = 7", "--set", "v=v+1", "--set", "g=0"]) == 0
     assert "updated 1 row(s)" in capsys.readouterr().out
     assert tx_read(spark, t).filter("id = 7 AND g = 0").count() == 1
+    # a repeatable --set carries comma-bearing SQL expressions intact
+    assert main(["tx", "update", "--table", t, "--where", "id = 7",
+                 "--set", "v=greatest(v, 100.0)"]) == 0
+    assert "updated 1 row(s)" in capsys.readouterr().out
+    assert tx_read(spark, t).filter("id = 7 AND v = 100.0").count() == 1
+    assert main(["tx", "update", "--table", t,
+                 "--where", "id = 7", "--set", "nonsense"]) == 2
 
 
 def test_concurrent_writers_stress(spark, tmp_path):
@@ -1257,3 +1326,50 @@ def test_prune_ops_in_isnull_notnull(spark, tmp_path):
         t2, [("d", "in", [dt.date(2024, 1, 1), dt.date(2024, 1, 2)])]
     )
     assert len(k_in) == 2
+
+
+def test_doctor_reports_dv_debt_and_compaction_clears_it(spark, tmp_path, capsys):
+    """`doctor` surfaces deletion-vector accumulation (how many live rows
+    every scan's DV anti-join must filter) and recommends `tx compact`
+    past the threshold; compaction materializes the deletes and the
+    recommendation disappears."""
+    from weather_data_warehouse_aws_spark.__main__ import main
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_compact,
+        tx_delete_where,
+        tx_dv_stats,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 10) for i in range(1000)], "id int, g int"
+    )
+    tx_append(df.repartition(4), t)
+    tx_delete_where(spark, t, "g = 3")   # 100 rows -> DVs
+    tx_delete_where(spark, t, "id < 50 AND g = 7")  # 5 more, second DV gen
+
+    dv = tx_dv_stats(t)
+    assert dv["rows_deleted"] == 105
+    assert dv["rows_physical"] == 1000
+    assert dv["deleted_pct"] == 0.105
+    assert dv["files_with_dvs"] == 4 and dv["files_total"] == 4
+    assert dv["dv_files"] >= 2
+    assert dv["recommend_compact"]
+    assert sum(n for _, n, _ in dv["worst_files"]) == 105
+    for _rel, ndel, nrows in dv["worst_files"]:
+        assert 0 < ndel <= nrows
+
+    assert main(["doctor", "--table", t]) == 0
+    out = capsys.readouterr().out
+    assert "105 logically-deleted row(s)" in out
+    assert "RECOMMEND: tx compact" in out
+
+    tx_compact(spark, t, target_files=2)
+    dv2 = tx_dv_stats(t)
+    assert dv2["rows_deleted"] == 0 and dv2["dv_files"] == 0
+    assert not dv2["recommend_compact"]
+    assert tx_read(spark, t).count() == 895
+    assert main(["doctor", "--table", t]) == 0
+    out = capsys.readouterr().out
+    assert "0 logically-deleted row(s)" in out
+    assert "RECOMMEND" not in out

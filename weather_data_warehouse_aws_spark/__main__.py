@@ -109,8 +109,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="compact: Z-order re-cluster on these columns")
     tx.add_argument("--from-version", type=int, default=None,
                     help="changes: feed covers commits AFTER this version")
-    tx.add_argument("--set", dest="set_exprs", default=None,
-                    help="update: comma-separated col=SQL-expr assignments")
+    tx.add_argument("--set", dest="set_exprs", action="append", default=None,
+                    metavar="COL=EXPR",
+                    help="update: one col=SQL-expr assignment (repeatable — "
+                    "the expression may contain commas: "
+                    "--set \"status=concat(a, b)\" --set n=n+1)")
     tx.add_argument("--column", default=None, help="erase key column")
     tx.add_argument("--values", default=None, help="comma-separated erase keys")
     tx.add_argument("--retain-versions", type=int, default=1, help="vacuum retention")
@@ -210,7 +213,9 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming.ingest import run_silver_ingest
 
         run_silver_ingest(spark, args.bronze, args.silver, args.ckpt)
-        print(f"silver rows: {spark.read.parquet(args.silver).count()}")
+        from .operators.txlog import tx_read
+
+        print(f"silver rows: {tx_read(spark, args.silver).count()}")
         return 0
 
     if args.cmd == "curate":
@@ -292,7 +297,27 @@ def main(argv: list[str] | None = None) -> int:
             d for d in os.listdir(args.table) if d.startswith("_bloom_idx_")
         ]
         print(f"index sidecars: {sidecars or 'none'}")
-        df = spark.read.parquet(args.table)
+        from .operators.txlog import tx_dv_stats, tx_exists, tx_read
+
+        if tx_exists(args.table):
+            dv = tx_dv_stats(args.table)
+            print(
+                f"deletion vectors: {dv['rows_deleted']} logically-deleted "
+                f"row(s) ({dv['deleted_pct']:.1%} of {dv['rows_physical']}) "
+                f"behind {dv['dv_files']} DV file(s) covering "
+                f"{dv['files_with_dvs']}/{dv['files_total']} data file(s)"
+            )
+            for rel, ndel, nrows in dv["worst_files"]:
+                print(f"  {rel}: {ndel}/{nrows} rows deleted")
+            if dv["recommend_compact"]:
+                print(
+                    "  RECOMMEND: tx compact — every scan pays the DV "
+                    "anti-join for these rows; compaction materializes "
+                    "the deletes and zeroes the debt"
+                )
+            df = tx_read(spark, args.table)
+        else:
+            df = spark.read.parquet(args.table)
         print("partition balance (worst 5 by imbalance):")
         partition_balance(df).orderBy("imbalance", ascending=False).show(5)
         if args.skew_col:
@@ -372,9 +397,12 @@ def main(argv: list[str] | None = None) -> int:
             if not args.where or not args.set_exprs:
                 print("tx update needs --where and --set", file=sys.stderr)
                 return 2
-            assigns = dict(
-                kv.split("=", 1) for kv in args.set_exprs.split(",")
-            )
+            bad = [kv for kv in args.set_exprs if "=" not in kv]
+            if bad:
+                print(f"--set must look like col=expr, got {bad!r}",
+                      file=sys.stderr)
+                return 2
+            assigns = dict(kv.split("=", 1) for kv in args.set_exprs)
             res = txlog.tx_update_where(spark, args.table, args.where, assigns)
             if res["version"] is None:
                 print("no rows matched — nothing committed")

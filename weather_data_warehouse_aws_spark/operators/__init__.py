@@ -45,6 +45,7 @@ from .txlog import (  # noqa: F401
     tx_append,
     tx_changes,
     tx_compact,
+    tx_dv_stats,
     tx_erase_keys,
     tx_history,
     tx_merge,

@@ -33,11 +33,13 @@ checkpoint ≤ v): live = adds − removes, in order. Data files are IMMUTABLE
   the public Delta LogStore contract): exactly one writer wins a version,
   losers re-read the snapshot and retry (optimistic concurrency). The
   local-FS default publishes a fully-fsynced temp file via exclusive
-  hard-link, so a claimed version is never torn; a cluster deployment
-  `register_log_store`s an object-store implementation (S3 conditional
-  PUT / DynamoDB mutex, HDFS rename-without-overwrite) and nothing else
-  changes — data files need no seam because they are immutable and
-  single-writer.
+  hard-link, so a claimed version is never torn; `register_log_store`
+  swaps in an object-store implementation (S3 conditional PUT / DynamoDB
+  mutex, HDFS rename-without-overwrite) for the COMMIT PROTOCOL — that
+  seam covers log entries only. Data-file IO (staging via `os.rename`,
+  vacuum's `os.walk` sweep, `file:` read URIs) currently assumes a
+  shared POSIX filesystem; an object-store deployment would additionally
+  need a data-file IO layer, which is deliberately out of scope here.
 * **Conflicts are semantic, not physical.** Blind appends never conflict
   (retry always succeeds). Operations that REPLACE files (compact, erase,
   overwrite) validate at commit time that every file they remove is still
@@ -850,9 +852,19 @@ def _read_live(
     if string_pcol:
         # a STRING partition column through type inference corrupts
         # numeric-looking values ('0123' → 123 → '123'): pin the read to
-        # the logged schema (inference off per-column). Costs mergeSchema
-        # on such tables — old-only columns drop until the next rewrite.
-        out = reader.schema(logged).parquet(*_abs(path, rels))
+        # an explicit schema (inference off per-column). For evolution
+        # parity with the mergeSchema branch, the pinned schema is the
+        # LOGGED schema unioned with columns only older files carry —
+        # discovered by a metadata-only mergeSchema probe (footer reads,
+        # no data scan; logged types, incl. the exact string partition
+        # type, win on overlap).
+        probe = reader.option("mergeSchema", True).parquet(*_abs(path, rels))
+        logged_names = {f.name for f in logged.fields}
+        pinned = StructType(
+            list(logged.fields)
+            + [f for f in probe.schema.fields if f.name not in logged_names]
+        )
+        out = reader.schema(pinned).parquet(*_abs(path, rels))
     else:
         out = reader.option("mergeSchema", True).parquet(*_abs(path, rels))
 
@@ -862,9 +874,20 @@ def _read_live(
     ) if apply_dvs else []
     if keep_meta or dv_rels:
         uri_root = "file:" + os.path.abspath(path).rstrip("/") + "/"
+        # _metadata.file_path is a URI, so URL-encodable characters in
+        # partition values or the table root arrive percent-encoded
+        # ('city=New York' scans as 'city=New%20York'), while log and DV
+        # records store raw OS relpaths. Decode BEFORE stripping the raw
+        # root prefix — otherwise row-level ops on such tables resolve to
+        # nonexistent encoded relpaths and fail with a misleading
+        # TxConflict. A literal '+' must survive decoding (URLDecoder
+        # treats it as a space), so it is pre-escaped to %2B.
         out = out.withColumn(
             "__tx_rel",
-            F.expr(f"substring(_metadata.file_path, {len(uri_root) + 1})"),
+            F.expr(
+                "substring(url_decode(replace(_metadata.file_path, "
+                f"'+', '%2B')), {len(uri_root) + 1})"
+            ),
         ).withColumn("__tx_pos", F.col("_metadata.row_index"))
     if dv_rels:
         # deleted-position lists are KB-to-MB scale → broadcast anti-join;
@@ -1033,7 +1056,11 @@ def tx_replace_where(
 
     Returns {"version", "files_rewritten", "files_skipped",
     "rows_deleted"}. TxConflict if a concurrent commit replaced a
-    candidate file first.
+    candidate file first. Concurrent blind APPENDS are NOT
+    conflict-checked: matching rows appended after the candidate scan
+    survive the replace (snapshot-ordering / write skew — see
+    `tx_delete_where`'s isolation note; Delta would raise
+    ConcurrentAppendException).
     """
     cond = F.expr(condition) if isinstance(condition, str) else condition
     if validate:
@@ -1179,6 +1206,16 @@ def tx_delete_where(
     wrong bytes). Deleted rows remain time-travelable until vacuum, same
     covenant as every other delete on the log.
 
+    Isolation vs concurrent APPENDS — snapshot-ordering (write skew) by
+    design: rows appended between this delete's candidate scan and its
+    commit survive even when they match `condition` (the delete acts on
+    its snapshot; the two commits serialize as append-after-delete
+    regardless of wall-clock order). Delta raises
+    ConcurrentAppendException here; this format deliberately relaxes
+    that — "delete everything matching X, including in-flight loads"
+    callers should quiesce writers or re-run the delete. The same
+    semantics apply to `tx_update_where` and `tx_replace_where`.
+
     Returns {"version", "rows_deleted", "files_touched"} (version None if
     nothing matched)."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
@@ -1267,6 +1304,10 @@ def tx_update_where(
     carried unchanged. `prune` narrows the scan as in `tx_delete_where`.
     Updated rows land UNCLUSTERED (appended); periodic clustered
     compaction restores locality, the usual merge-on-read rhythm.
+    Concurrent blind appends are not conflict-checked — matching rows
+    appended after the candidate scan keep their old values
+    (snapshot-ordering / write skew; see `tx_delete_where`'s isolation
+    note).
 
     Returns {"version", "rows_updated", "files_touched"}."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
@@ -1721,6 +1762,62 @@ def tx_erase_keys(
         "version": version,
         "files_rewritten": len(candidates),
         "rows_removed": int(rows_removed),
+    }
+
+
+def tx_dv_stats(path: str, *, recommend_at: float = 0.05) -> dict:
+    """Deletion-vector health report — the observability half of the
+    merge-on-read bargain. DVs make DELETE/UPDATE cheap (no rewrites),
+    but every accumulated position is a row the read-side broadcast
+    anti-join must filter on EVERY scan; this reports how much of that
+    debt a table carries so an operator can see when `tx_compact` (which
+    materializes DVs back to zero) is worth its rewrite cost.
+
+    Returns `{files_total, files_with_dvs, rows_physical, rows_deleted,
+    deleted_pct, dv_files, worst_files: [(rel, deleted, rows)],
+    recommend_compact}` — `recommend_compact` trips when the logically-
+    deleted fraction reaches `recommend_at` (default 5%). Metadata-only:
+    footer row counts from the log's stats, DV positions from the
+    KB-to-MB-scale DV parquets, read driver-side."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    snap = tx_snapshot(path)
+    dv_map: dict[str, list[str]] = snap.get("dvs") or {}
+    stats = snap.get("stats") or {}
+    rows_physical = sum(
+        (stats.get(f) or {}).get("rows") or 0 for f in snap["files"]
+    )
+    dv_rels = sorted({d for rels in dv_map.values() for d in rels})
+    # one read per DV parquet (they are small by design); counts keyed by
+    # covered file, restricted to each file's OWN listed DVs so a stale
+    # association can never inflate the report
+    per_dv: dict[str, dict[str, int]] = {}
+    for d in dv_rels:
+        t = pq.read_table(os.path.join(path, d), columns=["file"])
+        counts: dict[str, int] = {}
+        for row in pc.value_counts(t.column("file")).to_pylist():
+            counts[row["values"]] = row["counts"]
+        per_dv[d] = counts
+    per_file = {
+        rel: sum(per_dv[d].get(rel, 0) for d in rels)
+        for rel, rels in dv_map.items()
+        if rel in set(snap["files"])
+    }
+    rows_deleted = sum(per_file.values())
+    deleted_pct = rows_deleted / rows_physical if rows_physical else 0.0
+    worst = sorted(per_file.items(), key=lambda kv: -kv[1])[:5]
+    return {
+        "files_total": len(snap["files"]),
+        "files_with_dvs": len(per_file),
+        "rows_physical": rows_physical,
+        "rows_deleted": rows_deleted,
+        "deleted_pct": round(deleted_pct, 4),
+        "dv_files": len(dv_rels),
+        "worst_files": [
+            (rel, n, (stats.get(rel) or {}).get("rows")) for rel, n in worst
+        ],
+        "recommend_compact": deleted_pct >= recommend_at,
     }
 
 
