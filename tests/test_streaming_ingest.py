@@ -1,10 +1,12 @@
 """Checkpointed incremental ingest: re-runs are no-ops, new bronze days are
-picked up incrementally, and the result matches the batch pipeline."""
+picked up incrementally, landing is ATOMIC (transaction-log table, one
+commit per micro-batch), and the result matches the batch pipeline."""
 
 from __future__ import annotations
 
 import datetime as dt
 
+from weather_data_warehouse_aws_spark.operators.txlog import tx_read, tx_snapshot
 from weather_data_warehouse_aws_spark.pipeline.generate import generate_bronze
 from weather_data_warehouse_aws_spark.pipeline.silver import (
     build_silver_current,
@@ -20,19 +22,24 @@ def test_incremental_ingest_is_idempotent_and_incremental(spark, tmp_path_factor
 
     generate_bronze(bronze, start=dt.date(2024, 1, 1), days=2, seed=42)
     run_silver_ingest(spark, bronze, silver, ckpt)
-    n1 = spark.read.parquet(silver).count()
+    n1 = tx_read(spark, silver).count()
     assert n1 == 2 * 8
+    v1 = tx_snapshot(silver)["version"]
 
     # re-run with NOTHING new: checkpoint makes it a no-op (the reference
-    # would have doubled silver here - M4)
+    # would have doubled silver here - M4) — and the LOG is untouched too
     run_silver_ingest(spark, bronze, silver, ckpt)
-    assert spark.read.parquet(silver).count() == n1
+    assert tx_read(spark, silver).count() == n1
+    assert tx_snapshot(silver)["version"] == v1
 
-    # land a new day -> only it is processed
+    # land a new day -> only it is processed, as new commits on the log
     generate_bronze(bronze, start=dt.date(2024, 1, 3), days=1, seed=43)
     run_silver_ingest(spark, bronze, silver, ckpt)
-    got = spark.read.parquet(silver)
+    got = tx_read(spark, silver)
     assert got.count() == 3 * 8
+    assert tx_snapshot(silver)["version"] > v1
+    # the pre-ingest state stays time-travelable
+    assert tx_read(spark, silver, version=v1).count() == n1
 
     # the streamed silver matches the batch transformation bit-for-bit
     # (same build_silver_current), modulo the audit timestamp
@@ -55,11 +62,11 @@ def test_forecast_ingest_with_streaming_explode(spark, tmp_path_factory):
     generate_bronze(bronze, start=dt.date(2024, 2, 1), days=2, seed=9)
 
     run_forecast_ingest(spark, bronze, silver, ckpt)
-    got = spark.read.parquet(silver)
+    got = tx_read(spark, silver)
     assert got.count() == 2 * 8 * 40
     # idempotent re-run
     run_forecast_ingest(spark, bronze, silver, ckpt)
-    assert spark.read.parquet(silver).count() == 2 * 8 * 40
+    assert tx_read(spark, silver).count() == 2 * 8 * 40
 
     batch = build_silver_forecast(read_bronze(spark, bronze, "forecast"))
     cols = [c for c in batch.columns if c != "processed_timestamp"]

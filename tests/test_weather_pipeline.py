@@ -353,8 +353,14 @@ def test_gold_tables_are_transactional_and_time_travelable(
     layers1 = run_pipeline(spark, bronze_dir, wh, effective_date=EFFECTIVE, now=NOW)
     acc_path = os.path.join(wh, "gold", "fact_forecast_accuracy")
     dim_path = os.path.join(wh, "gold", "dim_location")
-    for p in (acc_path, dim_path, os.path.join(wh, "gold", "dim_date")):
+    cur_path = os.path.join(wh, "silver", "current_weather")
+    for p in (
+        acc_path, dim_path, os.path.join(wh, "gold", "dim_date"),
+        cur_path, os.path.join(wh, "silver", "forecast_weather"),
+    ):
         assert tx_exists(p), f"{p} must be a tx table"
+    sv0 = tx_snapshot(cur_path)["version"]
+    sn0 = layers1["silver_current"].count()
     v0 = tx_snapshot(acc_path)["version"]
     n0 = layers1["fact_forecast_accuracy"].count()
     rows0 = sorted(
@@ -373,9 +379,75 @@ def test_gold_tables_are_transactional_and_time_travelable(
     # the SCD2 dim merged against its own previous tx version
     assert [h["op"] for h in tx_history(dim_path)].count("overwrite") == 2
 
+    # SILVER is on the log too (round-7): the re-ingest swapped the same
+    # dates atomically (one replace_where commit), row count is unchanged,
+    # and silver time-travels to the pre-ingest version
+    sv1 = tx_snapshot(cur_path)["version"]
+    assert sv1 > sv0
+    assert layers2["silver_current"].count() == sn0
+    assert tx_read(spark, cur_path, version=sv0).count() == sn0
+    assert [h["op"] for h in tx_history(cur_path)].count("replace_where") == 2
+
     # bad-load rollback: restore the fact to the pre-refresh version
     tx_restore(acc_path, v0)
     assert sorted(
         str(r)
         for r in tx_read(spark, acc_path).drop("processed_timestamp").collect()
     ) == rows0
+
+
+def test_read_gold_snapshot_pins_one_generation(spark, bronze_dir, tmp_path_factory):
+    """Cross-table read consistency: dims and the fact commit to SEPARATE
+    logs, so an unpinned reader arriving between commits could join the
+    new dim_location to the pre-refresh fact. read_gold_snapshot pins
+    every table as_of the versions the last COMPLETED run_pipeline
+    published — a reader holding the snapshot through a concurrent
+    refresh keeps one coherent generation."""
+    import os
+
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_snapshot
+    from weather_data_warehouse_aws_spark.pipeline.run import (
+        SNAPSHOT_TABLES,
+        read_gold_snapshot,
+    )
+
+    wh = str(tmp_path_factory.mktemp("warehouse_snap"))
+    run_pipeline(spark, bronze_dir, wh, effective_date=EFFECTIVE, now=NOW)
+    gen1_versions = {
+        name: tx_snapshot(os.path.join(wh, *rel))["version"]
+        for name, rel in SNAPSHOT_TABLES.items()
+    }
+    snap = read_gold_snapshot(spark, wh)
+    assert snap["versions"] == gen1_versions
+    fact_rows1 = sorted(
+        str(r)
+        for r in snap["fact_forecast_accuracy"]
+        .drop("processed_timestamp")
+        .collect()
+    )
+    dim1 = sorted(str(r) for r in snap["dim_location"].collect())
+
+    # a full refresh lands UNDER the held snapshot (every table advances)
+    run_pipeline(
+        spark, bronze_dir, wh,
+        effective_date=EFFECTIVE + dt.timedelta(days=1),
+        now=NOW + dt.timedelta(days=1),
+    )
+    for name, rel in SNAPSHOT_TABLES.items():
+        assert tx_snapshot(os.path.join(wh, *rel))["version"] > gen1_versions[name]
+
+    # the held snapshot still reads generation 1 — all tables, coherently
+    assert sorted(
+        str(r)
+        for r in snap["fact_forecast_accuracy"]
+        .drop("processed_timestamp")
+        .collect()
+    ) == fact_rows1
+    assert sorted(str(r) for r in snap["dim_location"].collect()) == dim1
+
+    # a NEW snapshot reads generation 2 (manifest swapped after all commits)
+    snap2 = read_gold_snapshot(spark, wh)
+    assert all(
+        snap2["versions"][n] == tx_snapshot(os.path.join(wh, *r))["version"]
+        for n, r in SNAPSHOT_TABLES.items()
+    )

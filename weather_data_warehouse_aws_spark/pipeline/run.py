@@ -6,30 +6,39 @@ stages in order against a local warehouse directory:
 
     bronze JSON  →  silver parquet (partitioned)  →  gold dims  →  fact views
 
-Gold tables (dims + the materialized accuracy fact) live on the
-TRANSACTION LOG (`operators/txlog.py`): every refresh is one atomic
-commit, concurrent readers keep their snapshot through a mid-refresh
-crash or race, the pre-refresh state stays time-travelable
+Silver AND gold tables live on the TRANSACTION LOG
+(`operators/txlog.py`): every refresh/ingest is one atomic commit,
+concurrent readers keep their snapshot through a mid-write crash or
+race, the pre-refresh state stays time-travelable
 (`tx_read(..., version=v)`), and a bad load rolls back with `tx_restore`.
 This makes the reference's M4 class of bug (non-idempotent re-runs,
-`bronze_to_silver.py:114-117`) impossible by construction for gold — the
-silver layer keeps hive-partitioned parquet (dynamic-partition overwrite
-is its idempotence story AND its date-pruning layout; the log adds
-nothing to a partition-replace that the date columns don't already give).
+`bronze_to_silver.py:114-117`) impossible by construction across the
+whole warehouse: silver re-ingest is a `tx_replace_where` swap of
+exactly the batch's dates (hive layout and date pruning unchanged —
+the log records `col=value/` relpaths), gold refresh is `tx_overwrite`.
+
+Cross-table consistency: the gold tables commit to SEPARATE logs, so a
+reader arriving between commits could join the new `dim_location` to the
+pre-refresh fact. `run_pipeline` therefore publishes a snapshot manifest
+(atomic rename) recording every table's committed version AFTER the last
+commit, and `read_gold_snapshot` pins all reads `as_of` those versions —
+one coherent generation, always.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
+import json
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.txlog import tx_exists, tx_overwrite, tx_read
+from ..operators.txlog import tx_exists, tx_overwrite, tx_read, tx_snapshot
 from ..session import ensure_session_conf
 from .gold import build_dim_date, build_dim_location
-from .silver import build_silver_current, build_silver_forecast, read_bronze, write_silver
+from .silver import build_silver_current, build_silver_forecast, read_bronze, write_silver_tx
 from .views import register_fact_views
 
 
@@ -50,20 +59,13 @@ def run_pipeline(
 
     cur_path = os.path.join(warehouse_dir, "silver", "current_weather")
     fc_path = os.path.join(warehouse_dir, "silver", "forecast_weather")
-    # idempotent by construction (M4 fix): re-running a day replaces that day
-    # compact=True: one file per date partition instead of one per task —
-    # a day of this domain is KBs, and 10× fewer files is measurably
-    # faster to commit AND to re-scan (silver is read back immediately)
-    write_silver(
-        silver_current, cur_path, "observation_date",
-        mode="overwrite_partitions", compact=True,
-    )
-    write_silver(
-        silver_forecast, fc_path, "forecast_created_date",
-        mode="overwrite_partitions", compact=True,
-    )
-    silver_current = spark.read.parquet(cur_path)
-    silver_forecast = spark.read.parquet(fc_path)
+    # idempotent AND atomic by construction (M4 fix): re-running a day
+    # swaps that day's rows in one commit; a crash mid-write leaves the
+    # previous version live (see write_silver_tx)
+    write_silver_tx(silver_current, cur_path, "observation_date")
+    write_silver_tx(silver_forecast, fc_path, "forecast_created_date")
+    silver_current = tx_read(spark, cur_path)
+    silver_forecast = tx_read(spark, fc_path)
 
     dim_location_path = os.path.join(warehouse_dir, "gold", "dim_location")
     # no-log-yet → first run → initial load (reference build_dimensions.py:
@@ -107,6 +109,10 @@ def run_pipeline(
     facts["fact_forecast_accuracy"] = tx_read(spark, acc_path)
     facts["fact_forecast_accuracy"].createOrReplaceTempView("fact_forecast_accuracy")
 
+    # publish the generation: every table's committed version, swapped in
+    # atomically AFTER the last commit — read_gold_snapshot pins to this
+    _publish_snapshot_manifest(warehouse_dir)
+
     return {
         "silver_current": silver_current,
         "silver_forecast": silver_forecast,
@@ -114,3 +120,61 @@ def run_pipeline(
         "dim_date": dim_date,
         **facts,
     }
+
+
+SNAPSHOT_TABLES = {
+    "silver_current": ("silver", "current_weather"),
+    "silver_forecast": ("silver", "forecast_weather"),
+    "dim_location": ("gold", "dim_location"),
+    "dim_date": ("gold", "dim_date"),
+    "fact_forecast_accuracy": ("gold", "fact_forecast_accuracy"),
+}
+
+
+def _manifest_path(warehouse_dir: str) -> str:
+    return os.path.join(warehouse_dir, "gold", "_snapshot.json")
+
+
+def _publish_snapshot_manifest(warehouse_dir: str) -> dict[str, int]:
+    """Record {table: committed version} for every warehouse table and
+    swap it in with one atomic rename — the cross-table read-consistency
+    point. Published only after EVERY table's commit, so the manifest
+    never names a mixed generation."""
+    versions = {
+        name: tx_snapshot(os.path.join(warehouse_dir, *rel))["version"]
+        for name, rel in SNAPSHOT_TABLES.items()
+        if tx_exists(os.path.join(warehouse_dir, *rel))
+    }
+    dst = _manifest_path(warehouse_dir)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dst), suffix=".json.tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(versions, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, dst)
+    return versions
+
+
+def read_gold_snapshot(
+    spark: SparkSession, warehouse_dir: str
+) -> dict[str, DataFrame]:
+    """Read ONE coherent warehouse generation: every table pinned `as_of`
+    the version the last completed `run_pipeline` published in the
+    snapshot manifest. A reader holding these DataFrames through a
+    concurrent refresh can never join the new `dim_location` to the
+    pre-refresh fact (or vice versa) — the mixed-generation anomaly that
+    separate per-table logs (and the reference's separate Glue jobs)
+    otherwise allow. Returns the tables plus a `"versions"` dict entry."""
+    with open(_manifest_path(warehouse_dir)) as fh:
+        versions: dict[str, int] = json.load(fh)
+    out: dict = {
+        name: tx_read(
+            spark,
+            os.path.join(warehouse_dir, *SNAPSHOT_TABLES[name]),
+            version=v,
+        )
+        for name, v in versions.items()
+    }
+    out["versions"] = versions
+    return out

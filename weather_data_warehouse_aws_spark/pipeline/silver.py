@@ -159,6 +159,58 @@ def build_silver_forecast(bronze: DataFrame) -> DataFrame:
     )
 
 
+def write_silver_tx(df: DataFrame, path: str, partition_col: str) -> int:
+    """Transactional silver write: atomically replace exactly the dates
+    present in this batch, as ONE `tx_replace_where` commit against the
+    table's transaction log. Returns the written row count.
+
+    This is the layer where the reference's M4 bug actually lives
+    (`bronze_to_silver.py:114-117` appends while re-reading the full
+    bronze glob) — `write_silver`'s dynamic-partition overwrite fixes it
+    by DISCIPLINE (re-running replaces the day), this fixes it by
+    CONSTRUCTION: a crash mid-write leaves the table at the previous
+    version (no torn partition a concurrent reader can see), re-runs swap
+    the same dates idempotently, the pre-ingest state stays
+    time-travelable, and a bad load rolls back with `tx_restore`. The
+    hive layout (and so exact date pruning) is unchanged — the log
+    records `col=value/` relpaths.
+
+    The batch's distinct dates are collected driver-side (bounded by
+    days-per-ingest, not data size) and the write is compacted to one
+    file per date — a day of this domain is KBs, and the log commit cost
+    is per FILE.
+    """
+    from ..operators.txlog import tx_replace_where
+
+    df = df.repartition(partition_col).persist()
+    try:
+        dates = [r[0] for r in df.select(partition_col).distinct().collect()]
+        if not dates:
+            return 0
+        n = df.count()  # single evaluation; the write scan reuses the cache
+        non_null = sorted(d for d in dates if d is not None)
+        conds = []
+        if non_null:
+            lits = ", ".join(f"DATE'{d}'" for d in non_null)
+            conds.append(f"{partition_col} IN ({lits})")
+        if len(non_null) != len(dates):
+            conds.append(f"{partition_col} IS NULL")
+        # a NULL date defeats the IN-based skip proof (NULL ∉ IN-list is
+        # not proof the file has no NULL rows) — prune only when none
+        prune = (
+            [(partition_col, "in", non_null)]
+            if len(non_null) == len(dates)
+            else None
+        )
+        tx_replace_where(
+            df.sparkSession, path, df, " OR ".join(conds),
+            prune=prune, partition_by=[partition_col],
+        )
+        return n
+    finally:
+        df.unpersist()
+
+
 def write_silver(
     df: DataFrame, path: str, partition_col: str, *, mode: str = "append",
     compact: bool = False,

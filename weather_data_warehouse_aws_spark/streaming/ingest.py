@@ -6,7 +6,10 @@ fix is dynamic partition overwrite (pipeline/silver.py); the *architectural*
 fix is this: bronze is a file-arrival stream, and Structured Streaming's
 checkpoint tracks exactly which files have been processed. Re-running the
 job is a no-op; a new day's files are picked up incrementally; a crashed run
-resumes where it stopped. Exactly-once into the parquet sink.
+resumes where it stopped. Exactly-once into the silver TRANSACTION-LOG
+table: each micro-batch is one atomic `tx_append` under an
+`(app, batch_id)` idempotence token, so sink-side replays commit nothing
+and readers never observe a torn batch.
 
 At scale this replaces the reference's EventBridge+full-rescan with a
 long-running (or availableNow-cron) incremental job whose per-run cost is
@@ -42,19 +45,33 @@ def run_silver_ingest(
     *,
     timeout_sec: int = 180,
 ) -> None:
-    """Drain all currently-available bronze files into silver parquet.
+    """Drain all currently-available bronze files into the silver
+    TRANSACTION-LOG table.
 
-    The checkpoint makes this idempotent across invocations: files already
-    committed are never re-read. The silver transformation is the SAME
-    function the batch path uses — one definition, two execution modes.
+    Two idempotence layers compose here: the checkpoint means files
+    already processed are never re-read, and the sink commits each
+    micro-batch under a `(app, batch_id)` token (`tx_stream_sink`), so a
+    batch replayed after a sink-side crash — foreachBatch is
+    at-least-once — commits nothing the second time. Exactly-once into an
+    ATOMIC table: a reader never sees a torn micro-batch, unlike the
+    plain parquet sink this replaces (whose half-written files were
+    visible until the stream's own _spark_metadata filtered them — but
+    only to readers that went through the streaming sink's log). The
+    silver transformation is the SAME function the batch path uses — one
+    definition, two execution modes.
     """
+    from ..operators.txlog import tx_stream_sink
+
     bronze = stream_bronze_current(spark, bronze_dir)
     silver = build_silver_current(bronze)
     q = (
-        silver.writeStream.format("parquet")
-        .option("path", silver_path)
+        silver.writeStream.foreachBatch(
+            tx_stream_sink(
+                silver_path, "silver-ingest-current",
+                partition_by=["observation_date"],
+            )
+        )
         .option("checkpointLocation", checkpoint_path)
-        .partitionBy("observation_date")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -85,17 +102,22 @@ def run_forecast_ingest(
     timeout_sec: int = 180,
 ) -> None:
     """Forecast twin of run_silver_ingest: 40-point explode + flatten +
-    horizon math per micro-batch, checkpointed exactly-once into
-    partitioned parquet. Same transformation function as the batch path."""
+    horizon math per micro-batch, checkpoint + `(app, batch_id)` tokens
+    giving exactly-once into the silver transaction-log table. Same
+    transformation function as the batch path."""
+    from ..operators.txlog import tx_stream_sink
     from ..pipeline.silver import build_silver_forecast
 
     bronze = stream_bronze_forecast(spark, bronze_dir)
     silver = build_silver_forecast(bronze)
     q = (
-        silver.writeStream.format("parquet")
-        .option("path", silver_path)
+        silver.writeStream.foreachBatch(
+            tx_stream_sink(
+                silver_path, "silver-ingest-forecast",
+                partition_by=["forecast_created_date"],
+            )
+        )
         .option("checkpointLocation", checkpoint_path)
-        .partitionBy("forecast_created_date")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
