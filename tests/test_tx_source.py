@@ -297,3 +297,90 @@ def test_changefeed_handles_deletion_vectors_and_restore(spark, tmp_path):
     tx_compact(spark, t, target_files=1)   # v4: materialization nets zero
     drain()
     assert sorted(map(tuple, read_current_agg(spark, agg).collect())) == direct()
+
+
+def test_arrow_fast_path_engages_and_falls_back_per_file(spark, tmp_path):
+    """The per-(commit,file) reader must emit pyarrow RecordBatches (zero
+    per-row Python objects) for stable-schema tables — datetime, date,
+    double, partition fill, DV exclusion all included — and fall back to
+    tuples, per file and deterministically, only when a file's physical
+    types can't cast to the declared schema."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_delete_where,
+    )
+    from weather_data_warehouse_aws_spark.sources.tx_source import (
+        _emit_file,
+        _read_file_rows,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (i, float(i), dt.datetime(2024, 1, 1 + i % 3, 6, 0, 0),
+             dt.date(2024, 1, 1 + i % 3))
+            for i in range(30)
+        ],
+        "id int, v double, ts timestamp, d date",
+    )
+    tx_append(df, t, partition_by=["d"])
+    tx_delete_where(spark, t, "id < 6 AND d = DATE'2024-01-01'")  # DV on files
+
+    snap = tx_snapshot(t)
+    schema_json = snap["schema"]
+    from pyspark.sql.types import StructType
+    import json as _json
+
+    tbl_schema = StructType.fromJson(_json.loads(schema_json))
+    colnames = [f.name for f in tbl_schema.fields]
+    from weather_data_warehouse_aws_spark.sources.tx_source import _partition_fill
+
+    rel = snap["files"][0]
+    out = list(_emit_file(
+        t, rel, colnames, schema_json, ("insert", snap["version"]),
+        _partition_fill(rel, tbl_schema), snap["dvs"].get(rel, []),
+    ))
+    assert out and all(isinstance(b, pa.RecordBatch) for b in out), (
+        "stable-schema file must take the Arrow path"
+    )
+    # batch values ≡ tuple-path values (order, fill, DV exclusion, tail)
+    tuple_rows = list(_read_file_rows(
+        t, rel, colnames, ("insert", snap["version"]),
+        _partition_fill(rel, tbl_schema), snap["dvs"].get(rel, []),
+    ))
+    batch_rows = [
+        tuple(r.values())
+        for b in out
+        for r in pa.Table.from_batches([b]).to_pylist()
+    ]
+    def _norm(rows):
+        return sorted(
+            tuple(x.replace(tzinfo=None) if isinstance(x, dt.datetime) else x
+                  for x in r)
+            for r in rows
+        )
+    assert _norm(batch_rows) == _norm(tuple_rows)
+
+    # craft a file whose 'id' column is uncastable strings → tuple fallback
+    bad_rel = "part-badfile.parquet"
+    pq.write_table(
+        pa.table({"id": pa.array(["not-an-int"]),
+                  "v": pa.array([1.0]),
+                  "ts": pa.array([dt.datetime(2024, 1, 1)],
+                                 type=pa.timestamp("us")),
+                  }),
+        os.path.join(t, bad_rel),
+    )
+    fallback = list(_emit_file(
+        t, bad_rel, colnames, schema_json, ("insert", 99),
+        {"d": dt.date(2024, 1, 1)}, [],
+    ))
+    assert fallback and all(isinstance(r, tuple) for r in fallback), (
+        "uncastable file must fall back to tuples"
+    )
+    assert fallback[0][-2:] == ("insert", 99)

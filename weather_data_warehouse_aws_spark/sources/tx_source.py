@@ -20,10 +20,13 @@ Scale shape: `partitions()` emits ONE InputPartition PER (commit, file),
 so a micro-batch fans out across executors exactly as wide as the commit
 wrote files; each partition reads its one immutable parquet file with
 pyarrow (no driver-side data movement). Offsets/planning touch only the
-KB-scale log. Rows are yielded as Python tuples aligned to the declared
-schema (None-filled for columns a pre-evolution file lacks) — robust
-across schema evolution; the arrow-batch fast path is a drop-in upgrade
-when column types are stable.
+KB-scale log. Each file is yielded as pyarrow RecordBatches cast to the
+declared schema — zero per-row Python-object materialization (the
+Python DataSource API ships RecordBatches straight into the Arrow
+stream). A file whose physical types can't be cast to the declared
+schema (exotic evolution) falls back, per file and deterministically,
+to Python tuples aligned to the schema (None-filled for columns a
+pre-evolution file lacks).
 
 Deletion vectors are row-exact in the feed: a `tx_delete_where` commit
 streams ONLY the newly-deleted rows (one partition per covered file,
@@ -40,6 +43,7 @@ stream on a vacuumed table with `starting_version` ≥ the horizon (or
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 
@@ -52,6 +56,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 _CDC_COLS = ("_change_type", "_commit_version")
+_ARROW_CHUNK_ROWS = 1 << 16
 
 
 def _table_schema(path: str) -> StructType:
@@ -104,16 +109,83 @@ def _dv_pos_set(path: str, rel: str, dv_rels: list[str]) -> set[int]:
     return pos
 
 
+def _keep_positions(path: str, rel: str, num_rows: int,
+                    exclude_dv: list[str] | None,
+                    only_dv: tuple[list[str], list[str]] | None) -> set[int] | None:
+    """Physical row positions of `rel` to emit (None = all). `exclude_dv`
+    drops the positions those DV relations mark deleted (the file's
+    LOGICAL rows at the relevant version); `only_dv=(now_rels, prev_rels)`
+    keeps ONLY positions in now − prev (the rows a DV commit newly
+    deleted)."""
+    if only_dv is not None:
+        now_rels, prev_rels = only_dv
+        return _dv_pos_set(path, rel, now_rels) - _dv_pos_set(path, rel, prev_rels)
+    if exclude_dv:
+        dead = _dv_pos_set(path, rel, exclude_dv)
+        return set(range(num_rows)) - dead if dead else None
+    return None
+
+
+@functools.lru_cache(maxsize=8)
+def _declared_arrow_schema(schema_json: str):
+    """Arrow schema of the declared source output (table schema + CDC
+    tail), exactly as the worker's own tuple conversion would build it —
+    the contract a yielded RecordBatch must match. Cached per schema
+    (executor-side, one entry per table generation)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    st = StructType(list(StructType.fromJson(json.loads(schema_json)).fields))
+    st.add(_CDC_COLS[0], "string").add(_CDC_COLS[1], "long")
+    return to_arrow_schema(st)
+
+
+def _read_file_batches(path: str, rel: str, colnames: list[str],
+                       schema_json: str, tail: tuple,
+                       fill: dict | None = None,
+                       exclude_dv: list[str] | None = None,
+                       only_dv: tuple[list[str], list[str]] | None = None) -> list:
+    """Arrow fast path: one immutable data file → RecordBatches cast to
+    the declared schema — no per-row Python objects anywhere (columns stay
+    Arrow buffers end-to-end; constants for the CDC tail, hive partition
+    values, and pre-evolution nulls are built as whole arrays). EAGER: all
+    casts happen before anything is yielded, so a file whose physical
+    types can't be cast raises here and the caller falls back to the
+    tuple path without a partial emit. Runs on the EXECUTOR."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fill = fill or {}
+    table = pq.read_table(os.path.join(path, rel))
+    keep = _keep_positions(path, rel, table.num_rows, exclude_dv, only_dv)
+    if keep is not None:
+        table = table.take(pa.array(sorted(keep), type=pa.int64()))
+    expected = _declared_arrow_schema(schema_json)
+    n = table.num_rows
+    present = set(table.column_names)
+    kind, version = tail
+    arrays = []
+    for name in colnames:
+        typ = expected.field(name).type
+        if name in present:
+            arrays.append(table.column(name).combine_chunks().cast(typ))
+        elif fill.get(name) is not None:
+            arrays.append(pa.array([fill[name]] * n).cast(typ))
+        else:
+            arrays.append(pa.nulls(n, typ))
+    arrays.append(pa.array([kind] * n, type=pa.string()))
+    arrays.append(pa.array([version] * n, type=pa.int64()))
+    out = pa.table(arrays, schema=expected)
+    return out.to_batches(max_chunksize=_ARROW_CHUNK_ROWS)
+
+
 def _read_file_rows(path: str, rel: str, colnames: list[str], tail: tuple,
                     fill: dict | None = None,
                     exclude_dv: list[str] | None = None,
                     only_dv: tuple[list[str], list[str]] | None = None):
-    """One immutable data file → tuples aligned to `colnames` + `tail`
-    (hive partition values spliced from `fill`; None for columns the file
-    predates). `exclude_dv` drops the positions those DV relations mark
-    deleted (the file's LOGICAL rows at the relevant version); `only_dv=
-    (now_rels, prev_rels)` yields ONLY positions in now − prev (the rows a
-    DV commit newly deleted). Runs on the EXECUTOR."""
+    """Tuple fallback for files the Arrow cast can't express: one
+    immutable data file → tuples aligned to `colnames` + `tail` (hive
+    partition values spliced from `fill`; None for columns the file
+    predates). Runs on the EXECUTOR."""
     import pyarrow.parquet as pq
 
     fill = fill or {}
@@ -124,16 +196,31 @@ def _read_file_rows(path: str, rel: str, colnames: list[str], tail: tuple,
         else [fill.get(c)] * table.num_rows
         for c in colnames
     ]
-    keep = None  # default: every position
-    if only_dv is not None:
-        now_rels, prev_rels = only_dv
-        keep = _dv_pos_set(path, rel, now_rels) - _dv_pos_set(path, rel, prev_rels)
-    elif exclude_dv:
-        dead = _dv_pos_set(path, rel, exclude_dv)
-        keep = set(range(table.num_rows)) - dead if dead else None
+    keep = _keep_positions(path, rel, table.num_rows, exclude_dv, only_dv)
     for pos, row in enumerate(zip(*cols)):
         if keep is None or pos in keep:
             yield row + tail
+
+
+def _emit_file(path: str, rel: str, colnames: list[str], schema_json: str,
+               tail: tuple, fill: dict | None,
+               exclude_dv: list[str] | None,
+               only_dv: tuple[list[str], list[str]] | None = None):
+    """RecordBatches when the file's types cast cleanly to the declared
+    schema (the stable-schema norm), tuples otherwise — decided PER FILE
+    and deterministically, never mid-stream (the batch path is eager)."""
+    import pyarrow as pa
+
+    try:
+        batches = _read_file_batches(
+            path, rel, colnames, schema_json, tail, fill, exclude_dv, only_dv
+        )
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        yield from _read_file_rows(
+            path, rel, colnames, tail, fill, exclude_dv, only_dv
+        )
+        return
+    yield from batches
 
 
 class TxTableStreamReader(DataSourceStreamReader):
@@ -177,6 +264,7 @@ class TxTableStreamReader(DataSourceStreamReader):
         from ..operators.txlog import _replay
 
         schema = _table_schema(self.path)
+        sjson = schema.json()
         colnames = [f.name for f in schema.fields]
         out = []
         prev: dict | None = None
@@ -199,7 +287,7 @@ class TxTableStreamReader(DataSourceStreamReader):
             ):
                 for rel in rels:
                     out.append(InputPartition((
-                        self.path, rel, colnames, kind, v,
+                        self.path, rel, colnames, sjson, kind, v,
                         _partition_fill(rel, schema),
                         dvs.get(rel, []), None,
                     )))
@@ -210,12 +298,12 @@ class TxTableStreamReader(DataSourceStreamReader):
                     continue
                 fill = _partition_fill(rel, schema)
                 out.append(InputPartition((  # newly deleted: cur − prev
-                    self.path, rel, colnames, "delete", v, fill,
+                    self.path, rel, colnames, sjson, "delete", v, fill,
                     None, (c_dvs.get(rel, []), p_dvs.get(rel, [])),
                 )))
                 if p_dvs.get(rel):
                     out.append(InputPartition((  # restore-resurrected rows
-                        self.path, rel, colnames, "insert", v, fill,
+                        self.path, rel, colnames, sjson, "insert", v, fill,
                         None, (p_dvs.get(rel, []), c_dvs.get(rel, [])),
                     )))
             prev = cur
@@ -224,9 +312,10 @@ class TxTableStreamReader(DataSourceStreamReader):
     def read(self, partition: InputPartition):
         if partition is None or partition.value is None:
             return
-        path, rel, colnames, kind, v, fill, exclude_dv, only_dv = partition.value
-        yield from _read_file_rows(
-            path, rel, colnames, (kind, v), fill, exclude_dv, only_dv
+        (path, rel, colnames, sjson, kind, v,
+         fill, exclude_dv, only_dv) = partition.value
+        yield from _emit_file(
+            path, rel, colnames, sjson, (kind, v), fill, exclude_dv, only_dv
         )
 
     def commit(self, end: dict) -> None:
@@ -258,7 +347,7 @@ class TxTableBatchReader(DataSourceReader):
         tail = ("insert", snap["version"])
         return [
             InputPartition((
-                self.path, rel, colnames, tail,
+                self.path, rel, colnames, schema.json(), tail,
                 _partition_fill(rel, schema),
                 snap["dvs"].get(rel, []),  # logical rows: DV'd positions out
             ))
@@ -268,9 +357,9 @@ class TxTableBatchReader(DataSourceReader):
     def read(self, partition: InputPartition):
         if partition is None or partition.value is None:
             return
-        path, rel, colnames, tail, fill, exclude_dv = partition.value
-        yield from _read_file_rows(
-            path, rel, colnames, tail, fill, exclude_dv
+        path, rel, colnames, sjson, tail, fill, exclude_dv = partition.value
+        yield from _emit_file(
+            path, rel, colnames, sjson, tail, fill, exclude_dv
         )
 
 
