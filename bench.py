@@ -57,11 +57,49 @@ def run_suite(spark, queries, sf_dir: str, iters: int) -> dict[str, float]:
     return timings
 
 
+def wait_for_quiet_box(
+    threshold: float | None = None, max_wait_sec: float = 120.0,
+) -> None:
+    """Hold the primary loop until the 1-min load average settles below
+    `threshold` (default: 1.5, override via SPARK_GRAFT_BENCH_LOAD_MAX;
+    <=0 disables). Recorded benches on a box still digesting a previous
+    job's load read 10-18% slow uniformly across queries (measured r5→r6:
+    median per-query ratio 1.10× on UNTOUCHED code) — waiting a bounded
+    minute or two is cheaper than a round of false regression triage.
+    Best-effort: never raises, gives up after `max_wait_sec`."""
+    if threshold is None:
+        threshold = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "1.5"))
+    if threshold <= 0:
+        return
+    deadline = time.monotonic() + max_wait_sec
+    while True:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            return
+        if load1 < threshold:
+            return
+        if time.monotonic() >= deadline:
+            print(
+                f"# load gate: giving up at load1={load1:.2f} after "
+                f"{max_wait_sec:.0f}s — timings may read uniformly slow",
+                file=sys.stderr,
+            )
+            return
+        print(
+            f"# load gate: load1={load1:.2f} >= {threshold} — waiting for "
+            "the box to settle",
+            file=sys.stderr,
+        )
+        time.sleep(5.0)
+
+
 def main() -> None:
     spark = get_spark("wdwa-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
+    wait_for_quiet_box()
     timings = run_suite(spark, queries, SF_DIR, ITERS)
 
     # end-to-end weather pipeline (bronze JSON → silver → gold/SCD2 → band-

@@ -108,7 +108,14 @@ def _forecast_payload_of(city_rows: list) -> dict:
 def _land_rows(bronze_dir: str, rows, data_type: str) -> int:
     """Write one JSON array per extraction batch at the reference keyspace.
     Returns files written. City order follows the reference's fixed list so
-    repeated landings are byte-identical."""
+    repeated landings are byte-identical.
+
+    DRIVER-SIDE LANDING, BY CONTRACT: callers `.collect()` each extraction
+    batch to the driver before calling this — deliberately reproducing the
+    reference Lambda's single-process landing (one JSON array per file,
+    KB-scale batches: 8 cities × a few extractions). This path is sized
+    for that feed; do NOT copy it for a high-volume feed — land big feeds
+    executor-side (`df.write.json` / a streaming sink) instead."""
     by_batch: dict[str, list] = {}
     for row in rows:
         by_batch.setdefault(row["batch_id"], []).append(row)
