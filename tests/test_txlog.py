@@ -1373,3 +1373,63 @@ def test_doctor_reports_dv_debt_and_compaction_clears_it(spark, tmp_path, capsys
     out = capsys.readouterr().out
     assert "0 logically-deleted row(s)" in out
     assert "RECOMMEND" not in out
+
+
+def test_serializable_isolation_conflicts_with_concurrent_appends(spark, tmp_path):
+    """Default isolation is snapshot-ordering: rows appended between a
+    row-op's candidate scan and its commit survive even when they match
+    the predicate (write skew, documented). isolation="serializable"
+    gets Delta's ConcurrentAppendException instead — unless the
+    concurrent add is PROVABLY outside the prune region, in which case
+    it commits fine."""
+    from unittest import mock
+
+    from weather_data_warehouse_aws_spark.operators import txlog as TX
+
+    def _racing(t, race_df, **race_kw):
+        """Patch _commit so the first delete commit is preceded by a
+        concurrent append — the landed rows postdate the scan."""
+        real_commit = TX._commit
+        state = {"fired": False}
+
+        def _race(path, op, build, **kw):
+            if op == "delete" and not state["fired"]:
+                state["fired"] = True
+                TX.tx_append(race_df, t, **race_kw)
+            return real_commit(path, op, build, **kw)
+
+        return mock.patch.object(TX, "_commit", _race)
+
+    df = spark.createDataFrame([(i, i % 4) for i in range(40)], "id int, g int")
+
+    # snapshot (default): append slips through, its matching rows survive
+    t1 = str(tmp_path / "snap")
+    tx_append(df, t1)
+    with _racing(t1, df.filter("g = 1").selectExpr("id + 100 as id", "g")):
+        res = TX.tx_delete_where(spark, t1, "g = 1")
+    assert res["rows_deleted"] == 10
+    assert tx_read(spark, t1).filter("g = 1").count() == 10  # the racers
+
+    # serializable: the same race raises TxConflict
+    t2 = str(tmp_path / "ser")
+    tx_append(df, t2)
+    with _racing(t2, df.filter("g = 1").selectExpr("id + 100 as id", "g")):
+        with pytest.raises(TxConflict, match="appended concurrently"):
+            TX.tx_delete_where(spark, t2, "g = 1", isolation="serializable")
+    # nothing committed by the loser; the racer's append is intact
+    assert tx_read(spark, t2).count() == 50
+
+    # serializable + prune: an add PROVABLY outside the region commits
+    t3 = str(tmp_path / "ser_ok")
+    tx_append(df, t3, partition_by=["g"])
+    with _racing(t3, df.filter("g = 3").limit(5)):
+        res3 = TX.tx_delete_where(
+            spark, t3, "g = 1", prune=[("g", "=", 1)],
+            isolation="serializable",
+        )
+    assert res3["rows_deleted"] == 10  # g=3 add is provably disjoint
+    assert tx_read(spark, t3).filter("g = 3").count() == 15
+
+    # bad isolation value fails fast
+    with pytest.raises(ValueError, match="isolation"):
+        TX.tx_delete_where(spark, t3, "g = 0", isolation="chaos")

@@ -451,3 +451,16 @@ def test_read_gold_snapshot_pins_one_generation(spark, bronze_dir, tmp_path_fact
         snap2["versions"][n] == tx_snapshot(os.path.join(wh, *r))["version"]
         for n, r in SNAPSHOT_TABLES.items()
     )
+
+    # a commit landing AFTER the manifest publish must not leak into the
+    # pinned read: the manifest is the generation, not "latest"
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_overwrite,
+        tx_read,
+    )
+
+    dd_path = os.path.join(wh, *SNAPSHOT_TABLES["dim_date"])
+    tx_overwrite(tx_read(spark, dd_path).limit(10), dd_path)
+    snap3 = read_gold_snapshot(spark, wh)
+    assert snap3["versions"]["dim_date"] == snap2["versions"]["dim_date"]
+    assert snap3["dim_date"].count() == snap2["dim_date"].count() > 10

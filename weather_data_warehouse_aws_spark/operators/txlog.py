@@ -1030,6 +1030,7 @@ def tx_replace_where(
     prune: list[tuple] | None = None,
     validate: bool = True,
     partition_by: list[str] | None = None,
+    isolation: str = "snapshot",
 ) -> dict:
     """Atomically DELETE every row matching `condition` and INSERT `df`,
     in one commit — Delta's `replaceWhere` (the transactional form of
@@ -1056,12 +1057,13 @@ def tx_replace_where(
 
     Returns {"version", "files_rewritten", "files_skipped",
     "rows_deleted"}. TxConflict if a concurrent commit replaced a
-    candidate file first. Concurrent blind APPENDS are NOT
+    candidate file first. By default concurrent blind APPENDS are NOT
     conflict-checked: matching rows appended after the candidate scan
-    survive the replace (snapshot-ordering / write skew — see
-    `tx_delete_where`'s isolation note; Delta would raise
-    ConcurrentAppendException).
+    survive the replace (snapshot-ordering / write skew);
+    `isolation="serializable"` raises TxConflict instead — see
+    `tx_delete_where`'s isolation note.
     """
+    _check_isolation(isolation, "replace_where")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     if validate:
         payload = df.filter(
@@ -1085,10 +1087,16 @@ def tx_replace_where(
         meta0: dict = {"schema": df.schema.json()}
         if pby0:
             meta0["partition_by"] = pby0
+
+        def _build_fresh(s):
+            if isolation == "serializable":
+                _assert_region_unchanged(snap0, s, prune, "replace_where")
+            return (rels, [], meta0)
+
         v = _commit(
             path,
             "replace_where",
-            lambda s: (rels, [], meta0),
+            _build_fresh,
             validate_remove_live=False,
             stats=stats,
         )
@@ -1140,6 +1148,8 @@ def tx_replace_where(
             stats = {**stats, **surv_stats}
         def _build_rw(s):
             _dv_stable(snap, s, candidates)
+            if isolation == "serializable":
+                _assert_region_unchanged(snap, s, prune, "replace_where")
             return (
                 rels + surv_rels,
                 candidates,
@@ -1177,12 +1187,51 @@ def _dv_stable(base_snap: dict, now_snap: dict | None, rels: list[str]) -> None:
             )
 
 
+_ISOLATION_LEVELS = ("snapshot", "serializable")
+
+
+def _check_isolation(isolation: str, op: str) -> None:
+    if isolation not in _ISOLATION_LEVELS:
+        raise ValueError(
+            f"tx_{op}: isolation must be one of {_ISOLATION_LEVELS}, "
+            f"got {isolation!r}"
+        )
+
+
+def _assert_region_unchanged(
+    base_snap: dict | None,
+    now_snap: dict | None,
+    prune: list[tuple] | None,
+    op: str,
+) -> None:
+    """Serializable-isolation guard (opt-in via `isolation=
+    "serializable"`): raise TxConflict when a file ADDED since
+    `base_snap` might hold rows in the predicate region — the check
+    Delta surfaces as ConcurrentAppendException. Disjointness is
+    PROOF-based through the same machinery pruning uses (`_skip_file`
+    on the new file's partition values / committed footer stats); a
+    file that cannot be proven outside the region conflicts
+    conservatively. With no `prune` conjuncts the region is the whole
+    table, so ANY concurrent add conflicts."""
+    base = set((base_snap or {}).get("files", []))
+    added = [f for f in (now_snap or {}).get("files", []) if f not in base]
+    for f in added:
+        if prune and any(_skip_file(now_snap, f, c, o, v) for c, o, v in prune):
+            continue
+        raise TxConflict(
+            f"tx_{op}: {f} was appended concurrently and is not provably "
+            "outside the predicate region (serializable isolation) — "
+            "re-run against the new snapshot"
+        )
+
+
 def tx_delete_where(
     spark: SparkSession,
     path: str,
     condition,
     *,
     prune: list[tuple] | None = None,
+    isolation: str = "snapshot",
 ) -> dict:
     """Row-level DELETE without rewriting a single data file — deletion
     vectors, the Delta/Iceberg merge-on-read design. One scan finds the
@@ -1206,18 +1255,20 @@ def tx_delete_where(
     wrong bytes). Deleted rows remain time-travelable until vacuum, same
     covenant as every other delete on the log.
 
-    Isolation vs concurrent APPENDS — snapshot-ordering (write skew) by
-    design: rows appended between this delete's candidate scan and its
-    commit survive even when they match `condition` (the delete acts on
-    its snapshot; the two commits serialize as append-after-delete
-    regardless of wall-clock order). Delta raises
-    ConcurrentAppendException here; this format deliberately relaxes
-    that — "delete everything matching X, including in-flight loads"
-    callers should quiesce writers or re-run the delete. The same
-    semantics apply to `tx_update_where` and `tx_replace_where`.
+    Isolation vs concurrent APPENDS — the DEFAULT is snapshot-ordering
+    (write skew): rows appended between this delete's candidate scan and
+    its commit survive even when they match `condition` (the delete acts
+    on its snapshot; the two commits serialize as append-after-delete
+    regardless of wall-clock order). Pass `isolation="serializable"` to
+    get Delta's ConcurrentAppendException behavior instead: the commit
+    raises TxConflict if any concurrently-added file is not PROVABLY
+    outside the `prune` region (no prune → any concurrent add
+    conflicts). The same knob exists on `tx_update_where` and
+    `tx_replace_where`.
 
     Returns {"version", "rows_deleted", "files_touched"} (version None if
     nothing matched)."""
+    _check_isolation(isolation, "delete_where")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     snap = tx_snapshot(path)
     if not snap["files"]:
@@ -1262,6 +1313,8 @@ def tx_delete_where(
                 "a concurrent commit — its row positions no longer address "
                 "the same rows; re-run"
             )
+        if isolation == "serializable":
+            _assert_region_unchanged(snap, s, prune, "delete_where")
         return (
             [],
             [],
@@ -1291,6 +1344,7 @@ def tx_update_where(
     set_exprs: dict[str, str],
     *,
     prune: list[tuple] | None = None,
+    isolation: str = "snapshot",
 ) -> dict:
     """Row-level UPDATE without rewriting the untouched rows: the matching
     rows' positions become a deletion vector and their UPDATED images are
@@ -1304,12 +1358,13 @@ def tx_update_where(
     carried unchanged. `prune` narrows the scan as in `tx_delete_where`.
     Updated rows land UNCLUSTERED (appended); periodic clustered
     compaction restores locality, the usual merge-on-read rhythm.
-    Concurrent blind appends are not conflict-checked — matching rows
-    appended after the candidate scan keep their old values
-    (snapshot-ordering / write skew; see `tx_delete_where`'s isolation
-    note).
+    By default concurrent blind appends are not conflict-checked —
+    matching rows appended after the candidate scan keep their old
+    values (snapshot-ordering / write skew); `isolation="serializable"`
+    raises TxConflict instead — see `tx_delete_where`'s isolation note.
 
     Returns {"version", "rows_updated", "files_touched"}."""
+    _check_isolation(isolation, "update_where")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     bad = {"__tx_rel", "__tx_pos"}.intersection(set_exprs)
     if bad:
@@ -1370,6 +1425,8 @@ def tx_update_where(
                 f"tx_update_where: covered file {gone[0]} was rewritten by a "
                 "concurrent commit — row positions are stale; re-run"
             )
+        if isolation == "serializable":
+            _assert_region_unchanged(snap, s, prune, "update_where")
         # the update's OLD images must not have been re-deleted/changed
         _dv_stable(snap, s, covers)
         return (

@@ -35,7 +35,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.txlog import tx_exists, tx_overwrite, tx_read, tx_snapshot
+from ..operators.txlog import tx_exists, tx_overwrite, tx_read
 from ..session import ensure_session_conf
 from .gold import build_dim_date, build_dim_location
 from .silver import build_silver_current, build_silver_forecast, read_bronze, write_silver_tx
@@ -62,8 +62,13 @@ def run_pipeline(
     # idempotent AND atomic by construction (M4 fix): re-running a day
     # swaps that day's rows in one commit; a crash mid-write leaves the
     # previous version live (see write_silver_tx)
-    write_silver_tx(silver_current, cur_path, "observation_date")
-    write_silver_tx(silver_forecast, fc_path, "forecast_created_date")
+    versions: dict[str, int] = {}
+    versions["silver_current"] = write_silver_tx(
+        silver_current, cur_path, "observation_date"
+    )["version"]
+    versions["silver_forecast"] = write_silver_tx(
+        silver_forecast, fc_path, "forecast_created_date"
+    )["version"]
     silver_current = tx_read(spark, cur_path)
     silver_forecast = tx_read(spark, fc_path)
 
@@ -80,12 +85,12 @@ def run_pipeline(
     dim_location = build_dim_location(
         silver_current, existing, effective_date=effective_date, now=now
     )
-    tx_overwrite(dim_location, dim_location_path)
+    versions["dim_location"] = tx_overwrite(dim_location, dim_location_path)
     dim_location = tx_read(spark, dim_location_path)
 
     dim_date = build_dim_date(spark, *dim_date_range)
     dim_date_path = os.path.join(warehouse_dir, "gold", "dim_date")
-    tx_overwrite(dim_date, dim_date_path)
+    versions["dim_date"] = tx_overwrite(dim_date, dim_date_path)
     dim_date = tx_read(spark, dim_date_path)
 
     facts = register_fact_views(spark, silver_current, silver_forecast, dim_location, dim_date)
@@ -99,7 +104,7 @@ def run_pipeline(
     # so incremental range maintenance (tx_replace_where) and date-sliced
     # reads prune files EXACTLY — at 100 TB the difference between a
     # full-fact scan and opening the affected days
-    tx_overwrite(
+    versions["fact_forecast_accuracy"] = tx_overwrite(
         facts["fact_forecast_accuracy"].withColumn(
             "forecast_for_date", F.to_date("forecast_for_time")
         ),
@@ -109,9 +114,11 @@ def run_pipeline(
     facts["fact_forecast_accuracy"] = tx_read(spark, acc_path)
     facts["fact_forecast_accuracy"].createOrReplaceTempView("fact_forecast_accuracy")
 
-    # publish the generation: every table's committed version, swapped in
-    # atomically AFTER the last commit — read_gold_snapshot pins to this
-    _publish_snapshot_manifest(warehouse_dir)
+    # publish the generation: THIS run's committed versions (never
+    # re-read from the logs — a concurrent run's later commit would leak
+    # in as a mixed generation), swapped in atomically AFTER the last
+    # commit — read_gold_snapshot pins to this
+    _publish_snapshot_manifest(warehouse_dir, versions)
 
     return {
         "silver_current": silver_current,
@@ -135,16 +142,15 @@ def _manifest_path(warehouse_dir: str) -> str:
     return os.path.join(warehouse_dir, "gold", "_snapshot.json")
 
 
-def _publish_snapshot_manifest(warehouse_dir: str) -> dict[str, int]:
-    """Record {table: committed version} for every warehouse table and
-    swap it in with one atomic rename — the cross-table read-consistency
-    point. Published only after EVERY table's commit, so the manifest
-    never names a mixed generation."""
-    versions = {
-        name: tx_snapshot(os.path.join(warehouse_dir, *rel))["version"]
-        for name, rel in SNAPSHOT_TABLES.items()
-        if tx_exists(os.path.join(warehouse_dir, *rel))
-    }
+def _publish_snapshot_manifest(
+    warehouse_dir: str, versions: dict[str, int]
+) -> dict[str, int]:
+    """Record {table: committed version} for one pipeline run and swap it
+    in with one atomic rename — the cross-table read-consistency point.
+    Published only after EVERY table's commit, and only with the versions
+    THE CALLER committed (re-reading the logs here would race a
+    concurrent run and publish a mixed generation)."""
+    versions = {n: v for n, v in versions.items() if v is not None}
     dst = _manifest_path(warehouse_dir)
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dst), suffix=".json.tmp")

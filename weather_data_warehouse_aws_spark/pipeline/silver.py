@@ -159,10 +159,13 @@ def build_silver_forecast(bronze: DataFrame) -> DataFrame:
     )
 
 
-def write_silver_tx(df: DataFrame, path: str, partition_col: str) -> int:
+def write_silver_tx(df: DataFrame, path: str, partition_col: str) -> dict:
     """Transactional silver write: atomically replace exactly the dates
     present in this batch, as ONE `tx_replace_where` commit against the
-    table's transaction log. Returns the written row count.
+    table's transaction log. Returns `{"rows": n, "version": v}` —
+    callers that publish a snapshot manifest must record THIS commit's
+    version, not re-read the log (a concurrent writer's later commit
+    would otherwise leak into the manifest as a mixed generation).
 
     This is the layer where the reference's M4 bug actually lives
     (`bronze_to_silver.py:114-117` appends while re-reading the full
@@ -186,7 +189,7 @@ def write_silver_tx(df: DataFrame, path: str, partition_col: str) -> int:
     try:
         dates = [r[0] for r in df.select(partition_col).distinct().collect()]
         if not dates:
-            return 0
+            return {"rows": 0, "version": None}
         n = df.count()  # single evaluation; the write scan reuses the cache
         non_null = sorted(d for d in dates if d is not None)
         conds = []
@@ -202,11 +205,11 @@ def write_silver_tx(df: DataFrame, path: str, partition_col: str) -> int:
             if len(non_null) == len(dates)
             else None
         )
-        tx_replace_where(
+        res = tx_replace_where(
             df.sparkSession, path, df, " OR ".join(conds),
             prune=prune, partition_by=[partition_col],
         )
-        return n
+        return {"rows": n, "version": res["version"]}
     finally:
         df.unpersist()
 
