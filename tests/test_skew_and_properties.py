@@ -600,3 +600,92 @@ def test_merge_into_table_fuzz(spark, tmp_path_factory, tgt, src, sync):
             out[k] = (p, v)              # insert
     want = sorted((k, p, v) for k, (p, v) in out.items())
     assert got == want
+
+
+_tx_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-20, max_value=20)),  # id
+        st.integers(min_value=0, max_value=3),                           # g
+    ),
+    min_size=1,
+    max_size=50,
+)
+_tx_pred = st.lists(
+    st.tuples(
+        st.sampled_from(["id", "g"]),
+        st.sampled_from(["=", "<", "<=", ">", ">=", "in", "is_null", "not_null"]),
+        st.integers(min_value=-6, max_value=6),
+    ),
+    min_size=1,
+    max_size=2,
+)
+
+
+@given(rows=_tx_rows, preds=_tx_pred, partitioned=st.booleans())
+@_SETTINGS
+def test_tx_predicate_read_matches_python_model(
+    spark, tmp_path_factory, rows, preds, partitioned
+):
+    """`tx_read(predicate=...)` ≡ a Python 3VL filter model, for the FULL
+    predicate language {=,<,<=,>,>=,in,is_null,not_null} over random
+    multi-file tables — hive-partitioned or stats-pruned layouts alike.
+    Pruning is proof-based, so whatever files it skips must never change
+    the answer; NULLs follow SQL comparison semantics (a NULL id matches
+    nothing except is_null). This same proof machinery backs
+    serializable-isolation append checks, so its soundness is
+    load-bearing twice."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_append,
+        tx_read,
+    )
+
+    t = str(tmp_path_factory.mktemp("txprop")) + "/t"
+    df = spark.createDataFrame(rows, "id int, g int")
+    pby = ["g"] if partitioned else None
+    half = max(1, len(rows) // 2)
+    tx_append(
+        spark.createDataFrame(rows[:half], "id int, g int"), t,
+        partition_by=pby,
+    )
+    if rows[half:]:
+        tx_append(
+            spark.createDataFrame(rows[half:], "id int, g int"), t,
+            partition_by=pby,
+        )
+
+    # normalize op → (op, value) the way a caller would pass it
+    predicate = []
+    for col, op, v in preds:
+        if op == "in":
+            predicate.append((col, op, [v, v + 1, None]))
+        elif op in ("is_null", "not_null"):
+            predicate.append((col, op, None))
+        else:
+            predicate.append((col, op, v))
+
+    def keep(row):
+        vals = {"id": row[0], "g": row[1]}
+        for col, op, v in predicate:
+            x = vals[col]
+            if op == "is_null":
+                ok = x is None
+            elif op == "not_null":
+                ok = x is not None
+            elif op == "in":
+                ok = x is not None and x in [m for m in v if m is not None]
+            else:
+                if x is None:
+                    ok = False
+                else:
+                    ok = {"=": x == v, "<": x < v, "<=": x <= v,
+                          ">": x > v, ">=": x >= v}[op]
+            if not ok:
+                return False
+        return True
+
+    got = sorted(
+        ((r.id, r.g) for r in tx_read(spark, t, predicate=predicate).collect()),
+        key=str,
+    )
+    want = sorted((r for r in rows if keep(r)), key=str)
+    assert got == want

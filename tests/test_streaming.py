@@ -458,3 +458,66 @@ def test_scd2_point_in_time_stream_enrichment(spark, tmp_path_factory):
     rows = run_to_memory(out, "scd2_enriched", mode="append").collect()
     got = {r.event_id: r.segment for r in rows}
     assert got == {100: "OLD", 101: "NEW", 102: "NEW", 103: "ONLY", 104: None}
+
+
+def test_foreachbatch_upsert_tx_mode_moves_partitions(spark, tmp_path_factory):
+    """target_format="tx": each micro-batch is one atomic tx_merge commit,
+    and — unlike parquet mode's documented caveat — a key whose partition
+    value CHANGES is retired from its old partition (the key scan finds it
+    wherever it lives; the dynamic-overwrite path can't)."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_history,
+        tx_read,
+    )
+    from weather_data_warehouse_aws_spark.streaming.jobs import (
+        run_upsert_foreachbatch,
+    )
+
+    out = str(tmp_path_factory.mktemp("feb_tx")) + "/t"
+    ckpt = str(tmp_path_factory.mktemp("feb_tx_ckpt"))
+    feed = str(tmp_path_factory.mktemp("feb_tx_feed")) + "/data"
+
+    spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")],
+        "id bigint, day string, v string",
+    ).coalesce(1).write.mode("append").parquet(feed)
+    stream = (
+        spark.readStream.schema("id bigint, day string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_upsert_foreachbatch(
+        stream, out, ckpt, "day", ["id"], target_format="tx"
+    )
+    assert tx_read(spark, out).count() == 3
+
+    # id=2 MOVES d1 -> d2 (updated value), id=4 inserts
+    spark.createDataFrame(
+        [(2, "d2", "b2"), (4, "d1", "d")], "id bigint, day string, v string"
+    ).coalesce(1).write.mode("append").parquet(feed)
+    run_upsert_foreachbatch(
+        stream, out, ckpt, "day", ["id"], target_format="tx"
+    )
+    got = {r.id: (r.day, r.v) for r in tx_read(spark, out).collect()}
+    assert got == {
+        1: ("d1", "a"),
+        2: ("d2", "b2"),   # moved AND updated; old d1 copy retired
+        3: ("d2", "c"),
+        4: ("d1", "d"),
+    }
+    assert [h["op"] for h in tx_history(out)].count("merge") >= 2
+
+    # checkpointed re-run: no-op, same state, no extra commits
+    n_commits = len(tx_history(out))
+    run_upsert_foreachbatch(
+        stream, out, ckpt, "day", ["id"], target_format="tx"
+    )
+    assert len(tx_history(out)) == n_commits
+    assert tx_read(spark, out).count() == 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="target_format"):
+        run_upsert_foreachbatch(
+            stream, out, ckpt, "day", ["id"], target_format="iceberg"
+        )

@@ -396,7 +396,9 @@ def test_gold_tables_are_transactional_and_time_travelable(
     ) == rows0
 
 
-def test_read_gold_snapshot_pins_one_generation(spark, bronze_dir, tmp_path_factory):
+def test_read_gold_snapshot_pins_one_generation(
+    spark, bronze_dir, tmp_path_factory, capsys
+):
     """Cross-table read consistency: dims and the fact commit to SEPARATE
     logs, so an unpinned reader arriving between commits could join the
     new dim_location to the pre-refresh fact. read_gold_snapshot pins
@@ -464,3 +466,11 @@ def test_read_gold_snapshot_pins_one_generation(spark, bronze_dir, tmp_path_fact
     snap3 = read_gold_snapshot(spark, wh)
     assert snap3["versions"]["dim_date"] == snap2["versions"]["dim_date"]
     assert snap3["dim_date"].count() == snap2["dim_date"].count() > 10
+
+    # CLI surface
+    from weather_data_warehouse_aws_spark.__main__ import main
+
+    assert main(["snapshot", "--warehouse", wh]) == 0
+    out = capsys.readouterr().out
+    assert f"dim_date: v{snap2['versions']['dim_date']}," in out
+    assert "fact_forecast_accuracy: v" in out

@@ -12,6 +12,7 @@ Athena console; the equivalent local surface:
     index      --table DIR --column COL [--lookup V] per-file Bloom index
     merge      --table DIR --source P --keys K --partition-col C  upsert
     doctor     --table DIR [--skew-col C]            table health report
+    snapshot   --warehouse DIR                       pinned coherent read
     tx         {history,read,compact,erase,vacuum,merge,restore,
                 changes,delete} --table DIR           txlog ops
 """
@@ -85,10 +86,19 @@ def main(argv: list[str] | None = None) -> int:
     dr = sub.add_parser(
         "doctor",
         help="table health: vacuum write debris, report partition balance "
-        "and key skew, list index sidecars",
+        "and key skew, list index sidecars; on transaction-log tables "
+        "also deletion-vector debt + compaction recommendation",
     )
     dr.add_argument("--table", required=True)
     dr.add_argument("--skew-col", default=None, help="report top-5 heavy values")
+
+    sn = sub.add_parser(
+        "snapshot",
+        help="read the warehouse at the last completed pipeline run's "
+        "published generation (every table pinned as_of its manifest "
+        "version — cross-table consistent under concurrent refreshes)",
+    )
+    sn.add_argument("--warehouse", required=True)
 
     tx = sub.add_parser(
         "tx",
@@ -323,6 +333,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.skew_col:
             print(f"heaviest values of {args.skew_col}:")
             key_skew(df, args.skew_col).show(5, truncate=False)
+        return 0
+
+    if args.cmd == "snapshot":
+        from .pipeline.run import read_gold_snapshot
+
+        snap = read_gold_snapshot(spark, args.warehouse)
+        versions = snap.pop("versions")
+        for name in sorted(snap):
+            print(f"{name}: v{versions[name]}, {snap[name].count()} rows")
         return 0
 
     if args.cmd == "tx":

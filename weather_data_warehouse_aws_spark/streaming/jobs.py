@@ -166,6 +166,7 @@ def run_upsert_foreachbatch(
     key_cols: list[str],
     *,
     timeout_sec: int = 180,
+    target_format: str = "parquet",
 ) -> None:
     """foreachBatch UPSERT sink: merge each micro-batch into the target by
     key, rewriting only affected partitions.
@@ -178,14 +179,32 @@ def run_upsert_foreachbatch(
     This is vanilla Spark's spelling of Delta MERGE / JDBC upsert, riding
     streaming's checkpointed progress tracking.
 
-    Contract: `partition_col` must be immutable per key (the norm for
-    date-partitioned event tables). A batch row that CHANGES a key's
-    partition value upserts into the new partition but cannot retire the
-    copy in the old one — finding it would take a full-table key scan per
-    batch, which is the index a real table format maintains. Route
-    partition-moving corrections through a batch snapshot-diff rebuild
-    (operators/cdc.py) instead.
-    """
+    Contract (parquet mode): `partition_col` must be immutable per key
+    (the norm for date-partitioned event tables). A batch row that CHANGES
+    a key's partition value upserts into the new partition but cannot
+    retire the copy in the old one — finding it would take a full-table
+    key scan per batch, which is the index a real table format maintains.
+    Route partition-moving corrections through a batch snapshot-diff
+    rebuild (operators/cdc.py) instead.
+
+    `target_format="tx"` upserts into a TRANSACTION-LOG table via
+    `tx_merge` instead: each micro-batch is one atomic commit, only files
+    containing matched keys rewrite (stats-pruned key scan — not
+    partition-granular), the partition-move caveat disappears (the key
+    scan finds the old copy wherever it lives and the update lands in its
+    new partition), and a replayed batch is naturally idempotent (its
+    keys are already matched, so the re-merge reproduces the same state).
+    Unlike parquet mode, duplicate keys WITHIN one batch raise — merge
+    semantics need one source row per key; pre-aggregate the batch to
+    latest-per-key upstream if the feed can repeat keys."""
+
+    def _write_tx(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.txlog import tx_merge
+
+        tx_merge(
+            batch_df.sparkSession, silver_path, batch_df,
+            list(key_cols), partition_by=[partition_col],
+        )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -230,8 +249,15 @@ def run_upsert_foreachbatch(
         finally:
             batch_df.unpersist()
 
+    if target_format not in ("parquet", "tx"):
+        raise ValueError(
+            f"run_upsert_foreachbatch: target_format must be 'parquet' or "
+            f"'tx', got {target_format!r}"
+        )
     q = (
-        stream_df.writeStream.foreachBatch(_write)
+        stream_df.writeStream.foreachBatch(
+            _write_tx if target_format == "tx" else _write
+        )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
