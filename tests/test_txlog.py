@@ -1433,3 +1433,157 @@ def test_serializable_isolation_conflicts_with_concurrent_appends(spark, tmp_pat
     # bad isolation value fails fast
     with pytest.raises(ValueError, match="isolation"):
         TX.tx_delete_where(spark, t3, "g = 0", isolation="chaos")
+
+
+def test_manifest_export_reads_exactly_one_generation(spark, tmp_path):
+    """External engines can't glob a tx table once it has history — dead
+    (removed-but-unvacuumed) files read as duplicates. tx_write_manifest
+    exports the live set (the Delta symlink-manifest pattern); DuckDB
+    over the manifest must equal tx_read exactly while the naive glob
+    over-counts, and a DV-bearing table refuses to export (a manifest
+    reader has no anti-join to apply)."""
+    import duckdb
+
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_compact,
+        tx_delete_where,
+        tx_replace_where,
+        tx_write_manifest,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, ["d1", "d2"][i % 2], float(i)) for i in range(40)],
+        "id int, day string, v double",
+    )
+    tx_append(df, t, partition_by=["day"])
+    # create HISTORY: replace day=d1 with halved rows → dead files on disk
+    repl = df.filter("day = 'd1' AND id < 20").withColumn("v", F.col("v") * 10)
+    tx_replace_where(spark, t, repl, "day = 'd1'", partition_by=["day"])
+
+    manifest = tx_write_manifest(t)
+    files = [ln.strip() for ln in open(manifest) if ln.strip()]
+    con = duckdb.connect()
+    via_manifest = con.execute(
+        "SELECT count(*), sum(v) FROM read_parquet($f, hive_partitioning=1)",
+        {"f": files},
+    ).fetchone()
+    want = tx_read(spark, t).selectExpr("count(*)", "sum(v)").collect()[0]
+    assert via_manifest[0] == want[0]
+    assert abs(via_manifest[1] - want[1]) < 1e-9
+    # the naive glob reads the dead generation too
+    via_glob = con.execute(
+        f"SELECT count(*) FROM read_parquet('{t}/**/*.parquet', "
+        "hive_partitioning=1)"
+    ).fetchone()
+    assert via_glob[0] > want[0]
+
+    # DV-bearing live files refuse to export; compaction re-enables it
+    tx_delete_where(spark, t, "id = 2")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        tx_write_manifest(t)
+    tx_compact(spark, t, target_files=2)
+    manifest2 = tx_write_manifest(t)
+    files2 = [ln.strip() for ln in open(manifest2) if ln.strip()]
+    n2 = con.execute(
+        "SELECT count(*) FROM read_parquet($f, hive_partitioning=1)",
+        {"f": files2},
+    ).fetchone()[0]
+    assert n2 == tx_read(spark, t).count() == want[0] - 1
+
+    from weather_data_warehouse_aws_spark.__main__ import main
+
+    assert main(["tx", "manifest", "--table", t]) == 0
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path, capsys):
+    """Delta-style CHECK constraints: versioned log state enforced inline
+    on every write path's scan. Existing rows validate at SET time; a
+    violating write aborts BEFORE anything commits; NULL predicate
+    results PASS (SQL CHECK 3VL); drop re-opens the gate; constraints
+    survive checkpoints and time travel sees its version's map."""
+    from pyspark.errors import PySparkException
+
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_drop_constraint,
+        tx_merge,
+        tx_replace_where,
+        tx_set_constraint,
+        tx_update_where,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i), "d1") for i in range(10)], "id int, v double, day string"
+    )
+    tx_append(df, t, partition_by=["day"])
+
+    # existing rows violate -> refused, nothing committed
+    with pytest.raises(ValueError, match="existing rows violate"):
+        tx_set_constraint(spark, t, "v_small", "v < 5.0")
+    assert "constraints" not in {
+        k for h in tx_history(t) for k in h["meta"]
+    }
+
+    v_set = tx_set_constraint(spark, t, "v_nonneg", "v >= 0.0")
+    assert tx_snapshot(t)["constraints"] == {"v_nonneg": "v >= 0.0"}
+
+    ok = spark.createDataFrame([(100, 1.0, "d1")], "id int, v double, day string")
+    bad = spark.createDataFrame([(101, -1.0, "d1")], "id int, v double, day string")
+    nulls = spark.createDataFrame(
+        [(102, None, "d1")], "id int, v double, day string"
+    )
+
+    tx_append(ok, t)                      # passes
+    tx_append(nulls, t)                   # NULL passes (SQL CHECK)
+    n_before = tx_read(spark, t).count()
+    v_before = tx_snapshot(t)["version"]
+    for blocked in (
+        lambda: tx_append(bad, t),
+        lambda: tx_overwrite(bad, t),
+        lambda: tx_replace_where(
+            spark, t, bad, "day = 'd1'", partition_by=["day"]
+        ),
+        lambda: tx_update_where(spark, t, "id = 100", {"v": "-5.0"}),
+        lambda: tx_merge(spark, t, bad, ["id"]),
+    ):
+        with pytest.raises(PySparkException, match="v_nonneg"):
+            blocked()
+        assert tx_snapshot(t)["version"] == v_before, "nothing committed"
+        assert tx_read(spark, t).count() == n_before
+
+    # a second constraint composes; updates satisfying both pass
+    tx_set_constraint(spark, t, "id_pos", "id >= 0")
+    tx_update_where(spark, t, "id = 100", {"v": "7.5"})
+    assert tx_read(spark, t).filter("id = 100 AND v = 7.5").count() == 1
+
+    # drop -> the gate opens
+    tx_drop_constraint(t, "v_nonneg")
+    tx_append(bad, t)
+    assert tx_read(spark, t).filter("v < 0").count() == 1
+    with pytest.raises(ValueError, match="no constraint named"):
+        tx_drop_constraint(t, "v_nonneg")
+
+    # time travel sees the version's constraint map
+    assert tx_snapshot(t, version=v_set)["constraints"] == {
+        "v_nonneg": "v >= 0.0"
+    }
+    assert tx_snapshot(t)["constraints"] == {"id_pos": "id >= 0"}
+
+    # survives a checkpoint (fold + replay-from-checkpoint)
+    one = spark.createDataFrame([(200, 1.0, "d1")], "id int, v double, day string")
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        CHECKPOINT_INTERVAL,
+    )
+    for _ in range(CHECKPOINT_INTERVAL + 1):
+        tx_append(one, t)
+    assert tx_snapshot(t)["constraints"] == {"id_pos": "id >= 0"}
+
+    # CLI surface
+    from weather_data_warehouse_aws_spark.__main__ import main
+
+    assert main(["tx", "set-constraint", "--table", t,
+                 "--name", "day_known", "--expr", "day in ('d1','d2')"]) == 0
+    assert "day_known set" in capsys.readouterr().out
+    assert main(["tx", "drop-constraint", "--table", t,
+                 "--name", "day_known"]) == 0

@@ -108,7 +108,8 @@ def main(argv: list[str] | None = None) -> int:
     tx.add_argument(
         "action",
         choices=["history", "read", "compact", "erase", "vacuum", "merge",
-                 "restore", "changes", "delete", "update"],
+                 "restore", "changes", "delete", "update", "manifest",
+                 "set-constraint", "drop-constraint"],
     )
     tx.add_argument("--table", required=True, help="txlog table directory")
     tx.add_argument("--version", type=int, default=None, help="time-travel version (read)")
@@ -124,6 +125,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="update: one col=SQL-expr assignment (repeatable — "
                     "the expression may contain commas: "
                     "--set \"status=concat(a, b)\" --set n=n+1)")
+    tx.add_argument("--name", default=None, help="constraint name")
+    tx.add_argument("--expr", default=None,
+                    help="set-constraint: SQL CHECK expression")
     tx.add_argument("--column", default=None, help="erase key column")
     tx.add_argument("--values", default=None, help="comma-separated erase keys")
     tx.add_argument("--retain-versions", type=int, default=1, help="vacuum retention")
@@ -431,6 +435,24 @@ def main(argv: list[str] | None = None) -> int:
                     f"{res['files_touched']} file(s) at v{res['version']} "
                     "(merge-on-read — untouched rows not rewritten)"
                 )
+        elif args.action == "set-constraint":
+            if not args.name or not args.expr:
+                print("tx set-constraint needs --name and --expr",
+                      file=sys.stderr)
+                return 2
+            v = txlog.tx_set_constraint(spark, args.table, args.name, args.expr)
+            print(f"constraint {args.name} set at v{v}: CHECK ({args.expr})")
+        elif args.action == "drop-constraint":
+            if not args.name:
+                print("tx drop-constraint needs --name", file=sys.stderr)
+                return 2
+            v = txlog.tx_drop_constraint(args.table, args.name)
+            print(f"constraint {args.name} dropped at v{v}")
+        elif args.action == "manifest":
+            dst = txlog.tx_write_manifest(args.table, version=args.version)
+            n = sum(1 for ln in open(dst) if ln.strip())
+            print(f"manifest: {n} live file(s) at {dst} — point external "
+                  "readers (DuckDB read_parquet, Trino) at this list")
         elif args.action == "restore":
             if args.version is None:
                 print("tx restore needs --version", file=sys.stderr)

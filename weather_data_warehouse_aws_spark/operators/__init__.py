@@ -45,6 +45,7 @@ from .txlog import (  # noqa: F401
     tx_append,
     tx_changes,
     tx_compact,
+    tx_drop_constraint,
     tx_dv_stats,
     tx_erase_keys,
     tx_history,
@@ -54,7 +55,9 @@ from .txlog import (  # noqa: F401
     tx_read,
     tx_replace_where,
     tx_restore,
+    tx_set_constraint,
     tx_snapshot,
     tx_stream_sink,
     tx_vacuum,
+    tx_write_manifest,
 )

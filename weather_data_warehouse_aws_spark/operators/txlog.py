@@ -275,7 +275,8 @@ def tx_exists(path: str) -> bool:
 def _replay(path: str, version: int | None = None) -> dict | None:
     """Snapshot state at `version` (default: latest). Returns
     {"version", "files": sorted relpaths, "stats": {relpath: stats-dict},
-    "schema": json-or-None, "horizon": int, "txns": {app: max_batch}}
+    "schema": json-or-None, "horizon": int, "txns": {app: max_batch},
+    "partition_by", "dvs", "constraints": {name: SQL expr}}
     or None if the log is empty.
 
     The vacuum horizon is taken from the FULL log, not just the replayed
@@ -318,6 +319,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
     live: dict[str, dict] = {}  # relpath -> per-file stats ({} if none)
     txns: dict[str, int] = {}  # idempotence tokens: app -> max batch seen
     dvs: dict[str, list[str]] = {}  # data relpath -> [dv relpaths]
+    constraints: dict[str, str] = {}  # CHECK constraints: name -> SQL expr
     schema_json = None
     partition_by: list[str] | None = None
     usable = [c for c in checkpoints if c <= target]
@@ -330,6 +332,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         txns = dict(cp.get("txns", {}))
         partition_by = cp.get("partition_by") or None
         dvs = {f: list(d) for f, d in cp.get("dvs", {}).items()}
+        constraints = dict(cp.get("constraints", {}))
     for v in commits:
         if v <= base_v or v > target:
             continue
@@ -352,6 +355,9 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         if "partition_by" in rec.get("meta", {}):
             # [] = explicitly unpartitioned (an overwrite may flatten)
             partition_by = rec["meta"]["partition_by"] or None
+        if "constraints" in rec.get("meta", {}):
+            # replacement semantics: the commit carries the FULL map
+            constraints = dict(rec["meta"]["constraints"])
         txn = rec.get("txn")
         if txn:
             txns[txn["app"]] = max(txns.get(txn["app"], -1), int(txn["batch"]))
@@ -364,6 +370,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         "txns": txns,
         "partition_by": partition_by,
         "dvs": dvs,
+        "constraints": constraints,
     }
 
 
@@ -487,6 +494,7 @@ def _commit(
                         "txns": cp["txns"],
                         "partition_by": cp["partition_by"],
                         "dvs": cp["dvs"],
+                        "constraints": cp["constraints"],
                     }
                 ),
             )
@@ -541,7 +549,13 @@ def _file_stats(path: str, rels: list[str]) -> dict[str, dict]:
                 nulls = st.null_count if st.has_null_count else None
                 mn = mx = None  # bound-less: only NULL proofs apply
                 if st.has_min_max:
-                    mn, mx = st.min, st.max
+                    try:
+                        mn, mx = st.min, st.max
+                    except NotImplementedError:
+                        # pyarrow can't decode min/max for some logical
+                        # types (e.g. certain decimals) — degrade to
+                        # null-count-only stats, pruning stays proof-based
+                        mn = mx = None
                     is_date = (
                         isinstance(mn, _dt.date)
                         and isinstance(mx, _dt.date)
@@ -940,6 +954,76 @@ def _resolve_partition_by(
 # --------------------------------------------------------------------------
 
 
+def _with_constraint_guard(df: DataFrame, snap: dict | None) -> DataFrame:
+    """Enforce the table's CHECK constraints on rows about to be written:
+    each constraint becomes a raise_error tripwire riding the write scan
+    (a FILTER, so Catalyst can't prune it away) — no extra pass, and a
+    violating row aborts the job BEFORE anything is committed (the staged
+    files are orphans vacuum sweeps). SQL CHECK semantics: a NULL
+    predicate result PASSES (only FALSE violates). Constraints are read
+    from the writer's snapshot — a constraint added concurrently with an
+    in-flight write applies from the next write on (same optimistic
+    model as every other metadata change)."""
+    for name, expr in sorted(((snap or {}).get("constraints") or {}).items()):
+        df = df.filter(
+            F.when(
+                F.coalesce(F.expr(expr), F.lit(True)), F.lit(True)
+            ).otherwise(
+                F.raise_error(
+                    F.lit(f"CHECK constraint {name} violated: ({expr})")
+                )
+            )
+        )
+    return df
+
+
+def tx_set_constraint(spark: SparkSession, path: str, name: str, expr: str) -> int:
+    """Add a named CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT`):
+    from this commit on, every write path (append / overwrite /
+    replace_where payload / update images / merge output / streaming
+    sinks) verifies each row satisfies `expr` — inline on the write scan,
+    aborting before commit on violation. Existing rows are validated
+    FIRST (one scan, short-circuited via limit 1); a table that already
+    violates refuses the constraint. NULL results pass (SQL CHECK 3VL).
+    The constraint map is versioned log state: time travel sees the
+    constraints of its version, and checkpoints fold them."""
+    if not name or not name.replace("_", "").isalnum():
+        raise ValueError(f"tx_set_constraint: bad constraint name {name!r}")
+    snap = tx_snapshot(path)
+    cond = F.coalesce(F.expr(expr), F.lit(True))
+    if snap["files"]:
+        bad = tx_read(spark, path).filter(~cond).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"tx_set_constraint: existing rows violate ({expr}) — "
+                "clean the table first (tx_delete_where / tx_update_where)"
+            )
+
+    def _build(s):
+        cons = dict((s or {}).get("constraints") or {})
+        cons[name] = expr
+        return ([], [], {"constraints": cons})
+
+    return _commit(path, "set_constraint", _build, validate_remove_live=False)
+
+
+def tx_drop_constraint(path: str, name: str) -> int:
+    """Remove a CHECK constraint; raises if it does not exist (a silent
+    no-op would mask a typo in an operation meant to loosen the gate)."""
+
+    def _build(s):
+        cons = dict((s or {}).get("constraints") or {})
+        if name not in cons:
+            raise ValueError(
+                f"tx_drop_constraint: no constraint named {name!r} "
+                f"(have: {sorted(cons) or 'none'})"
+            )
+        del cons[name]
+        return ([], [], {"constraints": cons})
+
+    return _commit(path, "drop_constraint", _build, validate_remove_live=False)
+
+
 def tx_append(
     df: DataFrame,
     path: str,
@@ -955,9 +1039,13 @@ def tx_append(
     a replayed batch whose id the log has already folded is a no-op
     (returns None) and its just-written files are dropped as if never
     staged; this is what gives the streaming sink exactly-once.
-    `partition_by` must match the table's scheme (None inherits it)."""
-    pby = _resolve_partition_by(_replay(path), partition_by, "append")
-    rels, stats = _write_new_files(df, path, partition_by=pby)
+    `partition_by` must match the table's scheme (None inherits it).
+    CHECK constraints are enforced inline on the write scan."""
+    snap0 = _replay(path)
+    pby = _resolve_partition_by(snap0, partition_by, "append")
+    rels, stats = _write_new_files(
+        _with_constraint_guard(df, snap0), path, partition_by=pby
+    )
 
     def _build(snap):
         live_pby = (snap or {}).get("partition_by") or None
@@ -1002,9 +1090,12 @@ def tx_overwrite(
     `partition_by` sets the table's hive layout: None inherits the
     existing scheme, an explicit list RE-LAYOUTS (overwrite replaces every
     file, so it is the one op allowed to change partitioning; pass [] to
-    flatten)."""
-    pby = _resolve_partition_by(_replay(path), partition_by, "overwrite")
-    rels, stats = _write_new_files(df, path, partition_by=pby)
+    flatten). CHECK constraints are enforced inline on the write scan."""
+    snap0 = _replay(path)
+    pby = _resolve_partition_by(snap0, partition_by, "overwrite")
+    rels, stats = _write_new_files(
+        _with_constraint_guard(df, snap0), path, partition_by=pby
+    )
 
     def _build(snap):
         meta: dict = {"schema": df.schema.json()}
@@ -1083,7 +1174,9 @@ def tx_replace_where(
     if not tx_exists(path) or not tx_snapshot(path)["files"]:
         snap0 = _replay(path)
         pby0 = _resolve_partition_by(snap0, partition_by, "replace_where")
-        rels, stats = _write_new_files(payload, path, partition_by=pby0)
+        rels, stats = _write_new_files(
+            _with_constraint_guard(payload, snap0), path, partition_by=pby0
+        )
         meta0: dict = {"schema": df.schema.json()}
         if pby0:
             meta0["partition_by"] = pby0
@@ -1131,7 +1224,9 @@ def tx_replace_where(
         candidates = sorted(r["__tx_rel"] for r in hit_rows)
         rows_deleted = int(sum(r["count"] for r in hit_rows))
 
-    rels, stats = _write_new_files(payload, path, partition_by=pby)
+    rels, stats = _write_new_files(
+        _with_constraint_guard(payload, snap), path, partition_by=pby
+    )
     surv_rels: list[str] = []
     try:
         if candidates:
@@ -1395,10 +1490,17 @@ def tx_update_where(
         for col, expr in set_exprs.items():
             if col not in updated.columns:
                 raise ValueError(f"tx_update_where: unknown column {col!r}")
-            updated = updated.withColumn(col, F.expr(expr))
+            # UPDATE preserves the column's declared type (Delta
+            # semantics): a bare literal like "7.5" parses as
+            # DECIMAL(2,1) and would otherwise silently evolve the
+            # schema of just the updated rows' files
+            updated = updated.withColumn(
+                col, F.expr(expr).cast(updated.schema[col].dataType)
+            )
         updated = updated.drop("__tx_rel", "__tx_pos")
         new_rels, stats = _write_new_files(
-            updated, path, partition_by=snap["partition_by"]
+            _with_constraint_guard(updated, snap), path,
+            partition_by=snap["partition_by"],
         )
         hits = matched.select(
             F.col("__tx_rel").alias("file"), F.col("__tx_pos").alias("pos")
@@ -1458,7 +1560,14 @@ def tx_restore(path: str, version: int) -> int:
     "bad load landed, undo it" lever). No data is copied: the restore
     commit re-adds the old live set (still on disk — `tx_snapshot` raises
     if `version` is already below the vacuum horizon) and removes
-    whatever is newer."""
+    whatever is newer.
+
+    CHECK constraints survive a restore (they are governance state, not
+    data) but the restored FILES are re-published verbatim, NOT
+    re-validated — a constraint added after `version` may be violated by
+    the restored rows. Constraints gate writes; re-validate explicitly
+    (``tx_read(...).filter(~expr)``) if restoring across a constraint
+    addition matters."""
     old = tx_snapshot(path, version)
     old_stats = old["stats"]
 
@@ -1822,6 +1931,46 @@ def tx_erase_keys(
     }
 
 
+def tx_write_manifest(path: str, version: int | None = None) -> str:
+    """Export the snapshot's live file list for EXTERNAL engines — the
+    transactional answer to "just glob the directory", which reads
+    removed-but-unvacuumed files (time-travel history) and staged DV
+    parquets as data. This is Delta's `GENERATE symlink_format_manifest`
+    pattern (public design; Presto/Trino/Athena read Delta through it):
+    one absolute data-file path per line at
+    `<table>/_manifest/files.txt`, swapped in atomically, so DuckDB
+    (`read_parquet([...])`), Trino, or any parquet reader consumes
+    exactly one committed generation — hive partition values still parse
+    from the paths.
+
+    Tables with DELETION VECTORS refuse to export: a manifest reader has
+    no anti-join, so it would resurrect the DV'd rows — run `tx_compact`
+    (materializes deletes) first; the error says so. Regenerate after
+    every commit you want externally visible (the manifest is a
+    snapshot, not a live view). Returns the manifest file path."""
+    snap = tx_snapshot(path, version)
+    live_dvs = {r: d for r, d in (snap.get("dvs") or {}).items()
+                if d and r in set(snap["files"])}
+    if live_dvs:
+        raise ValueError(
+            f"tx_write_manifest: {len(live_dvs)} live file(s) carry "
+            "deletion vectors — an external reader would resurrect the "
+            "deleted rows; run tx_compact to materialize them first"
+        )
+    mdir = os.path.join(path, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+    dst = os.path.join(mdir, "files.txt")
+    tmp = os.path.join(mdir, f".files.{uuid.uuid4().hex}.tmp")
+    root = os.path.abspath(path)
+    with open(tmp, "w") as fh:
+        for rel in snap["files"]:
+            fh.write(os.path.join(root, rel) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, dst)
+    return dst
+
+
 def tx_dv_stats(path: str, *, recommend_at: float = 0.05) -> dict:
     """Deletion-vector health report — the observability half of the
     merge-on-read bargain. DVs make DELETE/UPDATE cheap (no rewrites),
@@ -2013,8 +2162,11 @@ def tx_merge(
         if not merge_kwargs.get("when_not_matched_insert", True):
             return {"version": None, "files_rewritten": 0, "files_skipped": 0}
         first = _guard_duplicate_keys(source, keys) if check_dups else source
-        pby0 = _resolve_partition_by(_replay(path), partition_by, "merge")
-        rels, stats = _write_new_files(first, path, partition_by=pby0)
+        snap0 = _replay(path)
+        pby0 = _resolve_partition_by(snap0, partition_by, "merge")
+        rels, stats = _write_new_files(
+            _with_constraint_guard(first, snap0), path, partition_by=pby0
+        )
         meta0: dict = {"schema": first.schema.json()}
         if pby0:
             meta0["partition_by"] = pby0
@@ -2072,7 +2224,9 @@ def tx_merge(
             [], StructType.fromJson(json.loads(snap["schema"]))
         )
     merged = merge_into(target, source, keys, **merge_kwargs)
-    rels, stats = _write_new_files(merged, path, partition_by=pby)
+    rels, stats = _write_new_files(
+        _with_constraint_guard(merged, snap), path, partition_by=pby
+    )
 
     def _build_mg(s):
         _dv_stable(snap, s, candidates)
