@@ -1587,3 +1587,62 @@ def test_check_constraints_enforced_on_every_write_path(spark, tmp_path, capsys)
     assert "day_known set" in capsys.readouterr().out
     assert main(["tx", "drop-constraint", "--table", t,
                  "--name", "day_known"]) == 0
+
+
+def test_tx_optimize_acts_on_doctor_signals(spark, tmp_path, capsys):
+    """tx_optimize is OPTIMIZE-on-a-schedule: compacts only when DV debt
+    or small-file pressure says so (a healthy run is a metadata-only
+    no-op), refreshes an exported manifest to the new generation, and
+    leaves a below-threshold-DV manifest at its prior consistent
+    generation rather than failing."""
+    from weather_data_warehouse_aws_spark.__main__ import main
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_delete_where,
+        tx_optimize,
+        tx_write_manifest,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, i % 5) for i in range(1000)], "id int, g int")
+    tx_append(df.repartition(2), t)
+
+    # healthy: no-op, no new commit
+    v0 = tx_snapshot(t)["version"]
+    res = tx_optimize(spark, t, target_files=2)
+    assert res["compacted"] is None and "healthy" in res["reason"]
+    assert tx_snapshot(t)["version"] == v0
+
+    # small-file pressure: 2 + 16 appends > 4x target(2)
+    for i in range(16):
+        tx_append(df.limit(1), t)
+    res = tx_optimize(spark, t, target_files=2)
+    assert res["compacted"] is not None and "files >" in res["reason"]
+    assert len(tx_snapshot(t)["files"]) <= 2
+    assert tx_read(spark, t).count() == 1016
+
+    # DV debt: delete 20% then optimize -> compacts, manifest refreshes
+    tx_write_manifest(t)
+    tx_delete_where(spark, t, "g = 0")
+    res = tx_optimize(spark, t, target_files=2, dv_threshold=0.05)
+    assert res["compacted"] is not None and "dv debt" in res["reason"]
+    assert res["manifest"] is not None
+    files = [ln.strip() for ln in open(res["manifest"]) if ln.strip()]
+    import duckdb
+
+    n = duckdb.connect().execute(
+        "SELECT count(*) FROM read_parquet($f)", {"f": files}
+    ).fetchone()[0]
+    assert n == tx_read(spark, t).count()
+
+    # below-threshold DVs: manifest stays at its prior generation
+    tx_delete_where(spark, t, "id = 1")
+    stale = open(res["manifest"]).read()
+    res2 = tx_optimize(spark, t, target_files=2, dv_threshold=0.5)
+    assert res2["compacted"] is None
+    assert "prior generation" in res2["reason"]
+    assert open(os.path.join(t, "_manifest", "files.txt")).read() == stale
+
+    # CLI
+    assert main(["tx", "optimize", "--table", t]) == 0
+    out = capsys.readouterr().out
+    assert "optimize:" in out

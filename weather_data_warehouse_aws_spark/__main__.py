@@ -109,11 +109,13 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=["history", "read", "compact", "erase", "vacuum", "merge",
                  "restore", "changes", "delete", "update", "manifest",
-                 "set-constraint", "drop-constraint"],
+                 "set-constraint", "drop-constraint", "optimize"],
     )
     tx.add_argument("--table", required=True, help="txlog table directory")
     tx.add_argument("--version", type=int, default=None, help="time-travel version (read)")
-    tx.add_argument("--target-files", type=int, default=1, help="compact target")
+    tx.add_argument("--target-files", type=int, default=None,
+                    help="compact/optimize target file count "
+                    "(compact: default 1; optimize: default = cores)")
     tx.add_argument("--sort-by", default=None,
                     help="compact: re-cluster on these comma-separated columns")
     tx.add_argument("--zorder-by", default=None,
@@ -398,7 +400,9 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.action == "compact":
             v = txlog.tx_compact(
-                spark, args.table, target_files=args.target_files,
+                spark, args.table,
+                target_files=(1 if args.target_files is None
+                              else args.target_files),
                 sort_by=args.sort_by.split(",") if args.sort_by else None,
                 zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
             )
@@ -435,6 +439,18 @@ def main(argv: list[str] | None = None) -> int:
                     f"{res['files_touched']} file(s) at v{res['version']} "
                     "(merge-on-read — untouched rows not rewritten)"
                 )
+        elif args.action == "optimize":
+            res = txlog.tx_optimize(
+                spark, args.table,
+                target_files=args.target_files,
+                sort_by=args.sort_by.split(",") if args.sort_by else None,
+                zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
+            )
+            did = ("no-op" if res["compacted"] is None
+                   else f"compacted at v{res['compacted']}")
+            print(f"optimize: {did} ({res['reason']})")
+            if res["manifest"]:
+                print(f"manifest refreshed: {res['manifest']}")
         elif args.action == "set-constraint":
             if not args.name or not args.expr:
                 print("tx set-constraint needs --name and --expr",

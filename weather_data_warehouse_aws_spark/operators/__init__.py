@@ -50,6 +50,7 @@ from .txlog import (  # noqa: F401
     tx_erase_keys,
     tx_history,
     tx_merge,
+    tx_optimize,
     tx_overwrite,
     tx_prune,
     tx_read,

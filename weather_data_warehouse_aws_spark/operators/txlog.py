@@ -1787,6 +1787,76 @@ def tx_read(
     return out
 
 
+def tx_optimize(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_files: int | None = None,
+    sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    dv_threshold: float = 0.05,
+    small_file_factor: int = 4,
+    refresh_manifest: bool = True,
+) -> dict:
+    """One maintenance entry point — the OPTIMIZE a table operator runs
+    on a schedule, acting on the same signals `doctor` reports instead of
+    unconditionally rewriting:
+
+    * compacts when the logically-deleted fraction reaches
+      `dv_threshold` (materializes deletion vectors back to zero — the
+      read-side anti-join debt), when the live file count exceeds
+      `small_file_factor × target_files` (small-file pressure), or when
+      a clustering key is given (`sort_by`/`zorder_by` — layout is the
+      point, see `tx_compact`);
+    * refreshes `_manifest/files.txt` if one was exported and the table
+      changed (external readers keep seeing a committed generation);
+    * otherwise does nothing — a no-op run costs one KB-scale log replay
+      plus the DV stat read, never a data scan.
+
+    `target_files=None` defaults to the current Spark default
+    parallelism (one task-sized file per core at this deployment's
+    width). Returns {"compacted": version|None, "dv_stats": ...,
+    "manifest": path|None, "reason": str}."""
+    if target_files is None:
+        target_files = max(1, spark.sparkContext.defaultParallelism)
+    stats = tx_dv_stats(path, recommend_at=dv_threshold)
+    reasons = []
+    if stats["recommend_compact"]:
+        reasons.append(
+            f"dv debt {stats['deleted_pct']:.1%} >= {dv_threshold:.0%}"
+        )
+    if stats["files_total"] > small_file_factor * target_files:
+        reasons.append(
+            f"{stats['files_total']} files > {small_file_factor}x"
+            f" target {target_files}"
+        )
+    if sort_by or zorder_by:
+        reasons.append("re-cluster requested")
+    v = None
+    if reasons:
+        v = tx_compact(
+            spark, path, target_files=target_files,
+            sort_by=sort_by, zorder_by=zorder_by,
+        )
+    manifest = None
+    if refresh_manifest and os.path.exists(
+        os.path.join(path, "_manifest", "files.txt")
+    ):
+        # below-threshold DVs block a manifest export (tx_write_manifest
+        # refuses — external readers can't anti-join); leave the existing
+        # manifest at its older-but-consistent generation rather than fail
+        if v is not None or not tx_snapshot(path).get("dvs"):
+            manifest = tx_write_manifest(path)
+        else:
+            reasons.append("manifest left at prior generation (live DVs)")
+    return {
+        "compacted": v,
+        "dv_stats": stats,
+        "manifest": manifest,
+        "reason": "; ".join(reasons) or "healthy — nothing to do",
+    }
+
+
 def tx_compact(
     spark: SparkSession,
     path: str,
@@ -1809,10 +1879,17 @@ def tx_compact(
     on the transactional format; appends arrive unclustered and periodic
     clustered compaction restores skippability. With a clustering key the
     rewrite runs even when the file COUNT is already at target (the
-    layout, not the count, is the point)."""
+    layout, not the count, is the point) — likewise when any live file
+    carries DELETION VECTORS: the rewrite is what materializes them back
+    to zero, so a DV-bearing table is never "already compact"."""
     snap = tx_snapshot(path)
     recluster = bool(sort_by or zorder_by)
-    if len(snap["files"]) <= max(target_files, 1) and not recluster:
+    has_dvs = any(snap["dvs"].get(f) for f in snap["files"])
+    if (
+        len(snap["files"]) <= max(target_files, 1)
+        and not recluster
+        and not has_dvs
+    ):
         return None
     if not snap["files"]:
         return None
