@@ -1646,3 +1646,33 @@ def test_tx_optimize_acts_on_doctor_signals(spark, tmp_path, capsys):
     assert main(["tx", "optimize", "--table", t]) == 0
     out = capsys.readouterr().out
     assert "optimize:" in out
+
+
+def test_set_constraint_conflicts_with_concurrent_unvalidated_append(spark, tmp_path):
+    """The SET commit must cover only the state its validation scan saw:
+    a write landing in between was never checked and could smuggle
+    violating rows under the brand-new constraint — TxConflict, re-run."""
+    from unittest import mock
+
+    from weather_data_warehouse_aws_spark.operators import txlog as TX
+
+    t = str(tmp_path / "t")
+    tx_append(spark.createDataFrame([(1, 1.0)], "id int, v double"), t)
+    bad = spark.createDataFrame([(2, -1.0)], "id int, v double")
+
+    real_commit = TX._commit
+    state = {"fired": False}
+
+    def _race(path, op, build, **kw):
+        if op == "set_constraint" and not state["fired"]:
+            state["fired"] = True
+            TX.tx_append(bad, t)  # lands AFTER the validation scan
+        return real_commit(path, op, build, **kw)
+
+    with mock.patch.object(TX, "_commit", _race):
+        with pytest.raises(TxConflict, match="validation scan"):
+            TX.tx_set_constraint(spark, t, "v_nonneg", "v >= 0.0")
+    assert "v_nonneg" not in (tx_snapshot(t)["constraints"] or {})
+    # the re-run validates the new state and (rightly) refuses
+    with pytest.raises(ValueError, match="existing rows violate"):
+        TX.tx_set_constraint(spark, t, "v_nonneg", "v >= 0.0")

@@ -992,7 +992,9 @@ def tx_set_constraint(spark: SparkSession, path: str, name: str, expr: str) -> i
     snap = tx_snapshot(path)
     cond = F.coalesce(F.expr(expr), F.lit(True))
     if snap["files"]:
-        bad = tx_read(spark, path).filter(~cond).limit(1).count()
+        bad = tx_read(spark, path, version=snap["version"]).filter(
+            ~cond
+        ).limit(1).count()
         if bad:
             raise ValueError(
                 f"tx_set_constraint: existing rows violate ({expr}) — "
@@ -1000,6 +1002,16 @@ def tx_set_constraint(spark: SparkSession, path: str, name: str, expr: str) -> i
             )
 
     def _build(s):
+        # rows landing between the validation scan and this commit were
+        # never checked — only the VALIDATED state may be constrained
+        # (unguarded concurrent writes would otherwise smuggle violating
+        # rows under the brand-new constraint)
+        now = (s or {}).get("files", [])
+        if set(now) - set(snap["files"]):
+            raise TxConflict(
+                "tx_set_constraint: the table gained files after the "
+                "validation scan — re-run to validate them"
+            )
         cons = dict((s or {}).get("constraints") or {})
         cons[name] = expr
         return ([], [], {"constraints": cons})
