@@ -30,11 +30,22 @@ def warehouse(spark, tmp_path_factory):
     generate_bronze(bronze, days=4, extractions_per_day=2, seed=21)
     wh = str(tmp_path_factory.mktemp("wh_ddb"))
     layers = run_pipeline(spark, bronze, wh, effective_date=EFFECTIVE, now=NOW)
+    # a SECOND run creates real log history (dead silver/gold files on
+    # disk) — the external reader below must still see one generation
+    layers = run_pipeline(spark, bronze, wh, effective_date=EFFECTIVE, now=NOW)
     return wh, layers
 
 
 @pytest.fixture(scope="module")
 def ddb(warehouse):
+    """DuckDB reads the warehouse THE EXTERNAL-ENGINE WAY: through each
+    tx table's exported manifest (tx_write_manifest), never a directory
+    glob — the fixture's double pipeline run leaves dead files a glob
+    would read as duplicates."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_write_manifest,
+    )
+
     wh, _ = warehouse
     con = duckdb.connect()
     for name, rel in [
@@ -44,9 +55,12 @@ def ddb(warehouse):
         ("dim_date", "gold/dim_date"),
     ]:
         path = os.path.join(wh, rel)
+        manifest = tx_write_manifest(path)
+        files = [ln.strip() for ln in open(manifest) if ln.strip()]
+        quoted = ", ".join(f"'{f}'" for f in files)
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet("
-            f"'{path}/**/*.parquet', hive_partitioning=1)"
+            f"[{quoted}], hive_partitioning=1)"
         )
     # the reference's fact views (create_views.sql), Presto→DuckDB dialect:
     # TO_UNIXTIME(x) → epoch(x); ROW_NUMBER keys and audit timestamps are
