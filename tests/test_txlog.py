@@ -1676,3 +1676,126 @@ def test_set_constraint_conflicts_with_concurrent_unvalidated_append(spark, tmp_
     # the re-run validates the new state and (rightly) refuses
     with pytest.raises(ValueError, match="existing rows violate"):
         TX.tx_set_constraint(spark, t, "v_nonneg", "v >= 0.0")
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path, capsys):
+    """Vacuum is the format's one irreversible op; dry_run must report the
+    exact plan (horizon + file list) while committing nothing, deleting
+    nothing, and leaving time travel intact — then the real run deletes
+    exactly what the dry run named."""
+    from weather_data_warehouse_aws_spark.__main__ import main
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        tx_append(_mk(spark, range(i * 5, i * 5 + 5)), t)
+    pre = tx_snapshot(t)
+    tx_compact(spark, t, target_files=1)
+
+    dry = tx_vacuum(t, retain_versions=1, dry_run=True)
+    assert dry["version"] is None and dry["dry_run"]
+    assert sorted(dry["deleted"]) == pre["files"]
+    # nothing happened: no vacuum commit, files on disk, time travel OK
+    assert [h["op"] for h in tx_history(t)].count("vacuum") == 0
+    for f in pre["files"]:
+        assert os.path.exists(os.path.join(t, f))
+    assert _ids(tx_read(spark, t, version=pre["version"])) == list(range(15))
+
+    assert main(["tx", "vacuum", "--table", t, "--dry-run"]) == 0
+    assert f"would delete {len(pre['files'])} file(s)" in capsys.readouterr().out
+
+    real = tx_vacuum(t, retain_versions=1)
+    assert sorted(real["deleted"]) == sorted(dry["deleted"])
+    assert real["horizon"] == dry["horizon"]
+    for f in pre["files"]:
+        assert not os.path.exists(os.path.join(t, f))
+
+
+import hypothesis.strategies as _st
+from hypothesis import HealthCheck as _HC
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+
+_dv_ops = _st.lists(
+    _st.one_of(
+        _st.tuples(_st.just("append"),
+                   _st.lists(_st.integers(0, 30), min_size=1, max_size=8,
+                             unique=True)),
+        _st.tuples(_st.just("delete"), _st.integers(0, 30)),
+        _st.tuples(_st.just("update"), _st.integers(0, 30)),
+        _st.tuples(_st.just("compact"), _st.just(0)),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@_given(ops=_dv_ops)
+@_settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[_HC.too_slow, _HC.function_scoped_fixture],
+)
+def test_dv_op_sequences_match_python_model(spark, tmp_path_factory, ops):
+    """Model-based fuzz of the merge-on-read machinery: random sequences
+    of append / delete_where / update_where / compact against a plain
+    Python multiset model — tx_read must equal the model after EVERY op,
+    and every pre-op version must stay time-travelable to its own model
+    state. This is the strongest guarantee we can state for DV
+    composition (DVs stacking on DVs, updates over deletes, compaction
+    materializing everything)."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_compact,
+        tx_delete_where,
+        tx_exists,
+        tx_update_where,
+    )
+
+    t = str(tmp_path_factory.mktemp("dvfz")) + "/t"
+    model: dict[int, int] = {}   # id -> bump count (v = id + 10*bumps)
+    seq = 0
+    history = []  # (version, model snapshot) after each committing op
+
+    def rows():
+        return sorted((k, k + 10 * b) for k, b in model.items())
+
+    for kind, arg in ops:
+        if kind == "append":
+            seq += 1
+            df = spark.createDataFrame(
+                [(i + 100 * seq, float(i + 100 * seq)) for i in arg],
+                "id int, v double",
+            )
+            tx_append(df, t)
+            for i in arg:
+                model[i + 100 * seq] = 0
+        elif kind == "delete":
+            if not tx_exists(t):
+                continue
+            lo = arg * 10
+            tx_delete_where(spark, t, f"id % 1000 >= {lo} AND id % 1000 < {lo + 10}")
+            model = {
+                k: b for k, b in model.items()
+                if not (lo <= k % 1000 < lo + 10)
+            }
+        elif kind == "update":
+            if not tx_exists(t):
+                continue
+            tx_update_where(spark, t, f"id % 7 = {arg % 7}", {"v": "v + 10.0"})
+            for k in model:
+                if k % 7 == arg % 7:
+                    model[k] += 1
+        elif kind == "compact":
+            if not tx_exists(t):
+                continue
+            tx_compact(spark, t, target_files=2)
+        if tx_exists(t):
+            got = sorted(
+                (r.id, r.v) for r in tx_read(spark, t).collect()
+            )
+            want = [(k, float(k + 10 * b)) for k, b in sorted(model.items())]
+            assert got == want, f"after {kind}({arg})"
+            history.append((tx_snapshot(t)["version"], dict(model)))
+
+    # every recorded version time-travels to its own model state
+    for v, m in history:
+        got = sorted((r.id, r.v) for r in tx_read(spark, t, version=v).collect())
+        assert got == [(k, float(k + 10 * b)) for k, b in sorted(m.items())]

@@ -133,6 +133,9 @@ def main(argv: list[str] | None = None) -> int:
     tx.add_argument("--column", default=None, help="erase key column")
     tx.add_argument("--values", default=None, help="comma-separated erase keys")
     tx.add_argument("--retain-versions", type=int, default=1, help="vacuum retention")
+    tx.add_argument("--dry-run", action="store_true",
+                    help="vacuum: report the would-be horizon + file list "
+                    "without committing or deleting anything")
     tx.add_argument("--limit", type=int, default=20)
     tx.add_argument(
         "--where",
@@ -194,11 +197,17 @@ def main(argv: list[str] | None = None) -> int:
                 )
         else:
             res = txlog.tx_vacuum(
-                args.table, retain_versions=args.retain_versions
+                args.table, retain_versions=args.retain_versions,
+                dry_run=args.dry_run,
             )
+            verb = "would delete" if args.dry_run else "deleted"
             print(
-                f"horizon v{res['horizon']}; deleted {len(res['deleted'])} file(s)"
+                f"horizon v{res['horizon']}; {verb} "
+                f"{len(res['deleted'])} file(s)"
             )
+            if args.dry_run:
+                for f in res["deleted"]:
+                    print(f"  {f}")
         return 0
 
     from .session import get_spark

@@ -2116,8 +2116,57 @@ def tx_dv_stats(path: str, *, recommend_at: float = 0.05) -> dict:
     }
 
 
+def _vacuum_plan(
+    path: str, snap: dict, retain_versions: int, include_orphans: bool
+) -> tuple[int, list[str], list[str]]:
+    """Derive (horizon, deletable files, orphans) for a vacuum of `snap` —
+    shared by the real vacuum's commit closure and the dry run."""
+    latest = snap["version"]
+    horizon = max(snap["horizon"], latest - max(retain_versions, 1) + 1)
+    # file -> version removed (absent = still live at latest)
+    commits, _ = _usable_log(path)
+    removed_at: dict[str, int] = {}
+    referenced: set[str] = set()
+    dv_covers: dict[str, list[str]] = {}  # dv rel -> covered data rels
+    for v in commits:
+        rec = _load_rec(path, v)
+        for f in rec.get("add", []):
+            referenced.add(f)
+            removed_at.pop(f, None)  # re-add after remove (restore)
+        for f in rec.get("remove", []):
+            removed_at[f] = rec["version"]
+        dv = rec.get("dv_add")
+        if dv:
+            referenced.add(dv["file"])
+            dv_covers[dv["file"]] = dv["covers"]
+    # live at some version v ≥ horizon ⇔ removed_at > horizon (or
+    # never): a file removed AT commit r is last visible in r-1.
+    deletable = sorted(f for f, r in removed_at.items() if r <= horizon)
+    # a DV dies with its covered data files: deletable only when EVERY
+    # covered file's last visible version is below the horizon (a live
+    # or recently-removed cover keeps the DV readable for time travel)
+    deletable += sorted(
+        d
+        for d, covers in dv_covers.items()
+        if all(removed_at.get(c, 1 << 62) <= horizon for c in covers)
+    )
+    orphans: list[str] = []
+    if include_orphans:
+        on_disk: set[str] = set()
+        for dirpath, dirs, names in os.walk(path):
+            dirs[:] = [d for d in dirs if d != _LOG_DIR]
+            sub = os.path.relpath(dirpath, path)
+            prefix = "" if sub == "." else sub + "/"
+            on_disk.update(
+                prefix + n for n in names if n.endswith(".parquet")
+            )
+        orphans = sorted(on_disk - referenced)
+    return horizon, deletable, orphans
+
+
 def tx_vacuum(
-    path: str, *, retain_versions: int = 1, include_orphans: bool = False
+    path: str, *, retain_versions: int = 1, include_orphans: bool = False,
+    dry_run: bool = False,
 ) -> dict:
     """Physically delete data files no version ≥ the retention horizon can
     reference. `retain_versions=k` keeps the latest k versions readable
@@ -2127,10 +2176,24 @@ def tx_vacuum(
     the log never referenced (strandings from crashed writers — only safe
     when no write is in flight, same covenant as Delta's VACUUM retention).
 
-    Returns {"version", "horizon", "deleted": [...]}.
+    `dry_run=True` reports what WOULD happen — the would-be horizon and
+    the exact file list — without committing a horizon advance or
+    deleting anything (Delta's VACUUM DRY RUN): vacuum is the format's
+    one irreversible operation, so operators get a look before the leap.
+
+    Returns {"version", "horizon", "deleted": [...]} ("version" None and
+    "deleted" the would-be list under dry_run).
     """
     if not tx_exists(path):
         raise ValueError(f"no transaction log at {path}")
+    if dry_run:
+        horizon, deletable, orphans = _vacuum_plan(
+            path, tx_snapshot(path), retain_versions, include_orphans
+        )
+        return {
+            "version": None, "horizon": horizon,
+            "deleted": deletable + orphans, "dry_run": True,
+        }
     # horizon AND the deletable set are computed INSIDE the build closure,
     # from the retry's fresh snapshot: if a concurrent vacuum with a HIGHER
     # horizon wins the commit race, this retry re-derives
@@ -2139,46 +2202,9 @@ def tx_vacuum(
     state: dict = {}
 
     def _build(snap):
-        latest = snap["version"]
-        horizon = max(snap["horizon"], latest - max(retain_versions, 1) + 1)
-        # file -> version removed (absent = still live at latest)
-        commits, _ = _usable_log(path)
-        removed_at: dict[str, int] = {}
-        referenced: set[str] = set()
-        dv_covers: dict[str, list[str]] = {}  # dv rel -> covered data rels
-        for v in commits:
-            rec = _load_rec(path, v)
-            for f in rec.get("add", []):
-                referenced.add(f)
-                removed_at.pop(f, None)  # re-add after remove (restore)
-            for f in rec.get("remove", []):
-                removed_at[f] = rec["version"]
-            dv = rec.get("dv_add")
-            if dv:
-                referenced.add(dv["file"])
-                dv_covers[dv["file"]] = dv["covers"]
-        # live at some version v ≥ horizon ⇔ removed_at > horizon (or
-        # never): a file removed AT commit r is last visible in r-1.
-        deletable = sorted(f for f, r in removed_at.items() if r <= horizon)
-        # a DV dies with its covered data files: deletable only when EVERY
-        # covered file's last visible version is below the horizon (a live
-        # or recently-removed cover keeps the DV readable for time travel)
-        deletable += sorted(
-            d
-            for d, covers in dv_covers.items()
-            if all(removed_at.get(c, 1 << 62) <= horizon for c in covers)
+        horizon, deletable, orphans = _vacuum_plan(
+            path, snap, retain_versions, include_orphans
         )
-        orphans: list[str] = []
-        if include_orphans:
-            on_disk: set[str] = set()
-            for dirpath, dirs, names in os.walk(path):
-                dirs[:] = [d for d in dirs if d != _LOG_DIR]
-                sub = os.path.relpath(dirpath, path)
-                prefix = "" if sub == "." else sub + "/"
-                on_disk.update(
-                    prefix + n for n in names if n.endswith(".parquet")
-                )
-            orphans = sorted(on_disk - referenced)
         state.update(horizon=horizon, deletable=deletable, orphans=orphans)
         return ([], [], {"horizon": horizon, "n_deleted": len(deletable)})
 
