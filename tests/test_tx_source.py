@@ -384,3 +384,157 @@ def test_arrow_fast_path_engages_and_falls_back_per_file(spark, tmp_path):
         "uncastable file must fall back to tuples"
     )
     assert fallback[0][-2:] == ("insert", 99)
+
+
+def test_predicate_prunes_files_without_opening(spark, tmp_path):
+    """`predicate` option: a file whose committed stats PROVE no match is
+    never opened — proven with a sentinel: corrupt the out-of-range
+    file's bytes on disk; the predicated read still drains, the
+    unpredicated read raises. Drained rows equal the full feed filtered
+    by the same condition."""
+    import json as _json
+    import os
+
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(10)).coalesce(1), t)        # v0: ids 0..9
+    tx_append(_mk(spark, range(100, 110)).coalesce(1), t)  # v1: ids 100..109
+    snap = tx_snapshot(t)
+    # the sentinel: clobber the v1 file (stats say id in [100, 109])
+    hi_rel = next(
+        r for r, st in snap["stats"].items() if st["cols"]["id"][0] == 100
+    )
+    with open(os.path.join(t, hi_rel), "wb") as fh:
+        fh.write(b"\x00not a parquet file\x00")
+
+    register_tx_source(spark)
+    pred = _json.dumps([["id", "<=", 9]])
+
+    # batch: pruned read works, unpruned read must hit the corrupt file
+    df = (
+        spark.read.format("txtable")
+        .option("path", t).option("predicate", pred).load()
+    )
+    assert sorted(r["id"] for r in df.collect()) == list(range(10))
+    with pytest.raises(Exception):
+        spark.read.format("txtable").option("path", t).load().collect()
+
+    # stream: same pruning at planning time, checkpointed drain succeeds
+    got: list = []
+
+    def _sink(batch_df, batch_id):
+        got.extend((r["id"], r["_change_type"], r["_commit_version"])
+                   for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("txtable")
+        .option("path", t).option("predicate", pred).load()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(once=True).start()
+    )
+    q.awaitTermination()
+    assert sorted(r[0] for r in got) == list(range(10))
+    assert {r[2] for r in got} == {0}  # the v1 (commit, file) partition never planned
+
+
+def test_predicate_filters_rows_within_kept_files(spark, tmp_path):
+    """A kept file is row-filtered by the same conjuncts (on the CAST
+    columns), so the drained feed IS the filtered feed — including date
+    literals arriving as ISO strings (JSON has no date type) against a
+    hive date partition, and delete emissions from rewritten files."""
+    import datetime as dt
+    import json as _json
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", dt.date(2024, 1, 1 + i % 2)) for i in range(8)],
+        "id int, val string, d date",
+    )
+    tx_append(df.repartition(1), t, partition_by=["d"])  # v0: 2 files
+    tx_erase_keys(spark, t, "id", [0, 1])                # v1: rewrites
+
+    register_tx_source(spark)
+    pred = _json.dumps([["d", "=", "2024-01-01"], ["id", "<=", 4]])
+
+    def drain(with_pred, tag):
+        rows: list = []
+
+        def _sink(batch_df, batch_id):
+            rows.extend(
+                (r["id"], r["_change_type"], r["_commit_version"])
+                for r in batch_df.collect()
+            )
+
+        reader = spark.readStream.format("txtable").option("path", t)
+        if with_pred:
+            reader = reader.option("predicate", pred)
+        q = (
+            reader.load().writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(once=True).start()
+        )
+        q.awaitTermination()
+        return sorted(rows)
+
+    full = drain(False, "full")
+    # d=2024-01-01 ⇔ even ids; id<=4 → {0, 2, 4}
+    want = sorted(r for r in full if r[0] in (0, 2, 4))
+    assert drain(True, "pred") == want
+    assert any(r[1] == "delete" for r in want), "filtered deletes included"
+
+    # batch symmetry: predicated snapshot read == tx_read + filter
+    got = (
+        spark.read.format("txtable")
+        .option("path", t).option("predicate", pred).load().collect()
+    )
+    assert sorted(r["id"] for r in got) == [2, 4]  # 0 was erased
+
+
+def test_cast_report_censuses_fallback_files(spark, tmp_path, capsys):
+    """tx_source_cast_report: zero fallbacks on a stable-schema table;
+    a planted value-uncastable file (string ids under a long-typed logged
+    schema) is flagged — and _emit_file WARNS when it falls back."""
+    import warnings
+
+    from pyspark.sql import Row
+
+    from weather_data_warehouse_aws_spark.sources.tx_source import (
+        _emit_file,
+        tx_source_cast_report,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(5)).coalesce(1), t)
+    rep = tx_source_cast_report(t)
+    assert rep == {
+        "files_total": 1, "arrow_ready": 1, "fallback_files": [],
+    }
+
+    # evolution that poisons the cast: id becomes string with
+    # non-numeric values, then the logged schema moves back to long —
+    # the string file can never cast to the declared type
+    bad = spark.createDataFrame([Row(id="not-an-int", val="x")])
+    tx_append(bad.coalesce(1), t)
+    tx_append(_mk(spark, [9]).coalesce(1), t)  # logged schema: id long again
+
+    rep2 = tx_source_cast_report(t)
+    assert rep2["files_total"] == 3 and rep2["arrow_ready"] == 2
+    [(bad_rel, reason)] = rep2["fallback_files"]
+    assert "ArrowInvalid" in reason
+
+    snap = tx_snapshot(t)
+    from pyspark.sql.types import StructType
+    import json as _json
+
+    schema = StructType.fromJson(_json.loads(snap["schema"]))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rows = list(_emit_file(
+            t, bad_rel, [f.name for f in schema.fields], schema.json(),
+            ("insert", 1), {}, [],
+        ))
+    assert rows and isinstance(rows[0], tuple)
+    assert any("tuple path" in str(x.message) for x in w)
+    # (doctor prints this census — pinned in test_txlog's doctor test on a
+    # healthy table; THIS drifted table also breaks the JVM mergeSchema
+    # read, so doctor's later tx_read would fail for unrelated reasons)

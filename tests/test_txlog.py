@@ -1,18 +1,33 @@
 """Transaction-log table format (operators/txlog.py): atomic commits,
 snapshot isolation, time travel, conflict detection, vacuum horizon,
-schema survival past the last row."""
+schema survival past the last row.
+
+EVERY test in this module runs twice — once on the POSIX-default
+DataStore and once against `BucketFSDataStore`, an object-store
+emulation (publish is whole-object COPY, no rename; per-key deletes; no
+directory pruning; data NEVER lands under the table root). Any txlog /
+txtable code path that bypasses the DataStore protocol fails loudly
+under the second run, because the file it expects under the table root
+does not exist — the same proof strategy the InMemoryLogStore gives the
+commit protocol."""
 
 import json
 import os
+import shutil
+import uuid
 
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
+from weather_data_warehouse_aws_spark.operators import txlog as _txmod
 from weather_data_warehouse_aws_spark.operators.txlog import (
     CHECKPOINT_INTERVAL,
+    DataStore,
     TxConflict,
     _commit,
+    get_data_store,
+    register_data_store,
     tx_append,
     tx_compact,
     tx_erase_keys,
@@ -24,12 +39,137 @@ from weather_data_warehouse_aws_spark.operators.txlog import (
 )
 
 
+class BucketFSDataStore(DataStore):
+    """Object-store emulation on a local 'bucket' directory OUTSIDE every
+    table root: keys, not paths. Publish is a whole-object COPY (object
+    stores have no rename), delete is per-key (no empty-dir pruning),
+    listing is a key-prefix scan, and `put_atomic` is a per-key atomic
+    PUT. The table root itself never holds a data byte — only
+    `_txn_log`. Picklable (holds just the bucket path), as the protocol
+    requires."""
+
+    def __init__(self, bucket: str):
+        self.bucket = bucket
+
+    def _prefix(self, table_root: str) -> str:
+        return os.path.join(
+            self.bucket, os.path.abspath(table_root).lstrip(os.sep)
+        )
+
+    def _key(self, table_root: str, rel: str) -> str:
+        return os.path.join(self._prefix(table_root), rel)
+
+    def stage_uri(self, table_root: str) -> str:
+        return os.path.join(
+            self.bucket, "_stage",
+            os.path.abspath(table_root).lstrip(os.sep), uuid.uuid4().hex,
+        )
+
+    def list_stage(self, stage_uri: str) -> list[str]:
+        rels = []
+        for dirpath, _dirs, names in os.walk(stage_uri):
+            sub = os.path.relpath(dirpath, stage_uri)
+            prefix = "" if sub == "." else sub + "/"
+            rels.extend(prefix + n for n in names if n.endswith(".parquet"))
+        return sorted(rels)
+
+    def publish(self, table_root, stage_uri, staged_rel, rel) -> None:
+        dst = self._key(table_root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        # COPY, never rename: the object-store publish primitive
+        shutil.copyfile(os.path.join(stage_uri, staged_rel), dst)
+
+    def discard_stage(self, table_root, stage_uri) -> None:
+        shutil.rmtree(stage_uri, ignore_errors=True)
+
+    def sweep_stages(self, table_root) -> None:
+        shutil.rmtree(
+            os.path.join(
+                self.bucket, "_stage",
+                os.path.abspath(table_root).lstrip(os.sep),
+            ),
+            ignore_errors=True,
+        )
+
+    def delete(self, table_root, rel) -> None:
+        try:
+            os.remove(self._key(table_root, rel))
+        except FileNotFoundError:
+            pass
+
+    def exists(self, table_root, rel) -> bool:
+        return os.path.exists(self._key(table_root, rel))
+
+    def list_files(self, table_root) -> list[str]:
+        root = self._prefix(table_root)
+        out = []
+        for dirpath, _dirs, names in os.walk(root):
+            sub = os.path.relpath(dirpath, root)
+            prefix = "" if sub == "." else sub + "/"
+            out.extend(prefix + n for n in names if n.endswith(".parquet"))
+        return sorted(out)
+
+    def read_uri(self, table_root, rel) -> str:
+        return self._key(table_root, rel)
+
+    def scan_uri_root(self, table_root) -> str:
+        return "file:" + self._prefix(table_root).rstrip("/") + "/"
+
+    def spark_base_path(self, table_root) -> str:
+        return self._prefix(table_root)
+
+    def open_input(self, table_root, rel):
+        return open(self._key(table_root, rel), "rb")
+
+    def put_atomic(self, table_root, rel, payload) -> str:
+        dst = self._key(table_root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tmp = dst + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, dst)  # per-key atomic PUT
+        return dst
+
+
+@pytest.fixture(autouse=True, params=["localfs", "bucket"])
+def data_store_mode(request, tmp_path_factory):
+    """Parametrizes the WHOLE module over the two data planes (module
+    docstring). The bucket store is registered for the entire pytest tmp
+    tree, so tables made via tmp_path AND tmp_path_factory both route
+    through it."""
+    if request.param == "localfs":
+        yield request.param
+        return
+    bucket = str(tmp_path_factory.mktemp("bucket"))
+    prefix = str(tmp_path_factory.getbasetemp())
+    register_data_store(prefix, BucketFSDataStore(bucket))
+    try:
+        yield request.param
+    finally:
+        _txmod._DATA_STORES.pop(prefix, None)
+
+
 def _mk(spark, rows):
     return spark.createDataFrame([Row(id=i, val=f"v{i}") for i in rows])
 
 
 def _ids(df):
     return sorted(r["id"] for r in df.select("id").collect())
+
+
+def _data_path(t: str, rel: str) -> str:
+    """Where the table's DataStore keeps `rel` — the mode-agnostic spelling
+    of the old `os.path.join(t, rel)` assertions."""
+    return get_data_store(t).read_uri(t, rel)
+
+
+def _data_exists(t: str, rel: str) -> bool:
+    return os.path.exists(_data_path(t, rel))
+
+
+def _data_root(t: str) -> str:
+    """The directory a naive (non-log-aware) reader would glob."""
+    return os.path.dirname(_data_path(t, "x"))
 
 
 def test_append_read_roundtrip_and_versions(spark, tmp_path):
@@ -71,7 +211,7 @@ def test_compact_preserves_rows_and_old_snapshots(spark, tmp_path):
     assert _ids(tx_read(spark, t)) == list(range(40))
     # ...and still reads its own (uncompacted) files afterwards
     assert _ids(tx_read(spark, t, version=before["version"])) == list(range(40))
-    assert all(os.path.exists(os.path.join(t, f)) for f in old_files)
+    assert all(_data_exists(t, f) for f in old_files)
     # already compact → no-op
     assert tx_compact(spark, t, target_files=1) is None
 
@@ -105,7 +245,7 @@ def test_erase_keys_is_surgical_and_time_travelable(spark, tmp_path):
     tx_append(_mk(spark, range(100, 200)), t)  # file(s) B
     snap = tx_snapshot(t)
     mtimes = {
-        f: os.path.getmtime(os.path.join(t, f)) for f in snap["files"]
+        f: os.path.getmtime(_data_path(t, f)) for f in snap["files"]
     }
     res = tx_erase_keys(spark, t, "id", [150, 160, None])
     assert res["rows_removed"] == 2
@@ -115,7 +255,7 @@ def test_erase_keys_is_surgical_and_time_travelable(spark, tmp_path):
     untouched = survivors & set(snap["files"])
     assert untouched, "files without hits must be reused verbatim"
     for f in untouched:
-        assert os.path.getmtime(os.path.join(t, f)) == mtimes[f]
+        assert os.path.getmtime(_data_path(t, f)) == mtimes[f]
     # erased rows remain in pre-erase versions until vacuum (documented)
     assert 150 in _ids(tx_read(spark, t, version=snap["version"]))
     # all-None erase list is a caller bug; empty list is a no-op
@@ -145,7 +285,7 @@ def test_vacuum_deletes_unreachable_and_gates_time_travel(spark, tmp_path):
     assert res["horizon"] == 3
     # every pre-compaction file is physically gone
     for f in pre["files"]:
-        assert not os.path.exists(os.path.join(t, f))
+        assert not _data_exists(t, f)
     # latest still reads fine; vacuumed versions fail at RESOLUTION
     assert _ids(tx_read(spark, t)) == list(range(15))
     with pytest.raises(ValueError, match="vacuum"):
@@ -157,7 +297,7 @@ def test_vacuum_deletes_unreachable_and_gates_time_travel(spark, tmp_path):
 def test_vacuum_orphan_sweep(spark, tmp_path):
     t = str(tmp_path / "t")
     tx_append(_mk(spark, range(5)), t)
-    orphan = os.path.join(t, "part-deadbeef-crashed.parquet")
+    orphan = _data_path(t, "part-deadbeef-crashed.parquet")
     with open(orphan, "wb") as f:
         f.write(b"not really parquet")
     # default vacuum leaves unreferenced files alone (writer may be mid-flight)
@@ -233,11 +373,11 @@ def test_plain_directory_read_is_wrong_by_design(spark, tmp_path):
     tx_append(_mk(spark, range(10)), t)
     tx_append(_mk(spark, range(10, 20)), t)
     tx_compact(spark, t, target_files=1)
-    raw = spark.read.parquet(t).count()
+    raw = spark.read.parquet(_data_root(t)).count()
     assert raw == 40  # old + compacted copies both on disk pre-vacuum
     assert tx_read(spark, t).count() == 20
     tx_vacuum(t, retain_versions=1)
-    assert spark.read.parquet(t).count() == 20
+    assert spark.read.parquet(_data_root(t)).count() == 20
 
 
 # ---------------------------------------------------------------------------
@@ -293,7 +433,7 @@ def test_pruning_never_drops_rows_with_nulls_or_unstatted_files(spark, tmp_path)
     foreign = "part-foreign.parquet"
     import shutil as _sh
 
-    _sh.copy(os.path.join(t, src), os.path.join(t, foreign))
+    _sh.copy(_data_path(t, src), _data_path(t, foreign))
     _commit(t, "append", lambda s: ([foreign], [], {}))
     kept, _ = tx_prune(t, [("id", "<", 10)])
     assert foreign in kept, "files without stats must never be skipped"
@@ -368,7 +508,7 @@ def test_stream_sink_is_exactly_once_under_replay(spark, tmp_path):
     assert tx_snapshot(t)["version"] == v_before, "replay must commit nothing"
     assert _ids(tx_read(spark, t)) == list(range(10))
     # the replay's staged files were dropped, not stranded as orphans
-    on_disk = {n for n in os.listdir(t) if n.endswith(".parquet")}
+    on_disk = set(get_data_store(t).list_files(t))
     assert on_disk == set(tx_snapshot(t)["files"])
     # a DIFFERENT app's batch 1 is its own token space
     sink2 = tx_stream_sink(t, "q2")
@@ -607,11 +747,14 @@ def test_vacuum_loser_inherits_winner_horizon(spark, tmp_path, mem_store):
 def test_vacuum_sweeps_stage_dirs(spark, tmp_path):
     t = str(tmp_path / "t")
     tx_append(_mk(spark, range(3)), t)
-    stage = tmp_path / "t__tx_stage" / "deadbeefcafe"
-    stage.mkdir(parents=True)
-    (stage / "part-000.parquet").write_bytes(b"stranded")
+    # a crashed writer strands a staged write wherever the table's
+    # DataStore stages (local: the __tx_stage sibling; bucket: _stage/)
+    stage = get_data_store(t).stage_uri(t)
+    os.makedirs(stage)
+    with open(os.path.join(stage, "part-000.parquet"), "wb") as fh:
+        fh.write(b"stranded")
     tx_vacuum(t, include_orphans=True)
-    assert not (tmp_path / "t__tx_stage").exists()
+    assert not os.path.exists(stage)
     assert _ids(tx_read(spark, t)) == [0, 1, 2]
 
 
@@ -1067,7 +1210,7 @@ def test_vacuum_reclaims_dead_dvs_and_keeps_live_ones(spark, tmp_path):
     tx_delete_where(spark, t, "id < 10")                # v1 -> dv file
     dv_rel = next(iter(tx_snapshot(t)["dvs"].values()))[0]
     assert dv_rel.startswith("dv-")
-    assert os.path.exists(os.path.join(t, dv_rel))
+    assert _data_exists(t, dv_rel)
 
     # cover still live: vacuum must NOT touch the DV
     res = tx_vacuum(t, retain_versions=1)
@@ -1078,7 +1221,7 @@ def test_vacuum_reclaims_dead_dvs_and_keeps_live_ones(spark, tmp_path):
     tx_compact(spark, t, target_files=1)                # v3
     res2 = tx_vacuum(t, retain_versions=1)
     assert dv_rel in res2["deleted"]
-    assert not os.path.exists(os.path.join(t, dv_rel))
+    assert not _data_exists(t, dv_rel)
     assert tx_read(spark, t).count() == 20
 
 
@@ -1363,6 +1506,9 @@ def test_doctor_reports_dv_debt_and_compaction_clears_it(spark, tmp_path, capsys
     out = capsys.readouterr().out
     assert "105 logically-deleted row(s)" in out
     assert "RECOMMEND: tx compact" in out
+    # the txtable-source census rides the same report (round-8): a
+    # healthy table is fully on the Arrow fast path
+    assert "4/4 file(s) take the Arrow fast path" in out
 
     tx_compact(spark, t, target_files=2)
     dv2 = tx_dv_stats(t)
@@ -1473,7 +1619,7 @@ def test_manifest_export_reads_exactly_one_generation(spark, tmp_path):
     assert abs(via_manifest[1] - want[1]) < 1e-9
     # the naive glob reads the dead generation too
     via_glob = con.execute(
-        f"SELECT count(*) FROM read_parquet('{t}/**/*.parquet', "
+        f"SELECT count(*) FROM read_parquet('{_data_root(t)}/**/*.parquet', "
         "hive_partitioning=1)"
     ).fetchone()
     assert via_glob[0] > want[0]
@@ -1640,7 +1786,7 @@ def test_tx_optimize_acts_on_doctor_signals(spark, tmp_path, capsys):
     res2 = tx_optimize(spark, t, target_files=2, dv_threshold=0.5)
     assert res2["compacted"] is None
     assert "prior generation" in res2["reason"]
-    assert open(os.path.join(t, "_manifest", "files.txt")).read() == stale
+    assert open(_data_path(t, "_manifest/files.txt")).read() == stale
 
     # CLI
     assert main(["tx", "optimize", "--table", t]) == 0
@@ -1697,7 +1843,7 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path, capsys):
     # nothing happened: no vacuum commit, files on disk, time travel OK
     assert [h["op"] for h in tx_history(t)].count("vacuum") == 0
     for f in pre["files"]:
-        assert os.path.exists(os.path.join(t, f))
+        assert _data_exists(t, f)
     assert _ids(tx_read(spark, t, version=pre["version"])) == list(range(15))
 
     assert main(["tx", "vacuum", "--table", t, "--dry-run"]) == 0
@@ -1707,7 +1853,7 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path, capsys):
     assert sorted(real["deleted"]) == sorted(dry["deleted"])
     assert real["horizon"] == dry["horizon"]
     for f in pre["files"]:
-        assert not os.path.exists(os.path.join(t, f))
+        assert not _data_exists(t, f)
 
 
 import hypothesis.strategies as _st
@@ -1799,3 +1945,87 @@ def test_dv_op_sequences_match_python_model(spark, tmp_path_factory, ops):
     for v, m in history:
         got = sorted((r.id, r.v) for r in tx_read(spark, t, version=v).collect())
         assert got == [(k, float(k + 10 * b)) for k, b in sorted(m.items())]
+
+
+def test_bucket_store_table_root_never_holds_data(
+    spark, tmp_path, data_store_mode
+):
+    """The seam proof, stated directly: under the bucket store a full
+    workout of the format — plain + partitioned appends, DV delete,
+    update, merge, compact, erase, restore, manifest export, vacuum with
+    orphan sweep — leaves the TABLE ROOT holding only `_txn_log`. Any
+    data byte under the root means some code path bypassed the
+    DataStore."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_delete_where,
+        tx_merge,
+        tx_restore,
+        tx_update_where,
+        tx_write_manifest,
+    )
+
+    def no_data_under_root(t):
+        hits = []
+        for dirpath, dirs, names in os.walk(t):
+            dirs[:] = [d for d in dirs if d != "_txn_log"]
+            hits += [os.path.join(dirpath, n) for n in names
+                     if n.endswith(".parquet") or n == "files.txt"]
+        return hits
+
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(20)).repartition(2), t)
+    tx_delete_where(spark, t, "id < 3")
+    tx_update_where(spark, t, "id = 5", {"val": "'bumped'"})
+    tx_merge(
+        spark, t,
+        spark.createDataFrame([Row(id=19, val="merged"), Row(id=50, val="new")]),
+        ["id"],
+    )
+    pre_compact = tx_snapshot(t)["version"]
+    tx_compact(spark, t, target_files=1)
+    tx_erase_keys(spark, t, "id", [7])
+    tx_restore(t, pre_compact)
+    tx_compact(spark, t, target_files=1)  # materialize again post-restore
+    manifest = tx_write_manifest(t)
+    assert open(manifest).read().strip(), "manifest exported"
+    tx_vacuum(t, retain_versions=1, include_orphans=True)
+
+    got = sorted(r["id"] for r in tx_read(spark, t).collect())
+    assert got == sorted(set(range(3, 20)) | {50})
+
+    if data_store_mode == "bucket":
+        assert no_data_under_root(t) == [], (
+            "a code path bypassed the DataStore seam"
+        )
+        assert os.path.isdir(os.path.join(t, "_txn_log"))
+    else:
+        assert no_data_under_root(t), "local store keeps data in-root"
+
+
+def test_hive_partitioned_row_ops_through_bucket_store(
+    spark, tmp_path, data_store_mode
+):
+    """Partition-value recovery, URL-encodable partition values, and the
+    __tx_rel derivation (scan_uri_root contract) all survive the store
+    swap — the row-level ops address files by log-relative path, which
+    must round-trip through whatever URI scheme the store scans under."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_delete_where,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["New York", "Ulan Bator"][i % 2], float(i)) for i in range(12)],
+        "id int, city string, v double",
+    )
+    t = str(tmp_path / "t")
+    tx_append(df, t, partition_by=["city"])
+    res = tx_delete_where(
+        spark, t, "id < 4", prune=[("city", "=", "New York")],
+    )
+    assert res["rows_deleted"] == 2  # ids 0, 2 in New York
+    out = tx_read(spark, t)
+    assert out.count() == 10
+    assert {r["city"] for r in out.collect()} == {"New York", "Ulan Bator"}
+    # erase rewrites only the hit partition's files, through the store
+    tx_erase_keys(spark, t, "id", [1])
+    assert tx_read(spark, t).count() == 9

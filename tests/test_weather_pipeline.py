@@ -474,3 +474,77 @@ def test_read_gold_snapshot_pins_one_generation(
     out = capsys.readouterr().out
     assert f"dim_date: v{snap2['versions']['dim_date']}," in out
     assert "fact_forecast_accuracy: v" in out
+
+
+def test_crash_between_gold_commits_keeps_snapshot_coherent(
+    spark, bronze_dir, tmp_path_factory, monkeypatch
+):
+    """Kill-between-commits: the gold tables commit to separate logs
+    sequentially, so a refresh that dies between the dim and fact
+    commits leaves "latest" a MIXED generation. The warehouse generation
+    pointer (the snapshot manifest, published only after every commit)
+    must keep read_gold_snapshot on the previous coherent generation —
+    never mixed dims/fact — and a completed re-run heals it."""
+    import os
+
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_snapshot
+    from weather_data_warehouse_aws_spark.pipeline import run as run_mod
+    from weather_data_warehouse_aws_spark.pipeline.run import (
+        SNAPSHOT_TABLES,
+        read_gold_snapshot,
+    )
+
+    wh = str(tmp_path_factory.mktemp("warehouse_crash"))
+    run_pipeline(spark, bronze_dir, wh, effective_date=EFFECTIVE, now=NOW)
+    gen1 = read_gold_snapshot(spark, wh)["versions"]
+    dim1 = sorted(
+        str(r) for r in read_gold_snapshot(spark, wh)["dim_location"].collect()
+    )
+
+    # crash the second refresh AFTER dim_location commits but BEFORE
+    # dim_date / the fact do (tx_overwrite call #2 of the run)
+    real_overwrite = run_mod.tx_overwrite
+    calls = {"n": 0}
+
+    def dying_overwrite(df, path, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash between gold commits")
+        return real_overwrite(df, path, **kw)
+
+    monkeypatch.setattr(run_mod, "tx_overwrite", dying_overwrite)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_pipeline(
+            spark, bronze_dir, wh,
+            effective_date=EFFECTIVE + dt.timedelta(days=1),
+            now=NOW + dt.timedelta(days=1),
+        )
+    monkeypatch.setattr(run_mod, "tx_overwrite", real_overwrite)
+
+    # "latest" IS mixed now: dim_location advanced, the fact did not
+    dim_path = os.path.join(wh, *SNAPSHOT_TABLES["dim_location"])
+    fact_path = os.path.join(wh, *SNAPSHOT_TABLES["fact_forecast_accuracy"])
+    assert tx_snapshot(dim_path)["version"] > gen1["dim_location"]
+    assert tx_snapshot(fact_path)["version"] == gen1["fact_forecast_accuracy"]
+
+    # ...but an unpinned snapshot reader still sees generation 1 whole:
+    # the manifest was never republished, so every table reads as_of gen1
+    snap = read_gold_snapshot(spark, wh)
+    assert snap["versions"] == gen1
+    assert sorted(str(r) for r in snap["dim_location"].collect()) == dim1
+
+    # a COMPLETED re-run publishes generation 2 atomically
+    run_pipeline(
+        spark, bronze_dir, wh,
+        effective_date=EFFECTIVE + dt.timedelta(days=1),
+        now=NOW + dt.timedelta(days=1),
+    )
+    snap2 = read_gold_snapshot(spark, wh)
+    assert all(snap2["versions"][n] > gen1[n] for n in gen1)
+    # the healed generation is self-consistent: every pinned version is
+    # the table's CURRENT latest (no torn intermediate leaked in)
+    for name, rel in SNAPSHOT_TABLES.items():
+        assert (
+            snap2["versions"][name]
+            == tx_snapshot(os.path.join(wh, *rel))["version"]
+        )

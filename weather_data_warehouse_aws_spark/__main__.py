@@ -340,6 +340,21 @@ def main(argv: list[str] | None = None) -> int:
                     "anti-join for these rows; compaction materializes "
                     "the deletes and zeroes the debt"
                 )
+            from .sources.tx_source import tx_source_cast_report
+
+            cast = tx_source_cast_report(args.table)
+            print(
+                f"txtable source: {cast['arrow_ready']}/"
+                f"{cast['files_total']} file(s) take the Arrow fast path"
+            )
+            for rel, reason in cast["fallback_files"][:5]:
+                print(f"  FALLBACK {rel}: {reason}")
+            if cast["fallback_files"]:
+                print(
+                    "  RECOMMEND: tx compact — a rewrite normalizes the "
+                    "physical types to the logged schema, restoring the "
+                    "Arrow (vectorized) change-feed path"
+                )
             df = tx_read(spark, args.table)
         else:
             df = spark.read.parquet(args.table)

@@ -37,10 +37,13 @@ from .privacy import (  # noqa: F401
 )
 from .skew import salted_agg, salted_broadcast_join  # noqa: F401
 from .txlog import (  # noqa: F401
+    DataStore,
+    LocalFSDataStore,
     LocalFSLogStore,
     LogStore,
     TxConflict,
     TxCorruption,
+    register_data_store,
     register_log_store,
     tx_append,
     tx_changes,

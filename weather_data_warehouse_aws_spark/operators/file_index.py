@@ -59,12 +59,13 @@ def _tx_live_files(table_path: str) -> list[str] | None:
     this gate so the Bloom index composes with the transactional format:
     candidates are drawn from the log's live set, index rows for removed
     files are ignored, and unindexed live files stay candidates."""
-    from .txlog import tx_exists, tx_snapshot
+    from .txlog import get_data_store, tx_exists, tx_snapshot
 
     if not tx_exists(table_path):
         return None
     snap = tx_snapshot(table_path)
-    return [os.path.join(table_path, f) for f in snap["files"]]
+    store = get_data_store(table_path)
+    return [store.read_uri(table_path, f) for f in snap["files"]]
 
 
 def _table_df(spark: SparkSession, table_path: str):
@@ -378,9 +379,11 @@ def read_with_index(
         schema = _table_df(spark, table_path).schema
         return spark.createDataFrame([], schema)
     if _tx_live_files(table_path) is not None:
-        from .txlog import _read_live, tx_snapshot
+        from .txlog import _read_live, get_data_store, tx_snapshot
 
-        root = os.path.abspath(table_path)
+        # invert read_uri: candidates arrived as store URIs, the logical
+        # scan wants log-relative paths (spark_base_path is the URI root)
+        root = get_data_store(table_path).spark_base_path(table_path)
         rels = [os.path.relpath(os.path.abspath(f), root) for f in files]
         scan = _read_live(spark, table_path, rels, tx_snapshot(table_path))
         return scan.filter(F.col(column) == F.lit(value))

@@ -35,11 +35,13 @@ checkpoint ≤ v): live = adds − removes, in order. Data files are IMMUTABLE
   local-FS default publishes a fully-fsynced temp file via exclusive
   hard-link, so a claimed version is never torn; `register_log_store`
   swaps in an object-store implementation (S3 conditional PUT / DynamoDB
-  mutex, HDFS rename-without-overwrite) for the COMMIT PROTOCOL — that
-  seam covers log entries only. Data-file IO (staging via `os.rename`,
-  vacuum's `os.walk` sweep, `file:` read URIs) currently assumes a
-  shared POSIX filesystem; an object-store deployment would additionally
-  need a data-file IO layer, which is deliberately out of scope here.
+  mutex, HDFS rename-without-overwrite) for the COMMIT PROTOCOL, and
+  `register_data_store` swaps the DATA plane (staging, publishing,
+  reads, deletes, the orphan sweep) onto the store's plain
+  PUT/GET/DELETE/LIST verbs — register both and the format runs on an
+  object store with no operator changes (the whole txlog test suite
+  passes against a no-rename, no-directory bucket emulation; see
+  `DataStore`).
 * **Conflicts are semantic, not physical.** Blind appends never conflict
   (retry always succeeds). Operations that REPLACE files (compact, erase,
   overwrite) validate at commit time that every file they remove is still
@@ -123,8 +125,9 @@ class TxCorruption(RuntimeError):
 # LogStore seam — the three primitives commit/replay need, exactly the
 # public Delta Lake LogStore contract (Armbrust et al. VLDB 2020 §3.2):
 # mutual exclusion on writes of a named entry, listing, and reads. The
-# DATA files never need a seam: they are immutable and single-writer, so
-# any plain object PUT/GET works — all consensus lives in the log.
+# DATA files never need consensus — they are immutable and single-writer,
+# so plain object PUT/GET suffices — but their IO still needs PORTABILITY,
+# which is the DataStore seam below.
 # --------------------------------------------------------------------------
 
 
@@ -195,6 +198,14 @@ _DEFAULT_STORE = LocalFSLogStore()
 _STORES: dict[str, LogStore] = {}  # path prefix -> store
 
 
+def _longest_prefix(path: str, registry: dict) -> str | None:
+    best = None
+    for prefix in registry:
+        if path.startswith(prefix) and (best is None or len(prefix) > len(best)):
+            best = prefix
+    return best
+
+
 def register_log_store(prefix: str, store: LogStore) -> None:
     """Route tables under `prefix` through `store` (longest prefix wins).
     This is how a cluster deployment mounts its object-store commit
@@ -203,11 +214,207 @@ def register_log_store(prefix: str, store: LogStore) -> None:
 
 
 def get_log_store(path: str) -> LogStore:
-    best = None
-    for prefix in _STORES:
-        if path.startswith(prefix) and (best is None or len(prefix) > len(best)):
-            best = prefix
+    best = _longest_prefix(path, _STORES)
     return _STORES[best] if best is not None else _DEFAULT_STORE
+
+
+# --------------------------------------------------------------------------
+# DataStore seam — the data-file IO protocol, symmetrical to LogStore.
+# The LOG needs mutual exclusion (consensus); the DATA files are immutable
+# and referenced only through the log, so none of these primitives needs
+# atomicity beyond per-object PUT — they exist for PORTABILITY: an
+# object-store table (S3/GCS/ABFS) has no rename, no directories to walk,
+# and no shared POSIX mount, so every byte of data-plane IO routes through
+# here. A half-published file is invisible until its commit lands (orphans
+# are vacuum-sweepable), exactly the Delta data-plane contract
+# (Armbrust et al. VLDB 2020 §3.1: "objects are immutable; the log is the
+# source of truth").
+# --------------------------------------------------------------------------
+
+
+class DataStore:
+    """Storage protocol for the table's DATA files (and small text
+    artifacts like the external-reader manifest). Implementations map to
+    plain object-store verbs: PUT (publish/put_atomic), GET
+    (open_input/read_uri), DELETE (delete), LIST-by-prefix
+    (list_files/list_stage). Invariants every implementation must keep:
+
+    * `read_uri(root, rel)` is Spark-readable AND pyarrow/external-
+      engine-readable (manifest lines are exactly these URIs);
+    * a file Spark scanned from `read_uri(root, rel)` reports
+      `_metadata.file_path` == URL-encoded `scan_uri_root(root) + rel`
+      (how `_read_live` recovers the log-relative path for row-level
+      ops), and `spark_base_path(root)` makes Spark recover hive
+      partition columns from the `col=value/` segments of `rel`;
+    * staged writes live OUTSIDE the live keyspace: `list_files` never
+      reports them;
+    * instances are PICKLABLE (the `txtable` streaming source resolves
+      the store driver-side and ships it to executors with the reader).
+    """
+
+    def stage_uri(self, table_root: str) -> str:
+        """A fresh Spark-writable location for ONE staged `df.write`."""
+        raise NotImplementedError
+
+    def list_stage(self, stage_uri: str) -> list[str]:
+        """Relative paths of the `*.parquet` files a completed df.write
+        left under `stage_uri` (hive `col=value/` subdirs preserved)."""
+        raise NotImplementedError
+
+    def publish(
+        self, table_root: str, stage_uri: str, staged_rel: str, rel: str
+    ) -> None:
+        """Make the staged file readable at `rel` under the table's data
+        keyspace (rename on a shared FS, server-side copy on an object
+        store — need NOT be atomic: unreferenced garbage is orphans)."""
+        raise NotImplementedError
+
+    def discard_stage(self, table_root: str, stage_uri: str) -> None:
+        """Drop one staged write's leftovers (post-publish cleanup)."""
+        raise NotImplementedError
+
+    def sweep_stages(self, table_root: str) -> None:
+        """Drop ALL staging areas for the table — vacuum's stranded-stage
+        sweep (same no-writes-in-flight covenant as orphan removal)."""
+        raise NotImplementedError
+
+    def delete(self, table_root: str, rel: str) -> None:
+        """Remove one data file; missing files are a no-op."""
+        raise NotImplementedError
+
+    def exists(self, table_root: str, rel: str) -> bool:
+        raise NotImplementedError
+
+    def list_files(self, table_root: str) -> list[str]:
+        """Every `*.parquet` rel in the table's data keyspace (the orphan
+        sweep's LIST — log entries and staged writes excluded)."""
+        raise NotImplementedError
+
+    def read_uri(self, table_root: str, rel: str) -> str:
+        """URI/path `spark.read` (and external engines) open `rel` at."""
+        raise NotImplementedError
+
+    def scan_uri_root(self, table_root: str) -> str:
+        """The `_metadata.file_path` prefix (trailing '/') Spark reports
+        for files scanned via `read_uri` — see class invariants."""
+        raise NotImplementedError
+
+    def spark_base_path(self, table_root: str) -> str:
+        """`basePath` option pinning hive partition recovery."""
+        raise NotImplementedError
+
+    def open_input(self, table_root: str, rel: str):
+        """Binary file-like for pyarrow (footer stats, DV reads)."""
+        raise NotImplementedError
+
+    def put_atomic(self, table_root: str, rel: str, payload: str) -> str:
+        """Atomically publish a small TEXT artifact (the manifest) at
+        `rel`; returns its externally-readable location."""
+        raise NotImplementedError
+
+
+class LocalFSDataStore(DataStore):
+    """Shared-POSIX default: staging is a sibling dir + same-FS rename,
+    deletes prune emptied hive partition dirs, lists are os.walk."""
+
+    def _stage_root(self, table_root: str) -> str:
+        return table_root.rstrip("/") + "__tx_stage"
+
+    def stage_uri(self, table_root: str) -> str:
+        return os.path.join(self._stage_root(table_root), uuid.uuid4().hex)
+
+    def list_stage(self, stage_uri: str) -> list[str]:
+        rels = []
+        for dirpath, _dirs, names in os.walk(stage_uri):
+            sub = os.path.relpath(dirpath, stage_uri)
+            prefix = "" if sub == "." else sub + "/"
+            rels.extend(prefix + n for n in names if n.endswith(".parquet"))
+        return sorted(rels)
+
+    def publish(
+        self, table_root: str, stage_uri: str, staged_rel: str, rel: str
+    ) -> None:
+        dst = os.path.join(table_root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(os.path.join(stage_uri, staged_rel), dst)
+
+    def discard_stage(self, table_root: str, stage_uri: str) -> None:
+        shutil.rmtree(stage_uri, ignore_errors=True)
+        root = self._stage_root(table_root)
+        if os.path.isdir(root) and not os.listdir(root):
+            os.rmdir(root)
+
+    def sweep_stages(self, table_root: str) -> None:
+        root = self._stage_root(table_root)
+        if os.path.isdir(root):
+            shutil.rmtree(root, ignore_errors=True)
+
+    def delete(self, table_root: str, rel: str) -> None:
+        root = os.path.abspath(table_root)
+        try:
+            os.remove(os.path.join(table_root, rel))
+        except FileNotFoundError:
+            pass
+        # prune now-empty hive partition dirs (never the table root)
+        d = os.path.dirname(os.path.join(root, rel))
+        while d != root and os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)
+            d = os.path.dirname(d)
+
+    def exists(self, table_root: str, rel: str) -> bool:
+        return os.path.exists(os.path.join(table_root, rel))
+
+    def list_files(self, table_root: str) -> list[str]:
+        out: list[str] = []
+        for dirpath, dirs, names in os.walk(table_root):
+            dirs[:] = [d for d in dirs if d != _LOG_DIR]
+            sub = os.path.relpath(dirpath, table_root)
+            prefix = "" if sub == "." else sub + "/"
+            out.extend(prefix + n for n in names if n.endswith(".parquet"))
+        return sorted(out)
+
+    def read_uri(self, table_root: str, rel: str) -> str:
+        return os.path.join(os.path.abspath(table_root), rel)
+
+    def scan_uri_root(self, table_root: str) -> str:
+        return "file:" + os.path.abspath(table_root).rstrip("/") + "/"
+
+    def spark_base_path(self, table_root: str) -> str:
+        return os.path.abspath(table_root)
+
+    def open_input(self, table_root: str, rel: str):
+        return open(os.path.join(table_root, rel), "rb")
+
+    def put_atomic(self, table_root: str, rel: str, payload: str) -> str:
+        dst = os.path.join(table_root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tmp = os.path.join(
+            os.path.dirname(dst), f".{os.path.basename(rel)}.{uuid.uuid4().hex}.tmp"
+        )
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, dst)
+        return dst
+
+
+_DEFAULT_DATA_STORE = LocalFSDataStore()
+_DATA_STORES: dict[str, DataStore] = {}  # path prefix -> store
+
+
+def register_data_store(prefix: str, store: DataStore) -> None:
+    """Route the DATA files of tables under `prefix` through `store`
+    (longest prefix wins) — the data-plane half of `register_log_store`.
+    Register both and the table format runs where 100 TB lives: log
+    commits through the object store's conditional-PUT primitive, data
+    files through its PUT/GET/DELETE/LIST."""
+    _DATA_STORES[prefix] = store
+
+
+def get_data_store(path: str) -> DataStore:
+    best = _longest_prefix(path, _DATA_STORES)
+    return _DATA_STORES[best] if best is not None else _DEFAULT_DATA_STORE
 
 
 def _log_dir(path: str) -> str:
@@ -529,9 +736,11 @@ def _file_stats(path: str, rels: list[str]) -> dict[str, dict]:
 
     import pyarrow.parquet as pq
 
+    store = get_data_store(path)
     out: dict[str, dict] = {}
     for rel in rels:
-        md = pq.ParquetFile(os.path.join(path, rel)).metadata
+        with store.open_input(path, rel) as f:
+            md = pq.ParquetFile(f).metadata
         cols: dict[str, list] = {}
         dead: set[str] = set()
         for rg_i in range(md.num_row_groups):
@@ -741,8 +950,10 @@ def tx_prune(
 ) -> tuple[list[str], list[str]]:
     """Split the snapshot's live files into (kept, skipped) under a
     conjunctive predicate `[(col, op, value), ...]` with ops
-    {=, <, <=, >, >=}, using the per-file min/max recorded at commit
-    time. Skipping is PROOF-based: a file is skipped only when its stats
+    {=, <, <=, >, >=, in, is_null, not_null}, using the per-file min/max
+    and null counts recorded at commit time (plus exact hive
+    partition-value proofs on partition columns). Skipping is
+    PROOF-based: a file is skipped only when its stats
     guarantee zero matching rows, so reading only `kept` (then applying
     the same predicate as a row filter) is exact. At 100 TB this is the
     difference between a full-table scan and touching the handful of
@@ -777,50 +988,34 @@ def _write_new_files(
     its `col=value/` prefix — the log-recorded path itself carries the
     partition values, so pruning reads them with zero extra metadata
     (`_partition_values`) and `tx_read`'s basePath scan reconstitutes the
-    partition columns."""
-    stage = path.rstrip("/") + "__tx_stage"
-    tmp = os.path.join(stage, uuid.uuid4().hex)
+    partition columns. All IO routes through the table's `DataStore`."""
+    store = get_data_store(path)
+    stage = store.stage_uri(path)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
-    os.makedirs(path, exist_ok=True)
+    writer.parquet(stage)
     rels = []
-    for dirpath, _dirs, names in os.walk(tmp):
-        sub = os.path.relpath(dirpath, tmp)
-        dir_prefix = "" if sub == "." else sub + "/"
-        for name in sorted(names):
-            if not name.endswith(".parquet"):
-                continue
-            rel = f"{dir_prefix}{prefix}-{uuid.uuid4().hex}.parquet"
-            dst = os.path.join(path, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.rename(os.path.join(dirpath, name), dst)
-            rels.append(rel)
+    for staged_rel in store.list_stage(stage):
+        cut = staged_rel.rfind("/") + 1
+        rel = f"{staged_rel[:cut]}{prefix}-{uuid.uuid4().hex}.parquet"
+        store.publish(path, stage, staged_rel, rel)
+        rels.append(rel)
     rels.sort()
-    shutil.rmtree(tmp, ignore_errors=True)
-    if os.path.isdir(stage) and not os.listdir(stage):
-        os.rmdir(stage)
+    store.discard_stage(path, stage)
     stats = _file_stats(path, rels) if collect_stats else {}
     return rels, stats
 
 
 def _drop_files(path: str, rels: list[str]) -> None:
-    root = os.path.abspath(path)
+    store = get_data_store(path)
     for rel in rels:
-        try:
-            os.remove(os.path.join(path, rel))
-        except FileNotFoundError:
-            pass
-        # prune now-empty hive partition dirs (never the table root)
-        d = os.path.dirname(os.path.join(root, rel))
-        while d != root and os.path.isdir(d) and not os.listdir(d):
-            os.rmdir(d)
-            d = os.path.dirname(d)
+        store.delete(path, rel)
 
 
-def _abs(path: str, rels: list[str]) -> list[str]:
-    return [os.path.join(path, r) for r in rels]
+def _read_uris(path: str, rels: list[str]) -> list[str]:
+    store = get_data_store(path)
+    return [store.read_uri(path, r) for r in rels]
 
 
 def _read_live(
@@ -858,7 +1053,8 @@ def _read_live(
         else None
     )
     types = {f.name: f.dataType for f in logged.fields} if logged else {}
-    reader = spark.read.option("basePath", os.path.abspath(path))
+    store = get_data_store(path)
+    reader = spark.read.option("basePath", store.spark_base_path(path))
     string_pcol = any(
         types.get(c, None) is not None and types[c].typeName() == "string"
         for c in pby
@@ -872,22 +1068,22 @@ def _read_live(
         # discovered by a metadata-only mergeSchema probe (footer reads,
         # no data scan; logged types, incl. the exact string partition
         # type, win on overlap).
-        probe = reader.option("mergeSchema", True).parquet(*_abs(path, rels))
+        probe = reader.option("mergeSchema", True).parquet(*_read_uris(path, rels))
         logged_names = {f.name for f in logged.fields}
         pinned = StructType(
             list(logged.fields)
             + [f for f in probe.schema.fields if f.name not in logged_names]
         )
-        out = reader.schema(pinned).parquet(*_abs(path, rels))
+        out = reader.schema(pinned).parquet(*_read_uris(path, rels))
     else:
-        out = reader.option("mergeSchema", True).parquet(*_abs(path, rels))
+        out = reader.option("mergeSchema", True).parquet(*_read_uris(path, rels))
 
     dv_map = (snap or {}).get("dvs") or {}
     dv_rels = sorted(
         {d for r in rels for d in dv_map.get(r, [])}
     ) if apply_dvs else []
     if keep_meta or dv_rels:
-        uri_root = "file:" + os.path.abspath(path).rstrip("/") + "/"
+        uri_root = store.scan_uri_root(path)
         # _metadata.file_path is a URI, so URL-encodable characters in
         # partition values or the table root arrive percent-encoded
         # ('city=New York' scans as 'city=New%20York'), while log and DV
@@ -906,7 +1102,7 @@ def _read_live(
     if dv_rels:
         # deleted-position lists are KB-to-MB scale → broadcast anti-join;
         # the scan side pays two metadata columns, no shuffle
-        dvf = spark.read.parquet(*_abs(path, dv_rels)).select(
+        dvf = spark.read.parquet(*_read_uris(path, dv_rels)).select(
             F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
         )
         out = out.join(
@@ -1400,7 +1596,7 @@ def tx_delete_where(
     )
     dv_rels, _ = _write_new_files(hits, path, collect_stats=False, prefix="dv")
     per_file = (
-        spark.read.parquet(*_abs(path, dv_rels))
+        spark.read.parquet(*_read_uris(path, dv_rels))
         .groupBy("file")
         .count()
         .collect()
@@ -1523,7 +1719,7 @@ def tx_update_where(
     finally:
         matched.unpersist()
     per_file = (
-        spark.read.parquet(*_abs(path, dv_rels)).groupBy("file").count().collect()
+        spark.read.parquet(*_read_uris(path, dv_rels)).groupBy("file").count().collect()
     )
     covers = sorted(r["file"] for r in per_file)
     rows_updated = int(sum(r["count"] for r in per_file))
@@ -1618,7 +1814,7 @@ def _dv_positions(
     if not dv_rels:
         return None
     return (
-        spark.read.parquet(*_abs(path, dv_rels))
+        spark.read.parquet(*_read_uris(path, dv_rels))
         .filter(F.col("file").isin(files))
         .select("file", "pos")
         .distinct()
@@ -1773,10 +1969,14 @@ def tx_read(
     can't change this scan. mergeSchema keeps late-added columns; an empty
     snapshot still has the logged schema.
 
-    `predicate=[(col, op, value), ...]` (conjunctive, ops {=,<,<=,>,>=})
-    both PRUNES files via the committed min/max stats (tx_prune) and
-    applies the same conditions as row filters, so the result is exactly
-    the filtered table — stats only decide which files are opened. Note:
+    `predicate=[(col, op, value), ...]` (conjunctive, ops {=, <, <=, >,
+    >=, in, is_null, not_null} — `in` takes a list whose NULL members
+    are stripped (IN's 3VL: a NULL member is never TRUE); is_null /
+    not_null ignore the value slot and prove from exact footer null
+    counts) both PRUNES files via the committed min/max stats (tx_prune)
+    and applies the same conditions as row filters, so the result is
+    exactly the filtered table — stats only decide which files are
+    opened. Note:
     a predicate that prunes EVERY file returns the last writer's logged
     schema, which on a schema-evolved table may lack columns only older
     files carry (the unpruned read's mergeSchema union would have them)."""
@@ -1851,8 +2051,8 @@ def tx_optimize(
             sort_by=sort_by, zorder_by=zorder_by,
         )
     manifest = None
-    if refresh_manifest and os.path.exists(
-        os.path.join(path, "_manifest", "files.txt")
+    if refresh_manifest and get_data_store(path).exists(
+        path, "_manifest/files.txt"
     ):
         # below-threshold DVs block a manifest export (tx_write_manifest
         # refuses — external readers can't anti-join); leave the existing
@@ -2036,7 +2236,8 @@ def tx_write_manifest(path: str, version: int | None = None) -> str:
     no anti-join, so it would resurrect the DV'd rows — run `tx_compact`
     (materializes deletes) first; the error says so. Regenerate after
     every commit you want externally visible (the manifest is a
-    snapshot, not a live view). Returns the manifest file path."""
+    snapshot, not a live view). Returns the manifest's location (the
+    lines are the DataStore's external-reader URIs)."""
     snap = tx_snapshot(path, version)
     live_dvs = {r: d for r, d in (snap.get("dvs") or {}).items()
                 if d and r in set(snap["files"])}
@@ -2046,18 +2247,11 @@ def tx_write_manifest(path: str, version: int | None = None) -> str:
             "deletion vectors — an external reader would resurrect the "
             "deleted rows; run tx_compact to materialize them first"
         )
-    mdir = os.path.join(path, "_manifest")
-    os.makedirs(mdir, exist_ok=True)
-    dst = os.path.join(mdir, "files.txt")
-    tmp = os.path.join(mdir, f".files.{uuid.uuid4().hex}.tmp")
-    root = os.path.abspath(path)
-    with open(tmp, "w") as fh:
-        for rel in snap["files"]:
-            fh.write(os.path.join(root, rel) + "\n")
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, dst)
-    return dst
+    store = get_data_store(path)
+    payload = "".join(
+        store.read_uri(path, rel) + "\n" for rel in snap["files"]
+    )
+    return store.put_atomic(path, "_manifest/files.txt", payload)
 
 
 def tx_dv_stats(path: str, *, recommend_at: float = 0.05) -> dict:
@@ -2087,9 +2281,11 @@ def tx_dv_stats(path: str, *, recommend_at: float = 0.05) -> dict:
     # one read per DV parquet (they are small by design); counts keyed by
     # covered file, restricted to each file's OWN listed DVs so a stale
     # association can never inflate the report
+    store = get_data_store(path)
     per_dv: dict[str, dict[str, int]] = {}
     for d in dv_rels:
-        t = pq.read_table(os.path.join(path, d), columns=["file"])
+        with store.open_input(path, d) as f:
+            t = pq.read_table(f, columns=["file"])
         counts: dict[str, int] = {}
         for row in pc.value_counts(t.column("file")).to_pylist():
             counts[row["values"]] = row["counts"]
@@ -2152,14 +2348,7 @@ def _vacuum_plan(
     )
     orphans: list[str] = []
     if include_orphans:
-        on_disk: set[str] = set()
-        for dirpath, dirs, names in os.walk(path):
-            dirs[:] = [d for d in dirs if d != _LOG_DIR]
-            sub = os.path.relpath(dirpath, path)
-            prefix = "" if sub == "." else sub + "/"
-            on_disk.update(
-                prefix + n for n in names if n.endswith(".parquet")
-            )
+        on_disk = set(get_data_store(path).list_files(path))
         orphans = sorted(on_disk - referenced)
     return horizon, deletable, orphans
 
@@ -2216,12 +2405,10 @@ def tx_vacuum(
     # snapshot from here on fails at resolution, not mid-scan
     _drop_files(path, deletable + orphans)
     if include_orphans:
-        # crashed writers also strand whole staging dirs under the
-        # __tx_stage sibling (df.write completed but the rename loop never
-        # ran) — same no-writes-in-flight covenant as the orphan sweep
-        stage = path.rstrip("/") + "__tx_stage"
-        if os.path.isdir(stage):
-            shutil.rmtree(stage, ignore_errors=True)
+        # crashed writers also strand whole staging areas (df.write
+        # completed but the publish loop never ran) — same
+        # no-writes-in-flight covenant as the orphan sweep
+        get_data_store(path).sweep_stages(path)
     return {"version": version, "horizon": horizon, "deleted": deletable + orphans}
 
 

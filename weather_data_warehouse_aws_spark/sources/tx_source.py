@@ -23,10 +23,22 @@ pyarrow (no driver-side data movement). Offsets/planning touch only the
 KB-scale log. Each file is yielded as pyarrow RecordBatches cast to the
 declared schema — zero per-row Python-object materialization (the
 Python DataSource API ships RecordBatches straight into the Arrow
-stream). A file whose physical types can't be cast to the declared
-schema (exotic evolution) falls back, per file and deterministically,
-to Python tuples aligned to the schema (None-filled for columns a
-pre-evolution file lacks).
+stream; deletion-vector masking is an inverted `pc.is_in` boolean mask
+over an Arrow position index, never a Python position set). A file
+whose physical types can't be cast to the declared schema (exotic
+evolution) falls back, per file and deterministically, to Python tuples
+aligned to the schema (None-filled for columns a pre-evolution file
+lacks); fallbacks warn executor-side and `tx_source_cast_report`
+(surfaced by `doctor`) censuses them driver-side.
+
+File skipping: option `predicate` (JSON `[[col, op, value?], ...]`,
+conjunctive, ops {=, <, <=, >, >=, in, is_null, not_null} — the same
+surface as `tx_read`) prunes (commit, file) partitions at PLANNING time
+using the committed footer stats and hive partition values (the
+`txlog._skip_file` proof), so a selective change-feed consumer never
+opens files that provably hold no matching row; the same conjuncts run
+as a row filter on the cast Arrow columns, so the drained feed IS the
+filtered feed.
 
 Deletion vectors are row-exact in the feed: a `tx_delete_where` commit
 streams ONLY the newly-deleted rows (one partition per covered file,
@@ -45,7 +57,6 @@ from __future__ import annotations
 
 import functools
 import json
-import os
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -95,35 +106,197 @@ def _partition_fill(rel: str, schema: StructType) -> dict:
     return out
 
 
-def _dv_pos_set(path: str, rel: str, dv_rels: list[str]) -> set[int]:
-    """Row positions the given deletion-vector relations mark deleted in
-    `rel`. DVs are KB-scale (file, pos) parquets — read executor-side."""
-    import pyarrow.compute as pc
+def _store(path, store=None):
+    """The table's DataStore (`operators/txlog.get_data_store`). Readers
+    resolve it DRIVER-side and ship it pickled with the reader — the
+    prefix registry is per-process, so an executor-side lookup would
+    silently fall back to local FS for an object-store table."""
+    if store is not None:
+        return store
+    from ..operators.txlog import get_data_store
+
+    return get_data_store(path)
+
+
+def _read_parquet(path: str, rel: str, store=None, columns=None):
     import pyarrow.parquet as pq
 
-    pos: set[int] = set()
+    with _store(path, store).open_input(path, rel) as f:
+        return pq.read_table(f, columns=columns)
+
+
+def _dv_positions(path: str, rel: str, dv_rels: list[str], store=None):
+    """UNIQUE row positions the given deletion-vector relations mark
+    deleted in `rel`, as an Arrow int64 array. DVs are KB-scale
+    (file, pos) parquets — read executor-side; positions stay Arrow
+    buffers (never Python sets: a complement set over a 128 MB file's
+    row count is hundreds of MB of boxed ints)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    chunks = []
     for d in dv_rels:
-        t = pq.read_table(os.path.join(path, d))
-        mask = pc.equal(t.column("file"), rel)
-        pos.update(t.filter(mask).column("pos").to_pylist())
-    return pos
+        t = _read_parquet(path, d, store, columns=["file", "pos"])
+        chunks.append(t.filter(pc.equal(t.column("file"), rel)).column("pos"))
+    if not chunks:
+        return pa.array([], type=pa.int64())
+    return pc.unique(pa.chunked_array(chunks).cast(pa.int64()))
 
 
-def _keep_positions(path: str, rel: str, num_rows: int,
-                    exclude_dv: list[str] | None,
-                    only_dv: tuple[list[str], list[str]] | None) -> set[int] | None:
-    """Physical row positions of `rel` to emit (None = all). `exclude_dv`
-    drops the positions those DV relations mark deleted (the file's
-    LOGICAL rows at the relevant version); `only_dv=(now_rels, prev_rels)`
-    keeps ONLY positions in now − prev (the rows a DV commit newly
-    deleted)."""
+def _apply_dv(table, path: str, rel: str,
+              exclude_dv: list[str] | None,
+              only_dv: tuple[list[str], list[str]] | None,
+              store=None):
+    """Row selection for `rel`'s Arrow table, Arrow-native end-to-end.
+    `exclude_dv` drops the positions those DV relations mark deleted (the
+    file's LOGICAL rows at the relevant version) via an inverted
+    `pc.is_in` boolean mask over a position index — O(rows) bits, no
+    Python-object materialization; `only_dv=(now_rels, prev_rels)` keeps
+    ONLY positions in now − prev (the rows a DV commit newly deleted) via
+    a take on the KB-scale position delta."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     if only_dv is not None:
         now_rels, prev_rels = only_dv
-        return _dv_pos_set(path, rel, now_rels) - _dv_pos_set(path, rel, prev_rels)
+        now = _dv_positions(path, rel, now_rels, store)
+        prev = _dv_positions(path, rel, prev_rels, store)
+        keep = now if len(prev) == 0 else now.filter(
+            pc.invert(pc.is_in(now, value_set=prev))
+        )
+        # sorted take → physical row order preserved, like any other read
+        return table.take(pa.array(np.sort(keep.to_numpy()), type=pa.int64()))
     if exclude_dv:
-        dead = _dv_pos_set(path, rel, exclude_dv)
-        return set(range(num_rows)) - dead if dead else None
-    return None
+        dead = _dv_positions(path, rel, exclude_dv, store)
+        if len(dead) == 0:
+            return table
+        pos = pa.array(np.arange(table.num_rows, dtype=np.int64))
+        return table.filter(pc.invert(pc.is_in(pos, value_set=dead)))
+    return table
+
+
+# predicate ops the source understands — the txlog reader's surface
+# (`operators/txlog._OPS`): conjunctive [(col, op, value), ...].
+_PRED_OPS = {"=", "<", "<=", ">", ">=", "in", "is_null", "not_null"}
+_CMP = {
+    "=": lambda a, b: a == b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _parse_predicate(raw: str | None, schema: StructType) -> list[tuple] | None:
+    """Decode the `predicate` option (JSON `[[col, op, value?], ...]`)
+    and coerce literals to the declared column types (JSON has no
+    date/timestamp: ISO strings arrive for those columns and compare as
+    the wrong type everywhere — stats pruning, Arrow filter, tuple
+    filter — unless lifted here, once, driver-side)."""
+    import datetime as dt
+
+    if raw is None:
+        return None
+    items = json.loads(raw)
+    by_name = {f.name: f.dataType.typeName() for f in schema.fields}
+
+    def _lift(col: str, v):
+        t = by_name.get(col)
+        if isinstance(v, str):
+            if t == "date":
+                return dt.date.fromisoformat(v)
+            if t == "timestamp":
+                return dt.datetime.fromisoformat(v)
+        return v
+
+    out = []
+    for item in items:
+        col, op = item[0], item[1]
+        value = item[2] if len(item) > 2 else None
+        if op not in _PRED_OPS:
+            raise ValueError(
+                f"txtable: unsupported predicate op {op!r} "
+                f"(use {sorted(_PRED_OPS)})"
+            )
+        if col not in by_name:
+            raise ValueError(
+                f"txtable: predicate column {col!r} not in the table "
+                f"schema ({sorted(by_name)})"
+            )
+        if op == "in":
+            value = [_lift(col, x) for x in (value or [])]
+        else:
+            value = _lift(col, value)
+        out.append((col, op, value))
+    return out
+
+
+def _pred_keeps_file(snap: dict | None, rel: str, pred: list[tuple] | None) -> bool:
+    """False iff the committed footer stats / hive partition values PROVE
+    `rel` holds no row matching the conjunctive predicate — the same
+    proof `tx_read(predicate=...)` uses (`txlog._skip_file`), applied at
+    PLANNING time so a pruned file's partition is never even created and
+    the file never opened."""
+    if not pred or snap is None:
+        return True
+    from ..operators.txlog import _skip_file
+
+    return not any(_skip_file(snap, rel, c, op, v) for c, op, v in pred)
+
+
+def _arrow_pred_filter(table, pred: list[tuple] | None):
+    """Apply the conjunctive predicate to a DECLARED-schema Arrow table.
+    SQL comparison semantics: a NULL operand never matches (mask nulls
+    fill to False); `in` members that are NULL are stripped (IN's 3VL)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not pred:
+        return table
+    mask = None
+    for col, op, value in pred:
+        c = table.column(col)
+        if op == "is_null":
+            m = pc.is_null(c)
+        elif op == "not_null":
+            m = pc.is_valid(c)
+        elif op == "in":
+            members = [x for x in value if x is not None]
+            m = pc.is_in(c, value_set=pa.array(members, type=c.type))
+        else:
+            m = {
+                "=": pc.equal, "<": pc.less, "<=": pc.less_equal,
+                ">": pc.greater, ">=": pc.greater_equal,
+            }[op](c, pa.scalar(value, type=c.type))
+        m = pc.fill_null(m, False)
+        mask = m if mask is None else pc.and_(mask, m)
+    return table.filter(mask)
+
+
+def _py_pred_ok(row: tuple, idx: dict[str, int], pred: list[tuple]) -> bool:
+    """Tuple-fallback row filter, same SQL semantics as the Arrow mask.
+    A fallback file's PHYSICAL value may not compare against the literal
+    (that is why it fell back); an incomparable pair KEEPS the row — a
+    CDC feed may over-deliver but must never silently drop a change."""
+    for col, op, value in pred:
+        x = row[idx[col]]
+        if op == "is_null":
+            ok = x is None
+        elif op == "not_null":
+            ok = x is not None
+        elif x is None:
+            ok = False
+        elif op == "in":
+            ok = any(x == m for m in value if m is not None)
+        else:
+            try:
+                ok = _CMP[op](x, value)
+            except TypeError:
+                ok = True
+        if not ok:
+            return False
+    return True
 
 
 @functools.lru_cache(maxsize=8)
@@ -143,22 +316,23 @@ def _read_file_batches(path: str, rel: str, colnames: list[str],
                        schema_json: str, tail: tuple,
                        fill: dict | None = None,
                        exclude_dv: list[str] | None = None,
-                       only_dv: tuple[list[str], list[str]] | None = None) -> list:
+                       only_dv: tuple[list[str], list[str]] | None = None,
+                       pred: list[tuple] | None = None,
+                       store=None) -> list:
     """Arrow fast path: one immutable data file → RecordBatches cast to
     the declared schema — no per-row Python objects anywhere (columns stay
-    Arrow buffers end-to-end; constants for the CDC tail, hive partition
-    values, and pre-evolution nulls are built as whole arrays). EAGER: all
-    casts happen before anything is yielded, so a file whose physical
-    types can't be cast raises here and the caller falls back to the
-    tuple path without a partial emit. Runs on the EXECUTOR."""
+    Arrow buffers end-to-end; DV masking is an inverted `pc.is_in` over a
+    position index; constants for the CDC tail, hive partition values,
+    and pre-evolution nulls are built as whole arrays; the predicate row
+    filter runs on the CAST columns, declared types). EAGER: all casts
+    happen before anything is yielded, so a file whose physical types
+    can't be cast raises here and the caller falls back to the tuple path
+    without a partial emit. Runs on the EXECUTOR."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     fill = fill or {}
-    table = pq.read_table(os.path.join(path, rel))
-    keep = _keep_positions(path, rel, table.num_rows, exclude_dv, only_dv)
-    if keep is not None:
-        table = table.take(pa.array(sorted(keep), type=pa.int64()))
+    table = _read_parquet(path, rel, store)
+    table = _apply_dv(table, path, rel, exclude_dv, only_dv, store)
     expected = _declared_arrow_schema(schema_json)
     n = table.num_rows
     present = set(table.column_names)
@@ -172,55 +346,130 @@ def _read_file_batches(path: str, rel: str, colnames: list[str],
             arrays.append(pa.array([fill[name]] * n).cast(typ))
         else:
             arrays.append(pa.nulls(n, typ))
-    arrays.append(pa.array([kind] * n, type=pa.string()))
-    arrays.append(pa.array([version] * n, type=pa.int64()))
-    out = pa.table(arrays, schema=expected)
+    data = pa.table(
+        arrays, schema=pa.schema([expected.field(c) for c in colnames])
+    )
+    data = _arrow_pred_filter(data, pred)
+    n = data.num_rows
+    out = pa.table(
+        list(data.columns)
+        + [pa.array([kind] * n, type=pa.string()),
+           pa.array([version] * n, type=pa.int64())],
+        schema=expected,
+    )
     return out.to_batches(max_chunksize=_ARROW_CHUNK_ROWS)
 
 
 def _read_file_rows(path: str, rel: str, colnames: list[str], tail: tuple,
                     fill: dict | None = None,
                     exclude_dv: list[str] | None = None,
-                    only_dv: tuple[list[str], list[str]] | None = None):
+                    only_dv: tuple[list[str], list[str]] | None = None,
+                    pred: list[tuple] | None = None,
+                    store=None):
     """Tuple fallback for files the Arrow cast can't express: one
     immutable data file → tuples aligned to `colnames` + `tail` (hive
     partition values spliced from `fill`; None for columns the file
-    predates). Runs on the EXECUTOR."""
-    import pyarrow.parquet as pq
-
+    predates). DV masking still runs Arrow-side (on the PHYSICAL table,
+    before any Python-object conversion); only the surviving rows are
+    materialized. Runs on the EXECUTOR."""
     fill = fill or {}
-    table = pq.read_table(os.path.join(path, rel))
+    table = _read_parquet(path, rel, store)
+    table = _apply_dv(table, path, rel, exclude_dv, only_dv, store)
     present = set(table.column_names)
     cols = [
         table.column(c).to_pylist() if c in present
         else [fill.get(c)] * table.num_rows
         for c in colnames
     ]
-    keep = _keep_positions(path, rel, table.num_rows, exclude_dv, only_dv)
-    for pos, row in enumerate(zip(*cols)):
-        if keep is None or pos in keep:
-            yield row + tail
+    idx = {c: i for i, c in enumerate(colnames)}
+    for row in zip(*cols):
+        if pred and not _py_pred_ok(row, idx, pred):
+            continue
+        yield row + tail
 
 
 def _emit_file(path: str, rel: str, colnames: list[str], schema_json: str,
                tail: tuple, fill: dict | None,
                exclude_dv: list[str] | None,
-               only_dv: tuple[list[str], list[str]] | None = None):
+               only_dv: tuple[list[str], list[str]] | None = None,
+               pred: list[tuple] | None = None,
+               store=None):
     """RecordBatches when the file's types cast cleanly to the declared
     schema (the stable-schema norm), tuples otherwise — decided PER FILE
-    and deterministically, never mid-stream (the batch path is eager)."""
+    and deterministically, never mid-stream (the batch path is eager).
+    A fallback is WARNED on the executor (visible in task logs); the
+    driver-side census is `tx_source_cast_report` (doctor surfaces it)."""
+    import warnings
+
     import pyarrow as pa
 
     try:
         batches = _read_file_batches(
-            path, rel, colnames, schema_json, tail, fill, exclude_dv, only_dv
+            path, rel, colnames, schema_json, tail, fill,
+            exclude_dv, only_dv, pred, store,
         )
-    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError) as e:
+        warnings.warn(
+            f"txtable: {rel} fell back to the per-row tuple path "
+            f"({type(e).__name__}: {e}) — a permanently-fallback table "
+            "reads slow; see tx_source_cast_report / doctor",
+            stacklevel=2,
+        )
         yield from _read_file_rows(
-            path, rel, colnames, tail, fill, exclude_dv, only_dv
+            path, rel, colnames, tail, fill, exclude_dv, only_dv, pred, store
         )
         return
     yield from batches
+
+
+def tx_source_cast_report(path: str, version: int | None = None,
+                          probe_rows: int = 1024) -> dict:
+    """Driver-side census of which live files take the Arrow fast path —
+    the observability for `_emit_file`'s silent per-file fallback (a
+    schema-drifted table that permanently falls back reads slow with no
+    other signal). For each live file, probe the SAME cast the executor
+    performs, on the first `probe_rows` rows only (one small batch per
+    file — never a full scan): a cast failure here is exactly a fallback
+    at read time. Value-level failures beyond the probed rows (e.g. an
+    unparseable string past row 1024) can still fall back at runtime —
+    the probe is a census, the per-file runtime fallback remains the
+    correctness guarantee. Returns {files_total, arrow_ready,
+    fallback_files: [(rel, reason)]} — doctor prints it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..operators.txlog import tx_snapshot
+
+    snap = tx_snapshot(path, version)
+    if snap["schema"] is None:
+        return {"files_total": 0, "arrow_ready": 0, "fallback_files": []}
+    expected = _declared_arrow_schema(
+        StructType.fromJson(json.loads(snap["schema"])).json()
+    )
+    colnames = [
+        f.name for f in StructType.fromJson(json.loads(snap["schema"])).fields
+    ]
+    store = _store(path)
+    fallback: list[tuple[str, str]] = []
+    for rel in snap["files"]:
+        try:
+            with store.open_input(path, rel) as f:
+                head = next(
+                    pq.ParquetFile(f).iter_batches(batch_size=probe_rows),
+                    None,
+                )
+            present = set() if head is None else set(head.schema.names)
+            for name in colnames:
+                if head is not None and name in present:
+                    head.column(name).cast(expected.field(name).type)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                pa.ArrowTypeError) as e:
+            fallback.append((rel, f"{type(e).__name__}: {e}"))
+    return {
+        "files_total": len(snap["files"]),
+        "arrow_ready": len(snap["files"]) - len(fallback),
+        "fallback_files": fallback,
+    }
 
 
 class TxTableStreamReader(DataSourceStreamReader):
@@ -229,6 +478,9 @@ class TxTableStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("txtable: option 'path' is required")
         self.starting = options.get("starting_version", "-1")
+        self._pred_raw = options.get("predicate")
+        # resolved while still on the driver; ships pickled to executors
+        self._data_store = _store(self.path)
 
     def _snapshot(self):
         from ..operators.txlog import tx_exists, tx_snapshot
@@ -266,6 +518,7 @@ class TxTableStreamReader(DataSourceStreamReader):
         schema = _table_schema(self.path)
         sjson = schema.json()
         colnames = [f.name for f in schema.fields]
+        pred = _parse_predicate(self._pred_raw, schema)
         out = []
         prev: dict | None = None
         prev_for: int | None = None
@@ -280,31 +533,38 @@ class TxTableStreamReader(DataSourceStreamReader):
             p_dvs = (prev or {}).get("dvs", {})
             c_dvs = cur["dvs"]
             # file-level: removed files emit their v-1 LOGICAL rows as
-            # deletes, added files their v rows as inserts
-            for kind, rels, dvs in (
-                ("delete", rec.get("remove", []), p_dvs),
-                ("insert", rec.get("add", []), c_dvs),
+            # deletes, added files their v rows as inserts. Stats/partition
+            # pruning per side: a removed file's stats live in the v-1
+            # snapshot, an added file's in v — a file whose stats PROVE no
+            # predicate match gets no partition and is never opened.
+            for kind, rels, dvs, side in (
+                ("delete", rec.get("remove", []), p_dvs, prev),
+                ("insert", rec.get("add", []), c_dvs, cur),
             ):
                 for rel in rels:
+                    if not _pred_keeps_file(side, rel, pred):
+                        continue
                     out.append(InputPartition((
                         self.path, rel, colnames, sjson, kind, v,
                         _partition_fill(rel, schema),
-                        dvs.get(rel, []), None,
+                        dvs.get(rel, []), None, pred,
                     )))
             # row-level: DV deltas on files live across the commit
             common = set((prev or {}).get("files", [])) & set(cur["files"])
             for rel in sorted(common):
                 if p_dvs.get(rel, []) == c_dvs.get(rel, []):
                     continue
+                if not _pred_keeps_file(cur, rel, pred):
+                    continue
                 fill = _partition_fill(rel, schema)
                 out.append(InputPartition((  # newly deleted: cur − prev
                     self.path, rel, colnames, sjson, "delete", v, fill,
-                    None, (c_dvs.get(rel, []), p_dvs.get(rel, [])),
+                    None, (c_dvs.get(rel, []), p_dvs.get(rel, [])), pred,
                 )))
                 if p_dvs.get(rel):
                     out.append(InputPartition((  # restore-resurrected rows
                         self.path, rel, colnames, sjson, "insert", v, fill,
-                        None, (p_dvs.get(rel, []), c_dvs.get(rel, [])),
+                        None, (p_dvs.get(rel, []), c_dvs.get(rel, [])), pred,
                     )))
             prev = cur
         return out or [InputPartition(None)]
@@ -313,9 +573,10 @@ class TxTableStreamReader(DataSourceStreamReader):
         if partition is None or partition.value is None:
             return
         (path, rel, colnames, sjson, kind, v,
-         fill, exclude_dv, only_dv) = partition.value
+         fill, exclude_dv, only_dv, pred) = partition.value
         yield from _emit_file(
-            path, rel, colnames, sjson, (kind, v), fill, exclude_dv, only_dv
+            path, rel, colnames, sjson, (kind, v), fill,
+            exclude_dv, only_dv, pred, self._data_store,
         )
 
     def commit(self, end: dict) -> None:
@@ -336,6 +597,9 @@ class TxTableBatchReader(DataSourceReader):
         if not self.path:
             raise ValueError("txtable: option 'path' is required")
         self.version = options.get("version")
+        self._pred_raw = options.get("predicate")
+        # resolved while still on the driver; ships pickled to executors
+        self._data_store = _store(self.path)
 
     def partitions(self):
         from ..operators.txlog import tx_snapshot
@@ -344,29 +608,36 @@ class TxTableBatchReader(DataSourceReader):
         snap = tx_snapshot(self.path, v)
         schema = _table_schema(self.path)
         colnames = [f.name for f in schema.fields]
+        pred = _parse_predicate(self._pred_raw, schema)
         tail = ("insert", snap["version"])
         return [
             InputPartition((
                 self.path, rel, colnames, schema.json(), tail,
                 _partition_fill(rel, schema),
                 snap["dvs"].get(rel, []),  # logical rows: DV'd positions out
+                pred,
             ))
             for rel in snap["files"]
+            if _pred_keeps_file(snap, rel, pred)
         ] or [InputPartition(None)]
 
     def read(self, partition: InputPartition):
         if partition is None or partition.value is None:
             return
-        path, rel, colnames, sjson, tail, fill, exclude_dv = partition.value
+        (path, rel, colnames, sjson, tail,
+         fill, exclude_dv, pred) = partition.value
         yield from _emit_file(
-            path, rel, colnames, sjson, tail, fill, exclude_dv
+            path, rel, colnames, sjson, tail, fill, exclude_dv,
+            pred=pred, store=self._data_store,
         )
 
 
 class TxTableDataSource(DataSource):
-    """Options: `path` (required); stream: `starting_version` (int commit
-    version, default -1 = full history, or 'latest'); batch: `version`
-    (time travel)."""
+    """Options: `path` (required); `predicate` (JSON
+    `[[col, op, value?], ...]` — plan-time file skipping by committed
+    stats + row filtering, see module docstring); stream:
+    `starting_version` (int commit version, default -1 = full history,
+    or 'latest'); batch: `version` (time travel)."""
 
     @classmethod
     def name(cls) -> str:
