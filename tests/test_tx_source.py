@@ -328,7 +328,11 @@ def test_arrow_fast_path_engages_and_falls_back_per_file(spark, tmp_path):
         ],
         "id int, v double, ts timestamp, d date",
     )
-    tx_append(df, t, partition_by=["d"])
+    # repartition(1): one file per partition dir, so every file keeps live
+    # rows after the DV below (layout must not depend on session history —
+    # zero batches from a fully-DV'd file is CORRECT engine output, and
+    # this test asserts the Arrow path, not file-count accidents).
+    tx_append(df.repartition(1), t, partition_by=["d"])
     tx_delete_where(spark, t, "id < 6 AND d = DATE'2024-01-01'")  # DV on files
 
     snap = tx_snapshot(t)
@@ -340,7 +344,13 @@ def test_arrow_fast_path_engages_and_falls_back_per_file(spark, tmp_path):
     colnames = [f.name for f in tbl_schema.fields]
     from weather_data_warehouse_aws_spark.sources.tx_source import _partition_fill
 
-    rel = snap["files"][0]
+    # pick a file that PROVABLY has live rows after the DV (belt+braces
+    # against any future layout change): fewer DV'd positions than rows.
+    rel = next(
+        r for r in sorted(snap["files"])
+        if len(snap["dvs"].get(r, []))
+        < snap["stats"][r]["rows"]
+    )
     out = list(_emit_file(
         t, rel, colnames, schema_json, ("insert", snap["version"]),
         _partition_fill(rel, tbl_schema), snap["dvs"].get(rel, []),
@@ -507,7 +517,8 @@ def test_cast_report_censuses_fallback_files(spark, tmp_path, capsys):
     tx_append(_mk(spark, range(5)).coalesce(1), t)
     rep = tx_source_cast_report(t)
     assert rep == {
-        "files_total": 1, "arrow_ready": 1, "fallback_files": [],
+        "files_total": 1, "files_probed": 1, "files_skipped": 0,
+        "arrow_ready": 1, "fallback_files": [],
     }
 
     # evolution that poisons the cast: id becomes string with
@@ -519,6 +530,12 @@ def test_cast_report_censuses_fallback_files(spark, tmp_path, capsys):
 
     rep2 = tx_source_cast_report(t)
     assert rep2["files_total"] == 3 and rep2["arrow_ready"] == 2
+
+    # bounded probe: max_files caps driver IO to an evenly-spaced sample
+    # and reports exactly what was skipped (no silent cap)
+    capped = tx_source_cast_report(t, max_files=2)
+    assert capped["files_probed"] == 2 and capped["files_skipped"] == 1
+    assert capped["files_total"] == 3
     [(bad_rel, reason)] = rep2["fallback_files"]
     assert "ArrowInvalid" in reason
 
@@ -538,3 +555,82 @@ def test_cast_report_censuses_fallback_files(spark, tmp_path, capsys):
     # (doctor prints this census — pinned in test_txlog's doctor test on a
     # healthy table; THIS drifted table also breaks the JVM mergeSchema
     # read, so doctor's later tx_read would fail for unrelated reasons)
+
+
+def test_parse_predicate_in_requires_list(spark):
+    """[col, 'in', scalar] gets the friendly txtable ValueError, not a
+    bare TypeError from inside the member-lift comprehension; a null
+    member set is an explicit empty IN (matches nothing)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    from weather_data_warehouse_aws_spark.sources.tx_source import (
+        _parse_predicate,
+    )
+
+    schema = StructType.fromDDL("id long, val string")
+    with pytest.raises(ValueError, match="txtable.*'in' needs a JSON list"):
+        _parse_predicate(_json.dumps([["id", "in", 5]]), schema)
+    assert _parse_predicate(_json.dumps([["id", "in"]]), schema) == [
+        ("id", "in", [])
+    ]
+    assert _parse_predicate(_json.dumps([["id", "in", None]]), schema) == [
+        ("id", "in", [])
+    ]
+
+
+def test_batch_predicate_strict_on_fallback_file(spark, tmp_path):
+    """Batch-equals-filter even on a cast-fallback file: a row whose
+    PHYSICAL value can't compare against the predicate literal is
+    DROPPED on the batch path (pred_strict=True — Spark SQL's
+    uncastable-comparison semantics: the cast yields NULL, the filter
+    rejects it), while the CDC path KEEPS it (a change feed may
+    over-deliver, never silently under-deliver)."""
+    from pyspark.sql import Row
+
+    from weather_data_warehouse_aws_spark.sources.tx_source import (
+        _emit_file,
+        _py_pred_ok,
+    )
+
+    # the primitive: incomparable pair -> kept lax, dropped strict
+    idx = {"id": 0, "val": 1}
+    row = ("not-an-int", "x")
+    pred = [("id", "<=", 2)]
+    assert _py_pred_ok(row, idx, pred) is True
+    assert _py_pred_ok(row, idx, pred, strict=True) is False
+    # comparable rows are identical under both modes
+    assert _py_pred_ok((1, "x"), idx, pred, strict=True) is True
+    assert _py_pred_ok((7, "x"), idx, pred) is False
+
+    # through the per-file reader: plant a file whose id column can't
+    # cast to the declared long (forces the tuple path), then read it
+    # with the type-mismatched predicate under each contract
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(3)).coalesce(1), t)
+    bad = spark.createDataFrame([Row(id="not-an-int", val="x")])
+    tx_append(bad.coalesce(1), t)
+    tx_append(_mk(spark, [9]).coalesce(1), t)  # logged schema: id long again
+
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    snap = tx_snapshot(t)
+    schema = StructType.fromJson(_json.loads(snap["schema"]))
+    bad_rel = next(
+        r for r, st in snap["stats"].items()
+        if "id" not in st.get("cols", {}) or st["cols"]["id"][0] is None
+        or isinstance(st["cols"]["id"][0], str)
+    )
+    colnames = [f.name for f in schema.fields]
+    args = (t, bad_rel, colnames, schema.json(), ("insert", 1), {}, [])
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cdc_rows = list(_emit_file(*args, pred=pred))
+        batch_rows = list(_emit_file(*args, pred=pred, pred_strict=True))
+    assert any(r[0] == "not-an-int" for r in cdc_rows)  # over-delivered
+    assert batch_rows == []  # strict: incomparable row filtered out

@@ -13,8 +13,6 @@ commit protocol."""
 
 import json
 import os
-import shutil
-import uuid
 
 import pytest
 from pyspark.sql import Row
@@ -23,7 +21,6 @@ from pyspark.sql import functions as F
 from weather_data_warehouse_aws_spark.operators import txlog as _txmod
 from weather_data_warehouse_aws_spark.operators.txlog import (
     CHECKPOINT_INTERVAL,
-    DataStore,
     TxConflict,
     _commit,
     get_data_store,
@@ -39,96 +36,7 @@ from weather_data_warehouse_aws_spark.operators.txlog import (
 )
 
 
-class BucketFSDataStore(DataStore):
-    """Object-store emulation on a local 'bucket' directory OUTSIDE every
-    table root: keys, not paths. Publish is a whole-object COPY (object
-    stores have no rename), delete is per-key (no empty-dir pruning),
-    listing is a key-prefix scan, and `put_atomic` is a per-key atomic
-    PUT. The table root itself never holds a data byte — only
-    `_txn_log`. Picklable (holds just the bucket path), as the protocol
-    requires."""
-
-    def __init__(self, bucket: str):
-        self.bucket = bucket
-
-    def _prefix(self, table_root: str) -> str:
-        return os.path.join(
-            self.bucket, os.path.abspath(table_root).lstrip(os.sep)
-        )
-
-    def _key(self, table_root: str, rel: str) -> str:
-        return os.path.join(self._prefix(table_root), rel)
-
-    def stage_uri(self, table_root: str) -> str:
-        return os.path.join(
-            self.bucket, "_stage",
-            os.path.abspath(table_root).lstrip(os.sep), uuid.uuid4().hex,
-        )
-
-    def list_stage(self, stage_uri: str) -> list[str]:
-        rels = []
-        for dirpath, _dirs, names in os.walk(stage_uri):
-            sub = os.path.relpath(dirpath, stage_uri)
-            prefix = "" if sub == "." else sub + "/"
-            rels.extend(prefix + n for n in names if n.endswith(".parquet"))
-        return sorted(rels)
-
-    def publish(self, table_root, stage_uri, staged_rel, rel) -> None:
-        dst = self._key(table_root, rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        # COPY, never rename: the object-store publish primitive
-        shutil.copyfile(os.path.join(stage_uri, staged_rel), dst)
-
-    def discard_stage(self, table_root, stage_uri) -> None:
-        shutil.rmtree(stage_uri, ignore_errors=True)
-
-    def sweep_stages(self, table_root) -> None:
-        shutil.rmtree(
-            os.path.join(
-                self.bucket, "_stage",
-                os.path.abspath(table_root).lstrip(os.sep),
-            ),
-            ignore_errors=True,
-        )
-
-    def delete(self, table_root, rel) -> None:
-        try:
-            os.remove(self._key(table_root, rel))
-        except FileNotFoundError:
-            pass
-
-    def exists(self, table_root, rel) -> bool:
-        return os.path.exists(self._key(table_root, rel))
-
-    def list_files(self, table_root) -> list[str]:
-        root = self._prefix(table_root)
-        out = []
-        for dirpath, _dirs, names in os.walk(root):
-            sub = os.path.relpath(dirpath, root)
-            prefix = "" if sub == "." else sub + "/"
-            out.extend(prefix + n for n in names if n.endswith(".parquet"))
-        return sorted(out)
-
-    def read_uri(self, table_root, rel) -> str:
-        return self._key(table_root, rel)
-
-    def scan_uri_root(self, table_root) -> str:
-        return "file:" + self._prefix(table_root).rstrip("/") + "/"
-
-    def spark_base_path(self, table_root) -> str:
-        return self._prefix(table_root)
-
-    def open_input(self, table_root, rel):
-        return open(self._key(table_root, rel), "rb")
-
-    def put_atomic(self, table_root, rel, payload) -> str:
-        dst = self._key(table_root, rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        tmp = dst + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as fh:
-            fh.write(payload)
-        os.replace(tmp, dst)  # per-key atomic PUT
-        return dst
+from tests.bucket_store import BucketFSDataStore  # noqa: E402
 
 
 @pytest.fixture(autouse=True, params=["localfs", "bucket"])
@@ -617,6 +525,9 @@ class InMemoryLogStore(LogStore):
 
     def read(self, log_dir, name):
         return self.entries[(log_dir, name)]
+
+    def delete(self, log_dir, name):
+        self.entries.pop((log_dir, name), None)
 
 
 @pytest.fixture
@@ -1508,7 +1419,7 @@ def test_doctor_reports_dv_debt_and_compaction_clears_it(spark, tmp_path, capsys
     assert "RECOMMEND: tx compact" in out
     # the txtable-source census rides the same report (round-8): a
     # healthy table is fully on the Arrow fast path
-    assert "4/4 file(s) take the Arrow fast path" in out
+    assert "4/4 probed file(s) take the Arrow fast path" in out
 
     tx_compact(spark, t, target_files=2)
     dv2 = tx_dv_stats(t)
@@ -2029,3 +1940,132 @@ def test_hive_partitioned_row_ops_through_bucket_store(
     # erase rewrites only the hit partition's files, through the store
     tx_erase_keys(spark, t, "id", [1])
     assert tx_read(spark, t).count() == 9
+
+
+# ------------------------------------------------------------- log retention
+def _log_entries(t: str) -> list[str]:
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        _log_dir,
+        get_log_store,
+    )
+
+    return get_log_store(t).list(_log_dir(t))
+
+
+def test_cleanup_log_bounds_list_and_keeps_reads(spark, tmp_path):
+    """tx_cleanup_log deletes commit/checkpoint JSONs below the newest
+    checkpoint at-or-below the vacuum horizon — the _txn_log LIST stops
+    growing with table age — while every version within the time-travel
+    covenant ([horizon, latest]) reads byte-identically, reads below the
+    horizon still fail with the vacuum message (not FileNotFound), and
+    the change feed over the surviving range is intact."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        CHECKPOINT_INTERVAL,
+        tx_changes,
+        tx_cleanup_log,
+        tx_history,
+        tx_vacuum,
+    )
+
+    t = str(tmp_path / "t")
+    n = 2 * CHECKPOINT_INTERVAL + 5  # versions 0..24: checkpoints at 10, 20
+    for i in range(n):
+        tx_append(_mk(spark, [i]).coalesce(1), t)
+    tx_vacuum(t, retain_versions=5)  # vacuum commit = v25, horizon = 20
+    snap = tx_snapshot(t)
+    assert snap["horizon"] == 2 * CHECKPOINT_INTERVAL
+
+    before = _log_entries(t)
+    pre_latest = sorted(r["id"] for r in tx_read(spark, t).collect())
+    pre_at_floor = sorted(
+        r["id"] for r in tx_read(spark, t, version=snap["horizon"]).collect()
+    )
+
+    plan = tx_cleanup_log(t, dry_run=True)
+    assert plan["dry_run"] and _log_entries(t) == before  # dry run touches nothing
+    res = tx_cleanup_log(t)
+    assert res["floor"] == 2 * CHECKPOINT_INTERVAL
+    assert res["deleted_commits"] == 2 * CHECKPOINT_INTERVAL  # v0..v19
+    assert res["deleted_checkpoints"] == 1  # the v10 checkpoint
+    assert (plan["deleted_commits"], plan["deleted_checkpoints"]) == (
+        res["deleted_commits"], res["deleted_checkpoints"],
+    )
+
+    after = _log_entries(t)
+    assert len(after) == len(before) - res["deleted_commits"] - 1
+    assert min(int(name.split(".")[0]) for name in after) == res["floor"]
+
+    # the covenant: latest and every version >= horizon read unchanged
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == pre_latest
+    assert sorted(
+        r["id"] for r in tx_read(spark, t, version=snap["horizon"]).collect()
+    ) == pre_at_floor
+    with pytest.raises(ValueError, match="vacuumed"):
+        tx_read(spark, t, version=snap["horizon"] - 1)
+
+    # history starts at the floor; the change feed over the surviving
+    # range still transforms horizon -> latest exactly
+    hist = tx_history(t)
+    assert hist[0]["version"] == res["floor"]
+    feed = tx_changes(spark, t, from_version=snap["horizon"])
+    inserts = sorted(
+        r["id"] for r in feed.collect() if r["_change_type"] == "insert"
+    )
+    # the feed covers commits in (horizon, latest]; the horizon version's
+    # own rows belong to the starting snapshot, not the delta
+    assert inserts == list(range(2 * CHECKPOINT_INTERVAL + 1, n))
+
+    # idempotent: a second cleanup finds nothing below the floor
+    again = tx_cleanup_log(t)
+    assert (again["deleted_commits"], again["deleted_checkpoints"]) == (0, 0)
+
+    # and the table stays writable/checkpointable past the cleanup
+    tx_append(_mk(spark, [999]).coalesce(1), t)
+    assert 999 in {r["id"] for r in tx_read(spark, t).collect()}
+
+
+def test_cleanup_log_refuses_without_safe_floor(spark, tmp_path):
+    """No committed vacuum horizon (or no checkpoint at-or-below it) =
+    nothing is safely deletable: every commit may still be needed for
+    replay. Cleanup must return an empty plan, not guess."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_cleanup_log,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(12):  # a checkpoint exists (v10) but horizon is 0
+        tx_append(_mk(spark, [i]).coalesce(1), t)
+    before = _log_entries(t)
+    res = tx_cleanup_log(t)
+    assert res["floor"] is None
+    assert (res["deleted_commits"], res["deleted_checkpoints"]) == (0, 0)
+    assert _log_entries(t) == before
+
+
+def test_vacuum_orphan_sweep_after_cleanup_keeps_live_files(
+    spark, tmp_path, data_store_mode
+):
+    """The add-commits for still-live old files may be deleted by log
+    retention; an include_orphans vacuum afterwards must seed the
+    referenced set from the surviving checkpoint — never sweeping a live
+    file it can no longer see an `add` for."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        CHECKPOINT_INTERVAL,
+        tx_cleanup_log,
+        tx_vacuum,
+    )
+
+    t = str(tmp_path / "t")
+    # v0's files stay live across the whole history (appends never remove)
+    for i in range(2 * CHECKPOINT_INTERVAL + 1):
+        tx_append(_mk(spark, [i]).coalesce(1), t)
+    tx_vacuum(t, retain_versions=1)  # horizon = latest (20); floor cp = 20
+    res = tx_cleanup_log(t)
+    assert res["deleted_commits"] > 0
+
+    expect = sorted(
+        r["id"] for r in tx_read(spark, t).collect()
+    )
+    swept = tx_vacuum(t, retain_versions=1, include_orphans=True)
+    assert swept["deleted"] == []  # nothing live is "orphaned" by cleanup
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == expect

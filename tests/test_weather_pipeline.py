@@ -40,6 +40,34 @@ def layers(spark, bronze_dir, tmp_path_factory):
     return run_pipeline(spark, bronze_dir, wh, effective_date=EFFECTIVE, now=NOW)
 
 
+@pytest.fixture(params=["localfs", "bucket"])
+def warehouse_dir(request, tmp_path_factory):
+    """A fresh warehouse root, parametrized over the two data planes the
+    txlog suite proves (tests/test_txlog.py): shared-POSIX default and
+    the no-rename bucket emulation. Tests taking this fixture prove the
+    WAREHOUSE-level machinery (tables AND the cross-table generation
+    manifest) holds on an object store — the manifest must route through
+    the DataStore seam, or read_gold_snapshot reads a path that does not
+    exist in bucket mode."""
+    from weather_data_warehouse_aws_spark.operators import txlog as _txmod
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        register_data_store,
+    )
+
+    wh = str(tmp_path_factory.mktemp(f"warehouse_{request.param}"))
+    if request.param == "localfs":
+        yield wh
+        return
+    from tests.bucket_store import BucketFSDataStore
+
+    bucket = str(tmp_path_factory.mktemp("wh_bucket"))
+    register_data_store(wh, BucketFSDataStore(bucket))
+    try:
+        yield wh
+    finally:
+        _txmod._DATA_STORES.pop(wh, None)
+
+
 # ---------------------------------------------------------------- silver
 def test_silver_current_dq_gates(spark, bronze_dir):
     """Out-of-range temp, null temp, and duplicate keys are dropped
@@ -397,24 +425,44 @@ def test_gold_tables_are_transactional_and_time_travelable(
 
 
 def test_read_gold_snapshot_pins_one_generation(
-    spark, bronze_dir, tmp_path_factory, capsys
+    spark, bronze_dir, warehouse_dir, capsys
 ):
     """Cross-table read consistency: dims and the fact commit to SEPARATE
     logs, so an unpinned reader arriving between commits could join the
     new dim_location to the pre-refresh fact. read_gold_snapshot pins
     every table as_of the versions the last COMPLETED run_pipeline
     published — a reader holding the snapshot through a concurrent
-    refresh keeps one coherent generation."""
+    refresh keeps one coherent generation. Runs on BOTH data planes
+    (warehouse_dir fixture): on the bucket store the generation manifest
+    itself must live through the DataStore seam."""
     import os
 
-    from weather_data_warehouse_aws_spark.operators.txlog import tx_snapshot
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        get_data_store,
+        tx_snapshot,
+    )
     from weather_data_warehouse_aws_spark.pipeline.run import (
+        _SNAPSHOT_REL,
         SNAPSHOT_TABLES,
+        _manifest_root,
         read_gold_snapshot,
     )
 
-    wh = str(tmp_path_factory.mktemp("warehouse_snap"))
+    wh = warehouse_dir
     run_pipeline(spark, bronze_dir, wh, effective_date=EFFECTIVE, now=NOW)
+
+    # the manifest lives where the STORE says — never raw POSIX under the
+    # warehouse root in bucket mode (the seam proof: a bypassing
+    # os.replace would land it at the raw path and read_gold_snapshot on
+    # a real object store would see a manifest the bucket never received)
+    groot = _manifest_root(wh)
+    store_loc = get_data_store(groot).read_uri(groot, _SNAPSHOT_REL)
+    assert os.path.exists(store_loc)
+    raw_loc = os.path.join(groot, _SNAPSHOT_REL)
+    if store_loc != raw_loc:  # bucket mode
+        assert not os.path.exists(raw_loc), (
+            "generation manifest bypassed the DataStore seam"
+        )
     gen1_versions = {
         name: tx_snapshot(os.path.join(wh, *rel))["version"]
         for name, rel in SNAPSHOT_TABLES.items()
@@ -477,14 +525,16 @@ def test_read_gold_snapshot_pins_one_generation(
 
 
 def test_crash_between_gold_commits_keeps_snapshot_coherent(
-    spark, bronze_dir, tmp_path_factory, monkeypatch
+    spark, bronze_dir, warehouse_dir, monkeypatch
 ):
     """Kill-between-commits: the gold tables commit to separate logs
     sequentially, so a refresh that dies between the dim and fact
     commits leaves "latest" a MIXED generation. The warehouse generation
     pointer (the snapshot manifest, published only after every commit)
     must keep read_gold_snapshot on the previous coherent generation —
-    never mixed dims/fact — and a completed re-run heals it."""
+    never mixed dims/fact — and a completed re-run heals it. Runs on
+    BOTH data planes (warehouse_dir fixture): crash recovery must hold
+    when the warehouse lives on an object store."""
     import os
 
     from weather_data_warehouse_aws_spark.operators.txlog import tx_snapshot
@@ -494,7 +544,7 @@ def test_crash_between_gold_commits_keeps_snapshot_coherent(
         read_gold_snapshot,
     )
 
-    wh = str(tmp_path_factory.mktemp("warehouse_crash"))
+    wh = warehouse_dir
     run_pipeline(spark, bronze_dir, wh, effective_date=EFFECTIVE, now=NOW)
     gen1 = read_gold_snapshot(spark, wh)["versions"]
     dim1 = sorted(

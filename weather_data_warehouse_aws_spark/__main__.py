@@ -109,7 +109,8 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=["history", "read", "compact", "erase", "vacuum", "merge",
                  "restore", "changes", "delete", "update", "manifest",
-                 "set-constraint", "drop-constraint", "optimize"],
+                 "set-constraint", "drop-constraint", "optimize",
+                 "cleanup-log"],
     )
     tx.add_argument("--table", required=True, help="txlog table directory")
     tx.add_argument("--version", type=int, default=None, help="time-travel version (read)")
@@ -184,7 +185,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name:24s} [{marker}]")
         return 0
 
-    if args.cmd == "tx" and args.action in ("history", "vacuum"):
+    if args.cmd == "tx" and args.action in ("history", "vacuum", "cleanup-log"):
         # pure log/filesystem actions — no SparkSession needed
         from .operators import txlog
 
@@ -194,6 +195,21 @@ def main(argv: list[str] | None = None) -> int:
                 print(
                     f"v{rec['version']:>6} {rec['op']:<10} "
                     f"+{rec['n_added']} -{rec['n_removed']}{extra}"
+                )
+        elif args.action == "cleanup-log":
+            res = txlog.tx_cleanup_log(args.table, dry_run=args.dry_run)
+            verb = "would delete" if args.dry_run else "deleted"
+            if res["floor"] is None:
+                print(
+                    "nothing safely deletable: the log retention floor "
+                    "needs a committed vacuum horizon with a checkpoint "
+                    "at-or-below it (run `tx vacuum` first)"
+                )
+            else:
+                print(
+                    f"floor v{res['floor']} (horizon v{res['horizon']}); "
+                    f"{verb} {res['deleted_commits']} commit(s) and "
+                    f"{res['deleted_checkpoints']} checkpoint(s)"
                 )
         else:
             res = txlog.tx_vacuum(
@@ -342,10 +358,19 @@ def main(argv: list[str] | None = None) -> int:
                 )
             from .sources.tx_source import tx_source_cast_report
 
-            cast = tx_source_cast_report(args.table)
+            # bounded: the probe is sequential driver IO per file — on a
+            # huge table doctor samples rather than crawling everything
+            cast = tx_source_cast_report(args.table, max_files=256)
             print(
                 f"txtable source: {cast['arrow_ready']}/"
-                f"{cast['files_total']} file(s) take the Arrow fast path"
+                f"{cast['files_probed']} probed file(s) take the Arrow "
+                f"fast path"
+                + (
+                    f" ({cast['files_skipped']} of {cast['files_total']} "
+                    "not probed — evenly-spaced sample)"
+                    if cast["files_skipped"]
+                    else ""
+                )
             )
             for rel, reason in cast["fallback_files"][:5]:
                 print(f"  FALLBACK {rel}: {reason}")

@@ -47,6 +47,7 @@ from .txlog import (  # noqa: F401
     register_log_store,
     tx_append,
     tx_changes,
+    tx_cleanup_log,
     tx_compact,
     tx_drop_constraint,
     tx_dv_stats,

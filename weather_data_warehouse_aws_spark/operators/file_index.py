@@ -381,10 +381,24 @@ def read_with_index(
     if _tx_live_files(table_path) is not None:
         from .txlog import _read_live, get_data_store, tx_snapshot
 
-        # invert read_uri: candidates arrived as store URIs, the logical
-        # scan wants log-relative paths (spark_base_path is the URI root)
-        root = get_data_store(table_path).spark_base_path(table_path)
-        rels = [os.path.relpath(os.path.abspath(f), root) for f in files]
+        # invert read_uri: candidates arrived as store URIs
+        # (_tx_live_files emits exactly read_uri(root, rel)), so the
+        # log-relative path is a string-prefix strip of the store's own
+        # URI root — read_uri(root, "") — never os.path arithmetic,
+        # which mangles scheme-ful URIs (abspath("s3://b/t") ->
+        # "<cwd>/s3:/b/t"). DataStore invariant (documented on the
+        # protocol): read_uri(root, rel) == read_uri(root, "") + rel.
+        store = get_data_store(table_path)
+        uri_root = store.read_uri(table_path, "").rstrip("/") + "/"
+        rels = []
+        for f in files:
+            if not f.startswith(uri_root):
+                raise ValueError(
+                    f"read_with_index: candidate {f!r} is not under the "
+                    f"store's URI root {uri_root!r} — the DataStore "
+                    "violates the read_uri prefix invariant"
+                )
+            rels.append(f[len(uri_root):])
         scan = _read_live(spark, table_path, rels, tx_snapshot(table_path))
         return scan.filter(F.col(column) == F.lit(value))
     return (

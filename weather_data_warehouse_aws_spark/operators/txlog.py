@@ -155,6 +155,13 @@ class LogStore:
         """Full payload of an entry."""
         raise NotImplementedError
 
+    def delete(self, log_dir: str, name: str) -> None:
+        """Remove one entry; missing entries are a no-op. Needs no
+        consensus — log retention (`tx_cleanup_log`) only ever deletes
+        entries strictly below the newest checkpoint at-or-below the
+        vacuum horizon, which no reader can resolve anyway."""
+        raise NotImplementedError
+
 
 class LocalFSLogStore(LogStore):
     def put_if_absent(self, log_dir: str, name: str, payload: str) -> bool:
@@ -192,6 +199,12 @@ class LocalFSLogStore(LogStore):
     def read(self, log_dir: str, name: str) -> str:
         with open(os.path.join(log_dir, name)) as f:
             return f.read()
+
+    def delete(self, log_dir: str, name: str) -> None:
+        try:
+            os.remove(os.path.join(log_dir, name))
+        except FileNotFoundError:
+            pass
 
 
 _DEFAULT_STORE = LocalFSLogStore()
@@ -240,7 +253,11 @@ class DataStore:
     (list_files/list_stage). Invariants every implementation must keep:
 
     * `read_uri(root, rel)` is Spark-readable AND pyarrow/external-
-      engine-readable (manifest lines are exactly these URIs);
+      engine-readable (manifest lines are exactly these URIs), and is
+      PREFIX-COMPOSABLE: `read_uri(root, rel) == read_uri(root, "") +
+      rel` (modulo one joining '/'), so callers can invert it back to
+      the log-relative path with a string strip — never os.path
+      arithmetic, which corrupts scheme-ful URIs;
     * a file Spark scanned from `read_uri(root, rel)` reports
       `_metadata.file_path` == URL-encoded `scan_uri_root(root) + rel`
       (how `_read_live` recovers the log-relative path for row-level
@@ -589,8 +606,10 @@ def tx_snapshot(path: str, version: int | None = None) -> dict:
 
 
 def tx_history(path: str) -> list[dict]:
-    """All commit records, oldest first, with file LISTS reduced to counts
-    (the audit view; full lists stay in the log files)."""
+    """All surviving commit records, oldest first, with file LISTS reduced
+    to counts (the audit view; full lists stay in the log files). After
+    `tx_cleanup_log` the history starts at the retention floor — the
+    audit trail below it is intentionally gone, like Delta's."""
     out = []
     for v in _usable_log(path)[0]:
         rec = _load_rec(path, v)
@@ -2320,10 +2339,23 @@ def _vacuum_plan(
     latest = snap["version"]
     horizon = max(snap["horizon"], latest - max(retain_versions, 1) + 1)
     # file -> version removed (absent = still live at latest)
-    commits, _ = _usable_log(path)
+    commits, checkpoints = _usable_log(path)
     removed_at: dict[str, int] = {}
     referenced: set[str] = set()
     dv_covers: dict[str, list[str]] = {}  # dv rel -> covered data rels
+    # After log retention (`tx_cleanup_log`) the commits that ADDED
+    # still-live old files may be gone — seed `referenced` (and the DV
+    # cover map) from the OLDEST surviving checkpoint, which folds
+    # everything the deleted prefix contributed. Without this, an
+    # include_orphans vacuum after cleanup would sweep LIVE files it can
+    # no longer see an `add` for.
+    if checkpoints:
+        cp = _load_rec(path, checkpoints[0], checkpoint=True)
+        referenced.update(cp["files"])
+        for data_rel, dv_rels in cp.get("dvs", {}).items():
+            referenced.update(dv_rels)
+            for d in dv_rels:
+                dv_covers.setdefault(d, []).append(data_rel)
     for v in commits:
         rec = _load_rec(path, v)
         for f in rec.get("add", []):
@@ -2410,6 +2442,66 @@ def tx_vacuum(
         # no-writes-in-flight covenant as the orphan sweep
         get_data_store(path).sweep_stages(path)
     return {"version": version, "horizon": horizon, "deleted": deletable + orphans}
+
+
+def tx_cleanup_log(path: str, *, dry_run: bool = False) -> dict:
+    """Log retention: delete commit/checkpoint JSONs that no reader can
+    ever need again, bounding `_txn_log`'s LIST cost (paid on EVERY
+    snapshot resolution) at millions of commits — the same mechanism as
+    Delta's log retention (Armbrust et al. VLDB 2020 §3.3: metadata
+    cleanup past the checkpoint + retention window).
+
+    The floor is the newest checkpoint at-or-below the VACUUM horizon:
+    * every readable version v ≥ horizon replays from a checkpoint ≤ v,
+      and the floor checkpoint satisfies that for v = horizon, so only
+      commits STRICTLY below the floor (and older checkpoints) go;
+    * the change feed / streaming source reject from_version < horizon
+      already, so no CDC range can reach a deleted entry;
+    * the horizon only exists as a committed vacuum, which physically
+      deleted every pre-horizon data file before returning — the deleted
+      commits' file references point at bytes that are already gone.
+    A table never vacuumed (horizon 0) or with no checkpoint at-or-below
+    the horizon has nothing safely deletable — returns an empty plan
+    rather than guessing.
+
+    Honors the time-travel covenant: versions in [horizon, latest] read
+    identically before and after cleanup. `tx_history` afterwards starts
+    at the floor (the audit trail below it is intentionally gone).
+
+    Returns {"floor", "horizon", "deleted_commits": n, "deleted_checkpoints": n}
+    (counts are the would-be deletions under dry_run)."""
+    snap = tx_snapshot(path)  # raises if no log
+    horizon = snap["horizon"]
+    commits, checkpoints = _list_log(path)
+    floors = [c for c in checkpoints if c <= horizon]
+    out = {
+        "floor": None, "horizon": horizon,
+        "deleted_commits": 0, "deleted_checkpoints": 0,
+        "dry_run": dry_run,
+    }
+    if horizon <= 0 or not floors:
+        return out
+    floor = floors[-1]
+    dead_commits = [v for v in commits if v < floor]
+    dead_checkpoints = [c for c in checkpoints if c < floor]
+    out.update(
+        floor=floor,
+        deleted_commits=len(dead_commits),
+        deleted_checkpoints=len(dead_checkpoints),
+    )
+    if dry_run:
+        return out
+    store = get_log_store(path)
+    log_dir = _log_dir(path)
+    # checkpoints first: if cleanup dies midway, surviving commits above
+    # a deleted checkpoint still replay from the floor checkpoint, and a
+    # deleted commit below a surviving checkpoint is never loaded — any
+    # partial state remains readable and re-cleanable
+    for c in dead_checkpoints:
+        store.delete(log_dir, _checkpoint_name(c))
+    for v in dead_commits:
+        store.delete(log_dir, _commit_name(v))
+    return out
 
 
 def tx_merge(

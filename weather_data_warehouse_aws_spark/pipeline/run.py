@@ -20,9 +20,11 @@ the log records `col=value/` relpaths), gold refresh is `tx_overwrite`.
 Cross-table consistency: the gold tables commit to SEPARATE logs, so a
 reader arriving between commits could join the new `dim_location` to the
 pre-refresh fact. `run_pipeline` therefore publishes a snapshot manifest
-(atomic rename) recording every table's committed version AFTER the last
-commit, and `read_gold_snapshot` pins all reads `as_of` those versions —
-one coherent generation, always.
+(atomic PUT through the table format's DataStore seam — rename on
+POSIX, per-key atomic PUT on an object store) recording every table's
+committed version AFTER the last commit, and `read_gold_snapshot` pins
+all reads `as_of` those versions — one coherent generation, always, on
+whatever storage the tables live on.
 """
 
 from __future__ import annotations
@@ -30,12 +32,11 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.txlog import tx_exists, tx_overwrite, tx_read
+from ..operators.txlog import get_data_store, tx_exists, tx_overwrite, tx_read
 from ..session import ensure_session_conf
 from .gold import build_dim_date, build_dim_location
 from .silver import build_silver_current, build_silver_forecast, read_bronze, write_silver_tx
@@ -138,27 +139,30 @@ SNAPSHOT_TABLES = {
 }
 
 
-def _manifest_path(warehouse_dir: str) -> str:
-    return os.path.join(warehouse_dir, "gold", "_snapshot.json")
+_SNAPSHOT_REL = "_snapshot.json"
+
+
+def _manifest_root(warehouse_dir: str) -> str:
+    """The manifest's storage root (the gold layer dir) — resolved through
+    the same DataStore routing as the tables it points at, so on an
+    object-store deployment the cross-table consistency point lives in
+    the bucket alongside the gold tx tables, not on driver-local POSIX."""
+    return os.path.join(warehouse_dir, "gold")
 
 
 def _publish_snapshot_manifest(
     warehouse_dir: str, versions: dict[str, int]
 ) -> dict[str, int]:
     """Record {table: committed version} for one pipeline run and swap it
-    in with one atomic rename — the cross-table read-consistency point.
-    Published only after EVERY table's commit, and only with the versions
-    THE CALLER committed (re-reading the logs here would race a
-    concurrent run and publish a mixed generation)."""
+    in with one atomic PUT through the DataStore seam (`put_atomic` —
+    rename on POSIX, per-key atomic PUT on an object store) — the
+    cross-table read-consistency point. Published only after EVERY
+    table's commit, and only with the versions THE CALLER committed
+    (re-reading the logs here would race a concurrent run and publish a
+    mixed generation)."""
     versions = {n: v for n, v in versions.items() if v is not None}
-    dst = _manifest_path(warehouse_dir)
-    os.makedirs(os.path.dirname(dst), exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dst), suffix=".json.tmp")
-    with os.fdopen(fd, "w") as fh:
-        json.dump(versions, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, dst)
+    root = _manifest_root(warehouse_dir)
+    get_data_store(root).put_atomic(root, _SNAPSHOT_REL, json.dumps(versions))
     return versions
 
 
@@ -172,7 +176,8 @@ def read_gold_snapshot(
     pre-refresh fact (or vice versa) — the mixed-generation anomaly that
     separate per-table logs (and the reference's separate Glue jobs)
     otherwise allow. Returns the tables plus a `"versions"` dict entry."""
-    with open(_manifest_path(warehouse_dir)) as fh:
+    root = _manifest_root(warehouse_dir)
+    with get_data_store(root).open_input(root, _SNAPSHOT_REL) as fh:
         versions: dict[str, int] = json.load(fh)
     out: dict = {
         name: tx_read(

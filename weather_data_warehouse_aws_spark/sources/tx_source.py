@@ -225,7 +225,14 @@ def _parse_predicate(raw: str | None, schema: StructType) -> list[tuple] | None:
                 f"schema ({sorted(by_name)})"
             )
         if op == "in":
-            value = [_lift(col, x) for x in (value or [])]
+            if value is None:
+                value = []  # [col, "in"] / null member set: matches nothing
+            elif not isinstance(value, list):
+                raise ValueError(
+                    f"txtable: predicate op 'in' needs a JSON list of "
+                    f"members, got {type(value).__name__} ({value!r})"
+                )
+            value = [_lift(col, x) for x in value]
         else:
             value = _lift(col, value)
         out.append((col, op, value))
@@ -274,11 +281,21 @@ def _arrow_pred_filter(table, pred: list[tuple] | None):
     return table.filter(mask)
 
 
-def _py_pred_ok(row: tuple, idx: dict[str, int], pred: list[tuple]) -> bool:
+def _py_pred_ok(
+    row: tuple, idx: dict[str, int], pred: list[tuple], strict: bool = False
+) -> bool:
     """Tuple-fallback row filter, same SQL semantics as the Arrow mask.
     A fallback file's PHYSICAL value may not compare against the literal
-    (that is why it fell back); an incomparable pair KEEPS the row — a
-    CDC feed may over-deliver but must never silently drop a change."""
+    (that is why it fell back); what happens then is the caller's
+    contract:
+
+    * CDC feed (strict=False): an incomparable pair KEEPS the row — a
+      change feed may over-deliver but must never silently drop a change
+      (the consumer applies its own exact filter downstream);
+    * batch read (strict=True): an incomparable pair DROPS the row —
+      Spark SQL's own semantics for an uncastable comparison (the cast
+      yields NULL, the filter rejects it), so a predicated batch read
+      equals read-then-filter even on cast-fallback files."""
     for col, op, value in pred:
         x = row[idx[col]]
         if op == "is_null":
@@ -293,7 +310,7 @@ def _py_pred_ok(row: tuple, idx: dict[str, int], pred: list[tuple]) -> bool:
             try:
                 ok = _CMP[op](x, value)
             except TypeError:
-                ok = True
+                ok = not strict
         if not ok:
             return False
     return True
@@ -365,7 +382,7 @@ def _read_file_rows(path: str, rel: str, colnames: list[str], tail: tuple,
                     exclude_dv: list[str] | None = None,
                     only_dv: tuple[list[str], list[str]] | None = None,
                     pred: list[tuple] | None = None,
-                    store=None):
+                    store=None, pred_strict: bool = False):
     """Tuple fallback for files the Arrow cast can't express: one
     immutable data file → tuples aligned to `colnames` + `tail` (hive
     partition values spliced from `fill`; None for columns the file
@@ -383,7 +400,7 @@ def _read_file_rows(path: str, rel: str, colnames: list[str], tail: tuple,
     ]
     idx = {c: i for i, c in enumerate(colnames)}
     for row in zip(*cols):
-        if pred and not _py_pred_ok(row, idx, pred):
+        if pred and not _py_pred_ok(row, idx, pred, pred_strict):
             continue
         yield row + tail
 
@@ -393,7 +410,7 @@ def _emit_file(path: str, rel: str, colnames: list[str], schema_json: str,
                exclude_dv: list[str] | None,
                only_dv: tuple[list[str], list[str]] | None = None,
                pred: list[tuple] | None = None,
-               store=None):
+               store=None, pred_strict: bool = False):
     """RecordBatches when the file's types cast cleanly to the declared
     schema (the stable-schema norm), tuples otherwise — decided PER FILE
     and deterministically, never mid-stream (the batch path is eager).
@@ -416,14 +433,16 @@ def _emit_file(path: str, rel: str, colnames: list[str], schema_json: str,
             stacklevel=2,
         )
         yield from _read_file_rows(
-            path, rel, colnames, tail, fill, exclude_dv, only_dv, pred, store
+            path, rel, colnames, tail, fill, exclude_dv, only_dv, pred,
+            store, pred_strict,
         )
         return
     yield from batches
 
 
 def tx_source_cast_report(path: str, version: int | None = None,
-                          probe_rows: int = 1024) -> dict:
+                          probe_rows: int = 1024,
+                          max_files: int | None = None) -> dict:
     """Driver-side census of which live files take the Arrow fast path —
     the observability for `_emit_file`'s silent per-file fallback (a
     schema-drifted table that permanently falls back reads slow with no
@@ -433,8 +452,17 @@ def tx_source_cast_report(path: str, version: int | None = None,
     at read time. Value-level failures beyond the probed rows (e.g. an
     unparseable string past row 1024) can still fall back at runtime —
     the probe is a census, the per-file runtime fallback remains the
-    correctness guarantee. Returns {files_total, arrow_ready,
-    fallback_files: [(rel, reason)]} — doctor prints it."""
+    correctness guarantee.
+
+    The probe opens each file SEQUENTIALLY on the driver (footer + one
+    small batch), so on a very large table it is remote-IO bound —
+    `max_files` caps it to an evenly-spaced deterministic sample of the
+    live files (no silent cap: `files_probed`/`files_skipped` report
+    exactly what was sampled). Doctor passes a bounded default.
+
+    Returns {files_total, files_probed, files_skipped, arrow_ready,
+    fallback_files: [(rel, reason)]} — `arrow_ready` counts PROBED files
+    only."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -442,7 +470,8 @@ def tx_source_cast_report(path: str, version: int | None = None,
 
     snap = tx_snapshot(path, version)
     if snap["schema"] is None:
-        return {"files_total": 0, "arrow_ready": 0, "fallback_files": []}
+        return {"files_total": 0, "files_probed": 0, "files_skipped": 0,
+                "arrow_ready": 0, "fallback_files": []}
     expected = _declared_arrow_schema(
         StructType.fromJson(json.loads(snap["schema"])).json()
     )
@@ -450,8 +479,15 @@ def tx_source_cast_report(path: str, version: int | None = None,
         f.name for f in StructType.fromJson(json.loads(snap["schema"])).fields
     ]
     store = _store(path)
+    probed = snap["files"]
+    if max_files is not None and max_files > 0 and len(probed) > max_files:
+        # evenly-spaced deterministic sample over the sorted live list —
+        # physical-type drift clusters by write era, which file order
+        # tracks, so spacing beats a prefix
+        step = len(probed) / max_files
+        probed = [probed[int(i * step)] for i in range(max_files)]
     fallback: list[tuple[str, str]] = []
-    for rel in snap["files"]:
+    for rel in probed:
         try:
             with store.open_input(path, rel) as f:
                 head = next(
@@ -467,7 +503,9 @@ def tx_source_cast_report(path: str, version: int | None = None,
             fallback.append((rel, f"{type(e).__name__}: {e}"))
     return {
         "files_total": len(snap["files"]),
-        "arrow_ready": len(snap["files"]) - len(fallback),
+        "files_probed": len(probed),
+        "files_skipped": len(snap["files"]) - len(probed),
+        "arrow_ready": len(probed) - len(fallback),
         "fallback_files": fallback,
     }
 
@@ -629,6 +667,7 @@ class TxTableBatchReader(DataSourceReader):
         yield from _emit_file(
             path, rel, colnames, sjson, tail, fill, exclude_dv,
             pred=pred, store=self._data_store,
+            pred_strict=True,  # batch = read-then-filter, exactly
         )
 
 
