@@ -37,23 +37,59 @@ ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")))
 SWEEP = os.environ.get("SPARK_GRAFT_BENCH_SWEEP", "auto")
 
 
-def run_suite(spark, queries, sf_dir: str, iters: int) -> dict[str, float]:
+# entries whose best still exceeds this get extra iterations: heavy
+# queries dominate the suite total, so their best-of-N needs more N to
+# shake off one unlucky GC/compaction pause than a 0.2s entry does
+HEAVY_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_SEC", "3.0"))
+HEAVY_ITERS = max(
+    ITERS, int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_ITERS", "4"))
+)
+
+
+def _load1() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
+def run_suite(
+    spark, queries, sf_dir: str, iters: int,
+    detail: dict[str, dict] | None = None,
+) -> dict[str, float]:
     # warm parquet footers so per-query numbers measure the query
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     timings: dict[str, float] = {}
     for name in sorted(queries):
-        best, n = None, 0
-        for _ in range(iters):
+        load_before = _load1()
+        samples: list[float] = []
+        n = 0
+        # adaptive: heavy entries (best >= HEAVY_SEC after the base
+        # iterations) get extra runs — a mid-run load spike on a 5s query
+        # moves the suite total far more than one on a 0.2s query, and
+        # recorded per-iteration times let a reviewer adjudicate noise
+        # vs. plan regression without a re-run
+        while len(samples) < iters or (
+            min(samples) >= HEAVY_SEC and len(samples) < HEAVY_ITERS
+        ):
             start = time.perf_counter()
             df = queries[name](spark, sf_dir)
             n = df.count()
-            elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
+            samples.append(time.perf_counter() - start)
             # queries may persist internal intermediates (e.g. minhash
             # signatures); drop them so queries are timed independently
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        timings[name] = round(min(samples), 3)
+        if detail is not None:
+            detail[name] = {
+                "iters": [round(s, 3) for s in samples],
+                "load1_before": load_before,
+            }
+        print(
+            f"# {name}: {timings[name]:.3f}s ({n} rows; "
+            f"{len(samples)} iter(s), load1 {load_before})",
+            file=sys.stderr,
+        )
     return timings
 
 
@@ -100,7 +136,9 @@ def main() -> None:
     queries = entrymod.queries()
 
     wait_for_quiet_box()
-    timings = run_suite(spark, queries, SF_DIR, ITERS)
+    load1_start = _load1()
+    detail: dict[str, dict] = {}
+    timings = run_suite(spark, queries, SF_DIR, ITERS, detail)
 
     # end-to-end weather pipeline (bronze JSON → silver → gold/SCD2 → band-
     # join accuracy fact): the reference's entire workload, vs its "<5 min
@@ -129,13 +167,16 @@ def main() -> None:
         # long-running session); steady state is what the reference's
         # "<5 min per daily Glue job" budget compares against
         best, n_acc = None, 0
+        pipe_detail = {"iters": [], "load1_before": _load1()}
         for it in range(max(ITERS, 1)):
             start = time.perf_counter()
             layers = run_pipeline(spark, bronze, os.path.join(tmp, f"wh{it}"))
             n_acc = layers["fact_forecast_accuracy"].count()
             elapsed = time.perf_counter() - start
+            pipe_detail["iters"].append(round(elapsed, 3))
             print(f"# weather_pipeline.iter{it}: {elapsed:.3f}s", file=sys.stderr)
             best = elapsed if best is None else min(best, elapsed)
+        detail["weather_pipeline"] = pipe_detail
         timings["weather_pipeline"] = round(best, 3)
         print(
             f"# weather_pipeline: {timings['weather_pipeline']:.3f}s "
@@ -163,14 +204,17 @@ def main() -> None:
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
     )
     best, n_packed = None, 0
+    cur_detail = {"iters": [], "load1_before": _load1()}
     for it in range(max(ITERS, 1)):
         start = time.perf_counter()
         stages = curate_corpus(docs, eval_docs=ev)
         n_packed = stages["packed"].count()
         elapsed = time.perf_counter() - start
+        cur_detail["iters"].append(round(elapsed, 3))
         print(f"# curation_pipeline.iter{it}: {elapsed:.3f}s", file=sys.stderr)
         best = elapsed if best is None else min(best, elapsed)
         release_curation(stages)  # the run's cache-ownership contract
+    detail["curation_pipeline"] = cur_detail
     timings["curation_pipeline"] = round(best, 3)
     print(
         f"# curation_pipeline: {timings['curation_pipeline']:.3f}s "
@@ -192,7 +236,28 @@ def main() -> None:
         "queries": timings,
         "sf": sf_of(SF_DIR),
         "iters": ITERS,
+        # round-to-round comparability scalars (the per-query iteration
+        # samples live in bench_detail.json — the primary line must stay
+        # small enough for the driver's stdout-tail window)
+        "load1_start": load1_start,
+        "load1_end": _load1(),
     }
+
+    # full per-iteration samples + load readings, for adjudicating noise
+    # vs. regression without a re-run; best-effort side artifact
+    detail_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL_OUT", "bench_detail.json"
+    )
+    try:
+        with open(detail_out, "w") as fh:
+            json.dump(
+                {"sf": sf_of(SF_DIR), "load1_start": load1_start,
+                 "load1_end": _load1(), "detail": detail},
+                fh, indent=1,
+            )
+        print(f"# detail written to {detail_out}", file=sys.stderr)
+    except OSError as exc:
+        print(f"# detail side-file write failed: {exc}", file=sys.stderr)
 
     # The scale-slope sweep runs BEFORE the primary line is printed and its
     # results go to stderr + a side file, NOT into the primary JSON object:

@@ -160,16 +160,23 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit_j = [ dot(v, h_j) > 0 ]."""
-    bucket = F.lit(0)
+    """Sign-bit bucket id: bit_j = [ dot(v, h_j) > 0 ].
+
+    Built as ONE SQL expression string (a single parser round-trip) —
+    composing it per-plane from Column operators costs a driver↔JVM
+    round-trip per node (~10 per plane), and plan-construction chatter is
+    pure serial driver latency at any cluster size."""
+    terms = []
     for j, plane in enumerate(planes):
         arr = "array(" + ", ".join(f"{x}D" for x in plane) + ")"
-        dot = F.expr(
-            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
-            f"0.0D, (acc, v) -> acc + v)"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
         )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+        terms.append(
+            f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return F.expr("0 + " + " + ".join(terms))
 
 
 def lloyd_refine(

@@ -722,43 +722,49 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/planes/rerank against): neighbor_id carries |topk_m ∩
     topk_brute| and cos carries recall@k. Small-int division is IEEE-exact
     and identical cross-engine."""
-    brute = q_embedding_topk(spark, sf_dir).withColumn(
-        "method", F.lit("brute")
-    ).persist()  # reused: own rows + the 4 recall joins
-    ivf = q_ivf_ann(spark, sf_dir).withColumn("method", F.lit("ivf")).persist()
-    lsh = q_lsh_topk(spark, sf_dir).withColumn("method", F.lit("lsh")).persist()
-    q8 = q_quantized_ann(spark, sf_dir).withColumn("method", F.lit("q8")).persist()
-    inner_caches: list = []  # pq_topk's internal caches, released below
-    pq = (
-        q_pq_ann(spark, sf_dir, caches_out=inner_caches)
-        .withColumn("method", F.lit("pq"))
-        .persist()
-    )
+    # CONSTRUCT + materialize every tier concurrently. Construction is
+    # py4j-bound (thousands of driver↔JVM round-trips building the
+    # plane/codebook expression trees — measured ~1.3s per heavy tier,
+    # pure serial latency at any cluster size) and the socket waits
+    # release the GIL, so the five builds pipeline in threads just like
+    # the five materializing jobs do; a serial build-then-parallel-count
+    # pays the construction SUM first.
+    from concurrent.futures import ThreadPoolExecutor
 
-    tiers = (brute, ivf, lsh, q8, pq)
+    inner_caches: list = []  # pq_topk's internal caches, released below
+    builders = {
+        "brute": lambda: q_embedding_topk(spark, sf_dir),
+        "ivf": lambda: q_ivf_ann(spark, sf_dir),
+        "lsh": lambda: q_lsh_topk(spark, sf_dir),
+        "q8": lambda: q_quantized_ann(spark, sf_dir),
+        "pq": lambda: q_pq_ann(spark, sf_dir, caches_out=inner_caches),
+    }
+    built: dict[str, DataFrame] = {}
+
+    def _build(item):
+        tag, fn = item
+        df = fn().withColumn("method", F.lit(tag)).persist()
+        df.count()  # materialize into the cache
+        built[tag] = df
+
     try:
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            list(pool.map(_build, builders.items()))
+        tiers = tuple(built[t] for t in ("brute", "ivf", "lsh", "q8", "pq"))
         return _assemble_ann_methods(tiers, inner_caches)
     except BaseException:
         # the success path releases caches itself; on ANY failure mid-
         # materialization the tier caches must not outlive the call
         # (CacheManager entries are never GC'd)
-        for t in (*tiers, *inner_caches):
+        for t in (*built.values(), *inner_caches):
             t.unpersist()
         raise
 
 
 def _assemble_ann_methods(tiers, inner_caches: list) -> DataFrame:
+    # tiers arrive persisted AND materialized (q_ann_methods counts each
+    # inside its build thread); the assembly below only reads the caches
     brute, ivf, lsh, q8, pq = tiers
-    # materialize the five tiers CONCURRENTLY (Spark runs jobs submitted
-    # from separate threads in parallel; each tier's stage chain is serial
-    # internally, so a single assembly action would pay their SUM — the
-    # thread fan-out pays ~max(tier) instead). The k·|queries| results
-    # land in the caches; the assembly below only reads them.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=5) as pool:
-        list(pool.map(lambda t: t.count(), tiers))
-
     base = brute.select("query_id", "neighbor_id")
     qs = base.select("query_id").distinct()
 
