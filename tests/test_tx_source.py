@@ -634,3 +634,60 @@ def test_batch_predicate_strict_on_fallback_file(spark, tmp_path):
         batch_rows = list(_emit_file(*args, pred=pred, pred_strict=True))
     assert any(r[0] == "not-an-int" for r in cdc_rows)  # over-delivered
     assert batch_rows == []  # strict: incomparable row filtered out
+
+
+def test_txtable_source_reads_renamed_columns(spark, tmp_path):
+    """Column mapping through the Python source: after tx_rename_column
+    (metadata-only, files keep the physical name) the batch reader, the
+    change-feed stream, predicate pruning, and the cast-report census all
+    operate under the LOGICAL name — for files written before AND after
+    the rename."""
+    import json as _json
+
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_rename_column,
+    )
+    from weather_data_warehouse_aws_spark.sources.tx_source import (
+        tx_source_cast_report,
+    )
+
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    tx_append(_mk(spark, range(5)).coalesce(1), t)          # v0, physical 'id'
+    tx_rename_column(t, "id", "ident")                      # v1
+    tx_append(
+        spark.createDataFrame([(100, "v100")], "ident int, val string")
+        .coalesce(1),
+        t,
+    )                                                       # v2
+
+    register_tx_source(spark)
+    b = spark.read.format("txtable").option("path", t).load()
+    assert "ident" in b.columns and "id" not in b.columns
+    assert sorted(r["ident"] for r in b.collect()) == [0, 1, 2, 3, 4, 100]
+
+    # predicate under the new name: plan-time pruning + row filter
+    pred = _json.dumps([["ident", ">=", 100]])
+    got = (
+        spark.read.format("txtable")
+        .option("path", t).option("predicate", pred).load().collect()
+    )
+    assert [r["ident"] for r in got] == [100]
+
+    # stream drains both eras as logical columns
+    sink: list = []
+
+    def _sink(batch_df, _bid):
+        sink.extend((r["ident"], r["_commit_version"]) for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("txtable").option("path", t).load()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt).trigger(once=True).start()
+    )
+    q.awaitTermination()
+    assert sorted(sink) == [(i, 0) for i in range(5)] + [(100, 2)]
+
+    # the census probes the PHYSICAL name — a mapped table is healthy
+    rep = tx_source_cast_report(t)
+    assert rep["arrow_ready"] == rep["files_total"] == 2

@@ -2069,3 +2069,346 @@ def test_vacuum_orphan_sweep_after_cleanup_keeps_live_files(
     swept = tx_vacuum(t, retain_versions=1, include_orphans=True)
     assert swept["deleted"] == []  # nothing live is "orphaned" by cleanup
     assert sorted(r["id"] for r in tx_read(spark, t).collect()) == expect
+
+
+# ------------------------------------------------------------ column mapping
+def test_rename_column_without_rewrite(spark, tmp_path):
+    """tx_rename_column is metadata-only: a multi-file table renames in
+    one commit with every data file byte-identical (mtimes untouched);
+    reads, predicates, and footer-stats pruning work under the NEW name;
+    time travel below the commit shows the OLD name; later appends write
+    the original physical name so old and new files stay one column."""
+    import datetime as _dt
+
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_prune,
+        tx_rename_column,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(5)).coalesce(1), t)        # v0: ids 0..4
+    tx_append(_mk(spark, range(100, 105)).coalesce(1), t)  # v1: ids 100..104
+    snap0 = tx_snapshot(t)
+    mtimes = {
+        r: os.path.getmtime(_data_path(t, r)) for r in snap0["files"]
+    }
+
+    v = tx_rename_column(t, "id", "ident")
+    assert v == 2
+
+    snap = tx_snapshot(t)
+    assert snap["files"] == snap0["files"]  # no file added or removed
+    assert snap["column_map"] == {"ident": "id"}
+    for r, m in mtimes.items():
+        assert os.path.getmtime(_data_path(t, r)) == m  # bytes untouched
+
+    out = tx_read(spark, t)
+    assert set(out.columns) == {"ident", "val"}
+    assert sorted(r["ident"] for r in out.collect()) == (
+        list(range(5)) + list(range(100, 105))
+    )
+
+    # footer-stats pruning under the NEW name: the high file is skipped
+    kept, skipped = tx_prune(t, [("ident", "<=", 4)])
+    assert len(kept) == 1 and len(skipped) == 1
+    got = tx_read(spark, t, predicate=[("ident", "<=", 4)])
+    assert sorted(r["ident"] for r in got.collect()) == list(range(5))
+
+    # time travel below the rename shows the OLD name and same values
+    old = tx_read(spark, t, version=1)
+    assert set(old.columns) == {"id", "val"}
+    assert sorted(r["id"] for r in old.collect()) == (
+        list(range(5)) + list(range(100, 105))
+    )
+
+    # appends after the rename use LOGICAL names; the new file carries the
+    # original PHYSICAL name, so both eras read as one column and pruning
+    # proofs hold across them
+    tx_append(
+        spark.createDataFrame(
+            [(200, "v200")], "ident long, val string"
+        ).coalesce(1),
+        t,
+    )
+    allrows = tx_read(spark, t)
+    assert sorted(r["ident"] for r in allrows.collect()) == (
+        list(range(5)) + list(range(100, 105)) + [200]
+    )
+    kept2, skipped2 = tx_prune(t, [("ident", ">=", 200)])
+    assert len(kept2) == 1 and len(skipped2) == 2
+
+    # chained rename keeps pointing at the original physical name;
+    # renaming BACK to the physical name restores the identity map
+    tx_rename_column(t, "ident", "key")
+    assert tx_snapshot(t)["column_map"] == {"key": "id"}
+    tx_rename_column(t, "key", "id")
+    assert tx_snapshot(t)["column_map"] == {}
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == (
+        list(range(5)) + list(range(100, 105)) + [200]
+    )
+
+
+def test_rename_column_validations(spark, tmp_path):
+    import datetime as _dt
+
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_rename_column,
+        tx_set_constraint,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, _dt.date(2024, 1, 1 + i % 2), f"v{i}") for i in range(6)],
+        "id int, d date, val string",
+    )
+    tx_append(df, t, partition_by=["d"])
+    with pytest.raises(ValueError, match="partition columns"):
+        tx_rename_column(t, "d", "day")
+    with pytest.raises(ValueError, match="exists"):
+        tx_rename_column(t, "id", "val")
+    with pytest.raises(ValueError, match="no column"):
+        tx_rename_column(t, "nope", "x")
+    tx_set_constraint(spark, t, "id_pos", "id >= 0")
+    with pytest.raises(ValueError, match="constraint.*id_pos"):
+        tx_rename_column(t, "id", "ident")
+    # after a rename, the OLD physical name stays reserved
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_drop_constraint,
+    )
+
+    tx_drop_constraint(t, "id_pos")
+    tx_rename_column(t, "id", "ident")
+    with pytest.raises(ValueError, match="PHYSICAL name"):
+        tx_rename_column(t, "val", "id")
+
+
+def test_drop_column_without_rewrite_and_resurrection_guard(spark, tmp_path):
+    """tx_drop_column removes a column in one metadata commit: reads stop
+    showing it, its bytes stay in old files but never resurrect through
+    mergeSchema, time travel still shows it, a write reintroducing the
+    name is refused, and tx_overwrite (a full rewrite) resets the
+    mapping so the name returns to service."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_drop_column,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(4)).coalesce(1), t)   # id, val
+    snap0 = tx_snapshot(t)
+    v = tx_drop_column(t, "val")
+    assert tx_snapshot(t)["files"] == snap0["files"]  # no rewrite
+
+    out = tx_read(spark, t)
+    assert out.columns == ["id"]
+    assert sorted(r["id"] for r in out.collect()) == [0, 1, 2, 3]
+    # time travel below the drop still reads the column
+    assert set(tx_read(spark, t, version=v - 1).columns) == {"id", "val"}
+
+    # the physical name is poisoned until a rewrite: appends carrying it
+    # would graft the old files' bytes onto the new column
+    with pytest.raises(ValueError, match="dropped"):
+        tx_append(_mk(spark, [9]).coalesce(1), t)  # _mk has id AND val
+    tx_append(
+        spark.createDataFrame([(7,)], "id long").coalesce(1), t
+    )
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == [
+        0, 1, 2, 3, 7,
+    ]
+
+    # last-column and validation guards
+    with pytest.raises(ValueError, match="last column"):
+        tx_drop_column(t, "id")
+
+    # tx_overwrite replaces every file -> mapping resets, name reusable
+    tx_overwrite(_mk(spark, [1, 2]).coalesce(1), t)
+    snap = tx_snapshot(t)
+    assert snap["column_map"] == {} and snap["dropped_cols"] == []
+    got = tx_read(spark, t)
+    assert {r["val"] for r in got.collect()} == {"v1", "v2"}
+
+
+def test_row_ops_and_cdc_under_renamed_column(spark, tmp_path):
+    """The whole row-op surface runs in LOGICAL name space on a mapped
+    table: delete/update/compact address the renamed column, rewrites
+    keep writing the physical name, and the change feed emits logical
+    columns for both pre- and post-rename eras."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_changes,
+        tx_delete_where,
+        tx_rename_column,
+        tx_update_where,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(10)).coalesce(1), t)      # v0
+    tx_rename_column(t, "id", "ident")                    # v1
+    tx_delete_where(spark, t, "ident >= 8")               # v2 (DV)
+    res = tx_update_where(spark, t, "ident = 0", {"val": "'zero'"})
+    assert res["rows_updated"] == 1
+    got = {r["ident"]: r["val"] for r in tx_read(spark, t).collect()}
+    assert sorted(got) == list(range(8))
+    assert got[0] == "zero" and got[1] == "v1"
+
+    tx_compact(spark, t, target_files=1)
+    assert sorted(
+        r["ident"] for r in tx_read(spark, t).collect()
+    ) == list(range(8))
+
+    # change feed spans both eras under the CURRENT logical schema
+    feed = tx_changes(spark, t, from_version=0)
+    assert "ident" in feed.columns and "id" not in feed.columns
+    dels = sorted(
+        r["ident"] for r in feed.collect()
+        if r["_change_type"] == "delete" and r["_commit_version"] == 2
+    )
+    assert dels == [8, 9]
+
+
+# --------------------------------------------------- data-plane crash fuzz
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+class FaultInjectingDataStore:
+    """Delegating DataStore wrapper that dies at a chosen data-plane
+    call — between df.write and the first publish ('list_stage'),
+    mid-publish ('publish:<n>'), or after every publish but before the
+    log commit ('discard_stage'). Every crash leaves only unreferenced
+    garbage: the log never saw the op, so readers stay on the prior
+    snapshot and vacuum(include_orphans) sweeps the debris — the same
+    proof the LogStore fuzz gives the commit protocol, applied to the
+    data plane."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.fault: str | None = None
+        self._published = 0
+
+    def arm(self, fault: str) -> None:
+        self.fault = fault
+        self._published = 0
+
+    def _maybe_die(self, point: str) -> None:
+        if self.fault == point:
+            self.fault = None
+            raise _InjectedCrash(point)
+
+    def list_stage(self, stage_uri):
+        self._maybe_die("list_stage")
+        return self._inner.list_stage(stage_uri)
+
+    def publish(self, table_root, stage_uri, staged_rel, rel):
+        self._maybe_die(f"publish:{self._published}")
+        self._published += 1
+        return self._inner.publish(table_root, stage_uri, staged_rel, rel)
+
+    def discard_stage(self, table_root, stage_uri):
+        self._maybe_die("discard_stage")
+        return self._inner.discard_stage(table_root, stage_uri)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_data_plane_crash_fuzz_reads_prior_snapshot_and_vacuums(
+    spark, tmp_path, data_store_mode
+):
+    """For every write-op kind and every data-plane fault point: the
+    crashed op is invisible (version and rows unchanged — the log is the
+    source of truth, half-published files are unreferenced), an
+    include_orphans vacuum returns the data keyspace to exactly the live
+    set, and the op re-runs cleanly afterwards. Runs over BOTH stores
+    (autouse fixture): rename-based and copy-based publish primitives
+    must crash identically."""
+    from weather_data_warehouse_aws_spark.operators import txlog as _tx
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_delete_where,
+        tx_merge,
+        tx_update_where,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(8)).coalesce(1), t)
+    tx_append(_mk(spark, range(100, 104)).coalesce(1), t)
+
+    inner = get_data_store(t)
+    store = FaultInjectingDataStore(inner)
+    register_data_store(t, store)
+    try:
+        ops = {
+            "append": lambda: tx_append(
+                _mk(spark, [500]).coalesce(1), t
+            ),
+            "overwrite": lambda: tx_overwrite(
+                _mk(spark, range(50, 55)).coalesce(1), t
+            ),
+            # ops run in dict order and each re-runs for real after its
+            # fault round, so later ops must target rows the OVERWRITE
+            # left behind (ids 50..54)
+            "update": lambda: tx_update_where(
+                spark, t, "id = 51", {"val": "'fifty-one'"}
+            ),
+            "compact": lambda: tx_compact(spark, t, target_files=1),
+            "merge": lambda: tx_merge(
+                spark, t,
+                spark.createDataFrame(
+                    [Row(id=52, val="merged"), Row(id=900, val="new")]
+                ),
+                ["id"],
+            ),
+        }
+        faults = ["list_stage", "publish:0", "discard_stage"]
+        for op_name, op in ops.items():
+            for fault in faults:
+                before = tx_snapshot(t)
+                rows_before = sorted(
+                    map(str, tx_read(spark, t).collect())
+                )
+                store.arm(fault)
+                with pytest.raises(Exception) as exc:
+                    op()
+                assert "injected" in str(exc.value).lower() or isinstance(
+                    exc.value, _InjectedCrash
+                ), f"{op_name}/{fault}: unexpected {exc.value!r}"
+                store.fault = None
+                # the log never saw the op: same version, same rows
+                after = tx_snapshot(t)
+                assert after["version"] == before["version"], (
+                    f"{op_name}/{fault} leaked a commit"
+                )
+                assert sorted(
+                    map(str, tx_read(spark, t).collect())
+                ) == rows_before, f"{op_name}/{fault} changed visible rows"
+                # vacuum sweeps every stranded file and stage; afterwards
+                # the data keyspace holds exactly the live set (+ DVs)
+                tx_vacuum(t, retain_versions=1, include_orphans=True)
+                snap = tx_snapshot(t)
+                live = set(snap["files"]) | {
+                    d for dvs in snap["dvs"].values() for d in dvs
+                }
+                assert set(store.list_files(t)) == live, (
+                    f"{op_name}/{fault}: vacuum left debris"
+                )
+            # and the op itself still works after all that
+            op()
+
+        # a DV op (delete_where) writes through the store too: crash the
+        # DV-file publish and prove the same invariants
+        before = tx_snapshot(t)
+        rows_before = sorted(map(str, tx_read(spark, t).collect()))
+        store.arm("publish:0")
+        with pytest.raises(Exception):
+            tx_delete_where(spark, t, "id >= 900")
+        store.fault = None
+        assert tx_snapshot(t)["version"] == before["version"]
+        assert sorted(map(str, tx_read(spark, t).collect())) == rows_before
+        tx_vacuum(t, retain_versions=1, include_orphans=True)
+        snap = tx_snapshot(t)
+        live = set(snap["files"]) | {
+            d for dvs in snap["dvs"].values() for d in dvs
+        }
+        assert set(store.list_files(t)) == live
+        res = tx_delete_where(spark, t, "id >= 900")
+        assert res["rows_deleted"] >= 1
+    finally:
+        _tx._DATA_STORES.pop(t, None)

@@ -13,8 +13,10 @@ Athena console; the equivalent local surface:
     merge      --table DIR --source P --keys K --partition-col C  upsert
     doctor     --table DIR [--skew-col C]            table health report
     snapshot   --warehouse DIR                       pinned coherent read
-    tx         {history,read,compact,erase,vacuum,merge,restore,
-                changes,delete} --table DIR           txlog ops
+    tx         {history,read,compact,erase,vacuum,cleanup-log,merge,
+                restore,changes,delete,update,manifest,optimize,
+                set-constraint,drop-constraint,rename-column,
+                drop-column} --table DIR              txlog ops
 """
 
 from __future__ import annotations
@@ -110,7 +112,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=["history", "read", "compact", "erase", "vacuum", "merge",
                  "restore", "changes", "delete", "update", "manifest",
                  "set-constraint", "drop-constraint", "optimize",
-                 "cleanup-log"],
+                 "cleanup-log", "rename-column", "drop-column"],
     )
     tx.add_argument("--table", required=True, help="txlog table directory")
     tx.add_argument("--version", type=int, default=None, help="time-travel version (read)")
@@ -185,7 +187,9 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name:24s} [{marker}]")
         return 0
 
-    if args.cmd == "tx" and args.action in ("history", "vacuum", "cleanup-log"):
+    if args.cmd == "tx" and args.action in (
+        "history", "vacuum", "cleanup-log", "rename-column", "drop-column",
+    ):
         # pure log/filesystem actions — no SparkSession needed
         from .operators import txlog
 
@@ -196,6 +200,22 @@ def main(argv: list[str] | None = None) -> int:
                     f"v{rec['version']:>6} {rec['op']:<10} "
                     f"+{rec['n_added']} -{rec['n_removed']}{extra}"
                 )
+        elif args.action == "rename-column":
+            if not args.name or "=" not in args.name:
+                print("tx rename-column needs --name old=new",
+                      file=sys.stderr)
+                return 2
+            old, _, new = args.name.partition("=")
+            v = txlog.tx_rename_column(args.table, old, new)
+            print(f"renamed {old} -> {new} at v{v} (metadata-only — "
+                  "zero files rewritten)")
+        elif args.action == "drop-column":
+            if not args.name:
+                print("tx drop-column needs --name", file=sys.stderr)
+                return 2
+            v = txlog.tx_drop_column(args.table, args.name)
+            print(f"dropped {args.name} at v{v} (metadata-only — bytes "
+                  "retire at the next rewrite)")
         elif args.action == "cleanup-log":
             res = txlog.tx_cleanup_log(args.table, dry_run=args.dry_run)
             verb = "would delete" if args.dry_run else "deleted"
@@ -338,9 +358,20 @@ def main(argv: list[str] | None = None) -> int:
             d for d in os.listdir(args.table) if d.startswith("_bloom_idx_")
         ]
         print(f"index sidecars: {sidecars or 'none'}")
-        from .operators.txlog import tx_dv_stats, tx_exists, tx_read
+        from .operators.txlog import tx_cleanup_log, tx_dv_stats, tx_exists, tx_read
 
         if tx_exists(args.table):
+            # metadata-plane health: every snapshot resolution LISTs the
+            # log dir, so report retention debt (dry run — doctor never
+            # mutates)
+            plan = tx_cleanup_log(args.table, dry_run=True)
+            dead = plan["deleted_commits"] + plan["deleted_checkpoints"]
+            if dead:
+                print(
+                    f"txn log: {dead} entrie(s) below the retention floor "
+                    f"(v{plan['floor']}) — RECOMMEND: tx cleanup-log "
+                    "(bounds the per-read log LIST)"
+                )
             dv = tx_dv_stats(args.table)
             print(
                 f"deletion vectors: {dv['rows_deleted']} logically-deleted "

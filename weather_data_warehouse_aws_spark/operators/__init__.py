@@ -49,6 +49,7 @@ from .txlog import (  # noqa: F401
     tx_changes,
     tx_cleanup_log,
     tx_compact,
+    tx_drop_column,
     tx_drop_constraint,
     tx_dv_stats,
     tx_erase_keys,
@@ -58,6 +59,7 @@ from .txlog import (  # noqa: F401
     tx_overwrite,
     tx_prune,
     tx_read,
+    tx_rename_column,
     tx_replace_where,
     tx_restore,
     tx_set_constraint,

@@ -97,7 +97,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 CHECKPOINT_INTERVAL = 10
 _LOG_DIR = "_txn_log"
@@ -544,6 +544,8 @@ def _replay(path: str, version: int | None = None) -> dict | None:
     txns: dict[str, int] = {}  # idempotence tokens: app -> max batch seen
     dvs: dict[str, list[str]] = {}  # data relpath -> [dv relpaths]
     constraints: dict[str, str] = {}  # CHECK constraints: name -> SQL expr
+    column_map: dict[str, str] = {}  # logical name -> physical name
+    dropped_cols: list[str] = []  # physical names of dropped columns
     schema_json = None
     partition_by: list[str] | None = None
     usable = [c for c in checkpoints if c <= target]
@@ -557,6 +559,8 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         partition_by = cp.get("partition_by") or None
         dvs = {f: list(d) for f, d in cp.get("dvs", {}).items()}
         constraints = dict(cp.get("constraints", {}))
+        column_map = dict(cp.get("column_map", {}))
+        dropped_cols = list(cp.get("dropped_cols", []))
     for v in commits:
         if v <= base_v or v > target:
             continue
@@ -582,6 +586,12 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         if "constraints" in rec.get("meta", {}):
             # replacement semantics: the commit carries the FULL map
             constraints = dict(rec["meta"]["constraints"])
+        if "column_map" in rec.get("meta", {}):
+            # replacement semantics, like constraints: rename/drop commits
+            # carry the FULL logical->physical map
+            column_map = dict(rec["meta"]["column_map"])
+        if "dropped_cols" in rec.get("meta", {}):
+            dropped_cols = list(rec["meta"]["dropped_cols"])
         txn = rec.get("txn")
         if txn:
             txns[txn["app"]] = max(txns.get(txn["app"], -1), int(txn["batch"]))
@@ -595,6 +605,8 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         "partition_by": partition_by,
         "dvs": dvs,
         "constraints": constraints,
+        "column_map": column_map,
+        "dropped_cols": dropped_cols,
     }
 
 
@@ -721,6 +733,8 @@ def _commit(
                         "partition_by": cp["partition_by"],
                         "dvs": cp["dvs"],
                         "constraints": cp["constraints"],
+                        "column_map": cp["column_map"],
+                        "dropped_cols": cp["dropped_cols"],
                     }
                 ),
             )
@@ -956,9 +970,13 @@ def _pv_skip(raw: str | None, op: str, value) -> bool:
 def _skip_file(snap: dict, rel: str, col: str, op: str, value) -> bool:
     """Unified skip proof for one conjunct against one live file: exact
     partition-value pruning when `col` is a partition column of the
-    snapshot, footer min/max stats otherwise."""
+    snapshot, footer min/max stats otherwise. `col` arrives LOGICAL;
+    footer stats are keyed by the file's PHYSICAL name (column mapping),
+    so the snapshot's column_map translates before the stats probe —
+    renamed columns keep their pruning proofs."""
     if col in (snap.get("partition_by") or []):
         return _pv_skip(_partition_values(rel).get(col), op, value)
+    col = (snap.get("column_map") or {}).get(col, col)
     return _can_skip(snap["stats"].get(rel, {}), col, op, value)
 
 
@@ -997,6 +1015,7 @@ def _write_new_files(
     collect_stats: bool = True,
     partition_by: list[str] | None = None,
     prefix: str = "part",
+    snap: dict | None = None,
 ) -> tuple[list[str], dict[str, dict]]:
     """Write `df` as new immutable part files inside the table root;
     returns (relpaths, per-file stats). Staging is a sibling dir (never
@@ -1007,7 +1026,33 @@ def _write_new_files(
     its `col=value/` prefix — the log-recorded path itself carries the
     partition values, so pruning reads them with zero extra metadata
     (`_partition_values`) and `tx_read`'s basePath scan reconstitutes the
-    partition columns. All IO routes through the table's `DataStore`."""
+    partition columns. All IO routes through the table's `DataStore`.
+
+    `snap` (DATA writes only — DV/sidecar writes pass None) applies the
+    table's column mapping: the caller's frame carries LOGICAL names, the
+    files on disk carry PHYSICAL names, so a renamed column's new files
+    agree with its old files and no rewrite is ever needed. A frame
+    reintroducing a DROPPED column's physical name is refused — the old
+    files still hold that column's bytes, and mergeSchema would resurrect
+    them into the new column."""
+    colmap = (snap or {}).get("column_map") or {}
+    dropped = set((snap or {}).get("dropped_cols") or [])
+    revived = sorted(
+        dropped & {colmap.get(c, c) for c in df.columns}
+    )
+    if revived:
+        raise ValueError(
+            f"tx write: column(s) {revived} were dropped from this table "
+            "(tx_drop_column) and their bytes remain in old files — "
+            "reintroducing the name would resurrect them; rewrite the "
+            "table (tx_overwrite / tx_compact) before reusing it"
+        )
+    if colmap:
+        df = df.withColumnsRenamed(
+            {l: p for l, p in colmap.items() if l in df.columns}
+        )
+        if partition_by:
+            partition_by = [colmap.get(c, c) for c in partition_by]
     store = get_data_store(path)
     stage = store.stage_uri(path)
     writer = df.write.mode("overwrite")
@@ -1072,6 +1117,12 @@ def _read_live(
         else None
     )
     types = {f.name: f.dataType for f in logged.fields} if logged else {}
+    # column mapping (rename/drop without rewrite): files carry PHYSICAL
+    # names; the scan runs in physical namespace and the names flip to
+    # logical immediately after — every consumer of this helper (read,
+    # merge, compact, erase, the change feed) sees logical columns only
+    colmap = (snap or {}).get("column_map") or {}  # logical -> physical
+    dropped = set((snap or {}).get("dropped_cols") or [])
     store = get_data_store(path)
     reader = spark.read.option("basePath", store.spark_base_path(path))
     string_pcol = any(
@@ -1083,19 +1134,33 @@ def _read_live(
         # numeric-looking values ('0123' → 123 → '123'): pin the read to
         # an explicit schema (inference off per-column). For evolution
         # parity with the mergeSchema branch, the pinned schema is the
-        # LOGGED schema unioned with columns only older files carry —
-        # discovered by a metadata-only mergeSchema probe (footer reads,
-        # no data scan; logged types, incl. the exact string partition
-        # type, win on overlap).
+        # LOGGED schema (physical names — that is what the files carry)
+        # unioned with columns only older files carry — discovered by a
+        # metadata-only mergeSchema probe (footer reads, no data scan;
+        # logged types, incl. the exact string partition type, win on
+        # overlap).
         probe = reader.option("mergeSchema", True).parquet(*_read_uris(path, rels))
-        logged_names = {f.name for f in logged.fields}
+        phys_fields = [
+            StructField(colmap.get(f.name, f.name), f.dataType, f.nullable)
+            for f in logged.fields
+        ]
+        phys_names = {f.name for f in phys_fields}
         pinned = StructType(
-            list(logged.fields)
-            + [f for f in probe.schema.fields if f.name not in logged_names]
+            phys_fields
+            + [f for f in probe.schema.fields if f.name not in phys_names]
         )
         out = reader.schema(pinned).parquet(*_read_uris(path, rels))
     else:
         out = reader.option("mergeSchema", True).parquet(*_read_uris(path, rels))
+    if dropped:
+        # a dropped column's bytes stay in old files; it must not
+        # resurrect through the mergeSchema union
+        out = out.drop(*[c for c in dropped if c in out.columns])
+    if colmap:
+        present = set(out.columns)
+        out = out.withColumnsRenamed(
+            {p: l for l, p in colmap.items() if p in present}
+        )
 
     dv_map = (snap or {}).get("dvs") or {}
     dv_rels = sorted(
@@ -1251,6 +1316,136 @@ def tx_drop_constraint(path: str, name: str) -> int:
     return _commit(path, "drop_constraint", _build, validate_remove_live=False)
 
 
+def _constraint_mentions(constraints: dict[str, str], col: str) -> list[str]:
+    """Constraint names whose expression mentions `col` as a word —
+    conservative (a match inside a string literal also counts), which is
+    the safe direction: renaming under a doubtful constraint is refused
+    rather than silently breaking the write gate."""
+    pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_])")
+    return sorted(n for n, e in (constraints or {}).items() if pat.search(e))
+
+
+def _mapping_commit(path: str, op: str, apply) -> int:
+    """Shared shell for the metadata-only schema-mapping commits
+    (rename/drop): `apply(snapshot)` validates against a fresh snapshot
+    inside the retry loop and returns (schema_json, column_map,
+    dropped_cols). No data file is touched — that is the whole point
+    (Delta column mapping, Armbrust et al. VLDB 2020 §4.2: logical names
+    are log metadata; files keep their physical names forever)."""
+
+    def _build(s):
+        if s is None or s.get("schema") is None:
+            raise ValueError(f"{op}: no logged schema at {path}")
+        schema_json, colmap, dropped = apply(s)
+        return ([], [], {
+            "schema": schema_json,
+            "column_map": colmap,
+            "dropped_cols": dropped,
+        })
+
+    return _commit(path, op, _build, validate_remove_live=False)
+
+
+def tx_rename_column(path: str, old: str, new: str) -> int:
+    """Rename a column WITHOUT rewriting any data file: one metadata-only
+    commit updates the logged (logical) schema and records the
+    logical→physical name mapping; files keep the physical name forever
+    and future writes map to it, so a 100 TB table renames in one commit
+    instead of one full rewrite. Reads, predicates, and footer-stats
+    pruning work under the new name immediately; time travel below this
+    commit shows the old name (the mapping is versioned log state,
+    folded into checkpoints like constraints).
+
+    Refused for: partition columns (their name is baked into every
+    `col=value/` file path), a `new` that collides with any live logical
+    or physical name (old files' bytes would bleed together), and
+    columns mentioned by a CHECK constraint (drop the constraint first —
+    its expression is recorded in the old name)."""
+    def _apply(s):
+        schema = StructType.fromJson(json.loads(s["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(
+                f"tx_rename_column: no column {old!r} (have {names})"
+            )
+        if new in names:
+            raise ValueError(f"tx_rename_column: column {new!r} exists")
+        if old in (s.get("partition_by") or []):
+            raise ValueError(
+                "tx_rename_column: partition columns cannot be renamed "
+                "without a rewrite — their name is part of every file path"
+            )
+        colmap = dict(s.get("column_map") or {})
+        dropped = list(s.get("dropped_cols") or [])
+        # the column's OWN physical name is fair game (renaming back to
+        # it restores the identity mapping); any OTHER column's physical
+        # name, or a dropped one, would read foreign bytes
+        phys_others = {colmap.get(n, n) for n in names if n != old}
+        if new in phys_others or new in dropped:
+            raise ValueError(
+                f"tx_rename_column: {new!r} is a PHYSICAL name still "
+                "present in the table's files — reusing it would read "
+                "those files' bytes as the renamed column"
+            )
+        hit = _constraint_mentions(s.get("constraints"), old)
+        if hit:
+            raise ValueError(
+                f"tx_rename_column: constraint(s) {hit} reference "
+                f"{old!r} — drop them first, then re-add under the new name"
+            )
+        phys = colmap.pop(old, old)
+        if phys != new:
+            colmap[new] = phys
+        fields = [
+            StructField(new, f.dataType, f.nullable, f.metadata)
+            if f.name == old else f
+            for f in schema.fields
+        ]
+        return StructType(fields).json(), colmap, dropped
+
+    return _mapping_commit(path, "rename_column", _apply)
+
+
+def tx_drop_column(path: str, col: str) -> int:
+    """Drop a column WITHOUT rewriting any data file: one metadata-only
+    commit removes it from the logged schema and records its physical
+    name as dropped, so the bytes left in old files never resurrect
+    through the mergeSchema union. Time travel below this commit still
+    shows the column. Reintroducing the same physical name in a later
+    write is refused until a rewrite (tx_overwrite / tx_compact)
+    physically retires the old files — the alternative silently grafts
+    stale bytes onto the new column. Refused for partition columns and
+    for the last remaining column; constraints referencing the column
+    must be dropped first."""
+    def _apply(s):
+        schema = StructType.fromJson(json.loads(s["schema"]))
+        names = [f.name for f in schema.fields]
+        if col not in names:
+            raise ValueError(f"tx_drop_column: no column {col!r} (have {names})")
+        if len(names) == 1:
+            raise ValueError("tx_drop_column: cannot drop the last column")
+        if col in (s.get("partition_by") or []):
+            raise ValueError(
+                "tx_drop_column: partition columns cannot be dropped "
+                "without a rewrite — their name is part of every file path"
+            )
+        hit = _constraint_mentions(s.get("constraints"), col)
+        if hit:
+            raise ValueError(
+                f"tx_drop_column: constraint(s) {hit} reference {col!r} — "
+                "drop them first"
+            )
+        colmap = dict(s.get("column_map") or {})
+        dropped = list(s.get("dropped_cols") or [])
+        phys = colmap.pop(col, col)
+        if phys not in dropped:
+            dropped.append(phys)
+        fields = [f for f in schema.fields if f.name != col]
+        return StructType(fields).json(), colmap, sorted(dropped)
+
+    return _mapping_commit(path, "drop_column", _apply)
+
+
 def tx_append(
     df: DataFrame,
     path: str,
@@ -1271,7 +1466,7 @@ def tx_append(
     snap0 = _replay(path)
     pby = _resolve_partition_by(snap0, partition_by, "append")
     rels, stats = _write_new_files(
-        _with_constraint_guard(df, snap0), path, partition_by=pby
+        _with_constraint_guard(df, snap0), path, partition_by=pby, snap=snap0
     )
 
     def _build(snap):
@@ -1320,12 +1515,22 @@ def tx_overwrite(
     flatten). CHECK constraints are enforced inline on the write scan."""
     snap0 = _replay(path)
     pby = _resolve_partition_by(snap0, partition_by, "overwrite")
+    # an overwrite replaces EVERY live file, so it is the one op that can
+    # RESET column mapping: the new files are written under identity
+    # (logical == physical) names — snap=None skips the mapping and the
+    # dropped-name resurrection guard (no old file survives to resurrect
+    # from) — and the commit clears column_map/dropped_cols, giving
+    # renamed/dropped names a clean rewrite path back into service
     rels, stats = _write_new_files(
         _with_constraint_guard(df, snap0), path, partition_by=pby
     )
 
     def _build(snap):
-        meta: dict = {"schema": df.schema.json()}
+        meta: dict = {
+            "schema": df.schema.json(),
+            "column_map": {},
+            "dropped_cols": [],
+        }
         if pby is not None or (snap or {}).get("partition_by"):
             meta["partition_by"] = pby or []
         return (rels, snap["files"] if snap else [], meta)
@@ -1402,7 +1607,8 @@ def tx_replace_where(
         snap0 = _replay(path)
         pby0 = _resolve_partition_by(snap0, partition_by, "replace_where")
         rels, stats = _write_new_files(
-            _with_constraint_guard(payload, snap0), path, partition_by=pby0
+            _with_constraint_guard(payload, snap0), path, partition_by=pby0,
+            snap=snap0,
         )
         meta0: dict = {"schema": df.schema.json()}
         if pby0:
@@ -1452,7 +1658,8 @@ def tx_replace_where(
         rows_deleted = int(sum(r["count"] for r in hit_rows))
 
     rels, stats = _write_new_files(
-        _with_constraint_guard(payload, snap), path, partition_by=pby
+        _with_constraint_guard(payload, snap), path, partition_by=pby,
+        snap=snap,
     )
     surv_rels: list[str] = []
     try:
@@ -1465,7 +1672,7 @@ def tx_replace_where(
                 .filter(~F.coalesce(cond, F.lit(False)))
             )
             surv_rels, surv_stats = _write_new_files(
-                survivors, path, partition_by=pby
+                survivors, path, partition_by=pby, snap=snap
             )
             stats = {**stats, **surv_stats}
         def _build_rw(s):
@@ -1727,7 +1934,7 @@ def tx_update_where(
         updated = updated.drop("__tx_rel", "__tx_pos")
         new_rels, stats = _write_new_files(
             _with_constraint_guard(updated, snap), path,
-            partition_by=snap["partition_by"],
+            partition_by=snap["partition_by"], snap=snap,
         )
         hits = matched.select(
             F.col("__tx_rel").alias("file"), F.col("__tx_pos").alias("pos")
@@ -2146,7 +2353,7 @@ def tx_compact(
         df = df.repartition(n, *pby)
     else:
         df = df.repartition(n)
-    rels, stats = _write_new_files(df, path, partition_by=pby)
+    rels, stats = _write_new_files(df, path, partition_by=pby, snap=snap)
 
     def _build_cp(s):
         _dv_stable(snap, s, snap["files"])
@@ -2221,7 +2428,7 @@ def tx_erase_keys(
     keep = F.col(column).isNull() | ~F.col(column).isin(values)
     survivors = cand_df.filter(keep)
     rels, stats = _write_new_files(
-        survivors, path, partition_by=snap["partition_by"]
+        survivors, path, partition_by=snap["partition_by"], snap=snap
     )
     def _build_er(s):
         _dv_stable(snap, s, candidates)
@@ -2559,7 +2766,8 @@ def tx_merge(
         snap0 = _replay(path)
         pby0 = _resolve_partition_by(snap0, partition_by, "merge")
         rels, stats = _write_new_files(
-            _with_constraint_guard(first, snap0), path, partition_by=pby0
+            _with_constraint_guard(first, snap0), path, partition_by=pby0,
+            snap=snap0,
         )
         meta0: dict = {"schema": first.schema.json()}
         if pby0:
@@ -2619,7 +2827,8 @@ def tx_merge(
         )
     merged = merge_into(target, source, keys, **merge_kwargs)
     rels, stats = _write_new_files(
-        _with_constraint_guard(merged, snap), path, partition_by=pby
+        _with_constraint_guard(merged, snap), path, partition_by=pby,
+        snap=snap,
     )
 
     def _build_mg(s):

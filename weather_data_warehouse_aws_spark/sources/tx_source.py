@@ -335,7 +335,7 @@ def _read_file_batches(path: str, rel: str, colnames: list[str],
                        exclude_dv: list[str] | None = None,
                        only_dv: tuple[list[str], list[str]] | None = None,
                        pred: list[tuple] | None = None,
-                       store=None) -> list:
+                       store=None, colmap: dict | None = None) -> list:
     """Arrow fast path: one immutable data file → RecordBatches cast to
     the declared schema — no per-row Python objects anywhere (columns stay
     Arrow buffers end-to-end; DV masking is an inverted `pc.is_in` over a
@@ -356,9 +356,12 @@ def _read_file_batches(path: str, rel: str, colnames: list[str],
     kind, version = tail
     arrays = []
     for name in colnames:
+        # column mapping: the declared (logical) name may live under the
+        # file's physical name (tx_rename_column never rewrites files)
+        src = (colmap or {}).get(name, name)
         typ = expected.field(name).type
-        if name in present:
-            arrays.append(table.column(name).combine_chunks().cast(typ))
+        if src in present:
+            arrays.append(table.column(src).combine_chunks().cast(typ))
         elif fill.get(name) is not None:
             arrays.append(pa.array([fill[name]] * n).cast(typ))
         else:
@@ -382,7 +385,8 @@ def _read_file_rows(path: str, rel: str, colnames: list[str], tail: tuple,
                     exclude_dv: list[str] | None = None,
                     only_dv: tuple[list[str], list[str]] | None = None,
                     pred: list[tuple] | None = None,
-                    store=None, pred_strict: bool = False):
+                    store=None, pred_strict: bool = False,
+                    colmap: dict | None = None):
     """Tuple fallback for files the Arrow cast can't express: one
     immutable data file → tuples aligned to `colnames` + `tail` (hive
     partition values spliced from `fill`; None for columns the file
@@ -393,8 +397,10 @@ def _read_file_rows(path: str, rel: str, colnames: list[str], tail: tuple,
     table = _read_parquet(path, rel, store)
     table = _apply_dv(table, path, rel, exclude_dv, only_dv, store)
     present = set(table.column_names)
+    cmap = colmap or {}
     cols = [
-        table.column(c).to_pylist() if c in present
+        table.column(cmap.get(c, c)).to_pylist()
+        if cmap.get(c, c) in present
         else [fill.get(c)] * table.num_rows
         for c in colnames
     ]
@@ -410,7 +416,8 @@ def _emit_file(path: str, rel: str, colnames: list[str], schema_json: str,
                exclude_dv: list[str] | None,
                only_dv: tuple[list[str], list[str]] | None = None,
                pred: list[tuple] | None = None,
-               store=None, pred_strict: bool = False):
+               store=None, pred_strict: bool = False,
+               colmap: dict | None = None):
     """RecordBatches when the file's types cast cleanly to the declared
     schema (the stable-schema norm), tuples otherwise — decided PER FILE
     and deterministically, never mid-stream (the batch path is eager).
@@ -423,7 +430,7 @@ def _emit_file(path: str, rel: str, colnames: list[str], schema_json: str,
     try:
         batches = _read_file_batches(
             path, rel, colnames, schema_json, tail, fill,
-            exclude_dv, only_dv, pred, store,
+            exclude_dv, only_dv, pred, store, colmap,
         )
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError) as e:
         warnings.warn(
@@ -434,7 +441,7 @@ def _emit_file(path: str, rel: str, colnames: list[str], schema_json: str,
         )
         yield from _read_file_rows(
             path, rel, colnames, tail, fill, exclude_dv, only_dv, pred,
-            store, pred_strict,
+            store, pred_strict, colmap,
         )
         return
     yield from batches
@@ -479,6 +486,7 @@ def tx_source_cast_report(path: str, version: int | None = None,
         f.name for f in StructType.fromJson(json.loads(snap["schema"])).fields
     ]
     store = _store(path)
+    colmap = snap.get("column_map") or {}  # logical -> physical
     probed = snap["files"]
     if max_files is not None and max_files > 0 and len(probed) > max_files:
         # evenly-spaced deterministic sample over the sorted live list —
@@ -496,8 +504,9 @@ def tx_source_cast_report(path: str, version: int | None = None,
                 )
             present = set() if head is None else set(head.schema.names)
             for name in colnames:
-                if head is not None and name in present:
-                    head.column(name).cast(expected.field(name).type)
+                src = colmap.get(name, name)
+                if head is not None and src in present:
+                    head.column(src).cast(expected.field(name).type)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
                 pa.ArrowTypeError) as e:
             fallback.append((rel, f"{type(e).__name__}: {e}"))
@@ -556,6 +565,7 @@ class TxTableStreamReader(DataSourceStreamReader):
         schema = _table_schema(self.path)
         sjson = schema.json()
         colnames = [f.name for f in schema.fields]
+        colmap = snap.get("column_map") or {}  # logical -> physical
         pred = _parse_predicate(self._pred_raw, schema)
         out = []
         prev: dict | None = None
@@ -585,7 +595,7 @@ class TxTableStreamReader(DataSourceStreamReader):
                     out.append(InputPartition((
                         self.path, rel, colnames, sjson, kind, v,
                         _partition_fill(rel, schema),
-                        dvs.get(rel, []), None, pred,
+                        dvs.get(rel, []), None, pred, colmap,
                     )))
             # row-level: DV deltas on files live across the commit
             common = set((prev or {}).get("files", [])) & set(cur["files"])
@@ -598,11 +608,13 @@ class TxTableStreamReader(DataSourceStreamReader):
                 out.append(InputPartition((  # newly deleted: cur − prev
                     self.path, rel, colnames, sjson, "delete", v, fill,
                     None, (c_dvs.get(rel, []), p_dvs.get(rel, [])), pred,
+                    colmap,
                 )))
                 if p_dvs.get(rel):
                     out.append(InputPartition((  # restore-resurrected rows
                         self.path, rel, colnames, sjson, "insert", v, fill,
                         None, (p_dvs.get(rel, []), c_dvs.get(rel, [])), pred,
+                        colmap,
                     )))
             prev = cur
         return out or [InputPartition(None)]
@@ -611,10 +623,11 @@ class TxTableStreamReader(DataSourceStreamReader):
         if partition is None or partition.value is None:
             return
         (path, rel, colnames, sjson, kind, v,
-         fill, exclude_dv, only_dv, pred) = partition.value
+         fill, exclude_dv, only_dv, pred, colmap) = partition.value
         yield from _emit_file(
             path, rel, colnames, sjson, (kind, v), fill,
             exclude_dv, only_dv, pred, self._data_store,
+            colmap=colmap,
         )
 
     def commit(self, end: dict) -> None:
@@ -648,12 +661,13 @@ class TxTableBatchReader(DataSourceReader):
         colnames = [f.name for f in schema.fields]
         pred = _parse_predicate(self._pred_raw, schema)
         tail = ("insert", snap["version"])
+        colmap = snap.get("column_map") or {}  # logical -> physical
         return [
             InputPartition((
                 self.path, rel, colnames, schema.json(), tail,
                 _partition_fill(rel, schema),
                 snap["dvs"].get(rel, []),  # logical rows: DV'd positions out
-                pred,
+                pred, colmap,
             ))
             for rel in snap["files"]
             if _pred_keeps_file(snap, rel, pred)
@@ -663,11 +677,12 @@ class TxTableBatchReader(DataSourceReader):
         if partition is None or partition.value is None:
             return
         (path, rel, colnames, sjson, tail,
-         fill, exclude_dv, pred) = partition.value
+         fill, exclude_dv, pred, colmap) = partition.value
         yield from _emit_file(
             path, rel, colnames, sjson, tail, fill, exclude_dv,
             pred=pred, store=self._data_store,
             pred_strict=True,  # batch = read-then-filter, exactly
+            colmap=colmap,
         )
 
 
