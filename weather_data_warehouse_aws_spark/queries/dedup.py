@@ -84,9 +84,16 @@ shingles AS (
 # ---------------------------------------------------------------------------
 # q_exact_dedup
 # ---------------------------------------------------------------------------
-def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-groupBy exact dedup: (keep_id, dup_id) for byte-identical texts."""
-    return exact_duplicates(planted_documents(spark, sf_dir), "doc_id", "text").orderBy(
+def q_exact_dedup(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
+    """Hash-groupBy exact dedup: (keep_id, dup_id) for byte-identical texts.
+    `corpus`: optional pre-built planted relation (q_pair_dedup shares ONE
+    plan across its five strategies — rebuilding it per strategy is pure
+    driver/py4j construction latency)."""
+    if corpus is None:
+        corpus = planted_documents(spark, sf_dir)
+    return exact_duplicates(corpus, "doc_id", "text").orderBy(
         "keep_id", "dup_id"
     )
 
@@ -110,13 +117,14 @@ ORDER BY keep_id, dup_id
 # q_ngram_jaccard
 # ---------------------------------------------------------------------------
 def q_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard ≥ 0.6 over candidate pairs sharing ≥1
     shingle (hot shingles capped at df ≤ 50 before the self-join). Recovers
     both planted exact pairs (j=1.0) and trailer near-dups (j≈0.8-0.9)."""
     return ngram_jaccard_pairs(
-        planted_documents(spark, sf_dir),
+        corpus if corpus is not None else planted_documents(spark, sf_dir),
         "doc_id",
         "text",
         n=SHINGLE_N,
@@ -165,11 +173,12 @@ def q_minhash_lsh(
     sf_dir: str,
     shingles: DataFrame | None = None,
     signatures: DataFrame | None = None,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash(16)+LSH(4 bands × 4 rows) candidates with estimated Jaccard
     ≥ 0.5 — the linear-time scale path for near-dup detection."""
     return minhash_lsh_pairs(
-        planted_documents(spark, sf_dir),
+        corpus if corpus is not None else planted_documents(spark, sf_dir),
         "doc_id",
         "text",
         k=_K,
@@ -462,17 +471,19 @@ def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "text", k=_K, shingle_n=SHINGLE_N, shingles=sh_all
     ).persist()
 
-    exact = q_exact_dedup(spark, sf_dir).select(
+    exact = q_exact_dedup(spark, sf_dir, corpus=corpus).select(
         F.lit("exact").alias("method"),
         F.col("keep_id").alias("id_a"),
         F.col("dup_id").alias("id_b"),
         F.lit(1.0).alias("score"),
     )
-    ngram = q_ngram_jaccard(spark, sf_dir, shingles=sh_all).select(
+    ngram = q_ngram_jaccard(spark, sf_dir, shingles=sh_all, corpus=corpus).select(
         F.lit("ngram").alias("method"), "id_a", "id_b",
         F.col("jaccard").alias("score"),
     )
-    minhash = q_minhash_lsh(spark, sf_dir, signatures=sig_all).select(
+    minhash = q_minhash_lsh(
+        spark, sf_dir, signatures=sig_all, corpus=corpus
+    ).select(
         F.lit("minhash").alias("method"), "id_a", "id_b",
         F.col("est_jaccard").alias("score"),
     )
