@@ -2412,3 +2412,170 @@ def test_data_plane_crash_fuzz_reads_prior_snapshot_and_vacuums(
         assert res["rows_deleted"] >= 1
     finally:
         _tx._DATA_STORES.pop(t, None)
+
+
+def test_type_widening_on_append_without_rewrite(spark, tmp_path):
+    """Appending at a WIDER numeric type (int->long, float->double) needs
+    no rewrite: the commit records the widened schema, old narrow files
+    stay byte-identical and upcast at scan under the pinned fallback
+    (plain mergeSchema refuses width conflicts outright). A LATER
+    narrow append records the live wider type, so its own files upcast
+    too — one logical column across all eras, stats pruning intact."""
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_prune
+
+    t = str(tmp_path / "t")
+    tx_append(
+        spark.createDataFrame([(i, float(i)) for i in range(5)],
+                              "id int, v float").coalesce(1),
+        t,
+    )
+    snap0 = tx_snapshot(t)
+    mtimes = {r: os.path.getmtime(_data_path(t, r)) for r in snap0["files"]}
+
+    big = 1 << 40
+    tx_append(
+        spark.createDataFrame([(big, 1e300)], "id long, v double").coalesce(1),
+        t,
+    )
+    snap = tx_snapshot(t)
+    from pyspark.sql.types import StructType as _ST
+    import json as _json
+
+    logged = _ST.fromJson(_json.loads(snap["schema"]))
+    assert [f.dataType.typeName() for f in logged.fields] == ["long", "double"]
+    for r, m in mtimes.items():
+        assert os.path.getmtime(_data_path(t, r)) == m  # no rewrite
+
+    out = tx_read(spark, t)
+    assert dict(out.dtypes) == {"id": "bigint", "v": "double"}
+    assert sorted(r["id"] for r in out.collect()) == list(range(5)) + [big]
+    assert max(r["v"] for r in out.collect()) == 1e300
+
+    # stats pruning across the width eras
+    kept, skipped = tx_prune(t, [("id", ">=", big)])
+    assert len(kept) == 1 and len(skipped) == 1
+    assert [r["id"] for r in
+            tx_read(spark, t, predicate=[("id", ">=", big)]).collect()] == [big]
+
+    # a narrow append AFTER the widening records the live wider type
+    tx_append(
+        spark.createDataFrame([(7, 7.0)], "id int, v float").coalesce(1), t
+    )
+    snap2 = tx_snapshot(t)
+    logged2 = _ST.fromJson(_json.loads(snap2["schema"]))
+    assert [f.dataType.typeName() for f in logged2.fields] == ["long", "double"]
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == (
+        list(range(5)) + [7, big]
+    )
+
+    # time travel below the widening reads the narrow era natively
+    v0 = tx_read(spark, t, version=0)
+    assert dict(v0.dtypes) == {"id": "int", "v": "float"}
+
+    # the txtable source casts per file to the declared (wide) schema —
+    # options built via txtable_options so the store reaches the Python
+    # source's planner/reader workers in bucket mode (they run in
+    # separate processes and cannot see this process's registry)
+    from weather_data_warehouse_aws_spark.sources.tx_source import (
+        register_tx_source,
+        txtable_options,
+    )
+
+    register_tx_source(spark)
+    b = spark.read.format("txtable").options(**txtable_options(t)).load()
+    assert sorted(r["id"] for r in b.collect()) == list(range(5)) + [7, big]
+
+    # row ops still address one logical column across eras
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_delete_where,
+    )
+
+    res = tx_delete_where(spark, t, f"id = {big}")
+    assert res["rows_deleted"] == 1
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == (
+        list(range(5)) + [7]
+    )
+
+    # compact normalizes every file to the logged width (the mergeSchema
+    # fast path returns) and values survive
+    tx_compact(spark, t, target_files=1)
+    out = tx_read(spark, t)
+    assert dict(out.dtypes) == {"id": "bigint", "v": "double"}
+    assert sorted(r["id"] for r in out.collect()) == list(range(5)) + [7]
+
+
+def test_txtable_source_on_registered_store(spark, tmp_path, data_store_mode):
+    """format('txtable') on a table whose DataStore is registered (not
+    the local-FS default) — Python data sources plan and read in worker
+    processes that cannot see the registry, so the store must travel in
+    the options (`txtable_options`). Batch and stream both drain the
+    bucket-backed table; in bucket mode the plain option spelling would
+    silently fall back to local FS and find no files."""
+    from weather_data_warehouse_aws_spark.sources.tx_source import (
+        register_tx_source,
+        txtable_options,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(4)).coalesce(1), t)
+    tx_erase_keys(spark, t, "id", [1])
+
+    register_tx_source(spark)
+    opts = txtable_options(t)
+    if data_store_mode == "bucket":
+        assert "data_store" in opts  # the pickled store rode along
+
+    b = spark.read.format("txtable").options(**opts).load()
+    assert sorted(r["id"] for r in b.collect()) == [0, 2, 3]
+
+    sink: list = []
+
+    def _sink(batch_df, _bid):
+        sink.extend((r["id"], r["_change_type"]) for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("txtable").options(**opts).load()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(once=True).start()
+    )
+    q.awaitTermination()
+    live: set = set()
+    for i, kind in sink:
+        live = (live - {i}) if kind == "delete" else (live | {i})
+    assert live == {0, 2, 3}
+
+
+def test_vacuum_retain_hours_caps_horizon(spark, tmp_path, monkeypatch):
+    """retain_hours is a SAFETY bound over retain_versions: versions
+    committed inside the window stay readable no matter how aggressive
+    the version count is; a zero-width window changes nothing."""
+    import time as _time
+
+    from weather_data_warehouse_aws_spark.operators import txlog as _tx
+
+    t = str(tmp_path / "t")
+    real_time = _time.time
+    # v0/v1 committed "two days ago", v2/v3 now
+    monkeypatch.setattr(_tx.time, "time", lambda: real_time() - 172800.0)
+    tx_append(_mk(spark, [0]).coalesce(1), t)
+    tx_append(_mk(spark, [1]).coalesce(1), t)
+    monkeypatch.setattr(_tx.time, "time", real_time)
+    tx_append(_mk(spark, [2]).coalesce(1), t)
+    tx_append(_mk(spark, [3]).coalesce(1), t)
+
+    # 24h window: v2 is the oldest in-window commit — the horizon may not
+    # pass it, so v2 stays time-travelable despite retain_versions=1
+    plan = tx_vacuum(t, retain_versions=1, retain_hours=24, dry_run=True)
+    assert plan["horizon"] == 2
+    res = tx_vacuum(t, retain_versions=1, retain_hours=24)
+    assert res["horizon"] == 2
+    assert sorted(r["id"] for r in tx_read(spark, t, version=2).collect()) == [
+        0, 1, 2,
+    ]
+    with pytest.raises(ValueError, match="vacuumed"):
+        tx_read(spark, t, version=1)
+
+    # zero-width window: pure version-based retention takes over
+    res2 = tx_vacuum(t, retain_versions=1, retain_hours=0)
+    assert res2["horizon"] == tx_snapshot(t)["version"] - 1

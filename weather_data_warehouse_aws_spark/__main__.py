@@ -136,6 +136,9 @@ def main(argv: list[str] | None = None) -> int:
     tx.add_argument("--column", default=None, help="erase key column")
     tx.add_argument("--values", default=None, help="comma-separated erase keys")
     tx.add_argument("--retain-versions", type=int, default=1, help="vacuum retention")
+    tx.add_argument("--retain-hours", type=float, default=None,
+                    help="vacuum: never advance the horizon past commits "
+                    "younger than this window (Delta RETAIN n HOURS)")
     tx.add_argument("--dry-run", action="store_true",
                     help="vacuum: report the would-be horizon + file list "
                     "without committing or deleting anything")
@@ -234,7 +237,7 @@ def main(argv: list[str] | None = None) -> int:
         else:
             res = txlog.tx_vacuum(
                 args.table, retain_versions=args.retain_versions,
-                dry_run=args.dry_run,
+                dry_run=args.dry_run, retain_hours=args.retain_hours,
             )
             verb = "would delete" if args.dry_run else "deleted"
             print(

@@ -1082,6 +1082,87 @@ def _read_uris(path: str, rels: list[str]) -> list[str]:
     return [store.read_uri(path, r) for r in rels]
 
 
+# type-widening lattices (Delta-style reader-side type widening): a file
+# written at a NARROWER type than the logged schema upcasts at scan under
+# a pinned schema — no rewrite. Only these conversions are widenings;
+# anything else is real incompatibility and must fail loudly.
+_INT_FAMILY = {"byte", "short", "integer", "long"}
+_FLOAT_FAMILY = {"float", "double"}
+_WIDEN_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3,
+               "float": 0, "double": 1}
+
+
+def _wider_type(a, b):
+    """The wider of two Spark types within the int/float widening
+    families (int × float widens to double — parquet upcasts both);
+    None if incomparable (string vs int, nested, decimal...)."""
+    ta, tb = a.typeName(), b.typeName()
+    if ta == tb:
+        return a
+    for fam in (_INT_FAMILY, _FLOAT_FAMILY):
+        if ta in fam and tb in fam:
+            return a if _WIDEN_RANK[ta] >= _WIDEN_RANK[tb] else b
+    if {ta, tb} <= (_INT_FAMILY | _FLOAT_FAMILY):
+        from pyspark.sql.types import DoubleType
+
+        return DoubleType()
+    return None
+
+
+def _evolved_schema_json(snap: dict | None, df: DataFrame) -> str:
+    """The schema an append-type commit records: the writer's columns,
+    each shared column WIDENED against the live logged type. Recording
+    the wider type keeps every era's files readable under one pinned
+    scan schema — narrow-era files upcast at scan, nothing rewrites
+    (type widening without rewrite; the read-side half is
+    `_footer_union_fields`)."""
+    live = (snap or {}).get("schema")
+    if not live:
+        return df.schema.json()
+    live_types = {
+        f.name: f.dataType
+        for f in StructType.fromJson(json.loads(live)).fields
+    }
+    fields = []
+    for f in df.schema.fields:
+        lt = live_types.get(f.name)
+        w = _wider_type(f.dataType, lt) if lt is not None else None
+        fields.append(StructField(f.name, w or f.dataType, f.nullable, f.metadata))
+    return StructType(fields).json()
+
+
+def _footer_union_fields(path: str, rels: list[str]) -> list[StructField]:
+    """Per-file parquet-footer schema union with widening reconciliation —
+    the fallback scan-schema builder for tables whose files disagree on a
+    column's physical width (widen-on-append evolution), where Spark's
+    own mergeSchema refuses outright. Driver-side, one footer per file
+    (metadata only) — O(files), paid ONLY on the widened-table slow
+    path; `tx_compact` rewrites everything at the logged type and
+    restores the mergeSchema fast path."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    store = get_data_store(path)
+    fields: dict[str, StructField] = {}
+    order: list[str] = []
+    for rel in rels:
+        with store.open_input(path, rel) as f:
+            sch = pq.read_schema(f)
+        for name, typ in zip(sch.names, sch.types):
+            try:
+                st = from_arrow_type(typ)
+            except Exception:
+                continue  # exotic physical type — let the scan decide
+            if name not in fields:
+                fields[name] = StructField(name, st, True)
+                order.append(name)
+            else:
+                w = _wider_type(fields[name].dataType, st)
+                if w is not None:
+                    fields[name] = StructField(name, w, True)
+    return [fields[n] for n in order]
+
+
 def _read_live(
     spark: SparkSession,
     path: str,
@@ -1113,10 +1194,14 @@ def _read_live(
     pby = (snap or {}).get("partition_by") or []
     logged = (
         StructType.fromJson(json.loads(snap["schema"]))
-        if pby and (snap or {}).get("schema")
+        if (snap or {}).get("schema")
         else None
     )
-    types = {f.name: f.dataType for f in logged.fields} if logged else {}
+    # partition-column recovery casts + logged-order restore apply only
+    # to partitioned snapshots (pre-existing contract)
+    types = (
+        {f.name: f.dataType for f in logged.fields} if logged and pby else {}
+    )
     # column mapping (rename/drop without rewrite): files carry PHYSICAL
     # names; the scan runs in physical namespace and the names flip to
     # logical immediately after — every consumer of this helper (read,
@@ -1129,29 +1214,51 @@ def _read_live(
         types.get(c, None) is not None and types[c].typeName() == "string"
         for c in pby
     )
-    if string_pcol:
-        # a STRING partition column through type inference corrupts
-        # numeric-looking values ('0123' → 123 → '123'): pin the read to
-        # an explicit schema (inference off per-column). For evolution
-        # parity with the mergeSchema branch, the pinned schema is the
-        # LOGGED schema (physical names — that is what the files carry)
-        # unioned with columns only older files carry — discovered by a
-        # metadata-only mergeSchema probe (footer reads, no data scan;
-        # logged types, incl. the exact string partition type, win on
-        # overlap).
-        probe = reader.option("mergeSchema", True).parquet(*_read_uris(path, rels))
-        phys_fields = [
+    uris = _read_uris(path, rels)
+    phys_fields = (
+        [
             StructField(colmap.get(f.name, f.name), f.dataType, f.nullable)
             for f in logged.fields
         ]
+        if logged is not None
+        else None
+    )
+
+    def _pinned_scan(extra_fields) -> DataFrame:
+        # pin the read to logged types (physical names) ∪ columns only
+        # older files carry: logged wins on overlap, so a file written at
+        # a NARROWER width (type widening without rewrite) upcasts at
+        # scan instead of failing schema merge
         phys_names = {f.name for f in phys_fields}
         pinned = StructType(
             phys_fields
-            + [f for f in probe.schema.fields if f.name not in phys_names]
+            + [f for f in extra_fields if f.name not in phys_names]
         )
-        out = reader.schema(pinned).parquet(*_read_uris(path, rels))
+        return reader.schema(pinned).parquet(*uris)
+
+    def _merge_fallback(exc: Exception) -> DataFrame:
+        if phys_fields is None or "CANNOT_MERGE_SCHEMAS" not in str(exc):
+            raise exc
+        return _pinned_scan(_footer_union_fields(path, rels))
+
+    if string_pcol:
+        # a STRING partition column through type inference corrupts
+        # numeric-looking values ('0123' → 123 → '123'): always pin. The
+        # extras probe (columns only older files carry) is a metadata-only
+        # mergeSchema read — on a width-evolved table it refuses, and the
+        # footer union takes over.
+        try:
+            extras = reader.option("mergeSchema", True).parquet(*uris).schema.fields
+        except Exception as e:
+            if "CANNOT_MERGE_SCHEMAS" not in str(e):
+                raise
+            extras = _footer_union_fields(path, rels)
+        out = _pinned_scan(extras)
     else:
-        out = reader.option("mergeSchema", True).parquet(*_read_uris(path, rels))
+        try:
+            out = reader.option("mergeSchema", True).parquet(*uris)
+        except Exception as e:
+            out = _merge_fallback(e)
     if dropped:
         # a dropped column's bytes stay in old files; it must not
         # resurrect through the mergeSchema union
@@ -1476,7 +1583,10 @@ def tx_append(
                 f"tx_append: table partitioning changed to {live_pby} while "
                 f"this append staged {pby or None}-laid-out files — re-run"
             )
-        meta = {"schema": df.schema.json()}
+        # record the WIDENED schema: an append at a wider numeric type
+        # upcasts the old files at scan; an append at a narrower one
+        # records the live wider type so its own files upcast instead
+        meta = {"schema": _evolved_schema_json(snap, df)}
         if pby:
             meta["partition_by"] = pby
         return (rels, [], meta)
@@ -1610,7 +1720,7 @@ def tx_replace_where(
             _with_constraint_guard(payload, snap0), path, partition_by=pby0,
             snap=snap0,
         )
-        meta0: dict = {"schema": df.schema.json()}
+        meta0: dict = {"schema": _evolved_schema_json(snap0, df)}
         if pby0:
             meta0["partition_by"] = pby0
 
@@ -1683,7 +1793,7 @@ def tx_replace_where(
                 rels + surv_rels,
                 candidates,
                 {
-                    "schema": df.schema.json(),
+                    "schema": _evolved_schema_json(s, df),
                     "condition": condition if isinstance(condition, str) else str(condition),
                 },
             )
@@ -2539,14 +2649,29 @@ def tx_dv_stats(path: str, *, recommend_at: float = 0.05) -> dict:
 
 
 def _vacuum_plan(
-    path: str, snap: dict, retain_versions: int, include_orphans: bool
+    path: str, snap: dict, retain_versions: int, include_orphans: bool,
+    retain_hours: float | None = None,
 ) -> tuple[int, list[str], list[str]]:
     """Derive (horizon, deletable files, orphans) for a vacuum of `snap` —
-    shared by the real vacuum's commit closure and the dry run."""
+    shared by the real vacuum's commit closure and the dry run.
+    `retain_hours` is a SAFETY bound on top of `retain_versions`: the
+    horizon never advances past the oldest commit still inside the time
+    window, so versions a consumer (time traveler, lagging CDC stream)
+    may still need within the window stay readable — Delta's
+    RETAIN n HOURS semantics."""
     latest = snap["version"]
     horizon = max(snap["horizon"], latest - max(retain_versions, 1) + 1)
     # file -> version removed (absent = still live at latest)
     commits, checkpoints = _usable_log(path)
+    if retain_hours is not None and horizon > snap["horizon"]:
+        cutoff = time.time() - retain_hours * 3600.0
+        inside = [
+            v for v in commits
+            if (_load_rec(path, v).get("ts") or 0) >= cutoff
+        ]
+        if inside:
+            # every version >= the oldest in-window commit stays readable
+            horizon = max(snap["horizon"], min(horizon, inside[0]))
     removed_at: dict[str, int] = {}
     referenced: set[str] = set()
     dv_covers: dict[str, list[str]] = {}  # dv rel -> covered data rels
@@ -2594,7 +2719,7 @@ def _vacuum_plan(
 
 def tx_vacuum(
     path: str, *, retain_versions: int = 1, include_orphans: bool = False,
-    dry_run: bool = False,
+    dry_run: bool = False, retain_hours: float | None = None,
 ) -> dict:
     """Physically delete data files no version ≥ the retention horizon can
     reference. `retain_versions=k` keeps the latest k versions readable
@@ -2609,6 +2734,11 @@ def tx_vacuum(
     deleting anything (Delta's VACUUM DRY RUN): vacuum is the format's
     one irreversible operation, so operators get a look before the leap.
 
+    `retain_hours` caps how far the horizon may advance: versions whose
+    commits are younger than the window stay readable regardless of
+    `retain_versions` (Delta's RETAIN n HOURS safety bound for time
+    travelers and lagging change-feed consumers).
+
     Returns {"version", "horizon", "deleted": [...]} ("version" None and
     "deleted" the would-be list under dry_run).
     """
@@ -2616,7 +2746,8 @@ def tx_vacuum(
         raise ValueError(f"no transaction log at {path}")
     if dry_run:
         horizon, deletable, orphans = _vacuum_plan(
-            path, tx_snapshot(path), retain_versions, include_orphans
+            path, tx_snapshot(path), retain_versions, include_orphans,
+            retain_hours,
         )
         return {
             "version": None, "horizon": horizon,
@@ -2631,7 +2762,7 @@ def tx_vacuum(
 
     def _build(snap):
         horizon, deletable, orphans = _vacuum_plan(
-            path, snap, retain_versions, include_orphans
+            path, snap, retain_versions, include_orphans, retain_hours
         )
         state.update(horizon=horizon, deletable=deletable, orphans=orphans)
         return ([], [], {"horizon": horizon, "n_deleted": len(deletable)})
@@ -2769,7 +2900,7 @@ def tx_merge(
             _with_constraint_guard(first, snap0), path, partition_by=pby0,
             snap=snap0,
         )
-        meta0: dict = {"schema": first.schema.json()}
+        meta0: dict = {"schema": _evolved_schema_json(snap0, first)}
         if pby0:
             meta0["partition_by"] = pby0
         v = _commit(
@@ -2833,7 +2964,8 @@ def tx_merge(
 
     def _build_mg(s):
         _dv_stable(snap, s, candidates)
-        return (rels, candidates, {"keys": list(keys), "schema": merged.schema.json()})
+        return (rels, candidates,
+                {"keys": list(keys), "schema": _evolved_schema_json(s, merged)})
 
     try:
         v = _commit(path, "merge", _build_mg, stats=stats)

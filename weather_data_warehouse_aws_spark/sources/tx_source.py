@@ -108,14 +108,65 @@ def _partition_fill(rel: str, schema: StructType) -> dict:
 
 def _store(path, store=None):
     """The table's DataStore (`operators/txlog.get_data_store`). Readers
-    resolve it DRIVER-side and ship it pickled with the reader — the
-    prefix registry is per-process, so an executor-side lookup would
-    silently fall back to local FS for an object-store table."""
+    resolve it as early as possible and ship it pickled with the reader —
+    the prefix registry is PER-PROCESS, and Python data sources plan AND
+    read in separate worker processes that never see the registry (a
+    lookup there silently falls back to local FS). For a table on a
+    registered (non-default) store, the store must travel IN the read
+    options: build them with `txtable_options(path)`."""
     if store is not None:
         return store
     from ..operators.txlog import get_data_store
 
     return get_data_store(path)
+
+
+def txtable_options(path: str) -> dict:
+    """Options for `format("txtable")` on `path`, carrying the table's
+    registered DataStore (pickled) when it is not the local-FS default —
+    the ONLY channel that reaches the Python data source's planner/reader
+    workers, which run in separate processes and cannot see this
+    process's `register_data_store` registry:
+
+        spark.read.format("txtable").options(**txtable_options(t)).load()
+
+    On a default-store table this is just `{"path": path}` (the plain
+    `.option("path", ...)` spelling keeps working)."""
+    import base64
+    import pickle
+
+    from ..operators.txlog import _DEFAULT_DATA_STORE, get_data_store
+
+    from ..operators.txlog import _DEFAULT_STORE, get_log_store
+
+    opts = {"path": path}
+    store = get_data_store(path)
+    if store is not _DEFAULT_DATA_STORE:
+        opts["data_store"] = base64.b64encode(pickle.dumps(store)).decode()
+    log_store = get_log_store(path)
+    if log_store is not _DEFAULT_STORE:
+        opts["log_store"] = base64.b64encode(pickle.dumps(log_store)).decode()
+    return opts
+
+
+def _store_from_options(path: str, options: dict):
+    """Resolve (and REGISTER, so the source's internal log/snapshot
+    reads route correctly in this process too) the stores the options
+    carry; fall back to this process's registry / defaults."""
+    import base64
+    import pickle
+
+    from ..operators.txlog import register_data_store, register_log_store
+
+    raw_log = options.get("log_store")
+    if raw_log:
+        register_log_store(path, pickle.loads(base64.b64decode(raw_log)))
+    raw = options.get("data_store")
+    if raw:
+        store = pickle.loads(base64.b64decode(raw))
+        register_data_store(path, store)
+        return store
+    return _store(path)
 
 
 def _read_parquet(path: str, rel: str, store=None, columns=None):
@@ -526,8 +577,10 @@ class TxTableStreamReader(DataSourceStreamReader):
             raise ValueError("txtable: option 'path' is required")
         self.starting = options.get("starting_version", "-1")
         self._pred_raw = options.get("predicate")
-        # resolved while still on the driver; ships pickled to executors
-        self._data_store = _store(self.path)
+        # from the options when supplied (txtable_options — required for
+        # registered stores: this code may run in a planner worker that
+        # cannot see the registry); ships pickled to executors
+        self._data_store = _store_from_options(self.path, options)
 
     def _snapshot(self):
         from ..operators.txlog import tx_exists, tx_snapshot
@@ -649,8 +702,10 @@ class TxTableBatchReader(DataSourceReader):
             raise ValueError("txtable: option 'path' is required")
         self.version = options.get("version")
         self._pred_raw = options.get("predicate")
-        # resolved while still on the driver; ships pickled to executors
-        self._data_store = _store(self.path)
+        # from the options when supplied (txtable_options — required for
+        # registered stores: this code may run in a planner worker that
+        # cannot see the registry); ships pickled to executors
+        self._data_store = _store_from_options(self.path, options)
 
     def partitions(self):
         from ..operators.txlog import tx_snapshot
