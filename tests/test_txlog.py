@@ -2579,3 +2579,44 @@ def test_vacuum_retain_hours_caps_horizon(spark, tmp_path, monkeypatch):
     # zero-width window: pure version-based retention takes over
     res2 = tx_vacuum(t, retain_versions=1, retain_hours=0)
     assert res2["horizon"] == tx_snapshot(t)["version"] - 1
+
+
+def test_column_mapping_survives_checkpoint_replay(spark, tmp_path):
+    """column_map / dropped_cols are checkpoint-folded log state: once a
+    checkpoint lands PAST the rename/drop commits, replay starts from the
+    checkpoint and never re-reads them — the mapping must come from the
+    checkpoint record itself (like constraints and partition_by)."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        CHECKPOINT_INTERVAL,
+        _load_rec,
+        tx_drop_column,
+        tx_rename_column,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "id long, val string, x double"
+    )
+    tx_append(df.coalesce(1), t)              # v0
+    tx_rename_column(t, "id", "ident")        # v1
+    tx_drop_column(t, "x")                    # v2
+    for i in range(CHECKPOINT_INTERVAL):      # v3..v12 — checkpoint at v10
+        tx_append(
+            spark.createDataFrame([(10 + i, f"b{i}")],
+                                  "ident long, val string").coalesce(1),
+            t,
+        )
+    snap = tx_snapshot(t)
+    _, checkpoints = _tx._list_log(t)
+    assert checkpoints and checkpoints[-1] > 2  # a checkpoint folded them
+    cp = _load_rec(t, checkpoints[-1], checkpoint=True)
+    assert cp["column_map"] == {"ident": "id"}
+    assert cp["dropped_cols"] == ["x"]
+
+    assert snap["column_map"] == {"ident": "id"}
+    assert snap["dropped_cols"] == ["x"]
+    out = tx_read(spark, t)
+    assert set(out.columns) == {"ident", "val"}
+    assert sorted(r["ident"] for r in out.collect()) == [1] + list(
+        range(10, 10 + CHECKPOINT_INTERVAL)
+    )
