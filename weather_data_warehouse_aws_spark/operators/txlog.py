@@ -59,7 +59,24 @@ checkpoint ≤ v): live = adds − removes, in order. Data files are IMMUTABLE
 Time travel: `tx_read(spark, path, version=v)` — any version not yet
 vacuumed. `tx_vacuum` advances a horizon (recorded as a commit, so the
 refusal to read pre-horizon versions is itself transactional) and only
-then deletes files whose last reference is below it.
+then deletes files whose last reference is below it; `retain_hours`
+bounds the horizon to commits older than the window (Delta RETAIN n
+HOURS). `tx_cleanup_log` then retires commit/checkpoint JSONs below the
+newest checkpoint at-or-below the horizon, bounding the log LIST that
+every snapshot resolution pays.
+
+Schema evolution without rewrite (all metadata-only, versioned,
+checkpoint-folded):
+
+* **Column mapping** — `tx_rename_column` / `tx_drop_column` record a
+  logical→physical name map; files keep physical names forever, writers
+  and readers translate at single choke points, stats pruning
+  translates in `_skip_file`, dropped names are poisoned against
+  resurrection until `tx_overwrite` resets the map.
+* **Type widening** — commits record the WIDER of the live and written
+  numeric types (int/float lattices); when Spark's mergeSchema refuses
+  a width conflict, reads pin the logged schema ∪ per-footer extras so
+  narrow-era files upcast at scan (`_footer_union_fields`).
 
 File skipping, two layers (both proof-based — a file is skipped only when
 it provably holds no matching row):
