@@ -2620,3 +2620,62 @@ def test_column_mapping_survives_checkpoint_replay(spark, tmp_path):
     assert sorted(r["ident"] for r in out.collect()) == [1] + list(
         range(10, 10 + CHECKPOINT_INTERVAL)
     )
+
+
+def test_timestamp_time_travel_resolution(spark, tmp_path):
+    """TIMESTAMP AS OF: tx_version_at resolves an instant to the newest
+    commit at-or-before it, accepts epoch/ISO spellings, refuses
+    pre-history instants, and applies Delta's monotonic adjustment when
+    a writer's clock recorded an out-of-order commit timestamp."""
+    import datetime as _dt
+
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_version_at,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(3)), t)        # v0
+    tx_append(_mk(spark, range(3, 6)), t)     # v1
+    tx_append(_mk(spark, range(6, 9)), t)     # v2
+    ts = [h["ts"] for h in tx_history(t)]
+    assert ts == sorted(ts) and len(set(ts)) == 3  # wall clock advanced
+
+    # exact instant of a commit resolves to that commit
+    assert tx_version_at(t, ts[1]) == 1
+    # between two commits → the earlier one
+    assert tx_version_at(t, (ts[1] + ts[2]) / 2) == 1
+    # after the newest → the newest
+    assert tx_version_at(t, ts[2] + 3600) == 2
+    # ISO-8601 string (timezone-aware) and datetime spellings agree
+    # (an instant strictly between v1 and v2 — the exact commit float
+    # doesn't survive isoformat's microsecond truncation)
+    mid_dt = _dt.datetime.fromtimestamp(
+        (ts[1] + ts[2]) / 2, tz=_dt.timezone.utc
+    )
+    assert tx_version_at(t, mid_dt.isoformat()) == 1
+    assert tx_version_at(t, mid_dt) == 1
+    # before the first commit → explicit refusal
+    with pytest.raises(ValueError, match="predates the oldest"):
+        tx_version_at(t, ts[0] - 1.0)
+
+    # tx_read plumbs as_of_ts through to the same snapshot
+    assert _ids(tx_read(spark, t, as_of_ts=(ts[1] + ts[2]) / 2)) == list(
+        range(6)
+    )
+    with pytest.raises(ValueError, match="not both"):
+        tx_read(spark, t, version=1, as_of_ts=ts[1])
+    with pytest.raises(ValueError, match="not both"):
+        tx_snapshot(t, 1, as_of_ts=ts[1])
+
+    # writer clock skew: v3's recorded ts is EARLIER than v2's — the
+    # effective timestamp is adjusted up to v2's, so resolution stays
+    # monotone (an instant never maps to a version whose effects were
+    # not yet visible at that instant's resolved prefix)
+    tx_append(_mk(spark, range(9, 12)), t)    # v3
+    log = os.path.join(t, "_txn_log", f"{3:020d}.json")
+    rec = json.load(open(log))
+    rec["ts"] = ts[0] - 100.0
+    with open(log, "w") as fh:
+        json.dump(rec, fh)
+    assert tx_version_at(t, ts[2]) == 3       # eff[3] == eff[2] == ts[2]
+    assert tx_version_at(t, (ts[1] + ts[2]) / 2) == 1  # unchanged below

@@ -116,6 +116,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     tx.add_argument("--table", required=True, help="txlog table directory")
     tx.add_argument("--version", type=int, default=None, help="time-travel version (read)")
+    tx.add_argument("--as-of-ts", dest="as_of_ts", default=None,
+                    help="read: TIMESTAMP AS OF — ISO-8601 instant or epoch "
+                    "seconds (naive = UTC); resolves to the newest commit at "
+                    "or before it (mutually exclusive with --version)")
     tx.add_argument("--target-files", type=int, default=None,
                     help="compact/optimize target file count "
                     "(compact: default 1; optimize: default = cores)")
@@ -437,6 +441,17 @@ def main(argv: list[str] | None = None) -> int:
         from .operators import txlog
 
         if args.action == "read":
+            if args.as_of_ts is not None:
+                if args.version is not None:
+                    print("pass --version OR --as-of-ts, not both",
+                          file=sys.stderr)
+                    return 2
+                try:
+                    ts_arg: object = float(args.as_of_ts)
+                except ValueError:
+                    ts_arg = args.as_of_ts  # ISO string
+                args.version = txlog.tx_version_at(args.table, ts_arg)
+                print(f"# as-of {args.as_of_ts} -> version {args.version}")
             predicate = None
             if args.where:
                 import re as _re

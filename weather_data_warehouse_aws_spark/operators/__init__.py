@@ -66,5 +66,6 @@ from .txlog import (  # noqa: F401
     tx_snapshot,
     tx_stream_sink,
     tx_vacuum,
+    tx_version_at,
     tx_write_manifest,
 )

@@ -57,7 +57,9 @@ checkpoint ≤ v): live = adds − removes, in order. Data files are IMMUTABLE
   per query plan.
 
 Time travel: `tx_read(spark, path, version=v)` — any version not yet
-vacuumed. `tx_vacuum` advances a horizon (recorded as a commit, so the
+vacuumed — or `as_of_ts=` (TIMESTAMP AS OF: epoch/datetime/ISO string,
+resolved by `tx_version_at` with Delta's monotonic adjustment against
+writer clock skew). `tx_vacuum` advances a horizon (recorded as a commit, so the
 refusal to read pre-horizon versions is itself transactional) and only
 then deletes files whose last reference is below it; `retain_hours`
 bounds the horizon to commits older than the window (Delta RETAIN n
@@ -627,7 +629,74 @@ def _replay(path: str, version: int | None = None) -> dict | None:
     }
 
 
-def tx_snapshot(path: str, version: int | None = None) -> dict:
+def _coerce_ts(ts) -> float:
+    """Accept an epoch float/int, a `datetime` (naive = UTC), or an
+    ISO-8601 string (naive = UTC) and return epoch seconds."""
+    if isinstance(ts, bool):  # bool is an int subclass; reject explicitly
+        raise TypeError("timestamp must be epoch seconds, datetime, or ISO string")
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    if isinstance(ts, str):
+        ts = datetime.datetime.fromisoformat(ts)
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        return ts.timestamp()
+    raise TypeError(
+        f"timestamp must be epoch seconds, datetime, or ISO string, "
+        f"got {type(ts).__name__}"
+    )
+
+
+def tx_version_at(path: str, ts) -> int:
+    """Resolve `TIMESTAMP AS OF`: the newest version whose commit
+    timestamp is <= `ts` (epoch seconds, `datetime`, or ISO-8601 string;
+    naive values are read as UTC).
+
+    Commit timestamps come from WRITER clocks, so concurrent writers with
+    skewed clocks can record out-of-order values; like Delta's timestamp
+    resolution, the effective timestamp of each version is adjusted to be
+    monotonically non-decreasing (eff[v] = max(rec_ts[v], eff[v-1])) so
+    the version↔time mapping is total and deterministic. Resolution reads
+    commit records oldest-first and stops at the first version past `ts`
+    — O(resolved prefix) KB-scale log reads, no data IO.
+
+    Raises ValueError if `ts` predates the oldest SURVIVING commit
+    (history below the retention floor is gone — `tx_cleanup_log`) or if
+    the table has no log."""
+    target = _coerce_ts(ts)
+    commits = _usable_log(path)[0]
+    if not commits:
+        raise ValueError(f"no transaction log at {path}")
+    best: int | None = None
+    eff = float("-inf")
+    for v in commits:
+        eff = max(eff, float(_load_rec(path, v).get("ts") or 0.0))
+        if eff <= target:
+            best = v
+        else:
+            break
+    if best is None:
+        oldest = datetime.datetime.fromtimestamp(
+            float(_load_rec(path, commits[0]).get("ts") or 0.0),
+            tz=datetime.timezone.utc,
+        ).isoformat()
+        raise ValueError(
+            f"{path}: timestamp predates the oldest surviving commit "
+            f"(version {commits[0]} at {oldest}) — earlier history was "
+            "retired by log retention or never existed"
+        )
+    return best
+
+
+def tx_snapshot(path: str, version: int | None = None, *,
+                as_of_ts=None) -> dict:
+    """Snapshot at `version`, at the commit current as of `as_of_ts`
+    (`tx_version_at` resolution), or — both None — at the latest."""
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("tx_snapshot: pass version OR as_of_ts, not both")
+        version = tx_version_at(path, as_of_ts)
     snap = _replay(path, version)
     if snap is None:
         raise ValueError(f"no transaction log at {path}")
@@ -2315,8 +2384,13 @@ def tx_read(
     path: str,
     version: int | None = None,
     predicate: list[tuple] | None = None,
+    *,
+    as_of_ts=None,
 ) -> DataFrame:
-    """Snapshot-isolated read (optionally of a past version). The file
+    """Snapshot-isolated read (optionally of a past version, or of the
+    version current as of a wall-clock instant — `as_of_ts` takes epoch
+    seconds, a datetime, or an ISO-8601 string and resolves through
+    `tx_version_at`, Delta's TIMESTAMP AS OF). The file
     list is resolved ONCE from the log — never a directory listing, so
     removed-but-unvacuumed files are invisible and concurrent commits
     can't change this scan. mergeSchema keeps late-added columns; an empty
@@ -2333,6 +2407,10 @@ def tx_read(
     a predicate that prunes EVERY file returns the last writer's logged
     schema, which on a schema-evolved table may lack columns only older
     files carry (the unpruned read's mergeSchema union would have them)."""
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("tx_read: pass version OR as_of_ts, not both")
+        version = tx_version_at(path, as_of_ts)
     snap = tx_snapshot(path, version)
     files = snap["files"]
     if predicate:
