@@ -2679,3 +2679,95 @@ def test_timestamp_time_travel_resolution(spark, tmp_path):
         json.dump(rec, fh)
     assert tx_version_at(t, ts[2]) == 3       # eff[3] == eff[2] == ts[2]
     assert tx_version_at(t, (ts[1] + ts[2]) / 2) == 1  # unchanged below
+
+
+def test_changefeed_update_images_and_merge_key_resolution(spark, tmp_path):
+    """update_images=True: an `update` commit's rows re-tag as
+    update_preimage/update_postimage; a `merge` commit's removed×added
+    file sets key-resolve into minimal changes — carried-over identical
+    rows suppressed, changed keys paired, one-sided keys insert/delete,
+    duplicate keys degraded to delete+insert. Default stays
+    delete/insert, and the transform contract holds in both modes."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_changes,
+        tx_merge,
+        tx_update_where,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(6)).repartition(2), t)          # v0
+    tx_update_where(spark, t, "id >= 4", {"val": "'up'"})      # v1: update op
+
+    plain = tx_changes(spark, t, 0, 1)
+    assert set(r["_change_type"] for r in plain.collect()) == {
+        "delete", "insert"
+    }
+    by_kind: dict = {}
+    for r in tx_changes(spark, t, 0, 1, update_images=True).collect():
+        by_kind.setdefault(r["_change_type"], []).append(r)
+    assert set(by_kind) == {"update_preimage", "update_postimage"}
+    assert sorted(r["id"] for r in by_kind["update_preimage"]) == [4, 5]
+    assert sorted((r["id"], r["val"]) for r in by_kind["update_postimage"]) \
+        == [(4, "up"), (5, "up")]
+
+    # merge: id 1 changes, id 2 "updates" to its identical current value
+    # (must be SUPPRESSED), id 100 inserts, id 0 deleted by the
+    # not-matched-by-source clause; ids 3..5 are carried-over rewrites
+    src = spark.createDataFrame(
+        [Row(id=1, val="m1"), Row(id=2, val="v2"), Row(id=100, val="new")]
+    )
+    res = tx_merge(
+        spark, t, src, ["id"],
+        when_not_matched_by_source_delete=F.col("id") == 0,
+    )
+    mv = res["version"]
+    by_kind = {}
+    for r in tx_changes(spark, t, mv - 1, mv, update_images=True).collect():
+        by_kind.setdefault(r["_change_type"], []).append(r)
+    assert sorted(r["id"] for r in by_kind["update_preimage"]) == [1]
+    assert by_kind["update_preimage"][0]["val"] == "v1"
+    assert [(r["id"], r["val"]) for r in by_kind["update_postimage"]] \
+        == [(1, "m1")]
+    assert [r["id"] for r in by_kind["delete"]] == [0]
+    assert [(r["id"], r["val"]) for r in by_kind["insert"]] == [(100, "new")]
+    # carried-over ids (2..5) appear NOWHERE in the feed
+    seen = {r["id"] for rows in by_kind.values() for r in rows}
+    assert seen == {0, 1, 100}
+
+    # transform contract (update-images mode): base snapshot minus
+    # (delete ∪ update_preimage) plus (insert ∪ update_postimage) == head
+    base = tx_read(spark, t, version=mv - 1)
+    feed = tx_changes(spark, t, mv - 1, mv, update_images=True)
+    minus = feed.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).drop("_change_type", "_commit_version")
+    plus = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type", "_commit_version")
+    rebuilt = base.exceptAll(minus).unionByName(plus)
+    head = tx_read(spark, t, version=mv)
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, head.collect())
+    )
+
+    # duplicate keys never update-pair: both old rows delete, both new
+    # rows insert (pairing two-of-each is ambiguous)
+    dup = spark.createDataFrame([Row(id=7, val="a"), Row(id=7, val="b")])
+    tx_append(dup, t)
+    res2 = tx_merge(
+        spark, t, spark.createDataFrame([Row(id=7, val="z")]), ["id"],
+        check_duplicate_source_keys=False,
+    )
+    v2 = res2["version"]
+    by_kind = {}
+    for r in tx_changes(spark, t, v2 - 1, v2, update_images=True).collect():
+        by_kind.setdefault(r["_change_type"], []).append(r)
+    assert sorted((r["id"], r["val"]) for r in by_kind["delete"]) == [
+        (7, "a"), (7, "b")
+    ]
+    assert sorted((r["id"], r["val"]) for r in by_kind["insert"]) == [
+        (7, "z"), (7, "z")
+    ]
+    assert "update_preimage" not in by_kind

@@ -2270,11 +2270,92 @@ def _rows_at_positions(
     )
 
 
+def _key_resolved_changes(pre: DataFrame, post: DataFrame,
+                          keys: list[str], tag) -> list[DataFrame]:
+    """Split a merge commit's file-granular (removed, added) row sets
+    into minimal row-level changes using the commit's own merge keys:
+
+    * a key present exactly once on BOTH sides whose rows are
+      column-identical is a carried-over row (the rewrite copied it
+      verbatim) — suppressed entirely;
+    * once on both sides and any column differs → one
+      `update_preimage` / `update_postimage` pair;
+    * pre-only → `delete`; post-only → `insert`;
+    * NULL keys and duplicate keys never update-pair (merge's equi-join
+      does not match NULLs, and duplicate-key pairing is ambiguous) —
+      they degrade to delete + insert, which is always net-correct.
+
+    Cost: a handful of shuffles over the REWRITTEN REGION only (the
+    candidate files a merge actually touched), never the table."""
+    import functools
+
+    # null-extend both sides to the union of columns (schema evolution
+    # mid-merge: the rewritten side may carry columns the old files lack)
+    for c in post.columns:
+        if c not in pre.columns:
+            pre = pre.withColumn(c, F.lit(None).cast(post.schema[c].dataType))
+    for c in pre.columns:
+        if c not in post.columns:
+            post = post.withColumn(c, F.lit(None).cast(pre.schema[c].dataType))
+    cols = pre.columns
+    post = post.select(*cols)
+    nonkeys = [c for c in cols if c not in keys]
+
+    any_key_null = functools.reduce(
+        lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+    )
+    pre_n, pre_k = pre.filter(any_key_null), pre.filter(~any_key_null)
+    post_n, post_k = post.filter(any_key_null), post.filter(~any_key_null)
+
+    paired_keys = (
+        pre_k.groupBy(*keys).count().filter(F.col("count") == 1)
+        .drop("count")
+        .join(
+            post_k.groupBy(*keys).count().filter(F.col("count") == 1)
+            .drop("count"),
+            keys,
+            "inner",
+        )
+    )
+    # both sides share upstream lineage (paired_keys derives from both),
+    # so frame-reference disambiguation trips Spark's ambiguous-self-join
+    # check — rename the non-key columns per side instead
+    p = pre_k.join(paired_keys, keys, "leftsemi").select(
+        *keys, *[F.col(c).alias(f"__pre_{c}") for c in nonkeys]
+    )
+    q = post_k.join(paired_keys, keys, "leftsemi").select(
+        *keys, *[F.col(c).alias(f"__post_{c}") for c in nonkeys]
+    )
+    row_differs = functools.reduce(
+        lambda a, b: a | b,
+        [~F.col(f"__pre_{c}").eqNullSafe(F.col(f"__post_{c}"))
+         for c in nonkeys],
+        F.lit(False),
+    )
+    pairs = p.join(q, keys).filter(row_differs)
+
+    def _side(prefix: str) -> list:
+        return [F.col(k) for k in keys] + [
+            F.col(f"{prefix}{c}").alias(c) for c in nonkeys
+        ]
+
+    return [
+        tag(pairs.select(*_side("__pre_")), "update_preimage"),
+        tag(pairs.select(*_side("__post_")), "update_postimage"),
+        tag(pre_n.unionByName(pre_k.join(paired_keys, keys, "left_anti")),
+            "delete"),
+        tag(post_n.unionByName(post_k.join(paired_keys, keys, "left_anti")),
+            "insert"),
+    ]
+
+
 def tx_changes(
     spark: SparkSession,
     path: str,
     from_version: int,
     to_version: int | None = None,
+    *,
+    update_images: bool = False,
 ) -> DataFrame:
     """File-granular change feed: the table's columns plus
     `_change_type` ('insert' | 'delete') and `_commit_version`, covering
@@ -2287,7 +2368,26 @@ def tx_changes(
     replace_where) yield the removed files as 'delete' and the rewritten
     files as 'insert' — a consumer treats them as delete-then-upsert.
     Raises if `from_version` predates the vacuum horizon (the removed
-    files would be gone)."""
+    files would be gone).
+
+    `update_images=True` upgrades the feed to Delta-CDF-style row
+    semantics where the log has enough information to prove them:
+
+    * `update` commits (tx_update_where writes the old rows' DV and the
+      new images in one commit) emit `update_preimage` /
+      `update_postimage` instead of delete / insert — they are the same
+      rows by construction;
+    * `merge` commits carry their merge keys in the commit record, so
+      the removed×added row sets are key-joined into minimal changes
+      (`_key_resolved_changes`): carried-over identical rows are
+      SUPPRESSED (a merge that rewrote a 128 MB candidate file to
+      update 3 rows feeds 3 pairs downstream, not 2×file), changed keys
+      pair as update_pre/postimage, one-sided keys stay insert/delete;
+    * every other op is unchanged.
+
+    The transform contract holds in both modes: treat update_preimage
+    as delete and update_postimage as insert (suppressed pairs were
+    byte-identical, so their delete+insert was a no-op)."""
     snap = tx_snapshot(path, to_version)  # validates to_version + horizon
     to_v = snap["version"]
     if from_version > to_v:
@@ -2324,10 +2424,29 @@ def tx_changes(
         # only the rows visible at v (a restore re-adds files WITH their
         # target-version DVs)
         removed, added = rec.get("remove", []), rec.get("add", [])
-        if removed:
-            pieces.append(_tag(_read_live(spark, path, removed, prev), "delete"))
-        if added:
-            pieces.append(_tag(_read_live(spark, path, added, cur), "insert"))
+        op_ = rec.get("op")
+        merge_keys = (rec.get("meta") or {}).get("keys")
+        add_kind = dv_kind = None  # defaults applied below
+        if update_images and op_ == "update":
+            # one commit = old rows' DV + new images: the same rows
+            add_kind, dv_kind = "update_postimage", "update_preimage"
+        if (update_images and op_ == "merge" and merge_keys
+                and removed and added):
+            pieces.extend(_key_resolved_changes(
+                _read_live(spark, path, removed, prev),
+                _read_live(spark, path, added, cur),
+                list(merge_keys), _tag,
+            ))
+        else:
+            if removed:
+                pieces.append(
+                    _tag(_read_live(spark, path, removed, prev), "delete")
+                )
+            if added:
+                pieces.append(
+                    _tag(_read_live(spark, path, added, cur),
+                         add_kind or "insert")
+                )
 
         # row-level changes on files live across the commit: deletion
         # vectors added (tx_delete_where) emit exactly the newly-deleted
@@ -2355,7 +2474,7 @@ def tx_changes(
             if newly is not None:
                 pieces.append(
                     _tag(_rows_at_positions(spark, path, changed, cur, newly),
-                         "delete")
+                         dv_kind or "delete")
                 )
             if backout is not None:
                 pieces.append(
