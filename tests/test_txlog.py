@@ -2771,3 +2771,144 @@ def test_changefeed_update_images_and_merge_key_resolution(spark, tmp_path):
         (7, "z"), (7, "z")
     ]
     assert "update_preimage" not in by_kind
+
+
+def _grp_df(spark, ids, grp):
+    return spark.createDataFrame([Row(id=i, grp=grp, val=f"v{i}") for i in ids])
+
+
+def test_shallow_clone_zero_copy_reads_and_diverges(spark, tmp_path):
+    """tx_clone: metadata-only branch of a partitioned table — reads
+    equal the source with ZERO copied bytes, stats/partition pruning
+    carries, the clone diverges independently (append + DV delete on a
+    referenced file), and the source never changes."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_clone,
+        tx_delete_where,
+        tx_prune,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    tx_append(_grp_df(spark, range(4), "a").coalesce(1), src,
+              partition_by=["grp"])
+    tx_append(_grp_df(spark, range(4, 8), "b").coalesce(1), src,
+              partition_by=["grp"])
+    src_snap_before = tx_snapshot(src)
+
+    v = tx_clone(src, dst)
+    assert v == 0
+    snap = tx_snapshot(dst)
+    # every live file is a reference; nothing was copied
+    assert all(f.startswith("ext0:") for f in snap["files"])
+    assert snap["bases"] == [src]
+    assert _ids(tx_read(spark, dst)) == list(range(8))
+    assert tx_snapshot(dst)["partition_by"] == ["grp"]
+    # partition + stats pruning work through the references
+    kept, skipped = tx_prune(dst, [("grp", "=", "a")])
+    assert kept and skipped and all("grp=a" in f for f in kept)
+    kept2, _ = tx_prune(dst, [("id", ">=", 6)])
+    assert all("grp=b" in f for f in kept2)
+
+    # the clone diverges: append + row-level delete on a REFERENCED file
+    tx_append(_grp_df(spark, [100], "a").coalesce(1), dst,
+              partition_by=["grp"])
+    d = tx_delete_where(spark, dst, "id = 2")
+    assert d["rows_deleted"] == 1
+    assert _ids(tx_read(spark, dst)) == [0, 1, 3, 4, 5, 6, 7, 100]
+    # ...while the source is untouched, commit-for-commit
+    assert tx_snapshot(src) == src_snap_before
+    assert _ids(tx_read(spark, src)) == list(range(8))
+
+    # refusals: DV-bearing source; occupied destination
+    with pytest.raises(ValueError, match="deletion vectors"):
+        tx_clone(dst, str(tmp_path / "dst2"))
+    with pytest.raises(ValueError, match="already has a transaction log"):
+        tx_clone(src, dst)
+
+
+def test_clone_compact_materializes_and_vacuum_never_touches_source(
+    spark, tmp_path
+):
+    """tx_compact on a clone copies the bytes home (ext refs retired —
+    deep-copy incrementally) and a subsequent vacuum of the clone deletes
+    only LOCAL debris: the source's files survive the clone's whole
+    retention lifecycle."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_clone,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    tx_append(_mk(spark, range(6)).coalesce(1), src)
+    tx_clone(src, dst)
+    tx_append(_mk(spark, range(6, 8)).coalesce(1), dst)
+
+    # a clone is never "already compact": the rewrite localizes the refs
+    v = tx_compact(spark, dst, target_files=1)
+    assert v is not None
+    snap = tx_snapshot(dst)
+    assert not any(f.startswith("ext") for f in snap["files"])
+    assert _ids(tx_read(spark, dst)) == list(range(8))
+
+    # vacuum below the clone-era horizon: the ext refs fall out of the
+    # log but the SOURCE's bytes survive
+    tx_vacuum(dst, retain_versions=0)
+    assert _ids(tx_read(spark, src)) == list(range(6))
+    assert all(_data_exists(src, f) for f in tx_snapshot(src)["files"])
+    assert _ids(tx_read(spark, dst)) == list(range(8))
+
+
+def test_clone_of_clone_carries_governance_and_txtable_source(
+    spark, tmp_path
+):
+    """Clone chains compose (bases re-index), CHECK constraints and
+    column mapping travel with the clone, time travel sees the clone
+    commit, and the txtable batch source drains a clone through its
+    external references."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_clone,
+        tx_rename_column,
+        tx_set_constraint,
+    )
+    from weather_data_warehouse_aws_spark.sources.tx_source import (
+        register_tx_source,
+        txtable_options,
+    )
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    c = str(tmp_path / "c")
+    tx_append(_mk(spark, range(4)).coalesce(1), a)
+    tx_rename_column(a, "id", "ident")
+    tx_set_constraint(spark, a, "pos_id", "ident >= 0")
+
+    tx_clone(a, b)
+    tx_append(
+        spark.createDataFrame([Row(ident=50, val="x")]).coalesce(1), b
+    )
+    tx_clone(b, c)
+    snap_c = tx_snapshot(c)
+    assert snap_c["bases"] == [b, a]
+    # a's file arrives as ext1: (b's ext0 re-indexed), b's own as ext0:
+    assert {f.split(":")[0] for f in snap_c["files"]} == {"ext0", "ext1"}
+    got = sorted(r["ident"] for r in tx_read(spark, c).collect())
+    assert got == [0, 1, 2, 3, 50]
+
+    # governance traveled: the renamed schema and the constraint
+    from pyspark.errors import PySparkException
+
+    with pytest.raises(PySparkException):
+        tx_append(
+            spark.createDataFrame([Row(ident=-1, val="bad")]).coalesce(1), c
+        )
+
+    # txtable batch source reads through two levels of references
+    register_tx_source(spark)
+    feed = (
+        spark.read.format("txtable")
+        .options(**txtable_options(c))
+        .load()
+    )
+    assert sorted(r["ident"] for r in feed.collect()) == [0, 1, 2, 3, 50]
+    assert set(r["_change_type"] for r in feed.collect()) == {"insert"}

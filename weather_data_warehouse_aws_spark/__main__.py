@@ -112,7 +112,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=["history", "read", "compact", "erase", "vacuum", "merge",
                  "restore", "changes", "delete", "update", "manifest",
                  "set-constraint", "drop-constraint", "optimize",
-                 "cleanup-log", "rename-column", "drop-column"],
+                 "cleanup-log", "rename-column", "drop-column", "clone"],
     )
     tx.add_argument("--table", required=True, help="txlog table directory")
     tx.add_argument("--version", type=int, default=None, help="time-travel version (read)")
@@ -153,7 +153,8 @@ def main(argv: list[str] | None = None) -> int:
         help="read predicate 'col OP value' (stats-pruned scan), e.g. "
         "--where 'id >= 100'; value parsed as number when possible",
     )
-    tx.add_argument("--source", default=None, help="merge source parquet path")
+    tx.add_argument("--source", default=None,
+                    help="merge source parquet path / clone source tx table")
     tx.add_argument("--keys", default=None, help="merge keys, comma-separated")
 
     m = sub.add_parser(
@@ -574,6 +575,28 @@ def main(argv: list[str] | None = None) -> int:
             v = txlog.tx_restore(args.table, args.version)
             print("already at that state" if v is None
                   else f"restored to v{args.version} as commit v{v}")
+        elif args.action == "clone":
+            if not args.source:
+                print("tx clone needs --source (the table to clone) and "
+                      "--table (the new clone)", file=sys.stderr)
+                return 2
+            try:
+                ts_arg: object | None = None
+                if args.as_of_ts is not None:
+                    try:
+                        ts_arg = float(args.as_of_ts)
+                    except ValueError:
+                        ts_arg = args.as_of_ts
+                v = txlog.tx_clone(
+                    args.source, args.table,
+                    version=args.version, as_of_ts=ts_arg,
+                )
+            except ValueError as e:
+                print(f"clone refused: {e}", file=sys.stderr)
+                return 2
+            n = len(txlog.tx_snapshot(args.table)["files"])
+            print(f"shallow clone at {args.table} v{v}: {n} referenced "
+                  "file(s), zero bytes copied (tx compact materializes)")
         elif args.action == "changes":
             if args.from_version is None:
                 print("tx changes needs --from-version", file=sys.stderr)

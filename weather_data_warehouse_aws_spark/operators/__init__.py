@@ -48,6 +48,7 @@ from .txlog import (  # noqa: F401
     tx_append,
     tx_changes,
     tx_cleanup_log,
+    tx_clone,
     tx_compact,
     tx_drop_column,
     tx_drop_constraint,

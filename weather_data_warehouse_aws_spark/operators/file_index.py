@@ -59,13 +59,13 @@ def _tx_live_files(table_path: str) -> list[str] | None:
     this gate so the Bloom index composes with the transactional format:
     candidates are drawn from the log's live set, index rows for removed
     files are ignored, and unindexed live files stay candidates."""
-    from .txlog import get_data_store, tx_exists, tx_snapshot
+    from .txlog import _read_uris, tx_exists, tx_snapshot
 
     if not tx_exists(table_path):
         return None
     snap = tx_snapshot(table_path)
-    store = get_data_store(table_path)
-    return [store.read_uri(table_path, f) for f in snap["files"]]
+    # ext (shallow-clone) refs resolve to their BASE tables' URIs
+    return _read_uris(table_path, snap["files"], snap.get("bases"))
 
 
 def _table_df(spark: SparkSession, table_path: str):
@@ -379,27 +379,30 @@ def read_with_index(
         schema = _table_df(spark, table_path).schema
         return spark.createDataFrame([], schema)
     if _tx_live_files(table_path) is not None:
-        from .txlog import _read_live, get_data_store, tx_snapshot
+        from .txlog import _read_live, _read_uris, tx_snapshot
 
         # invert read_uri: candidates arrived as store URIs
-        # (_tx_live_files emits exactly read_uri(root, rel)), so the
-        # log-relative path is a string-prefix strip of the store's own
-        # URI root — read_uri(root, "") — never os.path arithmetic,
-        # which mangles scheme-ful URIs (abspath("s3://b/t") ->
-        # "<cwd>/s3:/b/t"). DataStore invariant (documented on the
-        # protocol): read_uri(root, rel) == read_uri(root, "") + rel.
-        store = get_data_store(table_path)
-        uri_root = store.read_uri(table_path, "").rstrip("/") + "/"
+        # (_tx_live_files emits exactly the snapshot's resolved URI per
+        # live rel, ext clone refs included), so the log rel is an exact
+        # lookup in the uri->rel map — never os.path arithmetic, which
+        # mangles scheme-ful URIs (abspath("s3://b/t") ->
+        # "<cwd>/s3:/b/t")
+        snap = tx_snapshot(table_path)
+        uri_to_rel = dict(zip(
+            _read_uris(table_path, snap["files"], snap.get("bases")),
+            snap["files"],
+        ))
         rels = []
         for f in files:
-            if not f.startswith(uri_root):
+            rel = uri_to_rel.get(f)
+            if rel is None:
                 raise ValueError(
-                    f"read_with_index: candidate {f!r} is not under the "
-                    f"store's URI root {uri_root!r} — the DataStore "
-                    "violates the read_uri prefix invariant"
+                    f"read_with_index: candidate {f!r} is not a live "
+                    "file's resolved URI — stale index sidecar or a "
+                    "DataStore read_uri drift"
                 )
-            rels.append(f[len(uri_root):])
-        scan = _read_live(spark, table_path, rels, tx_snapshot(table_path))
+            rels.append(rel)
+        scan = _read_live(spark, table_path, rels, snap)
         return scan.filter(F.col(column) == F.lit(value))
     return (
         spark.read.option("basePath", table_path)

@@ -59,7 +59,16 @@ checkpoint ≤ v): live = adds − removes, in order. Data files are IMMUTABLE
 Time travel: `tx_read(spark, path, version=v)` — any version not yet
 vacuumed — or `as_of_ts=` (TIMESTAMP AS OF: epoch/datetime/ISO string,
 resolved by `tx_version_at` with Delta's monotonic adjustment against
-writer clock skew). `tx_vacuum` advances a horizon (recorded as a commit, so the
+writer clock skew).
+
+Shallow clone: `tx_clone(src, dst)` branches a table in ONE metadata
+commit — the clone's `ext<i>:` rels reference the source's files
+through recorded `bases` roots, every reader/rewriter resolves them via
+`_rel_home`, vacuum never deletes referenced bytes (`_drop_files` skips
+ext refs), and `tx_compact` copies them home (incremental deep clone).
+The change feed upgrades to row semantics on request:
+`tx_changes(update_images=True)` emits update_preimage/update_postimage
+for UPDATE commits and key-resolves MERGE commits into minimal changes. `tx_vacuum` advances a horizon (recorded as a commit, so the
 refusal to read pre-horizon versions is itself transactional) and only
 then deletes files whose last reference is below it; `retain_hours`
 bounds the horizon to commits older than the window (Delta RETAIN n
@@ -565,6 +574,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
     constraints: dict[str, str] = {}  # CHECK constraints: name -> SQL expr
     column_map: dict[str, str] = {}  # logical name -> physical name
     dropped_cols: list[str] = []  # physical names of dropped columns
+    bases: list[str] = []  # clone base table roots for ext<i>: rels
     schema_json = None
     partition_by: list[str] | None = None
     usable = [c for c in checkpoints if c <= target]
@@ -580,6 +590,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         constraints = dict(cp.get("constraints", {}))
         column_map = dict(cp.get("column_map", {}))
         dropped_cols = list(cp.get("dropped_cols", []))
+        bases = list(cp.get("bases", []))
     for v in commits:
         if v <= base_v or v > target:
             continue
@@ -611,6 +622,10 @@ def _replay(path: str, version: int | None = None) -> dict | None:
             column_map = dict(rec["meta"]["column_map"])
         if "dropped_cols" in rec.get("meta", {}):
             dropped_cols = list(rec["meta"]["dropped_cols"])
+        if "bases" in rec.get("meta", {}):
+            # replacement semantics; set once by a clone commit, kept
+            # forever (time travel to the clone era needs them)
+            bases = list(rec["meta"]["bases"])
         txn = rec.get("txn")
         if txn:
             txns[txn["app"]] = max(txns.get(txn["app"], -1), int(txn["batch"]))
@@ -626,6 +641,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         "constraints": constraints,
         "column_map": column_map,
         "dropped_cols": dropped_cols,
+        "bases": bases,
     }
 
 
@@ -821,6 +837,7 @@ def _commit(
                         "constraints": cp["constraints"],
                         "column_map": cp["column_map"],
                         "dropped_cols": cp["dropped_cols"],
+                        "bases": cp["bases"],
                     }
                 ),
             )
@@ -1005,9 +1022,14 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 def _partition_values(rel: str) -> dict[str, str | None]:
     """Hive partition values encoded in a file's log-relative path
     (`date=2024-01-01/part-x.parquet` → {"date": "2024-01-01"}). Values
-    stay raw strings (unescaped); the hive NULL sentinel maps to None."""
+    stay raw strings (unescaped); the hive NULL sentinel maps to None.
+    An external reference (`ext<i>:` clone rel) keeps its source table's
+    hive segments — strip the marker before parsing."""
     from urllib.parse import unquote
 
+    m = _EXT_RE.match(rel)
+    if m:
+        rel = m.group(2)
     out: dict[str, str | None] = {}
     for comp in rel.split("/")[:-1]:
         if "=" not in comp:
@@ -1157,15 +1179,48 @@ def _write_new_files(
     return rels, stats
 
 
+# External file references (shallow clone): a log rel of the form
+# `ext<i>:<rel>` resolves against snapshot["bases"][i] — another table's
+# root — instead of this table's. The bytes belong to that table; this
+# log only references them.
+_EXT_RE = re.compile(r"^ext(\d+):(.*)$")
+
+
+def _rel_home(path: str, rel: str,
+              bases: list[str] | None) -> tuple[str, str]:
+    """(owning table root, root-relative path) for a log rel: the
+    table's own root for plain rels, the recorded clone base for
+    `ext<i>:` references."""
+    m = _EXT_RE.match(rel)
+    if not m:
+        return path, rel
+    i = int(m.group(1))
+    if not bases or i >= len(bases):
+        raise TxCorruption(
+            f"{path}: external reference {rel!r} has no recorded base "
+            f"table (bases: {bases!r}) — the clone commit is damaged"
+        )
+    return bases[i], m.group(2)
+
+
 def _drop_files(path: str, rels: list[str]) -> None:
     store = get_data_store(path)
     for rel in rels:
+        if _EXT_RE.match(rel):
+            # a shallow clone's external reference: the SOURCE table owns
+            # those bytes — dropping the ref (vacuum, failed-commit
+            # cleanup) must never delete another table's data
+            continue
         store.delete(path, rel)
 
 
-def _read_uris(path: str, rels: list[str]) -> list[str]:
-    store = get_data_store(path)
-    return [store.read_uri(path, r) for r in rels]
+def _read_uris(path: str, rels: list[str],
+               bases: list[str] | None = None) -> list[str]:
+    out = []
+    for r in rels:
+        home, rel = _rel_home(path, r, bases)
+        out.append(get_data_store(home).read_uri(home, rel))
+    return out
 
 
 # type-widening lattices (Delta-style reader-side type widening): a file
@@ -1276,7 +1331,14 @@ def _read_live(
     MATERIALIZE the deletes. `keep_meta=True` keeps the
     `__tx_rel`/`__tx_pos` (log-relative path, row position) columns for
     callers that address rows physically (tx_delete_where, the change
-    feed); `apply_dvs=False` yields the RAW file contents."""
+    feed); `apply_dvs=False` yields the RAW file contents.
+
+    External references (shallow clone): rels prefixed `ext<i>:` scan
+    from their OWNING table's root (snapshot `bases[i]`), each home root
+    as its own group with its own basePath/uri-root, unioned by name —
+    `__tx_rel` reproduces the log's full rel spelling (marker included)
+    so DV anti-joins and row-addressing work identically on referenced
+    files."""
     pby = (snap or {}).get("partition_by") or []
     logged = (
         StructType.fromJson(json.loads(snap["schema"]))
@@ -1294,13 +1356,11 @@ def _read_live(
     # merge, compact, erase, the change feed) sees logical columns only
     colmap = (snap or {}).get("column_map") or {}  # logical -> physical
     dropped = set((snap or {}).get("dropped_cols") or [])
-    store = get_data_store(path)
-    reader = spark.read.option("basePath", store.spark_base_path(path))
+    bases = (snap or {}).get("bases") or []
     string_pcol = any(
         types.get(c, None) is not None and types[c].typeName() == "string"
         for c in pby
     )
-    uris = _read_uris(path, rels)
     phys_fields = (
         [
             StructField(colmap.get(f.name, f.name), f.dataType, f.nullable)
@@ -1309,77 +1369,103 @@ def _read_live(
         if logged is not None
         else None
     )
-
-    def _pinned_scan(extra_fields) -> DataFrame:
-        # pin the read to logged types (physical names) ∪ columns only
-        # older files carry: logged wins on overlap, so a file written at
-        # a NARROWER width (type widening without rewrite) upcasts at
-        # scan instead of failing schema merge
-        phys_names = {f.name for f in phys_fields}
-        pinned = StructType(
-            phys_fields
-            + [f for f in extra_fields if f.name not in phys_names]
-        )
-        return reader.schema(pinned).parquet(*uris)
-
-    def _merge_fallback(exc: Exception) -> DataFrame:
-        if phys_fields is None or "CANNOT_MERGE_SCHEMAS" not in str(exc):
-            raise exc
-        return _pinned_scan(_footer_union_fields(path, rels))
-
-    if string_pcol:
-        # a STRING partition column through type inference corrupts
-        # numeric-looking values ('0123' → 123 → '123'): always pin. The
-        # extras probe (columns only older files carry) is a metadata-only
-        # mergeSchema read — on a width-evolved table it refuses, and the
-        # footer union takes over.
-        try:
-            extras = reader.option("mergeSchema", True).parquet(*uris).schema.fields
-        except Exception as e:
-            if "CANNOT_MERGE_SCHEMAS" not in str(e):
-                raise
-            extras = _footer_union_fields(path, rels)
-        out = _pinned_scan(extras)
-    else:
-        try:
-            out = reader.option("mergeSchema", True).parquet(*uris)
-        except Exception as e:
-            out = _merge_fallback(e)
-    if dropped:
-        # a dropped column's bytes stay in old files; it must not
-        # resurrect through the mergeSchema union
-        out = out.drop(*[c for c in dropped if c in out.columns])
-    if colmap:
-        present = set(out.columns)
-        out = out.withColumnsRenamed(
-            {p: l for l, p in colmap.items() if p in present}
-        )
-
     dv_map = (snap or {}).get("dvs") or {}
     dv_rels = sorted(
         {d for r in rels for d in dv_map.get(r, [])}
     ) if apply_dvs else []
-    if keep_meta or dv_rels:
-        uri_root = store.scan_uri_root(path)
-        # _metadata.file_path is a URI, so URL-encodable characters in
-        # partition values or the table root arrive percent-encoded
-        # ('city=New York' scans as 'city=New%20York'), while log and DV
-        # records store raw OS relpaths. Decode BEFORE stripping the raw
-        # root prefix — otherwise row-level ops on such tables resolve to
-        # nonexistent encoded relpaths and fail with a misleading
-        # TxConflict. A literal '+' must survive decoding (URLDecoder
-        # treats it as a space), so it is pre-escaped to %2B.
-        out = out.withColumn(
-            "__tx_rel",
-            F.expr(
+    need_meta = keep_meta or bool(dv_rels)
+
+    def _scan_home(prefix: str, full_rels: list[str]) -> DataFrame:
+        home, _ = _rel_home(path, full_rels[0], bases)
+        hrels = [r[len(prefix):] for r in full_rels]
+        store = get_data_store(home)
+        reader = spark.read.option("basePath", store.spark_base_path(home))
+        uris = [store.read_uri(home, r) for r in hrels]
+
+        def _pinned_scan(extra_fields) -> DataFrame:
+            # pin the read to logged types (physical names) ∪ columns
+            # only older files carry: logged wins on overlap, so a file
+            # written at a NARROWER width (type widening without
+            # rewrite) upcasts at scan instead of failing schema merge
+            phys_names = {f.name for f in phys_fields}
+            pinned = StructType(
+                phys_fields
+                + [f for f in extra_fields if f.name not in phys_names]
+            )
+            return reader.schema(pinned).parquet(*uris)
+
+        if string_pcol:
+            # a STRING partition column through type inference corrupts
+            # numeric-looking values ('0123' → 123 → '123'): always pin.
+            # The extras probe (columns only older files carry) is a
+            # metadata-only mergeSchema read — on a width-evolved table
+            # it refuses, and the footer union takes over.
+            try:
+                extras = reader.option(
+                    "mergeSchema", True
+                ).parquet(*uris).schema.fields
+            except Exception as e:
+                if "CANNOT_MERGE_SCHEMAS" not in str(e):
+                    raise
+                extras = _footer_union_fields(home, hrels)
+            out = _pinned_scan(extras)
+        else:
+            try:
+                out = reader.option("mergeSchema", True).parquet(*uris)
+            except Exception as e:
+                if (phys_fields is None
+                        or "CANNOT_MERGE_SCHEMAS" not in str(e)):
+                    raise
+                out = _pinned_scan(_footer_union_fields(home, hrels))
+        if dropped:
+            # a dropped column's bytes stay in old files; it must not
+            # resurrect through the mergeSchema union
+            out = out.drop(*[c for c in dropped if c in out.columns])
+        if colmap:
+            present = set(out.columns)
+            out = out.withColumnsRenamed(
+                {p: l for l, p in colmap.items() if p in present}
+            )
+        if need_meta:
+            uri_root = store.scan_uri_root(home)
+            # _metadata.file_path is a URI, so URL-encodable characters
+            # in partition values or the table root arrive
+            # percent-encoded ('city=New York' scans as
+            # 'city=New%20York'), while log and DV records store raw OS
+            # relpaths. Decode BEFORE stripping the raw root prefix —
+            # otherwise row-level ops on such tables resolve to
+            # nonexistent encoded relpaths and fail with a misleading
+            # TxConflict. A literal '+' must survive decoding
+            # (URLDecoder treats it as a space), so it is pre-escaped
+            # to %2B.
+            rel_expr = F.expr(
                 "substring(url_decode(replace(_metadata.file_path, "
                 f"'+', '%2B')), {len(uri_root) + 1})"
-            ),
-        ).withColumn("__tx_pos", F.col("_metadata.row_index"))
+            )
+            if prefix:
+                # reproduce the LOG's rel spelling for referenced files
+                rel_expr = F.concat(F.lit(prefix), rel_expr)
+            out = out.withColumn("__tx_rel", rel_expr).withColumn(
+                "__tx_pos", F.col("_metadata.row_index")
+            )
+        return out
+
+    by_prefix: dict[str, list[str]] = {}
+    for r in rels:
+        m = _EXT_RE.match(r)
+        by_prefix.setdefault(f"ext{m.group(1)}:" if m else "", []).append(r)
+    parts = [
+        _scan_home(pfx, group)
+        for pfx, group in sorted(by_prefix.items())
+    ]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_, allowMissingColumns=True)
+
     if dv_rels:
         # deleted-position lists are KB-to-MB scale → broadcast anti-join;
         # the scan side pays two metadata columns, no shuffle
-        dvf = spark.read.parquet(*_read_uris(path, dv_rels)).select(
+        dvf = spark.read.parquet(*_read_uris(path, dv_rels, bases)).select(
             F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
         )
         out = out.join(
@@ -2225,6 +2311,79 @@ def tx_restore(path: str, version: int) -> int:
     )
 
 
+def tx_clone(src: str, dst: str, *, version: int | None = None,
+             as_of_ts=None) -> int:
+    """Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`,
+    public design): `dst` becomes a full transactional table whose first
+    commit REFERENCES the source snapshot's data files (`ext<i>:` rels
+    resolved through the recorded `bases` roots) instead of copying them.
+
+    Why it matters at 100 TB: branching a petabyte table for an
+    experiment, a backfill rehearsal, or a reproducible training-data
+    freeze costs ONE KB-scale commit — O(files) rel strings plus the
+    source's already-committed stats (no footer reads, no data IO) —
+    and the clone is immediately a first-class table:
+
+    * independently writable — appends/deletes/updates/merges land under
+      dst's own root and never touch the source;
+    * stats/partition pruning, constraints, column mapping, and the
+      partition scheme carry over (all snapshot metadata);
+    * `tx_compact` MATERIALIZES referenced files locally and retires the
+      refs (clone → compact ≡ deep clone, incrementally);
+    * vacuum on the clone never deletes source bytes (`_drop_files`
+      skips `ext:` refs — the source owns them).
+
+    The covenant, same as Delta's: the clone borrows the SOURCE's files,
+    so vacuuming the source below the cloned version breaks the clone —
+    deep-copy via `tx_compact` to decouple, or align retention.
+
+    Refuses a source snapshot with live deletion vectors (DV positions
+    are recorded in the writer's namespace; `tx_compact` the source
+    first) — the same posture as `tx_write_manifest` — and refuses a
+    `dst` that already has a log. Cloning a clone composes: the new
+    bases list is [src] + src's bases and every ref re-indexes, so
+    linear clone chains resolve without touching intermediate tables.
+
+    Returns dst's version (always 0)."""
+    if tx_exists(dst):
+        raise ValueError(f"tx_clone: {dst} already has a transaction log")
+    snap = tx_snapshot(src, version, as_of_ts=as_of_ts)
+    live_dvs = {r: d for r, d in (snap.get("dvs") or {}).items()
+                if d and r in set(snap["files"])}
+    if live_dvs:
+        raise ValueError(
+            f"tx_clone: {len(live_dvs)} live source file(s) carry "
+            "deletion vectors, whose positions are recorded in the "
+            "source's namespace — run tx_compact on the source (or "
+            "clone an earlier version) first"
+        )
+    bases = [src] + list(snap.get("bases") or [])
+
+    def _remap(rel: str) -> str:
+        m = _EXT_RE.match(rel)
+        if m:  # source's own reference: its bases shifted up by one
+            return f"ext{int(m.group(1)) + 1}:{m.group(2)}"
+        return f"ext0:{rel}"
+
+    add = [_remap(r) for r in snap["files"]]
+    stats = {_remap(r): s for r, s in snap["stats"].items() if s}
+    meta = {
+        "schema": snap["schema"],
+        "partition_by": snap["partition_by"] or [],
+        "constraints": snap["constraints"],
+        "column_map": snap["column_map"],
+        "dropped_cols": snap["dropped_cols"],
+        "bases": bases,
+        "source": src,
+        "source_version": snap["version"],
+    }
+    v = _commit(
+        dst, "clone", lambda s: (add, [], meta),
+        validate_remove_live=False, stats=stats,
+    )
+    return v
+
+
 def _dv_positions(
     spark: SparkSession, path: str, snap: dict | None, files: list[str]
 ) -> DataFrame | None:
@@ -2642,15 +2801,19 @@ def tx_compact(
     clustered compaction restores skippability. With a clustering key the
     rewrite runs even when the file COUNT is already at target (the
     layout, not the count, is the point) — likewise when any live file
-    carries DELETION VECTORS: the rewrite is what materializes them back
-    to zero, so a DV-bearing table is never "already compact"."""
+    carries DELETION VECTORS (the rewrite is what materializes them back
+    to zero) or is an EXTERNAL clone reference (`ext:` rel — the rewrite
+    is what copies the bytes home and decouples the clone from its
+    source's vacuum), so neither is ever "already compact"."""
     snap = tx_snapshot(path)
     recluster = bool(sort_by or zorder_by)
     has_dvs = any(snap["dvs"].get(f) for f in snap["files"])
+    has_ext = any(_EXT_RE.match(f) for f in snap["files"])
     if (
         len(snap["files"]) <= max(target_files, 1)
         and not recluster
         and not has_dvs
+        and not has_ext
     ):
         return None
     if not snap["files"]:
@@ -2799,7 +2962,8 @@ def tx_write_manifest(path: str, version: int | None = None) -> str:
         )
     store = get_data_store(path)
     payload = "".join(
-        store.read_uri(path, rel) + "\n" for rel in snap["files"]
+        uri + "\n"
+        for uri in _read_uris(path, snap["files"], snap.get("bases"))
     )
     return store.put_atomic(path, "_manifest/files.txt", payload)
 

@@ -139,6 +139,10 @@ def txtable_options(path: str) -> dict:
 
     from ..operators.txlog import _DEFAULT_STORE, get_log_store
 
+    import json as _json
+
+    from ..operators.txlog import tx_exists, tx_snapshot
+
     opts = {"path": path}
     store = get_data_store(path)
     if store is not _DEFAULT_DATA_STORE:
@@ -146,6 +150,13 @@ def txtable_options(path: str) -> dict:
     log_store = get_log_store(path)
     if log_store is not _DEFAULT_STORE:
         opts["log_store"] = base64.b64encode(pickle.dumps(log_store)).decode()
+    if tx_exists(path):
+        bases = tx_snapshot(path).get("bases") or []
+        if bases:
+            # shallow clone: the worker must route the BASE tables'
+            # reads through the shipped stores too (same-store clones;
+            # a cross-store clone needs driver-side tx_read)
+            opts["bases"] = _json.dumps(bases)
     return opts
 
 
@@ -158,20 +169,40 @@ def _store_from_options(path: str, options: dict):
 
     from ..operators.txlog import register_data_store, register_log_store
 
+    import json as _json
+
+    base_roots = _json.loads(options.get("bases") or "[]")
     raw_log = options.get("log_store")
     if raw_log:
-        register_log_store(path, pickle.loads(base64.b64decode(raw_log)))
+        log_store = pickle.loads(base64.b64decode(raw_log))
+        register_log_store(path, log_store)
+        for b in base_roots:
+            register_log_store(b, log_store)
     raw = options.get("data_store")
     if raw:
         store = pickle.loads(base64.b64decode(raw))
         register_data_store(path, store)
+        for b in base_roots:
+            register_data_store(b, store)
         return store
     return _store(path)
 
 
-def _read_parquet(path: str, rel: str, store=None, columns=None):
+def _read_parquet(path: str, rel: str, store=None, columns=None,
+                  bases=None):
     import pyarrow.parquet as pq
 
+    from ..operators.txlog import _rel_home
+
+    home, hrel = _rel_home(path, rel, bases)
+    if home != path:
+        # shallow-clone external reference: the file lives under the
+        # BASE table's root. An explicitly shipped store applies to the
+        # base too (txtable_options' same-store clone contract — this
+        # runs on EXECUTORS, whose process never saw any registry);
+        # otherwise the registry/default resolves per home root.
+        with _store(home, store).open_input(home, hrel) as f:
+            return pq.read_table(f, columns=columns)
     with _store(path, store).open_input(path, rel) as f:
         return pq.read_table(f, columns=columns)
 
@@ -386,7 +417,8 @@ def _read_file_batches(path: str, rel: str, colnames: list[str],
                        exclude_dv: list[str] | None = None,
                        only_dv: tuple[list[str], list[str]] | None = None,
                        pred: list[tuple] | None = None,
-                       store=None, colmap: dict | None = None) -> list:
+                       store=None, colmap: dict | None = None,
+                       bases: list | None = None) -> list:
     """Arrow fast path: one immutable data file → RecordBatches cast to
     the declared schema — no per-row Python objects anywhere (columns stay
     Arrow buffers end-to-end; DV masking is an inverted `pc.is_in` over a
@@ -399,7 +431,7 @@ def _read_file_batches(path: str, rel: str, colnames: list[str],
     import pyarrow as pa
 
     fill = fill or {}
-    table = _read_parquet(path, rel, store)
+    table = _read_parquet(path, rel, store, bases=bases)
     table = _apply_dv(table, path, rel, exclude_dv, only_dv, store)
     expected = _declared_arrow_schema(schema_json)
     n = table.num_rows
@@ -437,7 +469,7 @@ def _read_file_rows(path: str, rel: str, colnames: list[str], tail: tuple,
                     only_dv: tuple[list[str], list[str]] | None = None,
                     pred: list[tuple] | None = None,
                     store=None, pred_strict: bool = False,
-                    colmap: dict | None = None):
+                    colmap: dict | None = None, bases: list | None = None):
     """Tuple fallback for files the Arrow cast can't express: one
     immutable data file → tuples aligned to `colnames` + `tail` (hive
     partition values spliced from `fill`; None for columns the file
@@ -445,7 +477,7 @@ def _read_file_rows(path: str, rel: str, colnames: list[str], tail: tuple,
     before any Python-object conversion); only the surviving rows are
     materialized. Runs on the EXECUTOR."""
     fill = fill or {}
-    table = _read_parquet(path, rel, store)
+    table = _read_parquet(path, rel, store, bases=bases)
     table = _apply_dv(table, path, rel, exclude_dv, only_dv, store)
     present = set(table.column_names)
     cmap = colmap or {}
@@ -468,7 +500,7 @@ def _emit_file(path: str, rel: str, colnames: list[str], schema_json: str,
                only_dv: tuple[list[str], list[str]] | None = None,
                pred: list[tuple] | None = None,
                store=None, pred_strict: bool = False,
-               colmap: dict | None = None):
+               colmap: dict | None = None, bases: list | None = None):
     """RecordBatches when the file's types cast cleanly to the declared
     schema (the stable-schema norm), tuples otherwise — decided PER FILE
     and deterministically, never mid-stream (the batch path is eager).
@@ -481,7 +513,7 @@ def _emit_file(path: str, rel: str, colnames: list[str], schema_json: str,
     try:
         batches = _read_file_batches(
             path, rel, colnames, schema_json, tail, fill,
-            exclude_dv, only_dv, pred, store, colmap,
+            exclude_dv, only_dv, pred, store, colmap, bases,
         )
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError) as e:
         warnings.warn(
@@ -492,7 +524,7 @@ def _emit_file(path: str, rel: str, colnames: list[str], schema_json: str,
         )
         yield from _read_file_rows(
             path, rel, colnames, tail, fill, exclude_dv, only_dv, pred,
-            store, pred_strict, colmap,
+            store, pred_strict, colmap, bases,
         )
         return
     yield from batches
@@ -546,9 +578,14 @@ def tx_source_cast_report(path: str, version: int | None = None,
         step = len(probed) / max_files
         probed = [probed[int(i * step)] for i in range(max_files)]
     fallback: list[tuple[str, str]] = []
+    from ..operators.txlog import _rel_home
+
+    bases = snap.get("bases") or []
     for rel in probed:
         try:
-            with store.open_input(path, rel) as f:
+            home, hrel = _rel_home(path, rel, bases)
+            opener = store if home == path else _store(home)
+            with opener.open_input(home, hrel) as f:
                 head = next(
                     pq.ParquetFile(f).iter_batches(batch_size=probe_rows),
                     None,
@@ -619,6 +656,7 @@ class TxTableStreamReader(DataSourceStreamReader):
         sjson = schema.json()
         colnames = [f.name for f in schema.fields]
         colmap = snap.get("column_map") or {}  # logical -> physical
+        bases = snap.get("bases") or []  # shallow-clone ext ref roots
         pred = _parse_predicate(self._pred_raw, schema)
         out = []
         prev: dict | None = None
@@ -648,7 +686,7 @@ class TxTableStreamReader(DataSourceStreamReader):
                     out.append(InputPartition((
                         self.path, rel, colnames, sjson, kind, v,
                         _partition_fill(rel, schema),
-                        dvs.get(rel, []), None, pred, colmap,
+                        dvs.get(rel, []), None, pred, colmap, bases,
                     )))
             # row-level: DV deltas on files live across the commit
             common = set((prev or {}).get("files", [])) & set(cur["files"])
@@ -661,13 +699,13 @@ class TxTableStreamReader(DataSourceStreamReader):
                 out.append(InputPartition((  # newly deleted: cur − prev
                     self.path, rel, colnames, sjson, "delete", v, fill,
                     None, (c_dvs.get(rel, []), p_dvs.get(rel, [])), pred,
-                    colmap,
+                    colmap, bases,
                 )))
                 if p_dvs.get(rel):
                     out.append(InputPartition((  # restore-resurrected rows
                         self.path, rel, colnames, sjson, "insert", v, fill,
                         None, (p_dvs.get(rel, []), c_dvs.get(rel, [])), pred,
-                        colmap,
+                        colmap, bases,
                     )))
             prev = cur
         return out or [InputPartition(None)]
@@ -676,11 +714,11 @@ class TxTableStreamReader(DataSourceStreamReader):
         if partition is None or partition.value is None:
             return
         (path, rel, colnames, sjson, kind, v,
-         fill, exclude_dv, only_dv, pred, colmap) = partition.value
+         fill, exclude_dv, only_dv, pred, colmap, bases) = partition.value
         yield from _emit_file(
             path, rel, colnames, sjson, (kind, v), fill,
             exclude_dv, only_dv, pred, self._data_store,
-            colmap=colmap,
+            colmap=colmap, bases=bases,
         )
 
     def commit(self, end: dict) -> None:
@@ -717,12 +755,13 @@ class TxTableBatchReader(DataSourceReader):
         pred = _parse_predicate(self._pred_raw, schema)
         tail = ("insert", snap["version"])
         colmap = snap.get("column_map") or {}  # logical -> physical
+        bases = snap.get("bases") or []  # shallow-clone ext ref roots
         return [
             InputPartition((
                 self.path, rel, colnames, schema.json(), tail,
                 _partition_fill(rel, schema),
                 snap["dvs"].get(rel, []),  # logical rows: DV'd positions out
-                pred, colmap,
+                pred, colmap, bases,
             ))
             for rel in snap["files"]
             if _pred_keeps_file(snap, rel, pred)
@@ -732,12 +771,12 @@ class TxTableBatchReader(DataSourceReader):
         if partition is None or partition.value is None:
             return
         (path, rel, colnames, sjson, tail,
-         fill, exclude_dv, pred, colmap) = partition.value
+         fill, exclude_dv, pred, colmap, bases) = partition.value
         yield from _emit_file(
             path, rel, colnames, sjson, tail, fill, exclude_dv,
             pred=pred, store=self._data_store,
             pred_strict=True,  # batch = read-then-filter, exactly
-            colmap=colmap,
+            colmap=colmap, bases=bases,
         )
 
 
