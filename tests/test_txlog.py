@@ -2912,3 +2912,102 @@ def test_clone_of_clone_carries_governance_and_txtable_source(
     )
     assert sorted(r["ident"] for r in feed.collect()) == [0, 1, 2, 3, 50]
     assert set(r["_change_type"] for r in feed.collect()) == {"insert"}
+
+
+def test_partition_spec_evolution_across_layout_eras(spark, tmp_path):
+    """tx_set_partition_spec: a metadata-only commit changes how FUTURE
+    writes lay out; flat-era, grp-era, and re-flattened files coexist and
+    read as one table, pruning proves per-file (path keys for the era
+    that has them, footer stats otherwise — and never falsely from a
+    spec a file predates), row ops span eras, compact normalizes to the
+    current spec, and time travel shows each era's own spec."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_delete_where,
+        tx_prune,
+        tx_set_partition_spec,
+    )
+
+    t = str(tmp_path / "t")
+    # era 0: UNPARTITIONED; grp is a data column with a numeric-looking
+    # string value (the classic inference-corruption probe)
+    tx_append(_grp_df(spark, range(3), "0123").coalesce(1), t)       # v0
+    assert tx_snapshot(t)["partition_by"] is None
+
+    v = tx_set_partition_spec(t, ["grp"])                             # v1
+    assert v == 1
+    assert tx_set_partition_spec(t, ["grp"]) is None  # already current
+    with pytest.raises(ValueError, match="unknown column"):
+        tx_set_partition_spec(t, ["nope"])
+
+    # era 1: hive grp=... layout
+    tx_append(_grp_df(spark, range(3, 6), "0123").coalesce(1), t)     # v2
+    tx_append(_grp_df(spark, range(6, 9), "b").coalesce(1), t)        # v3
+    snap = tx_snapshot(t)
+    assert snap["partition_by"] == ["grp"]
+    flat = [f for f in snap["files"] if "grp=" not in f]
+    hive = [f for f in snap["files"] if "grp=" in f]
+    assert flat and hive
+
+    # one logical table across eras; the string value survived both the
+    # flat era's bytes and the hive era's pinned path recovery
+    out = tx_read(spark, t)
+    assert sorted(r["id"] for r in out.collect()) == list(range(9))
+    assert {r["grp"] for r in out.collect()} == {"0123", "b"}
+    assert out.schema["grp"].dataType.typeName() == "string"
+
+    # pruning: hive-era files prove from path keys (grp=b skipped for
+    # grp='0123'); flat-era files keep grp in bytes — string stats are
+    # unusable by design, so they stay candidates (never falsely skip)
+    kept, skipped = tx_prune(t, [("grp", "=", "0123")])
+    assert all("grp=b" not in f for f in kept)
+    assert any("grp=b" in f for f in skipped)
+    assert all(f in kept for f in flat)
+    # ...and a numeric predicate proves from footer stats in EVERY era
+    kept2, _ = tx_prune(t, [("id", ">=", 6)])
+    assert all("grp=b" in f for f in kept2)
+
+    # row ops span eras: one DV delete touches a flat and a hive file
+    d = tx_delete_where(spark, t, "id in (1, 7)")
+    assert d["rows_deleted"] == 2 and d["files_touched"] == 2
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == [
+        0, 2, 3, 4, 5, 6, 8
+    ]
+
+    # era 2: unpartition future writes — three layouts coexist
+    tx_set_partition_spec(t, [])
+    tx_append(_grp_df(spark, [100], "c").coalesce(1), t)
+    assert tx_snapshot(t)["partition_by"] is None
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == [
+        0, 2, 3, 4, 5, 6, 8, 100
+    ]
+
+    # time travel sees each era under its own spec
+    assert tx_snapshot(t, 0)["partition_by"] is None
+    assert tx_snapshot(t, 2)["partition_by"] == ["grp"]
+    assert _ids(tx_read(spark, t, version=2)) == list(range(6))
+
+    # the txtable batch source drains all three eras (path-encoded grp
+    # filled per file, byte-encoded grp read per file)
+    from weather_data_warehouse_aws_spark.sources.tx_source import (
+        register_tx_source,
+        txtable_options,
+    )
+
+    register_tx_source(spark)
+    feed = (
+        spark.read.format("txtable").options(**txtable_options(t)).load()
+    )
+    assert sorted(r["id"] for r in feed.collect()) == [
+        0, 2, 3, 4, 5, 6, 8, 100
+    ]
+    assert {r["grp"] for r in feed.collect()} == {"0123", "b", "c"}
+
+    # compact normalizes everything to the CURRENT (flat) spec and
+    # materializes the cross-era DVs
+    tx_compact(spark, t, target_files=1)
+    snap2 = tx_snapshot(t)
+    assert all("grp=" not in f for f in snap2["files"])
+    assert not snap2["dvs"]
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == [
+        0, 2, 3, 4, 5, 6, 8, 100
+    ]

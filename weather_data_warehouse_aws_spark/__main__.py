@@ -112,7 +112,8 @@ def main(argv: list[str] | None = None) -> int:
         choices=["history", "read", "compact", "erase", "vacuum", "merge",
                  "restore", "changes", "delete", "update", "manifest",
                  "set-constraint", "drop-constraint", "optimize",
-                 "cleanup-log", "rename-column", "drop-column", "clone"],
+                 "cleanup-log", "rename-column", "drop-column", "clone",
+                 "set-partition-spec"],
     )
     tx.add_argument("--table", required=True, help="txlog table directory")
     tx.add_argument("--version", type=int, default=None, help="time-travel version (read)")
@@ -134,6 +135,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="update: one col=SQL-expr assignment (repeatable — "
                     "the expression may contain commas: "
                     "--set \"status=concat(a, b)\" --set n=n+1)")
+    tx.add_argument("--columns", default=None,
+                    help="set-partition-spec: comma-separated columns for "
+                    "FUTURE writes ('' = unpartition); existing files keep "
+                    "their layout, reads span eras, compact normalizes")
     tx.add_argument("--name", default=None, help="constraint name")
     tx.add_argument("--expr", default=None,
                     help="set-constraint: SQL CHECK expression")
@@ -575,6 +580,16 @@ def main(argv: list[str] | None = None) -> int:
             v = txlog.tx_restore(args.table, args.version)
             print("already at that state" if v is None
                   else f"restored to v{args.version} as commit v{v}")
+        elif args.action == "set-partition-spec":
+            if args.columns is None:
+                print("tx set-partition-spec needs --columns (may be '')",
+                      file=sys.stderr)
+                return 2
+            cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+            v = txlog.tx_set_partition_spec(args.table, cols)
+            print("spec already current" if v is None else
+                  f"partition spec -> {cols or '(unpartitioned)'} at v{v} "
+                  "(future writes only; tx compact normalizes old eras)")
         elif args.action == "clone":
             if not args.source:
                 print("tx clone needs --source (the table to clone) and "

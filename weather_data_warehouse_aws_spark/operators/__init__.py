@@ -64,6 +64,7 @@ from .txlog import (  # noqa: F401
     tx_replace_where,
     tx_restore,
     tx_set_constraint,
+    tx_set_partition_spec,
     tx_snapshot,
     tx_stream_sink,
     tx_vacuum,

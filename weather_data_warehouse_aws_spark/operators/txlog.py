@@ -99,8 +99,11 @@ it provably holds no matching row):
   strings and dates (`_pv_skip`). Scans still never list directories
   (the log stores the hive-prefixed relpaths); the layout exists so
   paths encode values, readers recover the columns via basePath, and
-  every rewrite op preserves the scheme. Only `tx_overwrite` may change
-  it (it replaces every file).
+  every rewrite op preserves the scheme. `tx_overwrite` may change it
+  (it replaces every file), and `tx_set_partition_spec` EVOLVES it for
+  future writes without rewriting (Iceberg-style): layout eras coexist,
+  scanned as one group per era, pruned per-file from each file's own
+  path keys.
 * **Footer stats** recorded at commit time for numeric AND date columns
   (dates as ISO strings — int32-backed, exact, unlike truncatable binary
   stats); pair with `tx_compact(sort_by=/zorder_by=)` to concentrate
@@ -1077,15 +1080,21 @@ def _pv_skip(raw: str | None, op: str, value) -> bool:
 
 def _skip_file(snap: dict, rel: str, col: str, op: str, value) -> bool:
     """Unified skip proof for one conjunct against one live file: exact
-    partition-value pruning when `col` is a partition column of the
-    snapshot, footer min/max stats otherwise. `col` arrives LOGICAL;
-    footer stats are keyed by the file's PHYSICAL name (column mapping),
-    so the snapshot's column_map translates before the stats probe —
-    renamed columns keep their pruning proofs."""
-    if col in (snap.get("partition_by") or []):
-        return _pv_skip(_partition_values(rel).get(col), op, value)
-    col = (snap.get("column_map") or {}).get(col, col)
-    return _can_skip(snap["stats"].get(rel, {}), col, op, value)
+    partition-value pruning when the FILE'S OWN PATH carries `col` as a
+    hive key, footer min/max stats otherwise. The proof is per-file, not
+    per-snapshot-spec, because partition specs EVOLVE
+    (`tx_set_partition_spec`): an old-era file may keep `col` as a data
+    column (stats apply) while new files encode it in the path, and an
+    old-spec column absent from the current spec still proves from its
+    own path segments. `col` arrives LOGICAL; footer stats are keyed by
+    the file's PHYSICAL name (column mapping), so the snapshot's
+    column_map translates before the stats probe — renamed columns keep
+    their pruning proofs."""
+    pv = _partition_values(rel)
+    phys = (snap.get("column_map") or {}).get(col, col)
+    if phys in pv:
+        return _pv_skip(pv[phys], op, value)
+    return _can_skip(snap["stats"].get(rel, {}), phys, op, value)
 
 
 def tx_prune(
@@ -1338,28 +1347,40 @@ def _read_live(
     as its own group with its own basePath/uri-root, unioned by name —
     `__tx_rel` reproduces the log's full rel spelling (marker included)
     so DV anti-joins and row-addressing work identically on referenced
-    files."""
-    pby = (snap or {}).get("partition_by") or []
+    files.
+
+    Partition-spec evolution (`tx_set_partition_spec`): files written
+    under DIFFERENT specs coexist, so grouping also keys on each file's
+    own hive-key signature — a mixed flat/`grp=`/`d=` live set scans as
+    one group per layout era (Spark refuses conflicting directory
+    structures in a single scan), each era recovering exactly its own
+    path-encoded columns; the union null-extends nothing, because an
+    era's path columns are the other era's data columns."""
     logged = (
         StructType.fromJson(json.loads(snap["schema"]))
         if (snap or {}).get("schema")
         else None
-    )
-    # partition-column recovery casts + logged-order restore apply only
-    # to partitioned snapshots (pre-existing contract)
-    types = (
-        {f.name: f.dataType for f in logged.fields} if logged and pby else {}
     )
     # column mapping (rename/drop without rewrite): files carry PHYSICAL
     # names; the scan runs in physical namespace and the names flip to
     # logical immediately after — every consumer of this helper (read,
     # merge, compact, erase, the change feed) sees logical columns only
     colmap = (snap or {}).get("column_map") or {}  # logical -> physical
+    phys_to_logical = {p: l for l, p in colmap.items()}
     dropped = set((snap or {}).get("dropped_cols") or [])
     bases = (snap or {}).get("bases") or []
-    string_pcol = any(
-        types.get(c, None) is not None and types[c].typeName() == "string"
-        for c in pby
+    # recovered path columns (logical names) across every layout era —
+    # cast + order-restore applies to whatever the paths encode, not
+    # just the CURRENT spec (an old era's keys still need their types)
+    recovered = {
+        phys_to_logical.get(k, k)
+        for r in rels
+        for k in _partition_values(r)
+    }
+    types = (
+        {f.name: f.dataType for f in logged.fields}
+        if logged is not None and recovered
+        else {}
     )
     phys_fields = (
         [
@@ -1381,6 +1402,14 @@ def _read_live(
         store = get_data_store(home)
         reader = spark.read.option("basePath", store.spark_base_path(home))
         uris = [store.read_uri(home, r) for r in hrels]
+        # pinning decision per LAYOUT ERA: only this group's own
+        # path-encoded keys matter (another era's string partition
+        # column is plain file bytes here)
+        gstring = any(
+            types.get(phys_to_logical.get(k, k), None) is not None
+            and types[phys_to_logical.get(k, k)].typeName() == "string"
+            for k in _partition_values(full_rels[0])
+        )
 
         def _pinned_scan(extra_fields) -> DataFrame:
             # pin the read to logged types (physical names) ∪ columns
@@ -1394,7 +1423,7 @@ def _read_live(
             )
             return reader.schema(pinned).parquet(*uris)
 
-        if string_pcol:
+        if gstring:
             # a STRING partition column through type inference corrupts
             # numeric-looking values ('0123' → 123 → '123'): always pin.
             # The extras probe (columns only older files carry) is a
@@ -1450,13 +1479,15 @@ def _read_live(
             )
         return out
 
-    by_prefix: dict[str, list[str]] = {}
+    groups: dict[tuple, list[str]] = {}
     for r in rels:
         m = _EXT_RE.match(r)
-        by_prefix.setdefault(f"ext{m.group(1)}:" if m else "", []).append(r)
+        pfx = f"ext{m.group(1)}:" if m else ""
+        sig = tuple(sorted(_partition_values(r)))  # layout-era signature
+        groups.setdefault((pfx, sig), []).append(r)
     parts = [
         _scan_home(pfx, group)
-        for pfx, group in sorted(by_prefix.items())
+        for (pfx, _sig), group in sorted(groups.items())
     ]
     out = parts[0]
     for p_ in parts[1:]:
@@ -1477,11 +1508,11 @@ def _read_live(
     if not keep_meta and dv_rels:
         out = out.drop("__tx_rel", "__tx_pos")
 
-    if not string_pcol:
-        for c in pby:
+    if types:
+        for c in recovered:
             if c in types and c in out.columns:
                 out = out.withColumn(c, F.col(c).cast(types[c]))
-        if types and all(c in out.columns for c in types):
+        if all(c in out.columns for c in types):
             extras = [c for c in out.columns if c not in types]
             out = out.select(*[f.name for f in logged.fields], *extras)
     return out
@@ -1491,9 +1522,10 @@ def _resolve_partition_by(
     snap: dict | None, partition_by: list[str] | None, op: str
 ) -> list[str] | None:
     """Writer-side partitioning contract: None inherits the table's
-    scheme; an explicit scheme must MATCH an existing one (append-type
-    ops never re-layout — only `tx_overwrite`, which replaces every file,
-    may change it)."""
+    CURRENT spec; an explicit scheme must MATCH it (append-type ops
+    never re-layout — `tx_overwrite` replaces every file and may change
+    it, and `tx_set_partition_spec` evolves the spec for future writes
+    without rewriting)."""
     existing = (snap or {}).get("partition_by")
     if partition_by is None:
         return existing
@@ -1506,6 +1538,54 @@ def _resolve_partition_by(
             "(tx_overwrite may re-partition)"
         )
     return partition_by
+
+
+def tx_set_partition_spec(path: str, partition_by: list[str]) -> int | None:
+    """Iceberg-style PARTITION SPEC EVOLUTION (public design — Iceberg
+    spec v2 partition evolution): change how FUTURE writes are laid out
+    in ONE metadata-only commit; no existing file is rewritten. Old-era
+    files keep their old hive layout forever — reads scan each layout
+    era as its own group (`_read_live` keys groups on the files' own
+    hive-key signatures), per-file pruning proves from each file's own
+    path keys or footer stats (`_skip_file`), and `tx_compact` rewrites
+    everything under the CURRENT spec, normalizing layout incrementally.
+
+    Why it matters at 100 TB: a table partitioned hourly that should
+    have been daily (or by a different key entirely) is otherwise a
+    full rewrite; here it's a KB-scale commit and the next scheduled
+    compaction pays the rewrite only when (and where) it is worth it.
+
+    `[]` unpartitions future writes. Every column must exist in the
+    logged schema. Returns the commit version, or None when the spec is
+    already current."""
+    partition_by = list(partition_by)
+    if len(set(partition_by)) != len(partition_by):
+        raise ValueError(
+            f"tx_set_partition_spec: duplicate column in {partition_by}"
+        )
+
+    def _build(s):
+        if s is None:
+            raise ValueError(f"no transaction log at {path}")
+        if s["schema"] is None:
+            raise ValueError(f"{path}: table has no logged schema")
+        names = [
+            f.name
+            for f in StructType.fromJson(json.loads(s["schema"])).fields
+        ]
+        missing = [c for c in partition_by if c not in names]
+        if missing:
+            raise ValueError(
+                f"tx_set_partition_spec: unknown column(s) {missing} "
+                f"(have {names})"
+            )
+        if partition_by == list(s.get("partition_by") or []):
+            return None
+        return ([], [], {"partition_by": partition_by})
+
+    return _commit(
+        path, "set_partition_spec", _build, validate_remove_live=False
+    )
 
 
 # --------------------------------------------------------------------------
