@@ -691,3 +691,55 @@ def test_txtable_source_reads_renamed_columns(spark, tmp_path):
     # the census probes the PHYSICAL name — a mapped table is healthy
     rep = tx_source_cast_report(t)
     assert rep["arrow_ready"] == rep["files_total"] == 2
+
+
+def test_starting_timestamp_resolves_stream_start(spark, tmp_path):
+    """starting_timestamp: the feed covers every commit AFTER the newest
+    one at-or-before the instant (Delta's startingTimestamp); an instant
+    before all history yields the full feed; mixing the two starting
+    options refuses."""
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_history
+
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(3)).coalesce(1), t)       # v0
+    tx_append(_mk(spark, [10]).coalesce(1), t)           # v1
+    tx_append(_mk(spark, [20]).coalesce(1), t)           # v2
+    ts = [h["ts"] for h in tx_history(t)]
+    register_tx_source(spark)
+
+    def _run(opts, ckpt):
+        got: list = []
+
+        def _sink(batch_df, batch_id):
+            got.extend(r["id"] for r in batch_df.collect())
+
+        reader = spark.readStream.format("txtable").option("path", t)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    # an instant between v0 and v1 -> feed starts at v1
+    mid = (ts[0] + ts[1]) / 2
+    assert sorted(_run({"starting_timestamp": str(mid)}, "c1")) == [10, 20]
+    # before all history -> the full feed
+    assert sorted(_run({"starting_timestamp": str(ts[0] - 10)}, "c2")) == [
+        0, 1, 2, 10, 20
+    ]
+    # ISO spelling
+    import datetime as _dt
+
+    iso = _dt.datetime.fromtimestamp(
+        (ts[1] + ts[2]) / 2, tz=_dt.timezone.utc
+    ).isoformat()
+    assert _run({"starting_timestamp": iso}, "c3") == [20]
+    # both starting options -> loud refusal
+    with pytest.raises(Exception, match="not both"):
+        _run({"starting_timestamp": str(mid), "starting_version": "0"}, "c4")

@@ -3011,3 +3011,74 @@ def test_partition_spec_evolution_across_layout_eras(spark, tmp_path):
     assert sorted(r["id"] for r in tx_read(spark, t).collect()) == [
         0, 2, 3, 4, 5, 6, 8, 100
     ]
+
+
+def test_commit_protocol_under_real_thread_races(spark, tmp_path):
+    """Optimistic concurrency under genuine interleaving: 8 writer
+    threads race 12 commits each through the put-if-absent protocol —
+    every commit lands exactly once with a dense version sequence, no
+    writer errors out, interval checkpoints still fold, and an
+    idempotence token raced by every thread commits exactly once."""
+    import threading
+
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        _commit,
+        _list_log,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(2)).coalesce(1), t)  # v0: schema anchor
+    n_threads, per_thread = 8, 12
+    errs: list = []
+
+    def _worker(i: int) -> None:
+        try:
+            for j in range(per_thread):
+                _commit(
+                    t, "append",
+                    lambda s, i=i, j=j: ([], [], {"w": i, "j": j}),
+                    validate_remove_live=False,
+                )
+        except Exception as e:  # noqa: BLE001 — the assertion surface
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=_worker, args=(i,)) for i in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+
+    hist = tx_history(t)
+    total = 1 + n_threads * per_thread
+    assert [h["version"] for h in hist] == list(range(total))
+    # exactly-once: every (writer, seq) pair appears exactly once
+    metas = sorted((h["meta"]["w"], h["meta"]["j"]) for h in hist[1:])
+    assert metas == sorted(
+        (i, j) for i in range(n_threads) for j in range(per_thread)
+    )
+    # interval checkpoints survived the contention
+    _, checkpoints = _list_log(t)
+    assert checkpoints and max(checkpoints) >= total - CHECKPOINT_INTERVAL
+
+    # a txn token raced by every thread commits exactly once
+    results: list = []
+
+    def _tok() -> None:
+        results.append(
+            _commit(
+                t, "append", lambda s: ([], [], {"tok": True}),
+                validate_remove_live=False, txn=("race-app", 7),
+            )
+        )
+
+    threads = [threading.Thread(target=_tok) for _ in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    committed = [v for v in results if v is not None]
+    assert len(committed) == 1
+    assert tx_snapshot(t)["txns"]["race-app"] == 7

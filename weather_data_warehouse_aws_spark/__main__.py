@@ -130,6 +130,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="compact: Z-order re-cluster on these columns")
     tx.add_argument("--from-version", type=int, default=None,
                     help="changes: feed covers commits AFTER this version")
+    tx.add_argument("--update-images", action="store_true",
+                    help="changes: emit update_preimage/update_postimage "
+                    "for UPDATE commits and key-resolve MERGE commits "
+                    "(carried-over identical rows suppressed)")
     tx.add_argument("--set", dest="set_exprs", action="append", default=None,
                     metavar="COL=EXPR",
                     help="update: one col=SQL-expr assignment (repeatable — "
@@ -617,7 +621,8 @@ def main(argv: list[str] | None = None) -> int:
                 print("tx changes needs --from-version", file=sys.stderr)
                 return 2
             df = txlog.tx_changes(
-                spark, args.table, args.from_version, args.version
+                spark, args.table, args.from_version, args.version,
+                update_images=args.update_images,
             )
             df.show(args.limit, truncate=False)
             print(f"{df.count()} change rows after v{args.from_version}")

@@ -50,7 +50,8 @@ Retention covenant (as with any CDC on the log): the stream must not lag
 behind `tx_vacuum`'s horizon — a vacuumed commit's removed files are
 gone, and planning raises rather than silently skipping. Start a new
 stream on a vacuumed table with `starting_version` ≥ the horizon (or
-`"latest"` to stream only future commits).
+`"latest"` to stream only future commits; `starting_timestamp` resolves
+an instant through `tx_version_at`).
 """
 
 from __future__ import annotations
@@ -613,6 +614,12 @@ class TxTableStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("txtable: option 'path' is required")
         self.starting = options.get("starting_version", "-1")
+        self._starting_ts = options.get("starting_timestamp")
+        if self._starting_ts is not None and "starting_version" in options:
+            raise ValueError(
+                "txtable: pass starting_version OR starting_timestamp, "
+                "not both"
+            )
         self._pred_raw = options.get("predicate")
         # from the options when supplied (txtable_options — required for
         # registered stores: this code may run in a planner worker that
@@ -625,6 +632,23 @@ class TxTableStreamReader(DataSourceStreamReader):
         return tx_snapshot(self.path) if tx_exists(self.path) else None
 
     def initialOffset(self) -> dict:
+        if self._starting_ts is not None:
+            # Delta's startingTimestamp: begin with the first commit AT
+            # OR AFTER the instant, i.e. the feed covers everything the
+            # table gained since then (tx_version_at resolves the
+            # newest commit at-or-before it; streaming starts after it)
+            from ..operators.txlog import tx_version_at
+
+            try:
+                ts: object = float(self._starting_ts)
+            except ValueError:
+                ts = self._starting_ts  # ISO-8601 string
+            try:
+                return {"version": tx_version_at(self.path, ts)}
+            except ValueError as e:
+                if "predates the oldest" not in str(e):
+                    raise
+                return {"version": -1}  # before history: full feed
         if self.starting == "latest":
             snap = self._snapshot()
             return {"version": snap["version"] if snap else -1}
@@ -785,7 +809,10 @@ class TxTableDataSource(DataSource):
     `[[col, op, value?], ...]` — plan-time file skipping by committed
     stats + row filtering, see module docstring); stream:
     `starting_version` (int commit version, default -1 = full history,
-    or 'latest'); batch: `version` (time travel)."""
+    or 'latest') or `starting_timestamp` (epoch seconds or ISO-8601,
+    Delta's startingTimestamp — the feed covers every commit after the
+    newest one at-or-before the instant); batch: `version` (time
+    travel)."""
 
     @classmethod
     def name(cls) -> str:
