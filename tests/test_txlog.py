@@ -3082,3 +3082,96 @@ def test_commit_protocol_under_real_thread_races(spark, tmp_path):
     committed = [v for v in results if v is not None]
     assert len(committed) == 1
     assert tx_snapshot(t)["txns"]["race-app"] == 7
+
+
+def test_generated_columns_derive_enforce_and_partition(spark, tmp_path):
+    """Generated columns: derived when the payload omits them, enforced
+    null-safe when provided, recomputed on UPDATE/MERGE images, carried
+    by clones — and composable with partition-spec evolution (declare
+    d = to_date(ts), partition future writes by d, append raw events)."""
+    from pyspark.errors import PySparkException
+
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_clone,
+        tx_drop_column,
+        tx_drop_generated_column,
+        tx_merge,
+        tx_prune,
+        tx_set_generated_column,
+        tx_set_partition_spec,
+        tx_update_where,
+    )
+
+    t = str(tmp_path / "t")
+    raw = spark.createDataFrame(
+        [Row(id=i, ts=f"2024-01-0{1 + i % 2} 0{i}:00:00") for i in range(4)]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    tx_append(raw.coalesce(1), t)                                   # v0
+
+    # declare the rule on a column that does not exist yet, then evolve
+    # the partition spec onto it: raw appends lay out by derived date
+    tx_set_generated_column(spark, t, "d", "to_date(ts)")
+    tx_set_partition_spec(t, ["d"])
+    more = spark.createDataFrame(
+        [Row(id=10, ts="2024-01-03 05:00:00")]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    tx_append(more.coalesce(1), t)
+    snap = tx_snapshot(t)
+    assert any("d=2024-01-03" in f for f in snap["files"])
+    out = tx_read(spark, t)
+    assert "d" in out.columns  # old flat files null-extend; new era has it
+    got = {r["id"]: r["d"] for r in out.collect() if r["d"] is not None}
+    assert str(got[10]) == "2024-01-03"
+    # exact path pruning on the derived key: hive-era files prove from
+    # their paths; pre-rule flat files hold no 'd' at all and correctly
+    # stay candidates (no proof, never a false skip)
+    kept, _ = tx_prune(t, [("d", "=", "2024-01-03")])
+    assert any("d=2024-01-03" in f for f in kept)
+    assert all("d=" not in f or "d=2024-01-03" in f for f in kept)
+
+    # provided-and-correct passes; provided-and-wrong trips the guard
+    ok = more.withColumn("id", F.lit(11)).withColumn("d", F.to_date("ts"))
+    tx_append(ok.coalesce(1), t)
+    bad = more.withColumn("id", F.lit(12)).withColumn(
+        "d", F.lit("1999-01-01").cast("date")
+    )
+    with pytest.raises(PySparkException, match="generated column d"):
+        tx_append(bad.coalesce(1), t)
+
+    # UPDATE that moves the base column regenerates the derived value
+    u = tx_update_where(
+        spark, t, "id = 10", {"ts": "timestamp'2024-02-09 09:00:00'"}
+    )
+    assert u["rows_updated"] == 1
+    row = [r for r in tx_read(spark, t).collect() if r["id"] == 10][0]
+    assert str(row["d"]) == "2024-02-09"
+
+    # MERGE images regenerate too
+    src = spark.createDataFrame(
+        [Row(id=11, ts="2024-03-05 01:00:00")]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    tx_merge(spark, t, src, ["id"])
+    row = [r for r in tx_read(spark, t).collect() if r["id"] == 11][0]
+    assert str(row["d"]) == "2024-03-05"
+
+    # governance interlocks and lifecycle
+    with pytest.raises(ValueError, match="generated or referenced"):
+        tx_drop_column(t, "ts")  # referenced by the rule
+    with pytest.raises(ValueError, match="already generated"):
+        tx_set_generated_column(spark, t, "d", "to_date(ts)")
+    c = str(tmp_path / "c")
+    tx_compact(spark, t, target_files=1)  # materialize the update's DV
+    tx_clone(t, c)
+    assert tx_snapshot(c)["generated"] == {"d": "to_date(ts)"}
+    tx_drop_generated_column(t, "d")
+    assert tx_snapshot(t)["generated"] == {}
+    with pytest.raises(ValueError, match="no generated column"):
+        tx_drop_generated_column(t, "d")
+
+    # declaring over an existing column validates history first
+    t2 = str(tmp_path / "t2")
+    tx_append(
+        spark.createDataFrame([Row(a=1, twice=3)]).coalesce(1), t2
+    )
+    with pytest.raises(ValueError, match="existing rows violate"):
+        tx_set_generated_column(spark, t2, "twice", "a * 2")

@@ -113,7 +113,7 @@ def main(argv: list[str] | None = None) -> int:
                  "restore", "changes", "delete", "update", "manifest",
                  "set-constraint", "drop-constraint", "optimize",
                  "cleanup-log", "rename-column", "drop-column", "clone",
-                 "set-partition-spec"],
+                 "set-partition-spec", "set-generated", "drop-generated"],
     )
     tx.add_argument("--table", required=True, help="txlog table directory")
     tx.add_argument("--version", type=int, default=None, help="time-travel version (read)")
@@ -145,7 +145,8 @@ def main(argv: list[str] | None = None) -> int:
                     "their layout, reads span eras, compact normalizes")
     tx.add_argument("--name", default=None, help="constraint name")
     tx.add_argument("--expr", default=None,
-                    help="set-constraint: SQL CHECK expression")
+                    help="set-constraint: SQL CHECK expression; "
+                    "set-generated: the generation expression")
     tx.add_argument("--column", default=None, help="erase key column")
     tx.add_argument("--values", default=None, help="comma-separated erase keys")
     tx.add_argument("--retain-versions", type=int, default=1, help="vacuum retention")
@@ -584,6 +585,22 @@ def main(argv: list[str] | None = None) -> int:
             v = txlog.tx_restore(args.table, args.version)
             print("already at that state" if v is None
                   else f"restored to v{args.version} as commit v{v}")
+        elif args.action == "set-generated":
+            if not args.column or not args.expr:
+                print("tx set-generated needs --column and --expr",
+                      file=sys.stderr)
+                return 2
+            v = txlog.tx_set_generated_column(
+                spark, args.table, args.column, args.expr
+            )
+            print(f"{args.column} GENERATED AS ({args.expr}) at v{v} — "
+                  "writes derive it when absent, enforce it when provided")
+        elif args.action == "drop-generated":
+            if not args.column:
+                print("tx drop-generated needs --column", file=sys.stderr)
+                return 2
+            v = txlog.tx_drop_generated_column(args.table, args.column)
+            print(f"generation rule for {args.column} dropped at v{v}")
         elif args.action == "set-partition-spec":
             if args.columns is None:
                 print("tx set-partition-spec needs --columns (may be '')",

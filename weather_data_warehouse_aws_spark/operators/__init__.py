@@ -52,6 +52,7 @@ from .txlog import (  # noqa: F401
     tx_compact,
     tx_drop_column,
     tx_drop_constraint,
+    tx_drop_generated_column,
     tx_dv_stats,
     tx_erase_keys,
     tx_history,
@@ -64,6 +65,7 @@ from .txlog import (  # noqa: F401
     tx_replace_where,
     tx_restore,
     tx_set_constraint,
+    tx_set_generated_column,
     tx_set_partition_spec,
     tx_snapshot,
     tx_stream_sink,

@@ -61,6 +61,12 @@ vacuumed — or `as_of_ts=` (TIMESTAMP AS OF: epoch/datetime/ISO string,
 resolved by `tx_version_at` with Delta's monotonic adjustment against
 writer clock skew).
 
+Generated columns: `tx_set_generated_column(path, col, expr)` — derive
+when a payload omits the column, enforce null-safe equality when it
+provides one, regenerate on UPDATE/MERGE images; declare a derived date
+and `tx_set_partition_spec` onto it and raw appends lay out (and prune)
+by a key the writer never computes.
+
 Shallow clone: `tx_clone(src, dst)` branches a table in ONE metadata
 commit — the clone's `ext<i>:` rels reference the source's files
 through recorded `bases` roots, every reader/rewriter resolves them via
@@ -578,6 +584,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
     column_map: dict[str, str] = {}  # logical name -> physical name
     dropped_cols: list[str] = []  # physical names of dropped columns
     bases: list[str] = []  # clone base table roots for ext<i>: rels
+    generated: dict[str, str] = {}  # generated columns: name -> SQL expr
     schema_json = None
     partition_by: list[str] | None = None
     usable = [c for c in checkpoints if c <= target]
@@ -594,6 +601,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         column_map = dict(cp.get("column_map", {}))
         dropped_cols = list(cp.get("dropped_cols", []))
         bases = list(cp.get("bases", []))
+        generated = dict(cp.get("generated", {}))
     for v in commits:
         if v <= base_v or v > target:
             continue
@@ -629,6 +637,9 @@ def _replay(path: str, version: int | None = None) -> dict | None:
             # replacement semantics; set once by a clone commit, kept
             # forever (time travel to the clone era needs them)
             bases = list(rec["meta"]["bases"])
+        if "generated" in rec.get("meta", {}):
+            # replacement semantics, like constraints
+            generated = dict(rec["meta"]["generated"])
         txn = rec.get("txn")
         if txn:
             txns[txn["app"]] = max(txns.get(txn["app"], -1), int(txn["batch"]))
@@ -645,6 +656,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         "column_map": column_map,
         "dropped_cols": dropped_cols,
         "bases": bases,
+        "generated": generated,
     }
 
 
@@ -841,6 +853,7 @@ def _commit(
                         "column_map": cp["column_map"],
                         "dropped_cols": cp["dropped_cols"],
                         "bases": cp["bases"],
+                        "generated": cp["generated"],
                     }
                 ),
             )
@@ -1573,11 +1586,15 @@ def tx_set_partition_spec(path: str, partition_by: list[str]) -> int | None:
             f.name
             for f in StructType.fromJson(json.loads(s["schema"])).fields
         ]
-        missing = [c for c in partition_by if c not in names]
+        # a declared GENERATED column counts even before any write has
+        # materialized it — declare the rule, evolve the spec onto it,
+        # and raw appends lay out by the derived key
+        gen = set((s.get("generated") or {}))
+        missing = [c for c in partition_by if c not in names and c not in gen]
         if missing:
             raise ValueError(
                 f"tx_set_partition_spec: unknown column(s) {missing} "
-                f"(have {names})"
+                f"(have {sorted(set(names) | gen)})"
             )
         if partition_by == list(s.get("partition_by") or []):
             return None
@@ -1602,7 +1619,38 @@ def _with_constraint_guard(df: DataFrame, snap: dict | None) -> DataFrame:
     predicate result PASSES (only FALSE violates). Constraints are read
     from the writer's snapshot — a constraint added concurrently with an
     in-flight write applies from the next write on (same optimistic
-    model as every other metadata change)."""
+    model as every other metadata change).
+
+    GENERATED columns apply first (constraints may reference them): a
+    column the payload omits is derived from its expression (cast to
+    the logged type when one exists, so a literal-typed expression
+    cannot width-drift the schema); a column the payload PROVIDES is
+    validated against the expression with a null-safe equality tripwire
+    — Delta's generated-column contract (derive when absent, enforce
+    when present)."""
+    logged_types = {}
+    if (snap or {}).get("schema"):
+        logged_types = {
+            f.name: f.dataType
+            for f in StructType.fromJson(json.loads(snap["schema"])).fields
+        }
+    for col, gexpr in sorted(((snap or {}).get("generated") or {}).items()):
+        derived = F.expr(gexpr)
+        if col in logged_types:
+            derived = derived.cast(logged_types[col])
+        if col not in df.columns:
+            df = df.withColumn(col, derived)
+        else:
+            df = df.filter(
+                F.when(F.col(col).eqNullSafe(derived), F.lit(True)).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            f"generated column {col} violated: provided "
+                            f"value does not equal ({gexpr})"
+                        )
+                    )
+                )
+            )
     for name, expr in sorted(((snap or {}).get("constraints") or {}).items()):
         df = df.filter(
             F.when(
@@ -1673,6 +1721,131 @@ def tx_drop_constraint(path: str, name: str) -> int:
         return ([], [], {"constraints": cons})
 
     return _commit(path, "drop_constraint", _build, validate_remove_live=False)
+
+
+def tx_set_generated_column(
+    spark: SparkSession, path: str, col: str, expr: str
+) -> int:
+    """Declare `col` GENERATED AS (`expr`) — Delta's generated-column
+    design as versioned log state (checkpoint-folded, time-travel
+    visible). From this commit on, every write path derives the column
+    when the payload omits it and ENFORCES null-safe equality when the
+    payload provides it (`_with_constraint_guard`). The canonical use is
+    a derived partition key: declare `d = to_date(ts)`, then
+    `tx_set_partition_spec(path, ["d"])` — writers append raw events and
+    the layout (plus its exact path pruning) takes care of itself.
+
+    If the column already exists, existing rows are validated FIRST (one
+    short-circuited scan) — a table whose history already disagrees with
+    the expression refuses. A column that does not exist yet
+    materializes on the next write via normal schema evolution. The
+    expression may not reference itself."""
+    if _constraint_mentions({col: expr}, col):
+        raise ValueError(
+            f"tx_set_generated_column: expression references {col!r} itself"
+        )
+    snap = tx_snapshot(path)
+    if col in (snap.get("generated") or {}):
+        raise ValueError(
+            f"tx_set_generated_column: {col!r} already generated as "
+            f"({snap['generated'][col]}) — drop it first"
+        )
+    if snap["schema"] is not None and snap["files"]:
+        names = [
+            f.name
+            for f in StructType.fromJson(json.loads(snap["schema"])).fields
+        ]
+        if col in names:
+            bad = (
+                tx_read(spark, path, version=snap["version"])
+                .filter(~F.col(col).eqNullSafe(F.expr(expr)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"tx_set_generated_column: existing rows violate "
+                    f"{col} = ({expr}) — rewrite or fix the data first"
+                )
+
+    def _build(s):
+        gen = dict((s or {}).get("generated") or {})
+        gen[col] = expr
+        return ([], [], {"generated": gen})
+
+    return _commit(
+        path, "set_generated_column", _build, validate_remove_live=False
+    )
+
+
+def tx_drop_generated_column(path: str, col: str) -> int:
+    """Remove `col`'s generation rule (the column itself stays — only
+    the derive-or-enforce write behavior stops); raises if no rule
+    exists."""
+
+    def _build(s):
+        gen = dict((s or {}).get("generated") or {})
+        if col not in gen:
+            raise ValueError(
+                f"tx_drop_generated_column: no generated column {col!r} "
+                f"(have: {sorted(gen) or 'none'})"
+            )
+        del gen[col]
+        return ([], [], {"generated": gen})
+
+    return _commit(
+        path, "drop_generated_column", _build, validate_remove_live=False
+    )
+
+
+def _derive_generated(df: DataFrame, snap: dict | None) -> DataFrame:
+    """Derive-if-absent half of the generated-column contract: add the
+    missing generated columns so a payload that predates the rule (or a
+    merge source carrying only base columns) satisfies downstream
+    column requirements; provided columns pass through untouched (the
+    write guard validates them later)."""
+    gen = (snap or {}).get("generated") or {}
+    if not gen:
+        return df
+    logged_types = {}
+    if (snap or {}).get("schema"):
+        logged_types = {
+            f.name: f.dataType
+            for f in StructType.fromJson(json.loads(snap["schema"])).fields
+        }
+    for col, gexpr in sorted(gen.items()):
+        if col not in df.columns:
+            derived = F.expr(gexpr)
+            if col in logged_types:
+                derived = derived.cast(logged_types[col])
+            df = df.withColumn(col, derived)
+    return df
+
+
+def _regen_generated(df: DataFrame, snap: dict | None,
+                     skip=()) -> DataFrame:
+    """Recompute the generated columns PRESENT in `df` (except `skip`):
+    UPDATE/MERGE images whose base columns changed would otherwise trip
+    the write guard's equality tripwire with stale derived values —
+    Delta regenerates on UPDATE/MERGE, and so do we. Columns in `skip`
+    (merge keys — recomputing a key post-join would corrupt identity)
+    keep their values and stay subject to the guard."""
+    gen = (snap or {}).get("generated") or {}
+    if not gen:
+        return df
+    logged_types = {}
+    if (snap or {}).get("schema"):
+        logged_types = {
+            f.name: f.dataType
+            for f in StructType.fromJson(json.loads(snap["schema"])).fields
+        }
+    for col, gexpr in sorted(gen.items()):
+        if col in df.columns and col not in skip:
+            derived = F.expr(gexpr)
+            if col in logged_types:
+                derived = derived.cast(logged_types[col])
+            df = df.withColumn(col, derived)
+    return df
 
 
 def _constraint_mentions(constraints: dict[str, str], col: str) -> list[str]:
@@ -1752,6 +1925,14 @@ def tx_rename_column(path: str, old: str, new: str) -> int:
                 f"tx_rename_column: constraint(s) {hit} reference "
                 f"{old!r} — drop them first, then re-add under the new name"
             )
+        gen = s.get("generated") or {}
+        ghit = _constraint_mentions(gen, old)
+        if old in gen or ghit:
+            raise ValueError(
+                f"tx_rename_column: {old!r} is generated or referenced by "
+                f"generated column(s) {ghit or [old]} — drop the "
+                "generation rule(s) first"
+            )
         phys = colmap.pop(old, old)
         if phys != new:
             colmap[new] = phys
@@ -1793,6 +1974,14 @@ def tx_drop_column(path: str, col: str) -> int:
             raise ValueError(
                 f"tx_drop_column: constraint(s) {hit} reference {col!r} — "
                 "drop them first"
+            )
+        gen = s.get("generated") or {}
+        ghit = _constraint_mentions(gen, col)
+        if col in gen or ghit:
+            raise ValueError(
+                f"tx_drop_column: {col!r} is generated or referenced by "
+                f"generated column(s) {ghit or [col]} — drop the "
+                "generation rule(s) first"
             )
         colmap = dict(s.get("column_map") or {})
         dropped = list(s.get("dropped_cols") or [])
@@ -2293,6 +2482,10 @@ def tx_update_where(
             updated = updated.withColumn(
                 col, F.expr(expr).cast(updated.schema[col].dataType)
             )
+        # generated columns not explicitly set recompute from the
+        # UPDATED base values (a stale derived value would trip the
+        # write guard; an explicitly-set one stays and is validated)
+        updated = _regen_generated(updated, snap, skip=set(set_exprs))
         updated = updated.drop("__tx_rel", "__tx_pos")
         new_rels, stats = _write_new_files(
             _with_constraint_guard(updated, snap), path,
@@ -2453,6 +2646,7 @@ def tx_clone(src: str, dst: str, *, version: int | None = None,
         "constraints": snap["constraints"],
         "column_map": snap["column_map"],
         "dropped_cols": snap["dropped_cols"],
+        "generated": snap.get("generated") or {},
         "bases": bases,
         "source": src,
         "source_version": snap["version"],
@@ -3414,7 +3608,12 @@ def tx_merge(
         target = spark.createDataFrame(
             [], StructType.fromJson(json.loads(snap["schema"]))
         )
+    # a merge source carrying only base columns gains its generated
+    # columns up front (when_not_matched_insert requires every target
+    # column; inserted rows must carry derived values like any append)
+    source = _derive_generated(source, snap)
     merged = merge_into(target, source, keys, **merge_kwargs)
+    merged = _regen_generated(merged, snap, skip=keys)
     rels, stats = _write_new_files(
         _with_constraint_guard(merged, snap), path, partition_by=pby,
         snap=snap,
