@@ -379,6 +379,25 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.txlog import tx_cleanup_log, tx_dv_stats, tx_exists, tx_read
 
         if tx_exists(args.table):
+            from .operators.txlog import _EXT_RE, tx_snapshot
+
+            # governance + layout surface: spec, generation rules, and
+            # how much of the table is still borrowed from a clone base
+            snap0 = tx_snapshot(args.table)
+            if snap0.get("partition_by"):
+                print(f"partition spec: {snap0['partition_by']}")
+            for col_, gexpr_ in sorted(
+                (snap0.get("generated") or {}).items()
+            ):
+                print(f"generated: {col_} AS ({gexpr_})")
+            n_ext = sum(1 for f in snap0["files"] if _EXT_RE.match(f))
+            if n_ext:
+                print(
+                    f"shallow clone: {n_ext}/{len(snap0['files'])} live "
+                    f"file(s) referenced from {snap0.get('bases')} — "
+                    "source vacuum breaks them; tx compact copies them "
+                    "home"
+                )
             # metadata-plane health: every snapshot resolution LISTs the
             # log dir, so report retention debt (dry run — doctor never
             # mutates)
