@@ -16,7 +16,8 @@ Athena console; the equivalent local surface:
     tx         {history,read,compact,erase,vacuum,cleanup-log,merge,
                 restore,changes,delete,update,manifest,optimize,
                 set-constraint,drop-constraint,rename-column,
-                drop-column} --table DIR              txlog ops
+                drop-column,clone,set-partition-spec,set-generated,
+                drop-generated} --table DIR           txlog ops
 """
 
 from __future__ import annotations
