@@ -222,12 +222,13 @@ def test_checkpoint_written_and_equivalent(spark, tmp_path):
     df = _mk(spark, [0])
     for _ in range(CHECKPOINT_INTERVAL + 2):
         tx_append(df, t)
+    # the default checkpoint format is parquet (columnar live set; table
+    # state in the footer KV metadata) — the round-9 scale change
     cp = os.path.join(
-        t, "_txn_log", f"{CHECKPOINT_INTERVAL:020d}.checkpoint.json"
+        t, "_txn_log", f"{CHECKPOINT_INTERVAL:020d}.checkpoint.parquet"
     )
     assert os.path.exists(cp)
-    with open(cp) as f:
-        cp_state = json.load(f)
+    cp_state = _tx._load_checkpoint(t, CHECKPOINT_INTERVAL)
     # checkpoint live set == replay-from-zero live set at that version
     full = tx_snapshot(t, version=CHECKPOINT_INTERVAL)
     assert sorted(cp_state["files"]) == full["files"]
@@ -445,6 +446,103 @@ def test_checkpoint_folds_stats_and_txns(spark, tmp_path):
     )
     # and the idempotence token still gates a pre-checkpoint batch replay
     assert tx_append(_mk(spark, [999]), t, txn=("loader", 3)) is None
+
+
+def test_parquet_checkpoint_rich_state_mixed_eras(spark, tmp_path,
+                                                  monkeypatch):
+    """The parquet checkpoint (columnar live set + table state in footer
+    KV metadata) must fold EVERY piece of versioned state identically to
+    a scratch replay — partition scheme, footer stats, deletion vectors,
+    constraints, column mapping — and json-era / parquet-era checkpoints
+    must coexist in one log: a version checkpointed in both spellings
+    lists once, reads identically, and cleanup retires both."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_cleanup_log,
+        tx_delete_where,
+        tx_rename_column,
+        tx_set_constraint,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"g{i % 2}", float(i)) for i in range(8)],
+        "id long, grp string, v double",
+    )
+    tx_append(df.coalesce(1), t, partition_by=["grp"])   # v0
+    tx_rename_column(t, "v", "val")                      # v1
+    tx_set_constraint(spark, t, "v_nonneg", "val >= 0")  # v2
+    tx_delete_where(spark, t, "id = 3")                  # v3: a DV
+    row = spark.createDataFrame(
+        [(100, "g0", 1.0)], "id long, grp string, val double"
+    ).coalesce(1)
+    for _ in range(CHECKPOINT_INTERVAL):                 # cross v10
+        tx_append(row, t, partition_by=["grp"])
+    log = os.path.join(t, "_txn_log")
+    cp_pq = os.path.join(
+        log, f"{CHECKPOINT_INTERVAL:020d}.checkpoint.parquet"
+    )
+    assert os.path.exists(cp_pq)
+
+    # checkpoint-replayed state ≡ scratch-replayed state, field for field
+    with_cp = tx_snapshot(t, version=CHECKPOINT_INTERVAL)
+    saved = open(cp_pq, "rb").read()
+    os.remove(cp_pq)
+    assert tx_snapshot(t, version=CHECKPOINT_INTERVAL) == with_cp
+    with open(cp_pq, "wb") as fh:
+        fh.write(saved)
+    assert with_cp["dvs"] and with_cp["column_map"] == {"val": "v"}
+    assert with_cp["constraints"] == {"v_nonneg": "val >= 0"}
+
+    # json era resumes (a pre-round-9 writer): checkpoint at v20 is json
+    monkeypatch.setattr(_tx, "CHECKPOINT_FORMAT", "json")
+    for _ in range(CHECKPOINT_INTERVAL):                 # v14..v23
+        tx_append(row, t, partition_by=["grp"])
+    cp_js = os.path.join(
+        log, f"{2 * CHECKPOINT_INTERVAL:020d}.checkpoint.json"
+    )
+    assert os.path.exists(cp_js)
+    # ...and a parquet re-checkpoint of the SAME version coexists
+    monkeypatch.setattr(_tx, "CHECKPOINT_FORMAT", "parquet")
+    _tx._write_checkpoint(
+        _tx.get_log_store(t), t, 2 * CHECKPOINT_INTERVAL
+    )
+    _, checkpoints = _tx._list_log(t)
+    assert checkpoints.count(2 * CHECKPOINT_INTERVAL) == 1  # listed once
+    both = _tx._load_checkpoint(t, 2 * CHECKPOINT_INTERVAL)
+    assert both["files"] == tx_snapshot(
+        t, version=2 * CHECKPOINT_INTERVAL
+    )["files"]
+
+    # the table reads correctly across all three checkpoint eras
+    ids = sorted(r["id"] for r in tx_read(spark, t).collect())
+    assert ids == sorted(
+        [i for i in range(8) if i != 3] + [100] * 2 * CHECKPOINT_INTERVAL
+    )
+
+    # cleanup retires BOTH spellings below the floor
+    tx_vacuum(t, retain_versions=1)
+    res = tx_cleanup_log(t)
+    assert res["floor"] == 2 * CHECKPOINT_INTERVAL
+    assert res["deleted_checkpoints"] == 1  # v10 (parquet)
+    assert not os.path.exists(cp_pq)
+    assert os.path.exists(cp_js)  # the floor checkpoint survives (json)
+    assert sorted(r["id"] for r in tx_read(spark, t).collect()) == ids
+
+
+def test_parquet_checkpoint_via_bytes_bridge(spark, tmp_path, mem_store):
+    """A LogStore that implements only the four str methods still carries
+    parquet checkpoints: the base-class bytes methods bridge via latin-1,
+    lossless for any store that keeps the payload string verbatim."""
+    t = str(tmp_path / "t")
+    row = _mk(spark, [1]).coalesce(1)
+    for _ in range(CHECKPOINT_INTERVAL + 1):
+        tx_append(row, t)
+    names = mem_store.list(os.path.join(t, "_txn_log"))
+    cp_name = f"{CHECKPOINT_INTERVAL:020d}.checkpoint.parquet"
+    assert cp_name in names
+    with_cp = tx_snapshot(t)
+    mem_store.delete(os.path.join(t, "_txn_log"), cp_name)
+    assert tx_snapshot(t) == with_cp  # bridge roundtrip was lossless
 
 
 def test_merge_reserved_tx_file_name_raises(spark, tmp_path):
@@ -2588,7 +2686,6 @@ def test_column_mapping_survives_checkpoint_replay(spark, tmp_path):
     checkpoint record itself (like constraints and partition_by)."""
     from weather_data_warehouse_aws_spark.operators.txlog import (
         CHECKPOINT_INTERVAL,
-        _load_rec,
         tx_drop_column,
         tx_rename_column,
     )
@@ -2609,7 +2706,7 @@ def test_column_mapping_survives_checkpoint_replay(spark, tmp_path):
     snap = tx_snapshot(t)
     _, checkpoints = _tx._list_log(t)
     assert checkpoints and checkpoints[-1] > 2  # a checkpoint folded them
-    cp = _load_rec(t, checkpoints[-1], checkpoint=True)
+    cp = _tx._load_checkpoint(t, checkpoints[-1])
     assert cp["column_map"] == {"ident": "id"}
     assert cp["dropped_cols"] == ["x"]
 

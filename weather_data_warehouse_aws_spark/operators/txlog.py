@@ -16,8 +16,15 @@ an append-only JSON log, never by directory listing.
 Layout (all under the table root):
 
     <table>/_txn_log/00000000000000000000.json     commit 0, 1, 2, ...
-    <table>/_txn_log/00000000000000000010.checkpoint.json  (every Nth)
+    <table>/_txn_log/00000000000000000010.checkpoint.parquet  (every Nth)
     <table>/part-<hex>.parquet                     data files, immutable
+
+Checkpoints are PARQUET (Delta's published design): one row per live
+file (rel, stats_json, dvs), table-level state in the footer key-value
+metadata — so resolving a snapshot over a 10M-file table is a
+compressed columnar read, not gigabytes of JSON text parse. Readers
+accept the pre-round-9 `.checkpoint.json` spelling forever (mixed-era
+logs replay fine; `CHECKPOINT_FORMAT` flips the writer).
 
 Each commit is `{"version", "op", "add": [relpath], "remove": [relpath],
 "meta": {...}}`. A snapshot at version v replays the log (from the newest
@@ -137,13 +144,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 CHECKPOINT_INTERVAL = 10
+# Checkpoint payload format. "parquet" (the default, Delta's published
+# design: the full live set is COLUMNAR — one row per live file, table
+# state in the footer key-value metadata) keeps checkpoint load O(columns
+# touched) and binary-compact: at millions of live files a JSON checkpoint
+# is GBs of driver-side text parse, a parquet one is a column-pruned
+# Arrow read. "json" is the pre-round-9 format; readers accept BOTH
+# forever (mixed-era logs replay fine), so flipping this constant never
+# strands a table.
+CHECKPOINT_FORMAT = "parquet"
 _LOG_DIR = "_txn_log"
 _PAD = 20
 # strict log-entry names: anything else in _txn_log (editor backups,
 # '.json'-suffixed temps, the store's own .tmp-* staging files) is IGNORED
 # rather than int()-crashed on — a stray file must never brick the table
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
-_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.(json|parquet)$")
 
 
 class TxConflict(RuntimeError):
@@ -192,6 +208,21 @@ class LogStore:
         """Full payload of an entry."""
         raise NotImplementedError
 
+    def put_if_absent_bytes(self, log_dir: str, name: str,
+                            payload: bytes) -> bool:
+        """Binary twin of `put_if_absent` (parquet checkpoints). The
+        default bridges through the str method via latin-1 — LOSSLESS for
+        any store that keeps the payload string verbatim (in-memory
+        emulations, KV stores); a store whose str methods re-encode
+        (file-backed text IO) MUST override with true binary IO, as
+        `LocalFSLogStore` does."""
+        return self.put_if_absent(log_dir, name, payload.decode("latin-1"))
+
+    def read_bytes(self, log_dir: str, name: str) -> bytes:
+        """Binary twin of `read`; same bridge contract as
+        `put_if_absent_bytes`."""
+        return self.read(log_dir, name).encode("latin-1")
+
     def delete(self, log_dir: str, name: str) -> None:
         """Remove one entry; missing entries are a no-op. Needs no
         consensus — log retention (`tx_cleanup_log`) only ever deletes
@@ -202,6 +233,10 @@ class LogStore:
 
 class LocalFSLogStore(LogStore):
     def put_if_absent(self, log_dir: str, name: str, payload: str) -> bool:
+        return self.put_if_absent_bytes(log_dir, name, payload.encode())
+
+    def put_if_absent_bytes(self, log_dir: str, name: str,
+                            payload: bytes) -> bool:
         os.makedirs(log_dir, exist_ok=True)
         dst = os.path.join(log_dir, name)
         if os.path.exists(dst):
@@ -209,7 +244,7 @@ class LocalFSLogStore(LogStore):
         tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
         fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
         try:
-            with os.fdopen(fd, "w") as f:
+            with os.fdopen(fd, "wb") as f:
                 f.write(payload)
                 f.flush()
                 os.fsync(f.fileno())
@@ -235,6 +270,10 @@ class LocalFSLogStore(LogStore):
 
     def read(self, log_dir: str, name: str) -> str:
         with open(os.path.join(log_dir, name)) as f:
+            return f.read()
+
+    def read_bytes(self, log_dir: str, name: str) -> bytes:
+        with open(os.path.join(log_dir, name), "rb") as f:
             return f.read()
 
     def delete(self, log_dir: str, name: str) -> None:
@@ -479,14 +518,16 @@ def _commit_name(version: int) -> str:
     return f"{version:0{_PAD}d}.json"
 
 
-def _checkpoint_name(version: int) -> str:
-    return f"{version:0{_PAD}d}.checkpoint.json"
+def _checkpoint_name(version: int, fmt: str = "json") -> str:
+    return f"{version:0{_PAD}d}.checkpoint.{fmt}"
 
 
 def _list_log(path: str) -> tuple[list[int], list[int]]:
     """(sorted commit versions, sorted checkpoint versions). Only names
-    matching the strict log-entry patterns count; stray files are ignored."""
-    commits, checkpoints = [], []
+    matching the strict log-entry patterns count; stray files are ignored.
+    A version checkpointed in BOTH formats (a json-era table re-
+    checkpointed after the parquet flip) counts once."""
+    commits, checkpoints = [], set()
     for name in get_log_store(path).list(_log_dir(path)):
         m = _COMMIT_RE.match(name)
         if m:
@@ -494,7 +535,7 @@ def _list_log(path: str) -> tuple[list[int], list[int]]:
             continue
         m = _CHECKPOINT_RE.match(name)
         if m:
-            checkpoints.append(int(m.group(1)))
+            checkpoints.add(int(m.group(1)))
     return sorted(commits), sorted(checkpoints)
 
 
@@ -502,6 +543,106 @@ def _load_rec(path: str, version: int, *, checkpoint: bool = False) -> dict:
     name = _checkpoint_name(version) if checkpoint else _commit_name(version)
     payload = get_log_store(path).read(_log_dir(path), name)
     return json.loads(payload)
+
+
+# table-level checkpoint state carried OUTSIDE the per-file rows: in the
+# JSON format these are top-level keys; in parquet they live in the footer
+# key-value metadata (KB-scale however large the live set grows)
+_CP_STATE_KEYS = (
+    "version", "schema", "horizon", "txns", "partition_by", "constraints",
+    "column_map", "dropped_cols", "bases", "generated",
+)
+
+
+def _checkpoint_to_parquet(cp: dict) -> bytes:
+    """Encode a checkpoint dict (the `_replay` shape) as parquet bytes:
+    one row per live file — `rel`, `stats_json` (the per-file footer
+    stats, JSON text, null when none), `dvs` (covering deletion-vector
+    rels) — with every table-level field as a JSON blob in the footer
+    key-value metadata. Columnar because that is what scales: resolving
+    a snapshot over a 10M-file table reads a compressed column of rel
+    strings, not gigabytes of JSON text (Delta's parquet-checkpoint
+    rationale, Armbrust et al. VLDB 2020 §3.3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = cp["files"]
+    stats = cp.get("stats", {})
+    dvs = cp.get("dvs", {})
+    table = pa.table(
+        {
+            "rel": pa.array(files, type=pa.string()),
+            "stats_json": pa.array(
+                [json.dumps(stats[f]) if stats.get(f) else None
+                 for f in files],
+                type=pa.string(),
+            ),
+            "dvs": pa.array(
+                [dvs.get(f) or [] for f in files],
+                type=pa.list_(pa.string()),
+            ),
+        }
+    )
+    state = {k: cp.get(k) for k in _CP_STATE_KEYS}
+    table = table.replace_schema_metadata(
+        {b"txlog_state": json.dumps(state).encode()}
+    )
+    sink = pa.BufferOutputStream()
+    pq.write_table(table, sink, compression="zstd")
+    return sink.getvalue().to_pybytes()
+
+
+def _checkpoint_from_parquet(data: bytes) -> dict:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(pa.BufferReader(data))
+    state = json.loads(table.schema.metadata[b"txlog_state"])
+    rels = table.column("rel").to_pylist()
+    stats_json = table.column("stats_json").to_pylist()
+    dv_lists = table.column("dvs").to_pylist()
+    cp = dict(state)
+    cp["files"] = rels
+    # ONE json.loads over a joined array instead of per-row parses — at
+    # 10M files this is the decode hot path
+    with_stats = [(r, s) for r, s in zip(rels, stats_json) if s is not None]
+    parsed = json.loads(
+        "[" + ",".join(s for _, s in with_stats) + "]"
+    ) if with_stats else []
+    cp["stats"] = {r: st for (r, _), st in zip(with_stats, parsed)}
+    cp["dvs"] = {r: list(d) for r, d in zip(rels, dv_lists) if d}
+    return cp
+
+
+def _load_checkpoint(path: str, version: int) -> dict:
+    """Checkpoint state at `version`, whichever format it was written in
+    (parquet preferred; a version carrying both reads identically)."""
+    store = get_log_store(path)
+    try:
+        data = store.read_bytes(_log_dir(path), _checkpoint_name(version, "parquet"))
+    except (OSError, KeyError):
+        return _load_rec(path, version, checkpoint=True)
+    return _checkpoint_from_parquet(data)
+
+
+def _write_checkpoint(store: LogStore, path: str, version: int) -> None:
+    """Fold the full state at `version` into one checkpoint entry.
+    put_if_absent both ways: False = another committer already wrote it."""
+    cp = _replay(path, version)
+    cp = {**cp, "version": version}
+    if CHECKPOINT_FORMAT == "parquet":
+        store.put_if_absent_bytes(
+            _log_dir(path),
+            _checkpoint_name(version, "parquet"),
+            _checkpoint_to_parquet(cp),
+        )
+        return
+    store.put_if_absent(
+        _log_dir(path),
+        _checkpoint_name(version, "json"),
+        json.dumps({k: cp.get(k) for k in
+                    (*_CP_STATE_KEYS, "files", "stats", "dvs")}),
+    )
 
 
 def _usable_log(path: str) -> tuple[list[int], list[int]]:
@@ -568,7 +709,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
             break
     if horizon == 0 and checkpoints:
         horizon = int(
-            _load_rec(path, checkpoints[-1], checkpoint=True).get("horizon", 0)
+            _load_checkpoint(path, checkpoints[-1]).get("horizon", 0)
         )
     if target < horizon:
         raise ValueError(
@@ -589,7 +730,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
     partition_by: list[str] | None = None
     usable = [c for c in checkpoints if c <= target]
     if usable:
-        cp = _load_rec(path, usable[-1], checkpoint=True)
+        cp = _load_checkpoint(path, usable[-1])
         base_v = cp["version"]
         cp_stats = cp.get("stats", {})
         live = {f: cp_stats.get(f, {}) for f in cp["files"]}
@@ -835,28 +976,7 @@ def _commit(
                 pass  # winner's entry not visible yet — plain lost race
             continue  # retry on the newer snapshot
         if next_v > 0 and next_v % CHECKPOINT_INTERVAL == 0:
-            cp = _replay(path, next_v)
-            store.put_if_absent(  # False = another process already wrote it
-                _log_dir(path),
-                _checkpoint_name(next_v),
-                json.dumps(
-                    {
-                        "version": next_v,
-                        "files": cp["files"],
-                        "stats": cp["stats"],
-                        "schema": cp["schema"],
-                        "horizon": cp["horizon"],
-                        "txns": cp["txns"],
-                        "partition_by": cp["partition_by"],
-                        "dvs": cp["dvs"],
-                        "constraints": cp["constraints"],
-                        "column_map": cp["column_map"],
-                        "dropped_cols": cp["dropped_cols"],
-                        "bases": cp["bases"],
-                        "generated": cp["generated"],
-                    }
-                ),
-            )
+            _write_checkpoint(store, path, next_v)
         return next_v
     raise TxConflict(f"{op}: exceeded {max_retries} commit retries")
 
@@ -3334,7 +3454,7 @@ def _vacuum_plan(
     # include_orphans vacuum after cleanup would sweep LIVE files it can
     # no longer see an `add` for.
     if checkpoints:
-        cp = _load_rec(path, checkpoints[0], checkpoint=True)
+        cp = _load_checkpoint(path, checkpoints[0])
         referenced.update(cp["files"])
         for data_rel, dv_rels in cp.get("dvs", {}).items():
             referenced.update(dv_rels)
@@ -3488,7 +3608,8 @@ def tx_cleanup_log(path: str, *, dry_run: bool = False) -> dict:
     # deleted commit below a surviving checkpoint is never loaded — any
     # partial state remains readable and re-cleanable
     for c in dead_checkpoints:
-        store.delete(log_dir, _checkpoint_name(c))
+        store.delete(log_dir, _checkpoint_name(c, "parquet"))
+        store.delete(log_dir, _checkpoint_name(c))  # json-era spelling
     for v in dead_commits:
         store.delete(log_dir, _commit_name(v))
     return out
