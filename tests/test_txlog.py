@@ -529,6 +529,108 @@ def test_parquet_checkpoint_rich_state_mixed_eras(spark, tmp_path,
     assert sorted(r["id"] for r in tx_read(spark, t).collect()) == ids
 
 
+def _mk_pruning_table(spark, t):
+    """A table exercising every pruning proof class: hive partitions, a
+    renamed column, a NaN float, date stats, a DV delete, a checkpoint
+    crossing, and a partition-spec evolution (flat-era file)."""
+    import datetime as dt
+
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_delete_where,
+        tx_rename_column,
+        tx_set_partition_spec,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i) if i != 7 else float("nan"),
+          dt.date(2024, 1, 1 + i % 5)) for i in range(20)],
+        "id long, grp string, v double, d date",
+    )
+    tx_append(df.repartition(4, "grp"), t, partition_by=["grp"])  # v0
+    tx_rename_column(t, "v", "val")                               # v1
+    tx_delete_where(spark, t, "id = 2")                           # v2
+    row = spark.createDataFrame(
+        [(100, "g9", 5.0, dt.date(2024, 2, 1))],
+        "id long, grp string, val double, d date",
+    )
+    for _ in range(10):                                           # cross v10
+        tx_append(row, t, partition_by=["grp"])
+    tx_set_partition_spec(t, [])                                  # v13
+    tx_append(
+        spark.createDataFrame([(200, "g0", -1.0, dt.date(2024, 3, 1))],
+                              "id long, grp string, val double, d date"),
+        t,                                                        # flat era
+    )
+
+
+def test_files_df_matches_snapshot(spark, tmp_path):
+    """`tx_files_df` — the distributed metadata plane — must agree with
+    the driver snapshot exactly: same rels, same per-file stats, at head
+    AND at a time-traveled version (checkpoint base + tail on one side,
+    scratch replay on the other)."""
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_files_df
+
+    t = str(tmp_path / "t")
+    _mk_pruning_table(spark, t)
+    for v in (None, 3, CHECKPOINT_INTERVAL):
+        snap = tx_snapshot(t, version=v)
+        rows = tx_files_df(spark, t, version=v).collect()
+        assert sorted(r["rel"] for r in rows) == snap["files"]
+        got = {r["rel"]: (json.loads(r["stats_json"])
+                          if r["stats_json"] else {}) for r in rows}
+        assert got == snap["stats"]
+    # version/horizon validation parity with tx_snapshot
+    with pytest.raises(ValueError, match="does not exist"):
+        tx_files_df(spark, t, version=999)
+
+
+def test_files_df_via_opaque_log_store(spark, tmp_path, mem_store):
+    """A LogStore with no spark_uri (object-store mutex services,
+    in-memory emulations) still serves tx_files_df — the checkpoint base
+    falls back to driver materialization, tail fold unchanged."""
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_files_df
+
+    t = str(tmp_path / "t")
+    row = _mk(spark, [1]).coalesce(1)
+    for _ in range(CHECKPOINT_INTERVAL + 2):
+        tx_append(row, t)
+    snap = tx_snapshot(t)
+    rows = tx_files_df(spark, t).collect()
+    assert sorted(r["rel"] for r in rows) == snap["files"]
+
+
+def test_tx_prune_distributed_equals_driver(spark, tmp_path):
+    """`tx_prune(spark=...)` runs the SAME `_skip_row` proof as the
+    driver loop, Arrow-batched over `tx_files_df` — results must be
+    bit-for-bit equal on every proof class: range/equality on stats,
+    exact hive path proofs (strings, dates), IN with a NULL member
+    (3VL), is_null/not_null from footer null counts, the NaN footer
+    hazard (file holding NaN must survive `>` pruning), renamed columns,
+    mixed layout eras, and time travel."""
+    import datetime as dt
+
+    t = str(tmp_path / "t")
+    _mk_pruning_table(spark, t)
+    preds = [
+        [("id", "<=", 3)],
+        [("grp", "=", "g1")],
+        [("grp", "in", ["g0", "g9", None])],
+        [("val", ">", 50.0)],   # NaN file must be kept
+        [("val", "<", 0.0)],
+        [("d", "=", dt.date(2024, 2, 1))],
+        [("id", "is_null", None)],
+        [("id", "not_null", None)],
+        [("id", ">=", 100), ("grp", "=", "g9")],
+    ]
+    for p in preds:
+        assert tx_prune(t, p) == tx_prune(t, p, spark=spark), p
+    # at least one predicate must actually prune for the test to bite
+    kept, skipped = tx_prune(t, [("id", "<=", 3)], spark=spark)
+    assert kept and skipped
+    # time travel through the distributed path
+    assert tx_prune(t, preds[0], 3) == tx_prune(t, preds[0], 3, spark=spark)
+
+
 def test_parquet_checkpoint_via_bytes_bridge(spark, tmp_path, mem_store):
     """A LogStore that implements only the four str methods still carries
     parquet checkpoints: the base-class bytes methods bridge via latin-1,

@@ -223,6 +223,16 @@ class LogStore:
         `put_if_absent_bytes`."""
         return self.read(log_dir, name).encode("latin-1")
 
+    def spark_uri(self, log_dir: str, name: str) -> str | None:
+        """A URI Spark / pyarrow can open DIRECTLY for entry `name`
+        (e.g. the s3:// object key, the POSIX path), or None when the
+        entry is absent or the store's entries aren't externally
+        addressable — callers fall back to driver-side materialization.
+        This is what lets the planner scan a parquet checkpoint as a
+        DataFrame (`tx_files_df`) instead of pulling it through the
+        driver."""
+        return None
+
     def delete(self, log_dir: str, name: str) -> None:
         """Remove one entry; missing entries are a no-op. Needs no
         consensus — log retention (`tx_cleanup_log`) only ever deletes
@@ -275,6 +285,10 @@ class LocalFSLogStore(LogStore):
     def read_bytes(self, log_dir: str, name: str) -> bytes:
         with open(os.path.join(log_dir, name), "rb") as f:
             return f.read()
+
+    def spark_uri(self, log_dir: str, name: str) -> str | None:
+        p = os.path.join(log_dir, name)
+        return p if os.path.exists(p) else None
 
     def delete(self, log_dir: str, name: str) -> None:
         try:
@@ -674,6 +688,31 @@ def tx_exists(path: str) -> bool:
     return bool(_list_log(path)[0])
 
 
+def _newest_horizon(path: str, commits: list[int],
+                    checkpoints: list[int]) -> int:
+    """Newest vacuum horizon across the WHOLE log (a vacuum after a
+    target version may have deleted files that version needs, so reading
+    below the newest horizon must fail loudly). Horizons are
+    nondecreasing, so the newest vacuum commit carries the max;
+    checkpoints fold the horizon of everything at-or-before them, so the
+    backward scan is bounded by the checkpoint interval, not the log
+    length."""
+    horizon = 0
+    scan_floor = checkpoints[-1] if checkpoints else -1
+    for v in reversed(commits):
+        if v <= scan_floor:
+            break
+        rec = _load_rec(path, v)
+        if rec.get("op") == "vacuum":
+            horizon = int(rec["meta"]["horizon"])
+            break
+    if horizon == 0 and checkpoints:
+        horizon = int(
+            _load_checkpoint(path, checkpoints[-1]).get("horizon", 0)
+        )
+    return horizon
+
+
 def _replay(path: str, version: int | None = None) -> dict | None:
     """Snapshot state at `version` (default: latest). Returns
     {"version", "files": sorted relpaths, "stats": {relpath: stats-dict},
@@ -693,24 +732,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
     if target > latest or target < 0:
         raise ValueError(f"version {target} does not exist (latest {latest})")
 
-    # Newest horizon across the WHOLE log (a vacuum after `target` may
-    # have deleted files `target` needs). Horizons are nondecreasing, so
-    # the newest vacuum commit carries the max; checkpoints fold the
-    # horizon of everything at-or-before them, so the backward scan is
-    # bounded by the checkpoint interval, not the log length.
-    horizon = 0
-    scan_floor = checkpoints[-1] if checkpoints else -1
-    for v in reversed(commits):
-        if v <= scan_floor:
-            break
-        rec = _load_rec(path, v)
-        if rec.get("op") == "vacuum":
-            horizon = int(rec["meta"]["horizon"])
-            break
-    if horizon == 0 and checkpoints:
-        horizon = int(
-            _load_checkpoint(path, checkpoints[-1]).get("horizon", 0)
-        )
+    horizon = _newest_horizon(path, commits, checkpoints)
     if target < horizon:
         raise ValueError(
             f"version {target} was vacuumed (horizon {horizon}) — "
@@ -1230,10 +1252,30 @@ def _skip_file(snap: dict, rel: str, col: str, op: str, value) -> bool:
     return _can_skip(snap["stats"].get(rel, {}), phys, op, value)
 
 
+def _skip_row(rel: str, stats: dict | None, column_map: dict | None,
+              predicate: list[tuple]) -> bool:
+    """Per-file skip proof over a whole conjunctive predicate — the ONE
+    implementation both the driver loop (`tx_prune`) and the distributed
+    prober (`tx_prune(spark=...)` over `tx_files_df`) execute, so the two
+    paths can never drift semantically. Any single conjunct's proof
+    suffices (conjunction: one impossible term makes the row set empty)."""
+    pv = _partition_values(rel)
+    for col, op, value in predicate:
+        phys = (column_map or {}).get(col, col)
+        if phys in pv:
+            if _pv_skip(pv[phys], op, value):
+                return True
+        elif _can_skip(stats or {}, phys, op, value):
+            return True
+    return False
+
+
 def tx_prune(
     path: str,
     predicate: list[tuple],
     version: int | None = None,
+    *,
+    spark: SparkSession | None = None,
 ) -> tuple[list[str], list[str]]:
     """Split the snapshot's live files into (kept, skipped) under a
     conjunctive predicate `[(col, op, value), ...]` with ops
@@ -1244,17 +1286,185 @@ def tx_prune(
     guarantee zero matching rows, so reading only `kept` (then applying
     the same predicate as a row filter) is exact. At 100 TB this is the
     difference between a full-table scan and touching the handful of
-    files a sorted/z-ordered layout concentrates the range into."""
+    files a sorted/z-ordered layout concentrates the range into.
+
+    Pass `spark=` to evaluate the proofs DISTRIBUTED: the live set is
+    scanned as a DataFrame (`tx_files_df` — the parquet checkpoint read
+    by executors, never pulled through the driver when the LogStore
+    exposes a URI) and the SAME `_skip_row` proof runs in Arrow-batched
+    parallel over it. Identical results by construction (shared proof
+    code); worth it once the file count makes a driver-side Python loop
+    the planning bottleneck (~10⁶ files), not before (Spark job
+    overhead dominates small tables)."""
     for _, op, _v in predicate:
         if op not in _OPS:
             raise ValueError(f"tx_prune: unsupported op {op!r} (use {sorted(_OPS)})")
+    if spark is not None:
+        return _prune_distributed(spark, path, predicate, version)
     snap = tx_snapshot(path, version)
+    cmap = snap.get("column_map")
     kept, skipped = [], []
     for f in snap["files"]:
-        if any(_skip_file(snap, f, c, op, v) for c, op, v in predicate):
+        if _skip_row(f, snap["stats"].get(f), cmap, predicate):
             skipped.append(f)
         else:
             kept.append(f)
+    return kept, skipped
+
+
+def _tail_delta(path: str, commits: list[int], base_v: int,
+                target: int) -> tuple[dict[str, dict], set[str], dict]:
+    """Fold the commit tail (base_v, target] driver-side: (files added
+    with their stats, files removed, state-field updates). The tail is
+    at most CHECKPOINT_INTERVAL commits — KB-scale however large the
+    table — which is what keeps `tx_files_df` cheap on the driver."""
+    added: dict[str, dict] = {}
+    removed: set[str] = set()
+    state: dict = {}
+    for v in commits:
+        if v <= base_v or v > target:
+            continue
+        rec = _load_rec(path, v)
+        for f in rec.get("remove", []):
+            added.pop(f, None)
+            removed.add(f)
+        rec_stats = rec.get("stats", {})
+        for f in rec.get("add", []):
+            added[f] = rec_stats.get(f, {})
+            removed.discard(f)
+        if "column_map" in rec.get("meta", {}):
+            state["column_map"] = dict(rec["meta"]["column_map"])
+    return added, removed, state
+
+
+def _checkpoint_state(path: str, cp_v: int) -> dict:
+    """Table-level checkpoint state WITHOUT materializing the live set
+    when possible: a parquet checkpoint with a spark_uri is a footer-only
+    read (`pq.read_schema`); otherwise fall back to a full load."""
+    uri = get_log_store(path).spark_uri(
+        _log_dir(path), _checkpoint_name(cp_v, "parquet")
+    )
+    if uri is not None:
+        import pyarrow.parquet as pq
+
+        meta = pq.read_schema(uri).metadata or {}
+        if b"txlog_state" in meta:
+            return json.loads(meta[b"txlog_state"])
+    return _load_checkpoint(path, cp_v)
+
+
+_FILES_DF_SCHEMA = "rel string, stats_json string"
+
+
+def tx_files_df(spark: SparkSession, path: str,
+                version: int | None = None) -> DataFrame:
+    """The snapshot's live-file METADATA as a DataFrame — `rel` (log-
+    relative path, hive segments and `ext<i>:` clone markers included)
+    and `stats_json` (the committed footer stats, null when none; rows
+    via `get_json_object(stats_json, '$.rows')`).
+
+    This is the distributed half of the metadata plane: the base is the
+    parquet CHECKPOINT scanned by executors (when the LogStore exposes a
+    `spark_uri`; opaque stores fall back to a driver-materialized base),
+    and the commit tail — bounded by CHECKPOINT_INTERVAL, KB-scale — is
+    folded in driver-side. At 10M live files nothing materializes 10M
+    Python objects on the driver: planning, pruning (`tx_prune(spark=)`)
+    and table analytics (file-count/row skew by partition) run as Spark
+    jobs over this frame. Delta's design: the checkpoint IS the scan-
+    able state (Armbrust et al. VLDB 2020 §3.3)."""
+    commits, checkpoints = _usable_log(path)
+    if not commits:
+        raise ValueError(f"no transaction log at {path}")
+    latest = commits[-1]
+    target = latest if version is None else version
+    if target > latest or target < 0:
+        raise ValueError(f"version {target} does not exist (latest {latest})")
+    horizon = _newest_horizon(path, commits, checkpoints)
+    if target < horizon:
+        raise ValueError(
+            f"version {target} was vacuumed (horizon {horizon}) — "
+            "its data files are gone"
+        )
+    usable = [c for c in checkpoints if c <= target]
+    cp_v = usable[-1] if usable else None
+    base_df = None
+    if cp_v is not None:
+        uri = get_log_store(path).spark_uri(
+            _log_dir(path), _checkpoint_name(cp_v, "parquet")
+        )
+        if uri is not None:
+            base_df = spark.read.parquet(uri).select("rel", "stats_json")
+        else:  # json-era checkpoint or opaque store: driver materializes
+            cp = _load_checkpoint(path, cp_v)
+            cp_stats = cp.get("stats", {})
+            base_df = spark.createDataFrame(
+                [(f, json.dumps(cp_stats[f]) if cp_stats.get(f) else None)
+                 for f in cp["files"]],
+                _FILES_DF_SCHEMA,
+            )
+    added, removed, _state = _tail_delta(
+        path, commits, cp_v if cp_v is not None else -1, target
+    )
+    tail_df = spark.createDataFrame(
+        [(f, json.dumps(s) if s else None) for f, s in sorted(added.items())],
+        _FILES_DF_SCHEMA,
+    )
+    if base_df is None:
+        return tail_df
+    # drop tail-removed rels AND tail-re-added ones (their stats moved to
+    # the tail row — e.g. tx_restore re-adds a checkpoint-era rel)
+    drop = removed | set(added)
+    if not drop:
+        return base_df.unionByName(tail_df)
+    if len(drop) <= 10_000:
+        base_df = base_df.filter(~F.col("rel").isin(sorted(drop)))
+    else:  # a huge literal IN-list would bloat the plan: anti-join it
+        drop_df = spark.createDataFrame(
+            [(f,) for f in sorted(drop)], "rel string"
+        )
+        base_df = base_df.join(F.broadcast(drop_df), "rel", "left_anti")
+    return base_df.unionByName(tail_df)
+
+
+def _prune_distributed(
+    spark: SparkSession, path: str, predicate: list[tuple],
+    version: int | None,
+) -> tuple[list[str], list[str]]:
+    """`tx_prune`'s proofs evaluated as a Spark job over `tx_files_df`.
+    The probe closure ships `_skip_row` — the same function the driver
+    loop runs — with the predicate and the snapshot's column map, so the
+    two paths agree bit-for-bit on every edge (NaN footer hazard, 3VL
+    membership, per-file path-vs-stats proof, renamed columns)."""
+    import pandas as pd
+
+    fdf = tx_files_df(spark, path, version)  # validates version + horizon
+    commits, checkpoints = _usable_log(path)
+    latest = commits[-1] if commits else -1
+    target = latest if version is None else version
+    usable = [c for c in checkpoints if c <= target]
+    state = _checkpoint_state(path, usable[-1]) if usable else {}
+    _add, _rm, tail_state = _tail_delta(
+        path, commits, usable[-1] if usable else -1, target
+    )
+    cmap = dict(tail_state.get("column_map",
+                               state.get("column_map") or {}))
+    pred = [tuple(c) for c in predicate]
+
+    def probe(batches):
+        for pdf in batches:
+            keep = [
+                not _skip_row(
+                    rel,
+                    json.loads(sj) if isinstance(sj, str) else None,
+                    cmap, pred,
+                )
+                for rel, sj in zip(pdf["rel"], pdf["stats_json"])
+            ]
+            yield pd.DataFrame({"rel": pdf["rel"], "keep": keep})
+
+    rows = fdf.mapInPandas(probe, "rel string, keep boolean").collect()
+    kept = sorted(r["rel"] for r in rows if r["keep"])
+    skipped = sorted(r["rel"] for r in rows if not r["keep"])
     return kept, skipped
 
 
