@@ -309,12 +309,19 @@ def test_stats_recorded_and_range_pruning(spark, tmp_path):
     assert all(
         "id" in snap["stats"][f]["cols"] for f in snap["files"]
     ), "numeric column stats must be recorded from the footers"
-    # string BOUNDS are deliberately not stat'd (writer truncation is
-    # unsafe) — the column carries null-count-only stats
+    # string BOUNDS are recorded too (bound-preserving truncation keeps
+    # them sound; round 9) — and they prune: "v50" sorts ABOVE the
+    # second file's entire ["v1000","v1099"] range
     assert all(
-        snap["stats"][f]["cols"]["val"][:2] == [None, None]
+        isinstance(snap["stats"][f]["cols"]["val"][0], str)
         for f in snap["files"]
     )
+    kept_s, skipped_s = tx_prune(t, [("val", "=", "v50")])
+    assert len(kept_s) >= 1 and len(skipped_s) >= 1
+    assert sorted(
+        r["val"] for r in
+        tx_read(spark, t, predicate=[("val", "=", "v50")]).collect()
+    ) == ["v50"]
     kept, skipped = tx_prune(t, [("id", ">=", 1000)])
     assert skipped and kept
     # every skipped file provably tops out below 1000
@@ -561,6 +568,78 @@ def _mk_pruning_table(spark, t):
                               "id long, grp string, val double, d date"),
         t,                                                        # flat era
     )
+
+
+def test_string_stats_truncation_soundness(spark, tmp_path):
+    """String footer bounds survive truncation SOUNDLY: the recorded
+    [mn, mx] brackets every value (mn a prefix lower bound, mx the
+    increment-adjusted upper bound), long shared-prefix strings never
+    falsely skip, and commit records stay JSON-encodable. Plus the
+    bound-property check over crafted and randomized inputs."""
+    import random
+
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        _STR_STATS_MAX,
+        _str_upper_bound,
+        tx_prune,
+    )
+
+    # -- pure bound property ------------------------------------------
+    assert _str_upper_bound("short") == "short"
+    long_a = "a" * 100
+    ub = _str_upper_bound(long_a)
+    assert ub == "a" * (_STR_STATS_MAX - 1) + "b" and ub > long_a
+    # increment would land in the surrogate block -> jumps past it
+    s = "x" * (_STR_STATS_MAX - 1) + chr(0xD7FF) + "tail"
+    ub = _str_upper_bound(s)
+    assert ub == "x" * (_STR_STATS_MAX - 1) + chr(0xE000) and ub > s
+    # un-incrementable prefix -> no representable bound
+    assert _str_upper_bound(chr(0x10FFFF) * 70) is None
+    # tail char at U+10FFFF: the increment walks left
+    s = "m" * (_STR_STATS_MAX - 1) + chr(0x10FFFF) + "rest"
+    ub = _str_upper_bound(s)
+    assert ub == "m" * (_STR_STATS_MAX - 2) + "n" and ub > s
+    rng = random.Random(7)
+    pool = [i for i in range(1, 0x110000) if not 0xD800 <= i <= 0xDFFF]
+    for _ in range(500):
+        n = rng.randint(_STR_STATS_MAX + 1, _STR_STATS_MAX * 3)
+        s = "".join(chr(rng.choice(pool)) for _ in range(n))
+        ub = _str_upper_bound(s)
+        if ub is not None:
+            assert ub >= s and len(ub) <= _STR_STATS_MAX, repr(s)
+
+    # -- end to end through commit stats ------------------------------
+    t = str(tmp_path / "t")
+    base = "commonprefix/" * 7  # 91 chars, beyond _STR_STATS_MAX
+    a = spark.createDataFrame(
+        [(i, base + f"doc-{i:03d}") for i in range(5)], "id long, u string"
+    )
+    z = spark.createDataFrame(
+        [(i, "zzz-" + str(i)) for i in range(5, 8)], "id long, u string"
+    )
+    tx_append(a.coalesce(1), t)
+    tx_append(z.coalesce(1), t)
+    snap = tx_snapshot(t)
+    json.dumps(snap["stats"])  # truncated bounds stay JSON-clean
+    lo, hi = next(
+        st["cols"]["u"][:2] for st in snap["stats"].values()
+        if st["cols"]["u"][0].startswith("commonprefix")
+    )
+    assert len(lo) <= 64 and (hi is None or len(hi) <= 64)
+    assert lo <= base + "doc-000" and (hi is None or hi >= base + "doc-004")
+    # a probe inside the long-prefix file's range prunes the zzz file...
+    kept, skipped = tx_prune(t, [("u", "=", base + "doc-002")])
+    assert len(kept) == 1 and len(skipped) == 1
+    # ...and the predicated read equals the full-scan filter exactly
+    got = sorted(
+        r["id"] for r in
+        tx_read(spark, t, predicate=[("u", "=", base + "doc-002")]).collect()
+    )
+    assert got == [2]
+    # sound superset: a value between the true max and the adjusted upper
+    # bound keeps the file (reads empty) — never a wrong answer
+    probe = base + "doc-999"
+    assert tx_read(spark, t, predicate=[("u", "=", probe)]).count() == 0
 
 
 def test_files_df_matches_snapshot(spark, tmp_path):
@@ -3155,12 +3234,14 @@ def test_partition_spec_evolution_across_layout_eras(spark, tmp_path):
     assert out.schema["grp"].dataType.typeName() == "string"
 
     # pruning: hive-era files prove from path keys (grp=b skipped for
-    # grp='0123'); flat-era files keep grp in bytes — string stats are
-    # unusable by design, so they stay candidates (never falsely skip)
+    # grp='0123'); flat-era files keep grp in BYTES and prove from the
+    # string footer stats — the '0123' flat file genuinely matches, so
+    # it stays kept (and a value no era holds prunes everything)
     kept, skipped = tx_prune(t, [("grp", "=", "0123")])
     assert all("grp=b" not in f for f in kept)
     assert any("grp=b" in f for f in skipped)
     assert all(f in kept for f in flat)
+    assert tx_prune(t, [("grp", "=", "zzz")])[0] == []
     # ...and a numeric predicate proves from footer stats in EVERY era
     kept2, _ = tx_prune(t, [("id", ">=", 6)])
     assert all("grp=b" in f for f in kept2)

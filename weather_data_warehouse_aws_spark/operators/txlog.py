@@ -1008,22 +1008,58 @@ def _commit(
 # --------------------------------------------------------------------------
 
 
+_STR_STATS_MAX = 64  # chars kept of a string bound in commit stats
+
+
+def _str_upper_bound(s: str) -> str | None:
+    """A ≤`_STR_STATS_MAX`-char string that is ≥ `s` in code-point order
+    (≡ UTF-8 byte order ≡ Spark's string comparison): `s` itself when it
+    fits, else the truncated prefix with its last incrementable character
+    bumped (Iceberg's `truncate` transform upper-bound adjustment /
+    parquet-mr BinaryTruncator). Incrementing never lands in the
+    surrogate block (invalid in well-formed strings and JSON). Returns
+    None — no representable bound — when every prefix char is already
+    U+10FFFF."""
+    if len(s) <= _STR_STATS_MAX:
+        return s
+    prefix = s[:_STR_STATS_MAX]
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            cp += 1
+            if 0xD800 <= cp <= 0xDFFF:
+                cp = 0xE000
+            return prefix[:i] + chr(cp)
+    return None
+
+
 def _file_stats(path: str, rels: list[str]) -> dict[str, dict]:
     """Per-file `{rel: {"rows": n, "cols": {col: [min, max, null_count]}}}`
     read from the parquet FOOTERS (row-group statistics) — metadata-only,
     never a data scan, so recording stats costs O(files), not O(rows),
     exactly as Delta computes its add-file stats during the write.
 
-    Only top-level NUMERIC and DATE columns are kept: parquet writers may
-    TRUNCATE binary (string) min/max to a prefix, which is unsafe as an
-    upper bound for pruning; bool/nested/timestamp are skipped for the
-    same conservative reason. DATE is safe — physically an int32, min/max
-    exact, no truncation — and is recorded as an ISO string (lexicographic
-    order ≡ date order), which is what lets the gold fact's
-    `forecast_for_date` range maintenance skip files at all. A column
-    missing stats in ANY row group (or with a non-finite float bound —
-    NaN ordering is writer-dependent) is dropped for that file; pruning
-    treats absent stats as "cannot skip".
+    Top-level NUMERIC, DATE and STRING columns are kept; bool/nested/
+    timestamp are skipped (ordering/encoding hazards not worth the edge
+    cases). DATE is exact — physically an int32 — and is recorded as an
+    ISO string (lexicographic order ≡ date order), which is what lets the
+    gold fact's `forecast_for_date` range maintenance skip files at all.
+
+    STRING bounds are admitted with OUR bound-preserving truncation
+    (`_STR_STATS_MAX` chars): the min prefix is always a valid LOWER
+    bound, and the max gets the last-kept-char increment (Iceberg's
+    `truncate` transform / parquet-mr's BinaryTruncator), so `[mn, mx]`
+    brackets every row even when inexact — all five comparison proofs in
+    `_can_skip` stay sound with (lower-bound, upper-bound) semantics.
+    Python str comparison is code-point order ≡ UTF-8 byte order ≡
+    Spark's binary string collation, so the proofs agree with the row
+    filter. The footer values themselves come from this engine's own
+    writers (Spark parquet-mr / pyarrow), which keep the parquet spec's
+    bound property when they truncate; an incrementless max (all chars
+    at U+10FFFF) degrades to bound-less stats. A column missing stats in
+    ANY row group (or with a non-finite float bound — NaN ordering is
+    writer-dependent) is dropped for that file; pruning treats absent
+    stats as "cannot skip".
     """
     import datetime as _dt
     import math
@@ -1065,14 +1101,22 @@ def _file_stats(path: str, rels: list[str]) -> dict[str, dict]:
                         and not isinstance(mn, _dt.datetime)
                         and not isinstance(mx, _dt.datetime)
                     )
+                    is_str = isinstance(mn, str) and isinstance(mx, str)
                     if is_date:
                         # ISO: JSON-safe, and lexicographic ≡ date order
                         mn, mx = mn.isoformat(), mx.isoformat()
-                    # str bounds are admitted ONLY via the date conversion —
-                    # raw binary (string) min/max may be prefix-truncated.
+                    elif is_str:
+                        # keep commit records small AND the bound
+                        # property exact: prefix min (lower bound),
+                        # increment-adjusted max (upper bound, None when
+                        # un-incrementable). bytes (non-utf8 binary)
+                        # never reach here: pyarrow yields them as bytes,
+                        # which fail this isinstance.
+                        mn = mn[:_STR_STATS_MAX]
+                        mx = _str_upper_bound(mx)
                     # Unusable bounds DEGRADE to null-count-only stats
                     # (is_null/not_null still prove; comparisons can't).
-                    ok_type = is_date or (
+                    ok_type = is_date or is_str or (
                         isinstance(mn, (int, float))
                         and isinstance(mx, (int, float))
                         and not isinstance(mn, bool)
