@@ -1259,9 +1259,9 @@ def test_date_footer_stats_prune_unpartitioned(spark, tmp_path):
         tx_read(spark, t, predicate=[("d", "=", dt.date(2024, 1, 1))]).count()
         == 50
     )
-    # string (binary) BOUNDS stay excluded (truncation is writer-legal);
-    # the column degrades to null-count-only stats so is_null/not_null
-    # still prove, but no comparison ever skips on it
+    # string BOUNDS are recorded since round 9 (bound-preserving
+    # truncation keeps them sound) — short values are exact, and both
+    # membership and range proofs fire on them
     t2 = str(tmp_path / "t2")
     tx_append(
         spark.createDataFrame(
@@ -1270,11 +1270,13 @@ def test_date_footer_stats_prune_unpartitioned(spark, tmp_path):
         t2,
     )
     st2 = next(iter(tx_snapshot(t2)["stats"].values()))
-    assert st2["cols"]["s"][0] is None and st2["cols"]["s"][1] is None
+    assert st2["cols"]["s"][:2] == ["aaa", "zzz"]
     from weather_data_warehouse_aws_spark.operators.txlog import _can_skip
 
-    assert not _can_skip(st2, "s", "=", "zzz")
-    assert not _can_skip(st2, "s", ">", "a")  # no bounds → no skip
+    assert not _can_skip(st2, "s", "=", "zzz")   # in range — must read
+    assert not _can_skip(st2, "s", ">", "a")     # range overlaps
+    assert _can_skip(st2, "s", "=", "zzzz")      # above the max — skip
+    assert _can_skip(st2, "s", "<", "aaa")       # below the min — skip
     assert _can_skip(st2, "s", "is_null", None)  # null_count == 0 proves
 
 
@@ -1699,6 +1701,8 @@ def test_doctor_reports_dv_debt_and_compaction_clears_it(spark, tmp_path, capsys
     # the txtable-source census rides the same report (round-8): a
     # healthy table is fully on the Arrow fast path
     assert "4/4 probed file(s) take the Arrow fast path" in out
+    # the pruning surface lists per-column bound coverage (round 9)
+    assert "prunable bounds: g:4/4, id:4/4" in out
 
     tx_compact(spark, t, target_files=2)
     dv2 = tx_dv_stats(t)

@@ -399,6 +399,46 @@ def main(argv: list[str] | None = None) -> int:
                     "source vacuum breaks them; tx compact copies them "
                     "home"
                 )
+            # pruning surface: which columns carry usable bounds (string
+            # bounds included since the truncation-safe stats landed),
+            # and whether planning should move off the driver loop
+            n_files = len(snap0["files"])
+            col_cov: dict[str, int] = {}
+            for st_ in snap0["stats"].values():
+                for c_, b_ in (st_ or {}).get("cols", {}).items():
+                    if b_[0] is not None:
+                        col_cov[c_] = col_cov.get(c_, 0) + 1
+            if col_cov:
+                print(
+                    "prunable bounds: "
+                    + ", ".join(f"{c}:{n}/{n_files}"
+                                for c, n in sorted(col_cov.items()))
+                )
+            if n_files >= 1_000_000:
+                print(
+                    f"planning: {n_files} live files — RECOMMEND "
+                    "tx_prune(spark=...) / tx_files_df (distributed "
+                    "metadata plane; the driver loop crosses over ~1e6)"
+                )
+            from .operators.txlog import (
+                _CHECKPOINT_RE,
+                _log_dir,
+                get_log_store,
+            )
+
+            cp_names = [
+                n for n in get_log_store(args.table).list(
+                    _log_dir(args.table))
+                if _CHECKPOINT_RE.match(n)
+            ]
+            if cp_names:
+                newest = max(cp_names)
+                fmt = newest.rsplit(".", 1)[1]
+                print(
+                    f"checkpoint: {newest}"
+                    + (" — json-era (pre-parquet); the next interval "
+                       "commit writes columnar" if fmt == "json" else "")
+                )
             # metadata-plane health: every snapshot resolution LISTs the
             # log dir, so report retention debt (dry run — doctor never
             # mutates)

@@ -944,10 +944,34 @@ def _commit(
     if the snapshot has already folded a batch ≥ this one for `app`, the
     commit is a no-op (returns None). The token check runs INSIDE the
     retry loop, so two writers racing the same (app, batch) commit it
-    exactly once."""
+    exactly once.
+
+    Liveness: a lost race means SOMEONE committed the version we tried
+    (progress), so lost races retry indefinitely — a blind append can
+    never starve out just because many writers are landing commits
+    (Delta's behavior; 100 concurrent streaming writers on one table is
+    a normal cluster load, not an error). `max_retries` bounds only
+    retries WITHOUT forward progress — a store whose put_if_absent
+    refuses while nothing lands is broken, and that should fail fast,
+    not spin. A small jittered backoff de-herds the losers."""
+    import random
+
     store = get_log_store(path)
-    for _ in range(max_retries):
+    last_seen = -2  # below the empty-table sentinel (-1)
+    stalls = 0
+    while True:
         snap = _replay(path)
+        seen_v = snap["version"] if snap else -1
+        if seen_v > last_seen:
+            last_seen, stalls = seen_v, 0
+        else:
+            stalls += 1
+            if stalls > max_retries:
+                raise TxConflict(
+                    f"{op}: {max_retries} retries with no forward progress "
+                    f"(log stuck at version {seen_v}) — the LogStore is "
+                    "refusing writes without anything landing"
+                )
         if txn is not None:
             seen = (snap or {}).get("txns", {}).get(txn[0], -1)
             if int(txn[1]) <= seen:
@@ -996,11 +1020,11 @@ def _commit(
                 ) from None
             except OSError:
                 pass  # winner's entry not visible yet — plain lost race
+            time.sleep(random.uniform(0.0, 0.01))  # de-herd the losers
             continue  # retry on the newer snapshot
         if next_v > 0 and next_v % CHECKPOINT_INTERVAL == 0:
             _write_checkpoint(store, path, next_v)
         return next_v
-    raise TxConflict(f"{op}: exceeded {max_retries} commit retries")
 
 
 # --------------------------------------------------------------------------
