@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Reproduce the round-9 metadata-plane measurements quoted in SCALE.md:
+
+1. checkpoint format — json vs parquet encode/decode time and payload
+   size at N synthetic live files (plus the column-pruned rel-only read);
+2. end-to-end planning — driver `tx_prune` vs distributed
+   `tx_prune(spark=...)` on a FABRICATED table (planning never opens
+   data files, so the table is 11 tiny commits + one N-file checkpoint).
+
+Usage: python tools/bench_metadata_plane.py [N] [--spark]
+Defaults: N=200000, no Spark (part 2 needs --spark and a quiet box).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from weather_data_warehouse_aws_spark.operators.txlog import (  # noqa: E402
+    _CP_STATE_KEYS,
+    _checkpoint_from_parquet,
+    _checkpoint_to_parquet,
+)
+
+
+def _synthetic_checkpoint(n: int) -> dict:
+    files = [f"d={i % 365:03d}/part-{i:08x}.parquet" for i in range(n)]
+    stats = {
+        f: {"rows": 10000 + i % 500,
+            "cols": {"id": [i * 10, i * 10 + 9999, 0],
+                     "v": [float(i), float(i) + 1.5, 3],
+                     "d": [f"2024-{1 + i % 12:02d}-01",
+                           f"2024-{1 + i % 12:02d}-28", 0]}}
+        for i, f in enumerate(files)
+    }
+    dvs = {f: [f"_dv/{j}.parquet"] for j, f in enumerate(files[:n // 100])}
+    return {"version": 10, "files": files, "stats": stats, "dvs": dvs,
+            "schema": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "horizon": 0, "txns": {}, "partition_by": ["d"],
+            "constraints": {}, "column_map": {}, "dropped_cols": [],
+            "bases": [], "generated": {}}
+
+
+def _best(fn, n=3):
+    ts = []
+    out = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts), out
+
+
+def bench_formats(n: int) -> None:
+    cp = _synthetic_checkpoint(n)
+    tj, js = _best(lambda: json.dumps(
+        {k: cp.get(k) for k in (*_CP_STATE_KEYS, "files", "stats", "dvs")}))
+    tjd, _ = _best(lambda: json.loads(js))
+    tp, blob = _best(lambda: _checkpoint_to_parquet(cp))
+    tpd, back = _best(lambda: _checkpoint_from_parquet(blob))
+    assert back["files"] == cp["files"] and back["stats"] == cp["stats"]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    trel, _ = _best(lambda: pq.read_table(
+        pa.BufferReader(blob), columns=["rel"]).column("rel").to_pylist())
+    print(f"N={n} live files:")
+    print(f"  json:    encode {tj:.2f}s decode {tjd:.2f}s "
+          f"size {len(js) / 1e6:.1f} MB")
+    print(f"  parquet: encode {tp:.2f}s decode {tpd:.2f}s "
+          f"size {len(blob) / 1e6:.1f} MB")
+    print(f"  parquet rel-column-only read: {trel:.3f}s")
+
+
+def bench_planning(n: int) -> None:
+    from pyspark.sql import SparkSession
+
+    from weather_data_warehouse_aws_spark.operators import txlog as tx
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    cp = _synthetic_checkpoint(n)
+    cp["partition_by"] = None
+    cp["files"] = [f.split("/", 1)[1] for f in cp["files"]]  # flat rels
+    cp["stats"] = {f.split("/", 1)[1]: s
+                   for f, s in cp["stats"].items()}
+    cp["dvs"] = {}
+    d = tempfile.mkdtemp()
+    t = os.path.join(d, "t")
+    log = os.path.join(t, "_txn_log")
+    os.makedirs(log)
+    for v in range(11):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            json.dump({"version": v, "op": "append", "add": [],
+                       "remove": [], "meta": {"schema": cp["schema"]},
+                       "ts": time.time()}, fh)
+    with open(os.path.join(log, f"{10:020d}.checkpoint.parquet"),
+              "wb") as fh:
+        fh.write(_checkpoint_to_parquet(cp))
+    pred = [("id", ">=", n * 10 * 3 // 4)]
+    tx.tx_prune(t, pred, spark=spark)  # warm the Spark path
+    t0 = time.perf_counter()
+    a = tx.tx_prune(t, pred)
+    t1 = time.perf_counter()
+    b = tx.tx_prune(t, pred, spark=spark)
+    t2 = time.perf_counter()
+    assert (sorted(a[0]), sorted(a[1])) == (b[0], b[1])
+    print(f"end-to-end planning at {n} files: driver {t1 - t0:.2f}s, "
+          f"distributed {t2 - t1:.2f}s, kept {len(a[0])}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 200_000
+    bench_formats(n)
+    if "--spark" in sys.argv:
+        bench_planning(n)
