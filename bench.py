@@ -53,6 +53,91 @@ def _load1() -> float | None:
         return None
 
 
+# ---------------------------------------------------------------------------
+# Foreign-CPU metering: the r9 driver artifact was inflated ~20% by a
+# co-tenant spike that the suite-start load gate could not see. load1
+# DURING the run cannot adjudicate (our own 32-way Spark work dominates
+# it), so each sample instead measures what the BOX burned minus what OUR
+# process tree (driver + JVM + pyspark workers) burned — the difference,
+# in cores, is the co-tenant. Samples above SPARK_GRAFT_BENCH_FOREIGN_MAX
+# (default 2.0 cores) are flagged contaminated and retaken (up to 2
+# extras); a query whose every sample stayed contaminated is reported in
+# the JSON line's "contaminated" list so the number is never silently
+# trusted.
+# ---------------------------------------------------------------------------
+
+_HZ = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+FOREIGN_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_FOREIGN_MAX", "2.0"))
+CONTAMINATED_EXTRA = 2  # extra retakes when every base sample is dirty
+
+
+def _box_busy_jiffies() -> int | None:
+    """Total non-idle jiffies across all CPUs (user+nice+system+irq+…,
+    excluding idle and iowait)."""
+    try:
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        return sum(v) - v[3] - v[4]
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _tree_busy_jiffies() -> int | None:
+    """utime+stime jiffies summed over THIS process and every live
+    descendant (the py4j JVM, pyspark daemons/workers). A worker that
+    exits mid-window drops its jiffies from the sum, which can only
+    OVERSTATE foreign CPU — contamination flags stay conservative."""
+    try:
+        entries: dict[int, tuple[int, int]] = {}
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat", "rb") as f:
+                    s = f.read().decode("ascii", "replace")
+            except OSError:
+                continue  # raced a process exit
+            after = s[s.rfind(")") + 2:].split()  # comm may hold spaces
+            entries[int(p)] = (int(after[1]), int(after[11]) + int(after[12]))
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _) in entries.items():
+            kids.setdefault(ppid, []).append(pid)
+        total, stack = 0, [os.getpid()]
+        while stack:
+            pid = stack.pop()
+            if pid in entries:
+                total += entries[pid][1]
+            stack.extend(kids.get(pid, ()))
+        return total
+    except OSError:
+        return None
+
+
+def _foreign_cores(b0, t0, b1, t1, elapsed: float) -> float | None:
+    """Average co-tenant cores burned during the window, or None when
+    /proc was unreadable."""
+    if None in (b0, t0, b1, t1) or elapsed <= 0:
+        return None
+    return round(max(0, (b1 - b0) - (t1 - t0)) / _HZ / elapsed, 2)
+
+
+def timed_sample(fn):
+    """(elapsed_sec, result, foreign_cores) for one callable run."""
+    b0, t0 = _box_busy_jiffies(), _tree_busy_jiffies()
+    start = time.perf_counter()
+    result = fn()
+    elapsed = time.perf_counter() - start
+    foreign = _foreign_cores(b0, t0, _box_busy_jiffies(),
+                             _tree_busy_jiffies(), elapsed)
+    return elapsed, result, foreign
+
+
+def _is_clean(foreign: float | None) -> bool:
+    # unmeterable (non-Linux) degrades to "clean" — better an unflagged
+    # number than a permanently contaminated suite
+    return foreign is None or foreign <= FOREIGN_MAX
+
+
 def run_suite(
     spark, queries, sf_dir: str, iters: int,
     detail: dict[str, dict] | None = None,
@@ -60,36 +145,54 @@ def run_suite(
     # warm parquet footers so per-query numbers measure the query
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     timings: dict[str, float] = {}
+    contaminated: list[str] = []
     for name in sorted(queries):
         load_before = _load1()
         samples: list[float] = []
+        foreigns: list[float | None] = []
         n = 0
-        # adaptive: heavy entries (best >= HEAVY_SEC after the base
-        # iterations) get extra runs — a mid-run load spike on a 5s query
-        # moves the suite total far more than one on a 0.2s query, and
-        # recorded per-iteration times let a reviewer adjudicate noise
-        # vs. plan regression without a re-run
-        while len(samples) < iters or (
-            min(samples) >= HEAVY_SEC and len(samples) < HEAVY_ITERS
-        ):
-            start = time.perf_counter()
+
+        def one_sample():
+            nonlocal n
             df = queries[name](spark, sf_dir)
             n = df.count()
-            samples.append(time.perf_counter() - start)
             # queries may persist internal intermediates (e.g. minhash
             # signatures); drop them so queries are timed independently
             spark.catalog.clearCache()
-        timings[name] = round(min(samples), 3)
+
+        # adaptive: heavy entries (best >= HEAVY_SEC after the base
+        # iterations) get extra runs — a mid-run load spike on a 5s query
+        # moves the suite total far more than one on a 0.2s query — and
+        # a query with no foreign-CPU-clean sample gets retaken too
+        # (min() only needs ONE quiet sample to report the true cost)
+        while (
+            len(samples) < iters
+            or (min(samples) >= HEAVY_SEC and len(samples) < HEAVY_ITERS)
+            or (not any(map(_is_clean, foreigns))
+                and len(samples) < iters + CONTAMINATED_EXTRA)
+        ):
+            elapsed, _, foreign = timed_sample(one_sample)
+            samples.append(elapsed)
+            foreigns.append(foreign)
+        clean = [s for s, f in zip(samples, foreigns) if _is_clean(f)]
+        if not clean:
+            contaminated.append(name)
+            clean = samples
+        timings[name] = round(min(clean), 3)
         if detail is not None:
             detail[name] = {
                 "iters": [round(s, 3) for s in samples],
+                "foreign_cores": foreigns,
                 "load1_before": load_before,
             }
         print(
             f"# {name}: {timings[name]:.3f}s ({n} rows; "
-            f"{len(samples)} iter(s), load1 {load_before})",
+            f"{len(samples)} iter(s), load1 {load_before}, "
+            f"foreign {foreigns})",
             file=sys.stderr,
         )
+    if detail is not None and contaminated:
+        detail["_contaminated"] = contaminated
     return timings
 
 
@@ -167,15 +270,24 @@ def main() -> None:
         # long-running session); steady state is what the reference's
         # "<5 min per daily Glue job" budget compares against
         best, n_acc = None, 0
-        pipe_detail = {"iters": [], "load1_before": _load1()}
+        pipe_detail = {"iters": [], "foreign_cores": [],
+                       "load1_before": _load1()}
         for it in range(max(ITERS, 1)):
-            start = time.perf_counter()
-            layers = run_pipeline(spark, bronze, os.path.join(tmp, f"wh{it}"))
-            n_acc = layers["fact_forecast_accuracy"].count()
-            elapsed = time.perf_counter() - start
+            def _run_wp(it=it):
+                layers = run_pipeline(
+                    spark, bronze, os.path.join(tmp, f"wh{it}")
+                )
+                return layers["fact_forecast_accuracy"].count()
+            elapsed, n_acc, foreign = timed_sample(_run_wp)
             pipe_detail["iters"].append(round(elapsed, 3))
-            print(f"# weather_pipeline.iter{it}: {elapsed:.3f}s", file=sys.stderr)
-            best = elapsed if best is None else min(best, elapsed)
+            pipe_detail["foreign_cores"].append(foreign)
+            print(f"# weather_pipeline.iter{it}: {elapsed:.3f}s "
+                  f"(foreign {foreign})", file=sys.stderr)
+            if _is_clean(foreign):
+                best = elapsed if best is None else min(best, elapsed)
+        if best is None:  # every sample contaminated — flag, report all
+            detail.setdefault("_contaminated", []).append("weather_pipeline")
+            best = min(pipe_detail["iters"])
         detail["weather_pipeline"] = pipe_detail
         timings["weather_pipeline"] = round(best, 3)
         print(
@@ -204,16 +316,22 @@ def main() -> None:
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
     )
     best, n_packed = None, 0
-    cur_detail = {"iters": [], "load1_before": _load1()}
+    cur_detail = {"iters": [], "foreign_cores": [], "load1_before": _load1()}
     for it in range(max(ITERS, 1)):
-        start = time.perf_counter()
-        stages = curate_corpus(docs, eval_docs=ev)
-        n_packed = stages["packed"].count()
-        elapsed = time.perf_counter() - start
-        cur_detail["iters"].append(round(elapsed, 3))
-        print(f"# curation_pipeline.iter{it}: {elapsed:.3f}s", file=sys.stderr)
-        best = elapsed if best is None else min(best, elapsed)
+        def _run_cur():
+            stages = curate_corpus(docs, eval_docs=ev)
+            return stages, stages["packed"].count()
+        elapsed, (stages, n_packed), foreign = timed_sample(_run_cur)
         release_curation(stages)  # the run's cache-ownership contract
+        cur_detail["iters"].append(round(elapsed, 3))
+        cur_detail["foreign_cores"].append(foreign)
+        print(f"# curation_pipeline.iter{it}: {elapsed:.3f}s "
+              f"(foreign {foreign})", file=sys.stderr)
+        if _is_clean(foreign):
+            best = elapsed if best is None else min(best, elapsed)
+    if best is None:  # every sample contaminated — flag, report all
+        detail.setdefault("_contaminated", []).append("curation_pipeline")
+        best = min(cur_detail["iters"])
     detail["curation_pipeline"] = cur_detail
     timings["curation_pipeline"] = round(best, 3)
     print(
@@ -241,6 +359,11 @@ def main() -> None:
         # small enough for the driver's stdout-tail window)
         "load1_start": load1_start,
         "load1_end": _load1(),
+        # queries whose EVERY sample saw > FOREIGN_MAX co-tenant cores
+        # even after retakes — their numbers are upper bounds, not
+        # measurements (empty on a quiet box)
+        "contaminated": detail.get("_contaminated", []),
+        "foreign_max": FOREIGN_MAX,
     }
 
     # full per-iteration samples + load readings, for adjudicating noise

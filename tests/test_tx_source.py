@@ -743,3 +743,134 @@ def test_starting_timestamp_resolves_stream_start(spark, tmp_path):
     # both starting options -> loud refusal
     with pytest.raises(Exception, match="not both"):
         _run({"starting_timestamp": str(mid), "starting_version": "0"}, "c4")
+
+
+# --------------------------------------------------------- admission control
+def _bounded_query(spark, t, ckpt, batches, **opts):
+    """Start (not drain) a continuously-triggering txtable stream into a
+    per-batch collecting sink; `batches` gains one (ids, versions) tuple
+    per NON-EMPTY microbatch. Caller drives with processAllAvailable()
+    and stop()."""
+    register_tx_source(spark)
+
+    def _sink(bdf, _bid):
+        rows = bdf.collect()
+        if rows:
+            batches.append((
+                sorted(r["id"] for r in rows),
+                sorted({r["_commit_version"] for r in rows}),
+            ))
+
+    reader = spark.readStream.format("txtable").option("path", t)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return (
+        reader.load().writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+def test_max_commits_per_trigger_bounds_backlog(spark, tmp_path):
+    """Commits landing while the stream is UP drain as BOUNDED
+    microbatches — a 9-commit backlog under max_commits_per_trigger=3
+    takes >=3 batches of <=3 commit versions each, every row delivered
+    exactly once (Delta's maxFilesPerTrigger semantics: catch-up is
+    incremental and each bounded batch is a durable checkpoint). The
+    FIRST trigger of a (re)start is unbounded by Python-API necessity —
+    latestOffset runs before the reader can see any offset, and
+    releasing less than a restart's checkpoint would regress the offset
+    log — so the backlog is planted after the stream starts."""
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    tx_append(_mk(spark, [100]).coalesce(1), t)  # v0 — first (unbounded) trigger
+    batches: list = []
+    q = _bounded_query(spark, t, ckpt, batches,
+                       max_commits_per_trigger="3")
+    try:
+        q.processAllAvailable()
+        assert [b[0] for b in batches] == [[100]]
+        batches.clear()
+        for i in range(9):
+            tx_append(_mk(spark, [i]).coalesce(1), t)  # v1..v9
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batches) >= 3, batches
+    for _ids, versions in batches:
+        assert versions[-1] - versions[0] + 1 <= 3, batches
+    all_ids = [i for ids, _ in batches for i in ids]
+    assert sorted(all_ids) == list(range(9))  # exactly once
+
+
+def test_max_commits_restart_mid_backlog_exactly_once(spark, tmp_path):
+    """Stop the stream MID-BACKLOG (after >=1 bounded batch, before the
+    drain completes), then restart on the same checkpoint: no row is
+    lost or duplicated across the boundary — each bounded batch was a
+    durable checkpoint. The restart's own first trigger is unbounded
+    (see test above) and sweeps the remainder."""
+    import time as _time
+
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    tx_append(_mk(spark, [100]).coalesce(1), t)  # v0
+    batches: list = []
+    q = _bounded_query(spark, t, ckpt, batches,
+                       max_commits_per_trigger="2")
+    try:
+        q.processAllAvailable()  # v0 delivered; high-water mark seeded
+        for i in range(12):
+            tx_append(_mk(spark, [i]).coalesce(1), t)  # v1..v12
+        # stop as soon as at least one BOUNDED batch has committed but
+        # before the 6-batch drain can finish
+        deadline = _time.monotonic() + 120
+        while len(batches) < 2 and _time.monotonic() < deadline:
+            _time.sleep(0.05)
+    finally:
+        q.stop()
+    delivered_phase1 = [i for ids, _ in batches[1:] for i in ids]
+    assert delivered_phase1, "need at least one bounded batch pre-stop"
+    # every phase-1 batch past the seed drain is bounded
+    for _ids, versions in batches[1:]:
+        assert versions[-1] - versions[0] + 1 <= 2, batches
+
+    batches2: list = []
+    q2 = _bounded_query(spark, t, ckpt, batches2,
+                        max_commits_per_trigger="2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    delivered = delivered_phase1 + [i for ids, _ in batches2 for i in ids]
+    assert sorted(delivered) == list(range(12))  # exactly once, no loss
+
+
+def test_max_files_per_trigger_bounds_by_file_count(spark, tmp_path):
+    """max_files_per_trigger admits whole commits until the planned file
+    count would exceed the cap (2 files/commit, cap 4 -> 2 commits per
+    batch), but always admits at least one commit so an oversized commit
+    can never wedge the stream."""
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    tx_append(_mk(spark, [100, 101]).repartition(2), t)  # v0 — seed trigger
+    batches: list = []
+    q = _bounded_query(spark, t, ckpt, batches, max_files_per_trigger="4")
+    try:
+        q.processAllAvailable()
+        batches.clear()
+        for i in range(6):
+            tx_append(_mk(spark, [2 * i, 2 * i + 1]).repartition(2), t)
+        # one commit of 10 files: oversized, must still be admitted alone
+        tx_append(_mk(spark, range(50, 60)).repartition(10), t)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batches) >= 4, batches
+    for _ids, versions in batches:
+        assert len(versions) <= 2, batches
+    assert [50, 51, 52, 53, 54, 55, 56, 57, 58, 59] in [
+        b[0] for b in batches
+    ], "oversized commit admitted as its own batch"
+    all_ids = [i for ids, _ in batches for i in ids]
+    assert sorted(all_ids) == sorted(list(range(12)) + list(range(50, 60)))

@@ -642,11 +642,43 @@ def test_string_stats_truncation_soundness(spark, tmp_path):
     assert tx_read(spark, t, predicate=[("u", "=", probe)]).count() == 0
 
 
-def test_files_df_matches_snapshot(spark, tmp_path):
+@pytest.fixture(params=["localfs", "opaque"])
+def log_store_mode(request, tmp_path):
+    """Parametrizes the distributed-planning tests over the two LOG
+    planes: the POSIX store (native spark_uri — executors scan the
+    checkpoint in place) and an opaque store (spark_uri None — the
+    checkpoint must reach executors through the scratch spool, the 100 TB
+    object-store path). Complements the module-wide data_store_mode
+    fixture."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        register_log_store,
+    )
+
+    if request.param == "localfs":
+        yield request.param
+        return
+    store = InMemoryLogStore()
+    prefix = str(tmp_path)
+    register_log_store(prefix, store)
+    try:
+        yield request.param
+    finally:
+        _tx._STORES.pop(prefix, None)
+
+
+def _assert_spool_engaged(t: str, mode: str):
+    """In opaque mode the distributed base MUST have come from the
+    checkpoint spool — driver materialization would silently satisfy the
+    row assertions while abandoning the scale path."""
+    spooled = any(k[0] == os.path.abspath(t) for k in _tx._SPOOL_MEMO)
+    assert spooled == (mode == "opaque")
+
+
+def test_files_df_matches_snapshot(spark, tmp_path, log_store_mode):
     """`tx_files_df` — the distributed metadata plane — must agree with
     the driver snapshot exactly: same rels, same per-file stats, at head
     AND at a time-traveled version (checkpoint base + tail on one side,
-    scratch replay on the other)."""
+    scratch replay on the other) — on BOTH log planes."""
     from weather_data_warehouse_aws_spark.operators.txlog import tx_files_df
 
     t = str(tmp_path / "t")
@@ -658,6 +690,7 @@ def test_files_df_matches_snapshot(spark, tmp_path):
         got = {r["rel"]: (json.loads(r["stats_json"])
                           if r["stats_json"] else {}) for r in rows}
         assert got == snap["stats"]
+    _assert_spool_engaged(t, log_store_mode)
     # version/horizon validation parity with tx_snapshot
     with pytest.raises(ValueError, match="does not exist"):
         tx_files_df(spark, t, version=999)
@@ -665,8 +698,9 @@ def test_files_df_matches_snapshot(spark, tmp_path):
 
 def test_files_df_via_opaque_log_store(spark, tmp_path, mem_store):
     """A LogStore with no spark_uri (object-store mutex services,
-    in-memory emulations) still serves tx_files_df — the checkpoint base
-    falls back to driver materialization, tail fold unchanged."""
+    in-memory emulations) serves tx_files_df through the checkpoint
+    SPOOL — one GET of the bytes onto scratch, scanned by executors —
+    never driver materialization; tail fold unchanged."""
     from weather_data_warehouse_aws_spark.operators.txlog import tx_files_df
 
     t = str(tmp_path / "t")
@@ -676,16 +710,40 @@ def test_files_df_via_opaque_log_store(spark, tmp_path, mem_store):
     snap = tx_snapshot(t)
     rows = tx_files_df(spark, t).collect()
     assert sorted(r["rel"] for r in rows) == snap["files"]
+    _assert_spool_engaged(t, "opaque")
 
 
-def test_tx_prune_distributed_equals_driver(spark, tmp_path):
+def test_file_stats_distributed_equals_driver(spark, tmp_path, monkeypatch):
+    """Commit-time stats collected by the executor fan-out must be
+    byte-identical to the serial driver loop on every stats class the
+    pruner consumes — numeric, string (truncated bounds), date (kind
+    marker), NaN floats, nulls, hive-partitioned rels — since pruning
+    proofs are only as sound as the stats under them."""
+    t = str(tmp_path / "t")
+    _mk_pruning_table(spark, t)
+    rels = tx_snapshot(t)["files"]
+    assert len(rels) > 3
+    driver = _tx._file_stats(t, rels)
+    monkeypatch.setattr(_tx, "_STATS_DISTRIBUTED_MIN", 1)
+    distributed = _tx._file_stats(t, rels, spark=spark)
+    assert distributed == driver
+    # the date kind marker must survive the Arrow/json hop
+    assert any(
+        len(b) == 4 and b[3] == "date"
+        for st in distributed.values() for b in st["cols"].values()
+    )
+
+
+def test_tx_prune_distributed_equals_driver(spark, tmp_path,
+                                            log_store_mode):
     """`tx_prune(spark=...)` runs the SAME `_skip_row` proof as the
     driver loop, Arrow-batched over `tx_files_df` — results must be
     bit-for-bit equal on every proof class: range/equality on stats,
     exact hive path proofs (strings, dates), IN with a NULL member
     (3VL), is_null/not_null from footer null counts, the NaN footer
     hazard (file holding NaN must survive `>` pruning), renamed columns,
-    mixed layout eras, and time travel."""
+    mixed layout eras, and time travel — on BOTH log planes (the opaque
+    one proves the identical-prune claim through the scratch spool)."""
     import datetime as dt
 
     t = str(tmp_path / "t")
@@ -1278,6 +1336,62 @@ def test_date_footer_stats_prune_unpartitioned(spark, tmp_path):
     assert _can_skip(st2, "s", "=", "zzzz")      # above the max — skip
     assert _can_skip(st2, "s", "<", "aaa")       # below the min — skip
     assert _can_skip(st2, "s", "is_null", None)  # null_count == 0 proves
+
+
+def test_date_literal_vs_string_bounds_never_proves(spark, tmp_path):
+    """Cross-type skip proofs must be refused, both directions.
+
+    (a) A date literal against a STRING column's bounds: Spark casts the
+    string COLUMN to date, so a file bounded ['2024-1-1','2024-1-9']
+    matches DATE'2024-01-05' even though the ISO literal sorts outside
+    those bounds lexicographically — skipping it would silently drop the
+    row. (b) An unpadded string literal against a DATE column's ISO
+    bounds: Spark casts the LITERAL to date, so '2024-1-5' matches
+    2024-01-05 even though '2024-1-5' > '2024-01-09' as a string. The
+    kind marker on date-path bounds is what keeps both sound."""
+    import datetime as dt
+
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        _can_skip,
+        tx_prune,
+    )
+
+    # (a) string column holding unpadded date-like values
+    t = str(tmp_path / "t")
+    tx_append(
+        spark.createDataFrame(
+            [(i, f"2024-1-{i}") for i in range(1, 10)], "id int, s string"
+        ).coalesce(1),
+        t,
+    )
+    st = next(iter(tx_snapshot(t)["stats"].values()))
+    assert st["cols"]["s"][:2] == ["2024-1-1", "2024-1-9"]
+    assert len(st["cols"]["s"]) == 3, "string bounds must carry no marker"
+    lit = dt.date(2024, 1, 5)
+    assert not _can_skip(st, "s", "=", lit), "date-vs-string must not prove"
+    kept, skipped = tx_prune(t, [("s", "=", lit)])
+    assert kept and not skipped
+    # end-to-end: Spark casts the string column to date; the row survives
+    assert tx_read(spark, t, predicate=[("s", "=", lit)]).count() == 1
+
+    # (b) date column bounds meet an unpadded string literal
+    t2 = str(tmp_path / "t2")
+    tx_append(
+        spark.createDataFrame(
+            [(i, dt.date(2024, 1, i)) for i in range(1, 10)],
+            "id int, d date",
+        ).coalesce(1),
+        t2,
+    )
+    st2 = next(iter(tx_snapshot(t2)["stats"].values()))
+    assert st2["cols"]["d"][3] == "date", "date bounds must carry the marker"
+    assert not _can_skip(st2, "d", "=", "2024-1-5"), "normalizes, in range"
+    assert _can_skip(st2, "d", "=", "2024-1-15")  # normalizes, out of range
+    assert not _can_skip(st2, "d", "=", "garbage")  # unparseable: no proof
+    assert not _can_skip(st2, "d", "=", 7)  # numeric vs date: no proof
+    # date literals still prove against date bounds (the r9 behavior)
+    assert _can_skip(st2, "d", "=", dt.date(2024, 2, 1))
+    assert not _can_skip(st2, "d", "=", dt.date(2024, 1, 5))
 
 
 # ----------------------------------------------------- deletion vectors

@@ -215,8 +215,26 @@ class LogStore:
         any store that keeps the payload string verbatim (in-memory
         emulations, KV stores); a store whose str methods re-encode
         (file-backed text IO) MUST override with true binary IO, as
-        `LocalFSLogStore` does."""
-        return self.put_if_absent(log_dir, name, payload.decode("latin-1"))
+        `LocalFSLogStore` does. The bridge does not TRUST that contract:
+        after a winning write it reads the entry back and compares, so a
+        str-only store that silently re-encodes fails HERE — loudly, at
+        checkpoint-write time — instead of corrupting the checkpoint and
+        surfacing later as an unreadable snapshot (or not at all, if the
+        json fallback masks it)."""
+        won = self.put_if_absent(log_dir, name, payload.decode("latin-1"))
+        if won:
+            try:
+                echo = self.read(log_dir, name).encode("latin-1")
+            except UnicodeEncodeError:
+                echo = None
+            if echo != payload:
+                raise TxCorruption(
+                    f"{type(self).__name__}: binary payload for "
+                    f"{name!r} did not survive the latin-1 str bridge — "
+                    "this store re-encodes text; override "
+                    "put_if_absent_bytes/read_bytes with true binary IO"
+                )
+        return won
 
     def read_bytes(self, log_dir: str, name: str) -> bytes:
         """Binary twin of `read`; same bridge contract as
@@ -688,15 +706,19 @@ def tx_exists(path: str) -> bool:
     return bool(_list_log(path)[0])
 
 
-def _newest_horizon(path: str, commits: list[int],
-                    checkpoints: list[int]) -> int:
+def _newest_horizon(path: str, commits: list[int], checkpoints: list[int],
+                    newest_cp_state: dict | None = None) -> int:
     """Newest vacuum horizon across the WHOLE log (a vacuum after a
     target version may have deleted files that version needs, so reading
     below the newest horizon must fail loudly). Horizons are
     nondecreasing, so the newest vacuum commit carries the max;
     checkpoints fold the horizon of everything at-or-before them, so the
     backward scan is bounded by the checkpoint interval, not the log
-    length."""
+    length. The checkpoint fallback reads ONLY the table-level state —
+    `_checkpoint_state` is a footer-KV read on URI-addressable parquet
+    checkpoints, never a live-set decode — and a caller that has already
+    decoded the newest checkpoint passes it as `newest_cp_state` so the
+    fallback costs nothing (`_replay` does)."""
     horizon = 0
     scan_floor = checkpoints[-1] if checkpoints else -1
     for v in reversed(commits):
@@ -707,9 +729,9 @@ def _newest_horizon(path: str, commits: list[int],
             horizon = int(rec["meta"]["horizon"])
             break
     if horizon == 0 and checkpoints:
-        horizon = int(
-            _load_checkpoint(path, checkpoints[-1]).get("horizon", 0)
-        )
+        st = (newest_cp_state if newest_cp_state is not None
+              else _checkpoint_state(path, checkpoints[-1]))
+        horizon = int(st.get("horizon") or 0)
     return horizon
 
 
@@ -732,12 +754,33 @@ def _replay(path: str, version: int | None = None) -> dict | None:
     if target > latest or target < 0:
         raise ValueError(f"version {target} does not exist (latest {latest})")
 
-    horizon = _newest_horizon(path, commits, checkpoints)
+    # Decode the base checkpoint ONCE: _newest_horizon's fallback reuses
+    # it when the target rides the newest checkpoint (the common case),
+    # instead of a second full live-set decode. A failed load is held
+    # until after the horizon check so a vacuumed target still gets its
+    # precise error (cleanup may legitimately have deleted checkpoints
+    # below the retention floor; above it, the failure is real damage).
+    usable = [c for c in checkpoints if c <= target]
+    cp: dict | None = None
+    cp_err: Exception | None = None
+    if usable:
+        try:
+            cp = _load_checkpoint(path, usable[-1])
+        except Exception as e:  # noqa: BLE001 — re-raised below
+            cp_err = e
+    horizon = _newest_horizon(
+        path, commits, checkpoints,
+        newest_cp_state=(
+            cp if cp is not None and usable[-1] == checkpoints[-1] else None
+        ),
+    )
     if target < horizon:
         raise ValueError(
             f"version {target} was vacuumed (horizon {horizon}) — "
             "its data files are gone"
         )
+    if cp_err is not None:
+        raise cp_err
 
     base_v = -1
     live: dict[str, dict] = {}  # relpath -> per-file stats ({} if none)
@@ -750,9 +793,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
     generated: dict[str, str] = {}  # generated columns: name -> SQL expr
     schema_json = None
     partition_by: list[str] | None = None
-    usable = [c for c in checkpoints if c <= target]
-    if usable:
-        cp = _load_checkpoint(path, usable[-1])
+    if cp is not None:
         base_v = cp["version"]
         cp_stats = cp.get("stats", {})
         live = {f: cp_stats.get(f, {}) for f in cp["files"]}
@@ -1057,11 +1098,25 @@ def _str_upper_bound(s: str) -> str | None:
     return None
 
 
-def _file_stats(path: str, rels: list[str]) -> dict[str, dict]:
+# Files-per-commit above which stats collection runs as a Spark job
+# instead of the serial driver loop: a footer read is one remote GET, and
+# a 100k-file ingest commit must not pay 100k of them sequentially on the
+# driver (Delta collects add-file stats in the executors during the
+# write). Below it, Spark job overhead dominates — the driver loop wins.
+_STATS_DISTRIBUTED_MIN = int(
+    os.environ.get("SPARK_GRAFT_STATS_DISTRIBUTED_MIN", "64")
+)
+
+
+def _file_stats(path: str, rels: list[str],
+                spark: SparkSession | None = None) -> dict[str, dict]:
     """Per-file `{rel: {"rows": n, "cols": {col: [min, max, null_count]}}}`
     read from the parquet FOOTERS (row-group statistics) — metadata-only,
     never a data scan, so recording stats costs O(files), not O(rows),
-    exactly as Delta computes its add-file stats during the write.
+    exactly as Delta computes its add-file stats during the write. With
+    `spark` and at least `_STATS_DISTRIBUTED_MIN` files, the footer reads
+    fan out over the executors (`_file_stats_distributed`) — identical
+    dicts by construction (same per-file decode, `_footer_stats_one`).
 
     Top-level NUMERIC, DATE and STRING columns are kept; bool/nested/
     timestamp are skipped (ordering/encoding hazards not worth the edge
@@ -1085,89 +1140,142 @@ def _file_stats(path: str, rels: list[str]) -> dict[str, dict]:
     writer-dependent) is dropped for that file; pruning treats absent
     stats as "cannot skip".
     """
+    store = get_data_store(path)
+    if spark is not None and len(rels) >= _STATS_DISTRIBUTED_MIN:
+        return _file_stats_distributed(spark, store, path, rels)
+    return {rel: _footer_stats_one(store, path, rel) for rel in rels}
+
+
+def _file_stats_distributed(spark: SparkSession, store: "DataStore",
+                            path: str, rels: list[str]) -> dict[str, dict]:
+    """`_file_stats` fanned out as a Spark job: one task batch per slice
+    of rels, each executor opening its files through the SAME picklable
+    DataStore and running the SAME footer decode. Stats values are
+    JSON-safe by construction (ints/floats/ISO strings/None + the kind
+    marker), so the Arrow hop is a lossless json round-trip. The driver
+    collects only the KB-scale stats dicts, never the footers."""
+    import pandas as pd
+
+    def probe(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "rel": pdf["rel"],
+                "stats_json": [
+                    json.dumps(_footer_stats_one(store, path, r))
+                    for r in pdf["rel"]
+                ],
+            })
+
+    n_slices = min(len(rels), spark.sparkContext.defaultParallelism * 2)
+    rows = (
+        spark.createDataFrame([(r,) for r in rels], "rel string")
+        .repartition(n_slices)
+        .mapInPandas(probe, "rel string, stats_json string")
+        .collect()
+    )
+    out = {r["rel"]: json.loads(r["stats_json"]) for r in rows}
+    missing = set(rels) - set(out)
+    if missing:  # a lost task could only ever DROP rows; never silent
+        raise TxCorruption(
+            f"{path}: distributed stats collection returned "
+            f"{len(out)}/{len(rels)} files (missing e.g. "
+            f"{sorted(missing)[:3]})"
+        )
+    return out
+
+
+def _footer_stats_one(store: "DataStore", path: str, rel: str) -> dict:
+    """One file's commit stats from its parquet footer — the shared
+    decode under both the driver loop and the distributed collector (see
+    `_file_stats` for the semantics and soundness argument)."""
     import datetime as _dt
     import math
 
     import pyarrow.parquet as pq
 
-    store = get_data_store(path)
-    out: dict[str, dict] = {}
-    for rel in rels:
-        with store.open_input(path, rel) as f:
-            md = pq.ParquetFile(f).metadata
-        cols: dict[str, list] = {}
-        dead: set[str] = set()
-        for rg_i in range(md.num_row_groups):
-            rg = md.row_group(rg_i)
-            for c_i in range(rg.num_columns):
-                cc = rg.column(c_i)
-                name = cc.path_in_schema
-                if "." in name or name in dead:
-                    continue  # nested leaf — min/max not row-level
-                st = cc.statistics
-                if st is None:
-                    dead.add(name)
-                    cols.pop(name, None)
-                    continue
-                nulls = st.null_count if st.has_null_count else None
-                mn = mx = None  # bound-less: only NULL proofs apply
-                if st.has_min_max:
-                    try:
-                        mn, mx = st.min, st.max
-                    except NotImplementedError:
-                        # pyarrow can't decode min/max for some logical
-                        # types (e.g. certain decimals) — degrade to
-                        # null-count-only stats, pruning stays proof-based
-                        mn = mx = None
-                    is_date = (
-                        isinstance(mn, _dt.date)
-                        and isinstance(mx, _dt.date)
-                        and not isinstance(mn, _dt.datetime)
-                        and not isinstance(mx, _dt.datetime)
-                    )
-                    is_str = isinstance(mn, str) and isinstance(mx, str)
-                    if is_date:
-                        # ISO: JSON-safe, and lexicographic ≡ date order
-                        mn, mx = mn.isoformat(), mx.isoformat()
-                    elif is_str:
-                        # keep commit records small AND the bound
-                        # property exact: prefix min (lower bound),
-                        # increment-adjusted max (upper bound, None when
-                        # un-incrementable). bytes (non-utf8 binary)
-                        # never reach here: pyarrow yields them as bytes,
-                        # which fail this isinstance.
-                        mn = mn[:_STR_STATS_MAX]
-                        mx = _str_upper_bound(mx)
-                    # Unusable bounds DEGRADE to null-count-only stats
-                    # (is_null/not_null still prove; comparisons can't).
-                    ok_type = is_date or is_str or (
-                        isinstance(mn, (int, float))
-                        and isinstance(mx, (int, float))
-                        and not isinstance(mn, bool)
-                        and not isinstance(mx, bool)
-                    )
-                    if not ok_type or (
-                        isinstance(mn, float) and not math.isfinite(mn)
-                    ) or (isinstance(mx, float) and not math.isfinite(mx)):
-                        mn = mx = None
-                prev = cols.get(name)
-                if prev is None:
-                    cols[name] = [mn, mx, nulls]
-                else:
-                    prev[0] = (
-                        None if prev[0] is None or mn is None
-                        else min(prev[0], mn)
-                    )
-                    prev[1] = (
-                        None if prev[1] is None or mx is None
-                        else max(prev[1], mx)
-                    )
-                    prev[2] = (
-                        None if prev[2] is None or nulls is None
-                        else prev[2] + nulls
-                    )
-        out[rel] = {"rows": md.num_rows, "cols": cols}
-    return out
+    with store.open_input(path, rel) as f:
+        md = pq.ParquetFile(f).metadata
+    cols: dict[str, list] = {}
+    dead: set[str] = set()
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            cc = rg.column(c_i)
+            name = cc.path_in_schema
+            if "." in name or name in dead:
+                continue  # nested leaf — min/max not row-level
+            st = cc.statistics
+            if st is None:
+                dead.add(name)
+                cols.pop(name, None)
+                continue
+            nulls = st.null_count if st.has_null_count else None
+            mn = mx = None  # bound-less: only NULL proofs apply
+            is_date = False
+            if st.has_min_max:
+                try:
+                    mn, mx = st.min, st.max
+                except NotImplementedError:
+                    # pyarrow can't decode min/max for some logical
+                    # types (e.g. certain decimals) — degrade to
+                    # null-count-only stats, pruning stays proof-based
+                    mn = mx = None
+                is_date = (
+                    isinstance(mn, _dt.date)
+                    and isinstance(mx, _dt.date)
+                    and not isinstance(mn, _dt.datetime)
+                    and not isinstance(mx, _dt.datetime)
+                )
+                is_str = isinstance(mn, str) and isinstance(mx, str)
+                if is_date:
+                    # ISO: JSON-safe, and lexicographic ≡ date order
+                    mn, mx = mn.isoformat(), mx.isoformat()
+                elif is_str:
+                    # keep commit records small AND the bound
+                    # property exact: prefix min (lower bound),
+                    # increment-adjusted max (upper bound, None when
+                    # un-incrementable). bytes (non-utf8 binary)
+                    # never reach here: pyarrow yields them as bytes,
+                    # which fail this isinstance.
+                    mn = mn[:_STR_STATS_MAX]
+                    mx = _str_upper_bound(mx)
+                # Unusable bounds DEGRADE to null-count-only stats
+                # (is_null/not_null still prove; comparisons can't).
+                ok_type = is_date or is_str or (
+                    isinstance(mn, (int, float))
+                    and isinstance(mx, (int, float))
+                    and not isinstance(mn, bool)
+                    and not isinstance(mx, bool)
+                )
+                if not ok_type or (
+                    isinstance(mn, float) and not math.isfinite(mn)
+                ) or (isinstance(mx, float) and not math.isfinite(mx)):
+                    mn = mx = None
+            prev = cols.get(name)
+            if prev is None:
+                # date bounds carry a kind marker: _can_skip must
+                # know ISO-string bounds came from a DATE column
+                # (lexicographic ≡ date order) and not a STRING one
+                # (where a date literal's cast semantics differ)
+                cols[name] = (
+                    [mn, mx, nulls, "date"]
+                    if is_date and mn is not None
+                    else [mn, mx, nulls]
+                )
+            else:
+                prev[0] = (
+                    None if prev[0] is None or mn is None
+                    else min(prev[0], mn)
+                )
+                prev[1] = (
+                    None if prev[1] is None or mx is None
+                    else max(prev[1], mx)
+                )
+                prev[2] = (
+                    None if prev[2] is None or nulls is None
+                    else prev[2] + nulls
+                )
+    return {"rows": md.num_rows, "cols": cols}
 
 
 # predicate conjunct ops understood by the pruner AND the reader filter.
@@ -1204,15 +1312,41 @@ def _can_skip(stats: dict, col: str, op: str, value) -> bool:
     if cs is None:
         rows = (stats or {}).get("rows")
         return False if rows is None else rows == 0
-    mn, mx, nulls = cs
+    mn, mx, nulls = cs[0], cs[1], cs[2]
+    kind = cs[3] if len(cs) > 3 else None  # "date" on date-column bounds
     if op == "not_null":
         rows = stats.get("rows")
         return rows is not None and nulls is not None and nulls == rows
     if isinstance(value, datetime.date) and not isinstance(value, datetime.datetime):
-        # date stats are stored as ISO strings (lexicographic ≡ date order);
-        # a date literal compares in the same encoding. Against NUMERIC
-        # stats the str comparison TypeErrors → "cannot skip", as intended.
+        # A date literal only proves against bounds RECORDED BY THE DATE
+        # PATH (kind marker): those are ISO strings, where lexicographic
+        # order ≡ date order. Against a genuine STRING column's bounds
+        # the comparison would be unsound — Spark casts the string COLUMN
+        # to date for such predicates, so a file bounded
+        # ['2024-1-1','2024-1-9'] still matches DATE'2024-01-05' even
+        # though the ISO literal sorts outside those bounds. Refuse.
+        if kind != "date":
+            return False
         value = value.isoformat()
+    elif kind == "date":
+        # Converse hazard: Spark casts a STRING LITERAL to date when it
+        # meets a date column, accepting unpadded forms ('2024-1-5') that
+        # do NOT sort like the ISO bounds. Normalize via a strict parse;
+        # anything unparseable → no proof (ANSI mode would error the
+        # query anyway; non-ANSI yields NULL → never matches, but that is
+        # a predicate-level fact, not this file's to claim).
+        if isinstance(value, str):
+            m = re.match(r"\s*(\d{4})-(\d{1,2})-(\d{1,2})\s*$", value)
+            if not m:
+                return False
+            try:
+                value = datetime.date(
+                    int(m.group(1)), int(m.group(2)), int(m.group(3))
+                ).isoformat()
+            except ValueError:
+                return False
+        else:
+            return False  # numeric/bool literal vs date column: no proof
     rows = stats.get("rows")
     if nulls is not None and rows is not None and nulls == rows:
         return True  # every value NULL — no comparison can match
@@ -1405,13 +1539,74 @@ def _tail_delta(path: str, commits: list[int], base_v: int,
     return added, removed, state
 
 
+# In-process memo of spooled checkpoints: (abs table root, version) ->
+# scratch file path. Checkpoints are immutable (put_if_absent names one
+# winner per version), so the memo is sound for the life of the process —
+# the same assumption Delta's JVM snapshot cache makes. The one hazard it
+# shares with Delta: a table DROPPED and RECREATED at the same root within
+# one process could alias versions; the spool file name carries the
+# content hash so at worst the memo re-spools, never serves stale bytes
+# to a caller that re-reads.
+_SPOOL_MEMO: dict[tuple[str, int], str] = {}
+
+
+def _spool_checkpoint_uri(path: str, cp_v: int) -> str | None:
+    """A spark/pyarrow-readable URI for the parquet checkpoint of an
+    OPAQUE LogStore (spark_uri() is None): ONE streamed GET of the
+    checkpoint bytes onto a scratch path, after which planning scans it
+    with executors like any native checkpoint — the driver never decodes
+    the live set into Python objects and never ships N-million rows
+    through createDataFrame. Returns None when the version has no parquet
+    checkpoint (json era) — callers fall back to driver materialization,
+    which is fine at json-checkpoint scale.
+
+    The scratch root is `$SPARK_GRAFT_SCRATCH` (set it to a cluster-
+    visible POSIX mount — NFS/EFS/Lustre — on multi-node deployments; the
+    proper fix there is implementing `LogStore.spark_uri`) or the local
+    tempdir (correct wherever driver and executors share a filesystem,
+    i.e. local mode). Files are content-hash named, so concurrent
+    spoolers converge and a re-created table can never alias an old
+    spool; the write is tmp+rename atomic."""
+    import hashlib
+    import tempfile
+
+    key = (os.path.abspath(path), cp_v)
+    memo = _SPOOL_MEMO.get(key)
+    if memo is not None and os.path.exists(memo):
+        return memo
+    try:
+        data = get_log_store(path).read_bytes(
+            _log_dir(path), _checkpoint_name(cp_v, "parquet")
+        )
+    except (OSError, KeyError):
+        return None  # json-era checkpoint — no parquet bytes to spool
+    root = os.environ.get("SPARK_GRAFT_SCRATCH") or os.path.join(
+        tempfile.gettempdir(), "tx_spool"
+    )
+    os.makedirs(root, exist_ok=True)
+    digest = hashlib.sha1(data).hexdigest()[:20]
+    dst = os.path.join(root, f"cp-{digest}-{cp_v:020d}.parquet")
+    if not os.path.exists(dst):
+        tmp = f"{dst}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, dst)
+    _SPOOL_MEMO[key] = dst
+    return dst
+
+
 def _checkpoint_state(path: str, cp_v: int) -> dict:
     """Table-level checkpoint state WITHOUT materializing the live set
     when possible: a parquet checkpoint with a spark_uri is a footer-only
-    read (`pq.read_schema`); otherwise fall back to a full load."""
+    read (`pq.read_schema`); an opaque store's checkpoint reads through
+    the spool (one GET, then footer-only — and the spool is already warm
+    for the planner); only a json-era checkpoint falls back to a full
+    load."""
     uri = get_log_store(path).spark_uri(
         _log_dir(path), _checkpoint_name(cp_v, "parquet")
     )
+    if uri is None:
+        uri = _spool_checkpoint_uri(path, cp_v)
     if uri is not None:
         import pyarrow.parquet as pq
 
@@ -1432,10 +1627,12 @@ def tx_files_df(spark: SparkSession, path: str,
     via `get_json_object(stats_json, '$.rows')`).
 
     This is the distributed half of the metadata plane: the base is the
-    parquet CHECKPOINT scanned by executors (when the LogStore exposes a
-    `spark_uri`; opaque stores fall back to a driver-materialized base),
-    and the commit tail — bounded by CHECKPOINT_INTERVAL, KB-scale — is
-    folded in driver-side. At 10M live files nothing materializes 10M
+    parquet CHECKPOINT scanned by executors — directly when the LogStore
+    exposes a `spark_uri`, via a one-GET scratch spool
+    (`_spool_checkpoint_uri`) when the store is opaque; only a json-era
+    checkpoint falls back to a driver-materialized base — and the commit
+    tail — bounded by CHECKPOINT_INTERVAL, KB-scale — is folded in
+    driver-side. At 10M live files nothing materializes 10M
     Python objects on the driver: planning, pruning (`tx_prune(spark=)`)
     and table analytics (file-count/row skew by partition) run as Spark
     jobs over this frame. Delta's design: the checkpoint IS the scan-
@@ -1460,9 +1657,14 @@ def tx_files_df(spark: SparkSession, path: str,
         uri = get_log_store(path).spark_uri(
             _log_dir(path), _checkpoint_name(cp_v, "parquet")
         )
+        if uri is None:
+            # opaque store: spool the checkpoint bytes to a scratch URI
+            # (one GET) so executors scan it — the distributed path must
+            # engage EXACTLY where the driver-heap GET hurts most
+            uri = _spool_checkpoint_uri(path, cp_v)
         if uri is not None:
             base_df = spark.read.parquet(uri).select("rel", "stats_json")
-        else:  # json-era checkpoint or opaque store: driver materializes
+        else:  # json-era checkpoint: driver materializes (small tables)
             cp = _load_checkpoint(path, cp_v)
             cp_stats = cp.get("stats", {})
             base_df = spark.createDataFrame(
@@ -1505,10 +1707,16 @@ def _prune_distributed(
     membership, per-file path-vs-stats proof, renamed columns)."""
     import pandas as pd
 
-    fdf = tx_files_df(spark, path, version)  # validates version + horizon
+    # Resolve the target version ONCE, before anything lists the log:
+    # with version=None a commit landing between two listings would let
+    # the column-map/tail state come from a newer version than the
+    # DataFrame's file set (a concurrent rename could then map a logical
+    # name onto a different physical column's stats and mis-prune).
+    # Pinning the resolved version makes both halves see one snapshot.
     commits, checkpoints = _usable_log(path)
     latest = commits[-1] if commits else -1
     target = latest if version is None else version
+    fdf = tx_files_df(spark, path, target)  # validates version + horizon
     usable = [c for c in checkpoints if c <= target]
     state = _checkpoint_state(path, usable[-1]) if usable else {}
     _add, _rm, tail_state = _tail_delta(
@@ -1595,7 +1803,13 @@ def _write_new_files(
         rels.append(rel)
     rels.sort()
     store.discard_stage(path, stage)
-    stats = _file_stats(path, rels) if collect_stats else {}
+    # stats fan out over executors past _STATS_DISTRIBUTED_MIN files —
+    # a large ingest commit must not serialize its footer reads on the
+    # driver (Delta collects add-file stats during the write itself)
+    stats = (
+        _file_stats(path, rels, spark=df.sparkSession)
+        if collect_stats else {}
+    )
     return rels, stats
 
 

@@ -42,6 +42,10 @@ _SUBMODULES = [
     "analytics_extra",
     "pipeline_ops",
     "chunking",
+    # entry #51: the tx-roundtrip diagnostic rides PAST the driver's
+    # 50-row cap by design (see txdiag module docstring) — register
+    # nothing after it that needs a driver CORRECTNESS row
+    "txdiag",
 ]
 
 

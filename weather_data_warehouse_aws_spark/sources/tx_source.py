@@ -621,10 +621,39 @@ class TxTableStreamReader(DataSourceStreamReader):
                 "not both"
             )
         self._pred_raw = options.get("predicate")
+        # Admission control, Delta's maxFilesPerTrigger semantics: a
+        # stream catching up on a long backlog plans BOUNDED microbatches
+        # instead of one covering every missed commit — each batch is a
+        # durable checkpoint, so a crash mid-catch-up resumes from the
+        # last bounded batch instead of replanning the whole backlog.
+        self._max_commits = self._pos_opt(options, "max_commits_per_trigger")
+        self._max_files = self._pos_opt(options, "max_files_per_trigger")
+        # Highest version already released through latestOffset — must be
+        # MONOTONE: Spark trusts sources never to regress offsets, and a
+        # lower release after a higher one gets committed to the offset
+        # log and re-delivers rows. None on a fresh reader; Spark calls
+        # latestOffset BEFORE initialOffset on every (re)start and the
+        # Python API never shows the reader its checkpointed offset at
+        # that point (the JVM admission-control hook isn't exposed), so
+        # the FIRST trigger of any start or restart is unbounded —
+        # bounding engages from the second trigger on. That still bounds
+        # what matters at scale: a stream that is UP keeps planning small
+        # durable batches however fast commits land.
+        self._released: int | None = None
         # from the options when supplied (txtable_options — required for
         # registered stores: this code may run in a planner worker that
         # cannot see the registry); ships pickled to executors
         self._data_store = _store_from_options(self.path, options)
+
+    @staticmethod
+    def _pos_opt(options: dict, name: str) -> int | None:
+        raw = options.get(name)
+        if raw is None:
+            return None
+        v = int(raw)
+        if v <= 0:
+            raise ValueError(f"txtable: {name} must be a positive integer")
+        return v
 
     def _snapshot(self):
         from ..operators.txlog import tx_exists, tx_snapshot
@@ -644,24 +673,78 @@ class TxTableStreamReader(DataSourceStreamReader):
             except ValueError:
                 ts = self._starting_ts  # ISO-8601 string
             try:
-                return {"version": tx_version_at(self.path, ts)}
+                start = tx_version_at(self.path, ts)
             except ValueError as e:
                 if "predates the oldest" not in str(e):
                     raise
-                return {"version": -1}  # before history: full feed
+                start = -1  # before history: full feed
+            if self._released is None:  # never regress a released offset
+                self._released = start
+            return {"version": start}
         if self.starting == "latest":
             snap = self._snapshot()
-            return {"version": snap["version"] if snap else -1}
-        return {"version": int(self.starting)}
+            start = snap["version"] if snap else -1
+        else:
+            start = int(self.starting)
+        if self._released is None:  # never regress a released offset
+            self._released = start
+        return {"version": start}
 
     def latestOffset(self) -> dict:
         snap = self._snapshot()
-        return {"version": snap["version"] if snap else -1}
+        latest = snap["version"] if snap else -1
+        if self._max_commits is None and self._max_files is None:
+            return {"version": latest}
+        base = self._released
+        if base is None:
+            # first trigger of a (re)start: the checkpointed offset is
+            # not visible yet, and releasing anything below it would
+            # regress the offset log — unbounded by necessity (__init__)
+            self._released = latest
+            return {"version": latest}
+        if latest <= base:
+            return {"version": base}  # nothing new (monotone hold)
+        end = self._bounded_end(base, latest)
+        self._released = end
+        return {"version": end}
+
+    def _bounded_end(self, base: int, latest: int) -> int:
+        """The highest version admissible this trigger: at most
+        `max_commits_per_trigger` commits past `base`, stopping early
+        once the planned file count would exceed `max_files_per_trigger`
+        — but always at least ONE commit, whatever its size, so the
+        stream can never wedge on a single huge commit (Delta's
+        at-least-one-file rule)."""
+        from ..operators.txlog import _load_rec, _usable_log
+
+        if self._max_commits is not None:
+            latest = min(latest, base + self._max_commits)
+        if self._max_files is None:
+            return latest
+        end = base
+        files = 0
+        for v in _usable_log(self.path)[0]:
+            if v <= base or v > latest:
+                continue
+            rec = _load_rec(self.path, v)
+            n = len(rec.get("add", [])) + len(rec.get("remove", []))
+            if end > base and files + n > self._max_files:
+                break
+            files += n
+            end = v
+            if files >= self._max_files:
+                break
+        return max(end, base + 1)  # progress guarantee
 
     def partitions(self, start: dict, end: dict):
         from ..operators.txlog import _load_rec, _usable_log, tx_snapshot
 
         lo, hi = int(start["version"]), int(end["version"])
+        # keep the admission-control high-water mark consistent with what
+        # Spark actually planned (it may exceed anything we released —
+        # e.g. a restart whose checkpointed end we never saw)
+        if self._released is None or hi > self._released:
+            self._released = hi
         if hi <= lo:
             return [InputPartition(None)]
         snap = tx_snapshot(self.path)
