@@ -3573,3 +3573,186 @@ def test_generated_columns_derive_enforce_and_partition(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="existing rows violate"):
         tx_set_generated_column(spark, t2, "twice", "a * 2")
+
+
+# ------------------------------------------------ multi-part checkpoints
+@pytest.fixture
+def multipart_cp(monkeypatch):
+    """Shrink the multi-part thresholds so small tables exercise the
+    Delta-v2-style layout: manifest + sidecar chain, delta parts,
+    compaction at 2 parts, checkpoints every 4 commits (keeps each test
+    to ~10 Spark writes)."""
+    monkeypatch.setattr(_tx, "CHECKPOINT_INTERVAL", 4)
+    monkeypatch.setattr(_tx, "_MULTIPART_MIN", 1)
+    monkeypatch.setattr(_tx, "_SIDECAR_ROWS", 100)
+    monkeypatch.setattr(_tx, "_SIDECAR_MAX_PARTS", 3)
+
+
+def _cp_state(t, v):
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        _checkpoint_state,
+    )
+
+    return _checkpoint_state(t, v)
+
+
+def test_multipart_checkpoint_replays_and_reads(spark, tmp_path,
+                                                multipart_cp):
+    """A multi-part checkpoint chain (full parts + per-checkpoint delta
+    sidecars with tombstones) must replay to exactly the same snapshot,
+    reads, stats, DVs, and time travel as the log itself; checkpoint
+    writes past the first must be DELTA parts that reuse the previous
+    chain (write cost tracks the commit delta, not the table)."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_delete_where,
+        tx_prune,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        tx_append(_mk(spark, [i]).coalesce(1), t)          # v0..v2
+    tx_delete_where(spark, t, "id = 1")                    # v3 (DV commit)
+    tx_append(_mk(spark, [100]).coalesce(1), t)            # v4 -> cp (full)
+    st4 = _cp_state(t, 4)
+    assert st4["sidecars"] and all("full" in n for n in st4["sidecars"])
+    for i in range(101, 104):
+        tx_append(_mk(spark, [i]).coalesce(1), t)          # v5..v7
+    tx_append(_mk(spark, [104]).coalesce(1), t)            # v8 -> cp (delta)
+    st8 = _cp_state(t, 8)
+    assert st8["sidecars"][: len(st4["sidecars"])] == st4["sidecars"]
+    assert "delta" in st8["sidecars"][-1]
+
+    # snapshot (replaying from the multi-part base) ≡ data; the DV
+    # recorded before the checkpoint still masks through the fold
+    assert _ids(tx_read(spark, t)) == [0, 2] + list(range(100, 105))
+    snap = tx_snapshot(t)
+    assert any(snap["dvs"].values())
+    # every live file keeps its commit stats through the fold
+    assert all(st.get("rows") for st in snap["stats"].values())
+    # time travel across eras: pre-checkpoint, between, head
+    assert _ids(tx_read(spark, t, version=2)) == [0, 1, 2]
+    assert _ids(tx_read(spark, t, version=6)) == [0, 2, 100, 101, 102]
+    # distributed planning agrees with the driver on the folded base
+    pred = [("id", ">=", 100)]
+    assert tx_prune(t, pred) == tx_prune(t, pred, spark=spark)
+    kept, skipped = tx_prune(t, pred)
+    assert kept and skipped
+
+
+def test_multipart_files_df_folds_on_both_log_planes(spark, tmp_path,
+                                                     multipart_cp,
+                                                     log_store_mode):
+    """tx_files_df folds the sidecar chain with executors — newest part
+    wins per rel, tombstones drop — identically on the POSIX store and
+    through the opaque-store spool."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_files_df,
+        tx_overwrite,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(5):
+        tx_append(_mk(spark, [i]).coalesce(1), t)          # v0..v4, cp4
+    tx_overwrite(_mk(spark, range(200, 203)).coalesce(1), t)  # v5: removes
+    for i in range(6, 9):
+        tx_append(_mk(spark, [i + 300]).coalesce(1), t)    # v6..v8, cp8
+    st8 = _cp_state(t, 8)
+    assert any("delta" in n for n in st8["sidecars"])
+    snap = tx_snapshot(t)
+    rows = tx_files_df(spark, t).collect()
+    assert sorted(r["rel"] for r in rows) == snap["files"]
+    got = {r["rel"]: (json.loads(r["stats_json"]) if r["stats_json"]
+                      else {}) for r in rows}
+    assert got == snap["stats"]
+    _assert_spool_engaged(t, log_store_mode)
+    # overwritten-away files must NOT leak through the fold
+    assert len(snap["files"]) == 1 + 3  # overwrite part + 3 appends
+
+
+def test_multipart_restore_compacts_chain(spark, tmp_path, multipart_cp):
+    """A restore carries dv_state (whole-map replacement) — the next
+    checkpoint must abandon the delta chain and compact, and still
+    replay the restored row set."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_delete_where,
+        tx_restore,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(5):
+        tx_append(_mk(spark, [i]).coalesce(1), t)          # v0..v4, cp4 full
+    tx_delete_where(spark, t, "id <= 1")                   # v5: DV
+    assert _ids(tx_read(spark, t)) == [2, 3, 4]
+    tx_restore(t, 4)                                       # v6: dv_state
+    assert _ids(tx_read(spark, t)) == [0, 1, 2, 3, 4]
+    tx_append(_mk(spark, [7]).coalesce(1), t)              # v7
+    tx_append(_mk(spark, [8]).coalesce(1), t)              # v8 -> cp
+    st8 = _cp_state(t, 8)
+    assert all("full" in n for n in st8["sidecars"]), st8["sidecars"]
+    assert _ids(tx_read(spark, t)) == [0, 1, 2, 3, 4, 7, 8]
+    assert not tx_snapshot(t)["dvs"]
+
+
+def test_multipart_retention_keeps_referenced_sidecars(spark, tmp_path,
+                                                       multipart_cp):
+    """tx_cleanup_log deletes sidecar parts only when no surviving
+    manifest references them: a delta chain crossing the retention floor
+    keeps its pre-floor parts alive, compaction-orphaned parts go, and
+    reads are identical after cleanup."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_cleanup_log,
+        tx_vacuum,
+    )
+
+    t = str(tmp_path / "t")
+    # cp4 full [A]; cp8 delta [A, d8]; cp12 delta [A, d8, d12];
+    # cp16 compacts to full [B]; cp20 delta [B, d20]
+    for i in range(21):
+        tx_append(_mk(spark, [i]).coalesce(1), t)          # v0..v20
+    st16, st20 = _cp_state(t, 16), _cp_state(t, 20)
+    assert all("full" in n for n in st16["sidecars"])
+    assert st20["sidecars"][: len(st16["sidecars"])] == st16["sidecars"]
+    orphaned = set(_cp_state(t, 12)["sidecars"])  # A, d8, d12
+    assert orphaned.isdisjoint(st20["sidecars"])
+
+    tx_vacuum(t, retain_versions=1)                        # v21: horizon 20
+    res = tx_cleanup_log(t)
+    assert res["floor"] == 20 and res["deleted_commits"] > 0
+    assert res["deleted_sidecars"] >= len(orphaned)
+    names = set(_tx.get_log_store(t).list(_tx._log_dir(t)))
+    assert orphaned.isdisjoint(names), "compaction orphans must be deleted"
+    for n in st20["sidecars"]:  # incl. B, born pre-floor but referenced
+        assert n in names, f"referenced sidecar {n} must survive"
+    assert _ids(tx_read(spark, t)) == list(range(21))
+
+
+def test_multipart_allfull_chain_scans_without_fold(spark, tmp_path,
+                                                    multipart_cp,
+                                                    monkeypatch):
+    """A freshly-compacted chain is all full parts — disjoint rels, no
+    tombstones — so tx_files_df takes the plain multi-file scan (no
+    groupBy fold) and still matches the snapshot exactly."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_files_df,
+    )
+
+    monkeypatch.setattr(_tx, "_SIDECAR_MAX_PARTS", 1)  # always compact
+    monkeypatch.setattr(_tx, "_SIDECAR_ROWS", 2)       # force >1 part
+    t = str(tmp_path / "t")
+    for i in range(5):
+        tx_append(_mk(spark, [i]).coalesce(1), t)          # v0..v4, cp4
+    st4 = _cp_state(t, 4)
+    assert len(st4["sidecars"]) > 1
+    assert all("full" in n for n in st4["sidecars"])
+    snap = tx_snapshot(t)
+    df = tx_files_df(spark, t)
+    rows = df.collect()
+    assert sorted(r["rel"] for r in rows) == snap["files"]
+    # the plan must be shuffle-free: no Exchange below the scan union
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "Exchange" not in buf.getvalue()

@@ -23,8 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from weather_data_warehouse_aws_spark.operators.txlog import (  # noqa: E402
     _CP_STATE_KEYS,
+    _SIDECAR_MAX_PARTS,
     _checkpoint_from_parquet,
     _checkpoint_to_parquet,
+    _sidecar_to_parquet,
 )
 
 
@@ -78,6 +80,42 @@ def bench_formats(n: int) -> None:
     print(f"  parquet rel-column-only read: {trel:.3f}s")
 
 
+def bench_multipart(n: int, delta: int = 1000) -> None:
+    """Checkpoint WRITE AMPLIFICATION: single-part (every checkpoint
+    rewrites the live set) vs multi-part (unchanged parts reused, one
+    delta sidecar per checkpoint, full compaction every
+    _SIDECAR_MAX_PARTS checkpoints). `delta` models the files touched
+    per CHECKPOINT_INTERVAL commits."""
+    cp = _synthetic_checkpoint(n)
+    t_full, blob = _best(lambda: _checkpoint_to_parquet(cp))
+    rows = [
+        (f, json.dumps(cp["stats"][f]), cp["dvs"].get(f) or [], False)
+        for f in cp["files"][:delta]
+    ] + [(f, None, [], True) for f in cp["files"][-max(1, delta // 10):]]
+    t_delta, sblob = _best(lambda: _sidecar_to_parquet(rows))
+    t_man, man = _best(lambda: _checkpoint_to_parquet(
+        {**cp, "files": [], "stats": {}, "dvs": {}},
+        extra_state={"sidecars": [f"sc-{i}" for i in range(
+            _SIDECAR_MAX_PARTS)]},
+    ))
+    per_cp_delta = len(sblob) + len(man)
+    amortized = (len(blob) + len(man)
+                 + (_SIDECAR_MAX_PARTS - 1) * per_cp_delta
+                 ) / _SIDECAR_MAX_PARTS
+    print(f"checkpoint write amplification at N={n}, delta={delta} "
+          f"touched files/checkpoint:")
+    print(f"  single-part: {len(blob) / 1e6:.2f} MB per checkpoint "
+          f"(encode {t_full:.2f}s)")
+    print(f"  multi-part delta: {per_cp_delta / 1e6:.3f} MB per "
+          f"checkpoint (sidecar {len(sblob) / 1e3:.0f} KB encode "
+          f"{t_delta * 1e3:.0f}ms + manifest {len(man) / 1e3:.0f} KB)")
+    print(f"  amortized incl. compaction every {_SIDECAR_MAX_PARTS}: "
+          f"{amortized / 1e6:.2f} MB per checkpoint "
+          f"({len(blob) / amortized:.1f}x less than single-part; "
+          f"steady-state delta checkpoints are "
+          f"{len(blob) / per_cp_delta:.0f}x smaller)")
+
+
 def bench_planning(n: int) -> None:
     from pyspark.sql import SparkSession
 
@@ -121,5 +159,6 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else 200_000
     bench_formats(n)
+    bench_multipart(n)
     if "--spark" in sys.argv:
         bench_planning(n)

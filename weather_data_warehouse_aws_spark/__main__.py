@@ -434,16 +434,30 @@ def main(argv: list[str] | None = None) -> int:
             if cp_names:
                 newest = max(cp_names)
                 fmt = newest.rsplit(".", 1)[1]
-                print(
-                    f"checkpoint: {newest}"
-                    + (" — json-era (pre-parquet); the next interval "
-                       "commit writes columnar" if fmt == "json" else "")
-                )
+                line = f"checkpoint: {newest}"
+                if fmt == "json":
+                    line += (" — json-era (pre-parquet); the next "
+                             "interval commit writes columnar")
+                else:
+                    from .operators.txlog import _checkpoint_state
+
+                    cp_v = int(newest.split(".", 1)[0])
+                    sidecars = _checkpoint_state(
+                        args.table, cp_v).get("sidecars")
+                    if sidecars is not None:
+                        n_delta = sum(1 for n in sidecars if "delta" in n)
+                        line += (
+                            f" — multi-part ({len(sidecars)} part(s), "
+                            f"{n_delta} delta; writes track the commit "
+                            "delta, not the table)"
+                        )
+                print(line)
             # metadata-plane health: every snapshot resolution LISTs the
             # log dir, so report retention debt (dry run — doctor never
             # mutates)
             plan = tx_cleanup_log(args.table, dry_run=True)
-            dead = plan["deleted_commits"] + plan["deleted_checkpoints"]
+            dead = (plan["deleted_commits"] + plan["deleted_checkpoints"]
+                    + plan.get("deleted_sidecars", 0))
             if dead:
                 print(
                     f"txn log: {dead} entrie(s) below the retention floor "

@@ -160,6 +160,28 @@ _PAD = 20
 # rather than int()-crashed on — a stray file must never brick the table
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.(json|parquet)$")
+# checkpoint sidecar parts (multi-part checkpoints): named by BIRTH
+# version; never match the discovery regexes above, so replay/listing
+# logic sees only manifests
+_SIDECAR_RE = re.compile(r"^sc-(\d{20})-.*\.parquet$")
+
+# Multi-part checkpoint policy (Delta v2-checkpoint design): past
+# _MULTIPART_MIN live files a checkpoint writes a ZERO-ROW manifest whose
+# footer lists sidecar parts — unchanged parts are REUSED from the
+# previous checkpoint and one small DELTA part (tail adds + remove
+# tombstones + DV-touched rels) is added, so checkpoint write cost tracks
+# the delta, not the table. Every _SIDECAR_MAX_PARTS checkpoints the
+# chain is COMPACTED into full parts of _SIDECAR_ROWS rows (amortized
+# full-rewrite cost = table/_SIDECAR_MAX_PARTS).
+_MULTIPART_MIN = int(
+    os.environ.get("SPARK_GRAFT_CHECKPOINT_MULTIPART_MIN", "10000")
+)
+_SIDECAR_ROWS = int(
+    os.environ.get("SPARK_GRAFT_CHECKPOINT_SIDECAR_ROWS", "100000")
+)
+_SIDECAR_MAX_PARTS = int(
+    os.environ.get("SPARK_GRAFT_CHECKPOINT_MAX_PARTS", "8")
+)
 
 
 class TxConflict(RuntimeError):
@@ -586,7 +608,7 @@ _CP_STATE_KEYS = (
 )
 
 
-def _checkpoint_to_parquet(cp: dict) -> bytes:
+def _checkpoint_to_parquet(cp: dict, extra_state: dict | None = None) -> bytes:
     """Encode a checkpoint dict (the `_replay` shape) as parquet bytes:
     one row per live file — `rel`, `stats_json` (the per-file footer
     stats, JSON text, null when none), `dvs` (covering deletion-vector
@@ -594,7 +616,9 @@ def _checkpoint_to_parquet(cp: dict) -> bytes:
     key-value metadata. Columnar because that is what scales: resolving
     a snapshot over a 10M-file table reads a compressed column of rel
     strings, not gigabytes of JSON text (Delta's parquet-checkpoint
-    rationale, Armbrust et al. VLDB 2020 §3.3)."""
+    rationale, Armbrust et al. VLDB 2020 §3.3). `extra_state` merges
+    storage-layout keys into the footer (a multi-part MANIFEST carries
+    zero rows + a "sidecars" list there)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -616,12 +640,74 @@ def _checkpoint_to_parquet(cp: dict) -> bytes:
         }
     )
     state = {k: cp.get(k) for k in _CP_STATE_KEYS}
+    if extra_state:
+        state.update(extra_state)
     table = table.replace_schema_metadata(
         {b"txlog_state": json.dumps(state).encode()}
     )
     sink = pa.BufferOutputStream()
     pq.write_table(table, sink, compression="zstd")
     return sink.getvalue().to_pybytes()
+
+
+def _sidecar_to_parquet(rows: list[tuple]) -> bytes:
+    """Encode sidecar rows [(rel, stats_json|None, dvs, tombstone)] —
+    same columns as a checkpoint plus a tombstone marker (True = the rel
+    was REMOVED since the part chain's previous state). No footer state:
+    sidecars are pure row carriers; the manifest owns the state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "rel": pa.array([r[0] for r in rows], type=pa.string()),
+            "stats_json": pa.array([r[1] for r in rows], type=pa.string()),
+            "dvs": pa.array(
+                [r[2] or [] for r in rows], type=pa.list_(pa.string())
+            ),
+            "tombstone": pa.array([r[3] for r in rows], type=pa.bool_()),
+        }
+    )
+    sink = pa.BufferOutputStream()
+    pq.write_table(table, sink, compression="zstd")
+    return sink.getvalue().to_pybytes()
+
+
+def _fold_sidecars(path: str, sidecars: list[str]) -> tuple[dict, dict]:
+    """(live {rel: stats}, dvs {rel: [dv rels]}) from a manifest's part
+    chain, folded OLDEST→NEWEST: a later part's row for a rel replaces an
+    earlier one, tombstones delete. Stats parse in one batched
+    json.loads per part (the decode hot path at millions of rels)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    store = get_log_store(path)
+    log_dir = _log_dir(path)
+    live: dict[str, dict] = {}
+    dvs: dict[str, list[str]] = {}
+    for name in sidecars:
+        t = pq.read_table(pa.BufferReader(store.read_bytes(log_dir, name)))
+        rels = t.column("rel").to_pylist()
+        sj = t.column("stats_json").to_pylist()
+        dvl = t.column("dvs").to_pylist()
+        tomb = t.column("tombstone").to_pylist()
+        with_stats = [(i, s) for i, s in enumerate(sj)
+                      if s is not None and not tomb[i]]
+        parsed = json.loads(
+            "[" + ",".join(s for _, s in with_stats) + "]"
+        ) if with_stats else []
+        stats_by_i = {i: st for (i, _), st in zip(with_stats, parsed)}
+        for i, rel in enumerate(rels):
+            if tomb[i]:
+                live.pop(rel, None)
+                dvs.pop(rel, None)
+            else:
+                live[rel] = stats_by_i.get(i, {})
+                if dvl[i]:
+                    dvs[rel] = list(dvl[i])
+                else:
+                    dvs.pop(rel, None)
+    return live, dvs
 
 
 def _checkpoint_from_parquet(data: bytes) -> dict:
@@ -648,32 +734,127 @@ def _checkpoint_from_parquet(data: bytes) -> dict:
 
 def _load_checkpoint(path: str, version: int) -> dict:
     """Checkpoint state at `version`, whichever format it was written in
-    (parquet preferred; a version carrying both reads identically)."""
+    (parquet preferred; a version carrying both reads identically). A
+    multi-part manifest (zero rows, "sidecars" in the footer state) folds
+    its part chain into the same `_replay`-shaped dict."""
     store = get_log_store(path)
     try:
         data = store.read_bytes(_log_dir(path), _checkpoint_name(version, "parquet"))
     except (OSError, KeyError):
         return _load_rec(path, version, checkpoint=True)
-    return _checkpoint_from_parquet(data)
+    cp = _checkpoint_from_parquet(data)
+    sidecars = cp.pop("sidecars", None)
+    if sidecars is not None:
+        live, dvs = _fold_sidecars(path, sidecars)
+        cp["files"] = sorted(live)
+        cp["stats"] = live
+        cp["dvs"] = dvs
+    return cp
 
 
 def _write_checkpoint(store: LogStore, path: str, version: int) -> None:
     """Fold the full state at `version` into one checkpoint entry.
-    put_if_absent both ways: False = another committer already wrote it."""
+    put_if_absent everywhere: False = another committer already wrote it.
+
+    Past `_MULTIPART_MIN` live files the parquet layout goes MULTI-PART
+    (Delta v2 checkpoints): the manifest keeps its discovery name but
+    carries zero rows and a footer "sidecars" list; unchanged parts are
+    reused from the previous checkpoint and one DELTA part holds the
+    tail's adds, remove-tombstones, and DV-touched rels — so the bytes
+    written per checkpoint track the COMMIT DELTA, not the table. The
+    chain compacts into full `_SIDECAR_ROWS`-row parts whenever it would
+    exceed `_SIDECAR_MAX_PARTS` (or after a DV-state restore, whose
+    replacement semantics invalidate the chain). Part names embed the
+    birth version AND the chain predecessor, so racing checkpoint
+    writers with different views can never publish divergent content
+    under one name."""
     cp = _replay(path, version)
     cp = {**cp, "version": version}
-    if CHECKPOINT_FORMAT == "parquet":
+    log_dir = _log_dir(path)
+    if CHECKPOINT_FORMAT != "parquet":
+        store.put_if_absent(
+            log_dir,
+            _checkpoint_name(version, "json"),
+            json.dumps({k: cp.get(k) for k in
+                        (*_CP_STATE_KEYS, "files", "stats", "dvs")}),
+        )
+        return
+
+    commits, checkpoints = _list_log(path)
+    prev_v = max((c for c in checkpoints if c < version), default=None)
+    prev_sidecars: list[str] | None = None
+    if prev_v is not None:
+        try:
+            prev_sidecars = _checkpoint_state(path, prev_v).get("sidecars")
+        except (OSError, KeyError, json.JSONDecodeError, ValueError):
+            prev_sidecars = None  # json-era / damaged prev: no chain
+
+    if len(cp["files"]) < _MULTIPART_MIN and not prev_sidecars:
         store.put_if_absent_bytes(
-            _log_dir(path),
+            log_dir,
             _checkpoint_name(version, "parquet"),
             _checkpoint_to_parquet(cp),
         )
         return
-    store.put_if_absent(
-        _log_dir(path),
-        _checkpoint_name(version, "json"),
-        json.dumps({k: cp.get(k) for k in
-                    (*_CP_STATE_KEYS, "files", "stats", "dvs")}),
+
+    delta_ok = (
+        prev_v is not None
+        and bool(prev_sidecars)
+        and len(prev_sidecars) < _SIDECAR_MAX_PARTS
+    )
+    if delta_ok:
+        dv_touched: set[str] = set()
+        for v in commits:
+            if v <= prev_v or v > version:
+                continue
+            rec = _load_rec(path, v)
+            da = rec.get("dv_add")
+            if da:
+                dv_touched.update(da["covers"])
+            if "dv_state" in rec.get("meta", {}):
+                delta_ok = False  # restore replaced the whole DV map
+                break
+    if delta_ok:
+        added, removed, _state = _tail_delta(path, commits, prev_v, version)
+        live = set(cp["files"])
+        changed = sorted((set(added) | dv_touched) & live)
+        gone = sorted((set(removed) | (dv_touched - live)) - live)
+        rows = [
+            (r,
+             json.dumps(cp["stats"][r]) if cp["stats"].get(r) else None,
+             cp["dvs"].get(r) or [], False)
+            for r in changed
+        ] + [(r, None, [], True) for r in gone]
+        if rows:
+            name = f"sc-{version:020d}-from{prev_v:020d}-delta.parquet"
+            store.put_if_absent_bytes(
+                log_dir, name, _sidecar_to_parquet(rows)
+            )
+            sidecars = [*prev_sidecars, name]
+        else:  # metadata-only tail: the chain is already current
+            sidecars = list(prev_sidecars)
+    else:  # compaction (or first multi-part): full chunked rewrite
+        files = cp["files"]
+        sidecars = []
+        for i, lo in enumerate(range(0, len(files), _SIDECAR_ROWS)):
+            chunk = files[lo:lo + _SIDECAR_ROWS]
+            rows = [
+                (r,
+                 json.dumps(cp["stats"][r]) if cp["stats"].get(r) else None,
+                 cp["dvs"].get(r) or [], False)
+                for r in chunk
+            ]
+            name = f"sc-{version:020d}-full-{i:05d}.parquet"
+            store.put_if_absent_bytes(
+                log_dir, name, _sidecar_to_parquet(rows)
+            )
+            sidecars.append(name)
+    manifest = _checkpoint_to_parquet(
+        {**cp, "files": [], "stats": {}, "dvs": {}},
+        extra_state={"sidecars": sidecars},
+    )
+    store.put_if_absent_bytes(
+        log_dir, _checkpoint_name(version, "parquet"), manifest
     )
 
 
@@ -1539,26 +1720,27 @@ def _tail_delta(path: str, commits: list[int], base_v: int,
     return added, removed, state
 
 
-# In-process memo of spooled checkpoints: (abs table root, version) ->
-# scratch file path. Checkpoints are immutable (put_if_absent names one
-# winner per version), so the memo is sound for the life of the process —
-# the same assumption Delta's JVM snapshot cache makes. The one hazard it
-# shares with Delta: a table DROPPED and RECREATED at the same root within
-# one process could alias versions; the spool file name carries the
-# content hash so at worst the memo re-spools, never serves stale bytes
-# to a caller that re-reads.
-_SPOOL_MEMO: dict[tuple[str, int], str] = {}
+# In-process memo of spooled log entries: (abs table root, entry name) ->
+# scratch file path. Checkpoint manifests and sidecars are immutable
+# (put_if_absent names one winner per name), so the memo is sound for the
+# life of the process — the same assumption Delta's JVM snapshot cache
+# makes. The one hazard it shares with Delta: a table DROPPED and
+# RECREATED at the same root within one process could alias names; the
+# spool file name carries the content hash so at worst the memo
+# re-spools, never serves stale bytes to a caller that re-reads.
+_SPOOL_MEMO: dict[tuple[str, str], str] = {}
 
 
-def _spool_checkpoint_uri(path: str, cp_v: int) -> str | None:
-    """A spark/pyarrow-readable URI for the parquet checkpoint of an
-    OPAQUE LogStore (spark_uri() is None): ONE streamed GET of the
-    checkpoint bytes onto a scratch path, after which planning scans it
-    with executors like any native checkpoint — the driver never decodes
-    the live set into Python objects and never ships N-million rows
-    through createDataFrame. Returns None when the version has no parquet
-    checkpoint (json era) — callers fall back to driver materialization,
-    which is fine at json-checkpoint scale.
+def _spool_entry_uri(path: str, name: str) -> str | None:
+    """A spark/pyarrow-readable URI for a parquet log entry (checkpoint
+    manifest or sidecar part) of an OPAQUE LogStore (spark_uri() is
+    None): ONE streamed GET of the bytes onto a scratch path, after which
+    planning scans it with executors like any native checkpoint — the
+    driver never decodes the live set into Python objects and never
+    ships N-million rows through createDataFrame. Returns None when the
+    entry does not exist (e.g. a json-era checkpoint) — callers fall
+    back to driver materialization, which is fine at json-checkpoint
+    scale.
 
     The scratch root is `$SPARK_GRAFT_SCRATCH` (set it to a cluster-
     visible POSIX mount — NFS/EFS/Lustre — on multi-node deployments; the
@@ -1570,22 +1752,20 @@ def _spool_checkpoint_uri(path: str, cp_v: int) -> str | None:
     import hashlib
     import tempfile
 
-    key = (os.path.abspath(path), cp_v)
+    key = (os.path.abspath(path), name)
     memo = _SPOOL_MEMO.get(key)
     if memo is not None and os.path.exists(memo):
         return memo
     try:
-        data = get_log_store(path).read_bytes(
-            _log_dir(path), _checkpoint_name(cp_v, "parquet")
-        )
+        data = get_log_store(path).read_bytes(_log_dir(path), name)
     except (OSError, KeyError):
-        return None  # json-era checkpoint — no parquet bytes to spool
+        return None  # entry absent — e.g. json-era checkpoint
     root = os.environ.get("SPARK_GRAFT_SCRATCH") or os.path.join(
         tempfile.gettempdir(), "tx_spool"
     )
     os.makedirs(root, exist_ok=True)
     digest = hashlib.sha1(data).hexdigest()[:20]
-    dst = os.path.join(root, f"cp-{digest}-{cp_v:020d}.parquet")
+    dst = os.path.join(root, f"sp-{digest}.parquet")
     if not os.path.exists(dst):
         tmp = f"{dst}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "wb") as f:
@@ -1593,6 +1773,10 @@ def _spool_checkpoint_uri(path: str, cp_v: int) -> str | None:
         os.replace(tmp, dst)
     _SPOOL_MEMO[key] = dst
     return dst
+
+
+def _spool_checkpoint_uri(path: str, cp_v: int) -> str | None:
+    return _spool_entry_uri(path, _checkpoint_name(cp_v, "parquet"))
 
 
 def _checkpoint_state(path: str, cp_v: int) -> dict:
@@ -1654,16 +1838,68 @@ def tx_files_df(spark: SparkSession, path: str,
     cp_v = usable[-1] if usable else None
     base_df = None
     if cp_v is not None:
-        uri = get_log_store(path).spark_uri(
-            _log_dir(path), _checkpoint_name(cp_v, "parquet")
-        )
-        if uri is None:
-            # opaque store: spool the checkpoint bytes to a scratch URI
-            # (one GET) so executors scan it — the distributed path must
-            # engage EXACTLY where the driver-heap GET hurts most
-            uri = _spool_checkpoint_uri(path, cp_v)
+        store = get_log_store(path)
+        log_dir = _log_dir(path)
+
+        def _entry_uri(name: str) -> str | None:
+            # native URI when the store is addressable; else the scratch
+            # spool (one GET) so executors scan it — the distributed path
+            # must engage EXACTLY where the driver-heap GET hurts most
+            return store.spark_uri(log_dir, name) or _spool_entry_uri(
+                path, name
+            )
+
+        uri = _entry_uri(_checkpoint_name(cp_v, "parquet"))
         if uri is not None:
-            base_df = spark.read.parquet(uri).select("rel", "stats_json")
+            # multi-part manifest? (zero rows; sidecars in footer state)
+            import pyarrow.parquet as pq
+
+            meta = pq.read_schema(uri).metadata or {}
+            st = (json.loads(meta[b"txlog_state"])
+                  if b"txlog_state" in meta else {})
+            sidecars = st.get("sidecars")
+            if sidecars is None:
+                base_df = spark.read.parquet(uri).select("rel", "stats_json")
+            elif not sidecars:
+                base_df = spark.createDataFrame([], _FILES_DF_SCHEMA)
+            else:
+                uris = []
+                for name in sidecars:
+                    su = _entry_uri(name)
+                    if su is None:
+                        raise TxCorruption(
+                            f"{path}: checkpoint {cp_v} references a "
+                            f"missing sidecar part {name!r}"
+                        )
+                    uris.append(su)
+                if all("-full-" in n for n in sidecars):
+                    # fresh compaction: full parts hold disjoint rels and
+                    # no tombstones — a plain multi-file scan, NO shuffle
+                    base_df = spark.read.parquet(*uris).select(
+                        "rel", "stats_json"
+                    )
+                else:
+                    # fold the chain with executors: newest part wins per
+                    # rel, tombstones drop — one shuffle over the live
+                    # set, which IS the distributed metadata plane's job
+                    parts = None
+                    for i, su in enumerate(uris):
+                        p = (
+                            spark.read.parquet(su)
+                            .select("rel", "stats_json", "tombstone")
+                            .withColumn("_pidx", F.lit(i))
+                        )
+                        parts = p if parts is None else parts.unionByName(p)
+                    w = F.max_by(
+                        F.struct(F.col("stats_json"), F.col("tombstone")),
+                        F.col("_pidx"),
+                    ).alias("w")
+                    base_df = (
+                        parts.groupBy("rel").agg(w)
+                        .filter(~F.col("w.tombstone"))
+                        .select("rel",
+                                F.col("w.stats_json").alias("stats_json"))
+                    )
         else:  # json-era checkpoint: driver materializes (small tables)
             cp = _load_checkpoint(path, cp_v)
             cp_stats = cp.get("stats", {})
@@ -4079,6 +4315,7 @@ def tx_cleanup_log(path: str, *, dry_run: bool = False) -> dict:
     out = {
         "floor": None, "horizon": horizon,
         "deleted_commits": 0, "deleted_checkpoints": 0,
+        "deleted_sidecars": 0,
         "dry_run": dry_run,
     }
     if horizon <= 0 or not floors:
@@ -4086,15 +4323,35 @@ def tx_cleanup_log(path: str, *, dry_run: bool = False) -> dict:
     floor = floors[-1]
     dead_commits = [v for v in commits if v < floor]
     dead_checkpoints = [c for c in checkpoints if c < floor]
+    store = get_log_store(path)
+    log_dir = _log_dir(path)
+    # sidecar parts: a part born below the floor may still be REFERENCED
+    # by a surviving manifest (delta chains cross checkpoints), so the
+    # keep-set is the union of surviving manifests' sidecar lists —
+    # footer-only reads. Parts born at-or-above the floor are never
+    # touched (they may belong to an in-flight checkpoint write).
+    referenced: set[str] = set()
+    for c in checkpoints:
+        if c < floor:
+            continue
+        try:
+            referenced |= set(_checkpoint_state(path, c).get("sidecars") or [])
+        except (OSError, KeyError, json.JSONDecodeError, ValueError):
+            pass  # json-era manifest: no sidecars to protect
+    dead_sidecars = [
+        n for n in store.list(log_dir)
+        if (m := _SIDECAR_RE.match(n))
+        and int(m.group(1)) < floor
+        and n not in referenced
+    ]
     out.update(
         floor=floor,
         deleted_commits=len(dead_commits),
         deleted_checkpoints=len(dead_checkpoints),
+        deleted_sidecars=len(dead_sidecars),
     )
     if dry_run:
         return out
-    store = get_log_store(path)
-    log_dir = _log_dir(path)
     # checkpoints first: if cleanup dies midway, surviving commits above
     # a deleted checkpoint still replay from the floor checkpoint, and a
     # deleted commit below a surviving checkpoint is never loaded — any
@@ -4104,6 +4361,8 @@ def tx_cleanup_log(path: str, *, dry_run: bool = False) -> dict:
         store.delete(log_dir, _checkpoint_name(c))  # json-era spelling
     for v in dead_commits:
         store.delete(log_dir, _commit_name(v))
+    for n in dead_sidecars:
+        store.delete(log_dir, n)
     return out
 
 
