@@ -67,7 +67,11 @@ def _load1() -> float | None:
 # ---------------------------------------------------------------------------
 
 _HZ = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
-FOREIGN_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_FOREIGN_MAX", "2.0"))
+# 1.0 core: measured on this box (r10), a 1.2-1.7-core co-tenant slows
+# the heavy entries ~35% while 0.0-core samples match the quiet-box
+# baselines exactly — 32-way Spark stages are memory-bandwidth-bound, so
+# even one hot foreign core poisons a sample
+FOREIGN_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_FOREIGN_MAX", "1.0"))
 CONTAMINATED_EXTRA = 2  # extra retakes when every base sample is dirty
 
 

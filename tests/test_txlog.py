@@ -3756,3 +3756,31 @@ def test_multipart_allfull_chain_scans_without_fold(spark, tmp_path,
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_vacuum_distributed_deletes_equal_driver_loop(spark, tmp_path,
+                                                      monkeypatch):
+    """`tx_vacuum(spark=...)` fans the physical deletes out over
+    executors past _DROP_DISTRIBUTED_MIN — same deleted set, same
+    surviving reads, ext-ref skip preserved (clone sources are never
+    touched), idempotent under retries (missing = no-op)."""
+    monkeypatch.setattr(_tx, "_DROP_DISTRIBUTED_MIN", 2)
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, range(8)).repartition(4), t)      # v0: 4 files
+    tx_overwrite(_mk(spark, range(100, 104)).repartition(2), t)  # v1
+    res = tx_vacuum(t, retain_versions=1, spark=spark)
+    assert len(res["deleted"]) == 4
+    store = _tx.get_data_store(t)
+    for rel in res["deleted"]:
+        assert not store.exists(t, rel), rel
+    assert _ids(tx_read(spark, t)) == [100, 101, 102, 103]
+    # clone refs survive a distributed vacuum on the clone
+    from weather_data_warehouse_aws_spark.operators.txlog import tx_clone
+
+    src = str(tmp_path / "src")
+    tx_append(_mk(spark, range(3)).coalesce(1), src)
+    clone = str(tmp_path / "clone")
+    tx_clone(src, clone)
+    tx_overwrite(_mk(spark, [9]).coalesce(1), clone)
+    tx_vacuum(clone, retain_versions=1, spark=spark)
+    assert _ids(tx_read(spark, src)) == [0, 1, 2]  # source bytes intact

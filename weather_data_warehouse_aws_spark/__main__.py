@@ -247,8 +247,9 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 print(
                     f"floor v{res['floor']} (horizon v{res['horizon']}); "
-                    f"{verb} {res['deleted_commits']} commit(s) and "
-                    f"{res['deleted_checkpoints']} checkpoint(s)"
+                    f"{verb} {res['deleted_commits']} commit(s), "
+                    f"{res['deleted_checkpoints']} checkpoint(s) and "
+                    f"{res.get('deleted_sidecars', 0)} sidecar part(s)"
                 )
         else:
             res = txlog.tx_vacuum(

@@ -2073,14 +2073,47 @@ def _rel_home(path: str, rel: str,
     return bases[i], m.group(2)
 
 
-def _drop_files(path: str, rels: list[str]) -> None:
+# files-per-drop above which deletion runs as a Spark job instead of the
+# serial driver loop: one remote DELETE per file, and a vacuum retiring a
+# million files must not pay a million sequential RTTs on the driver
+# (Delta's VACUUM deletes with a Spark job for the same reason). Deletes
+# are idempotent (missing = no-op), so task retries are safe.
+_DROP_DISTRIBUTED_MIN = int(
+    os.environ.get("SPARK_GRAFT_DROP_DISTRIBUTED_MIN", "256")
+)
+
+
+def _drop_files(path: str, rels: list[str],
+                spark: SparkSession | None = None) -> None:
     store = get_data_store(path)
+    todo = []
     for rel in rels:
         if _EXT_RE.match(rel):
             # a shallow clone's external reference: the SOURCE table owns
             # those bytes — dropping the ref (vacuum, failed-commit
             # cleanup) must never delete another table's data
             continue
+        todo.append(rel)
+    if spark is not None and len(todo) >= _DROP_DISTRIBUTED_MIN:
+        import pandas as pd
+
+        def sweep(batches):
+            for pdf in batches:
+                for r in pdf["rel"]:
+                    store.delete(path, r)
+                yield pd.DataFrame({"n": [len(pdf)]})
+
+        n_slices = min(
+            len(todo), spark.sparkContext.defaultParallelism * 2
+        )
+        (
+            spark.createDataFrame([(r,) for r in todo], "rel string")
+            .repartition(n_slices)
+            .mapInPandas(sweep, "n long")
+            .count()  # drive the job; per-delete results are irrelevant
+        )
+        return
+    for rel in todo:
         store.delete(path, rel)
 
 
@@ -4220,6 +4253,7 @@ def _vacuum_plan(
 def tx_vacuum(
     path: str, *, retain_versions: int = 1, include_orphans: bool = False,
     dry_run: bool = False, retain_hours: float | None = None,
+    spark: SparkSession | None = None,
 ) -> dict:
     """Physically delete data files no version ≥ the retention horizon can
     reference. `retain_versions=k` keeps the latest k versions readable
@@ -4238,6 +4272,10 @@ def tx_vacuum(
     commits are younger than the window stay readable regardless of
     `retain_versions` (Delta's RETAIN n HOURS safety bound for time
     travelers and lagging change-feed consumers).
+
+    Pass `spark=` to fan the physical deletes out over executors past
+    `_DROP_DISTRIBUTED_MIN` files — at 100 TB a vacuum retires millions
+    of objects, and a serial driver loop pays one remote RTT per file.
 
     Returns {"version", "horizon", "deleted": [...]} ("version" None and
     "deleted" the would-be list under dry_run).
@@ -4272,8 +4310,11 @@ def tx_vacuum(
         state["horizon"], state["deletable"], state["orphans"]
     )
     # delete AFTER the horizon commit: a reader that resolves a pre-horizon
-    # snapshot from here on fails at resolution, not mid-scan
-    _drop_files(path, deletable + orphans)
+    # snapshot from here on fails at resolution, not mid-scan. With
+    # `spark`, large delete sets fan out over executors
+    # (_DROP_DISTRIBUTED_MIN) — a million-file vacuum must not pay a
+    # million serial driver RTTs (Delta VACUUMs with a Spark job too).
+    _drop_files(path, deletable + orphans, spark=spark)
     if include_orphans:
         # crashed writers also strand whole staging areas (df.write
         # completed but the publish loop never ran) — same
