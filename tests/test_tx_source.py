@@ -874,3 +874,35 @@ def test_max_files_per_trigger_bounds_by_file_count(spark, tmp_path):
     ], "oversized commit admitted as its own batch"
     all_ids = [i for ids, _ in batches for i in ids]
     assert sorted(all_ids) == sorted(list(range(12)) + list(range(50, 60)))
+
+
+def test_max_bytes_per_trigger_bounds_by_volume(spark, tmp_path):
+    """max_bytes_per_trigger admits whole commits until the planned ADD
+    byte volume (commit-recorded add-file sizes) would exceed the cap;
+    a single over-cap commit still admits alone (progress guarantee)."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_snapshot as snap_of,
+    )
+
+    t = str(tmp_path / "t")
+    tx_append(_mk(spark, [100]).coalesce(1), t)  # v0 — seed trigger
+    # learn the per-commit add volume from the committed stats
+    st = snap_of(t)["stats"]
+    sizes = [st[f]["bytes"] for f in sorted(st)]
+    assert all(s > 0 for s in sizes)
+    cap = str(2 * max(sizes) + max(sizes) // 2)  # ~2 commits per batch
+    batches: list = []
+    q = _bounded_query(spark, t, str(tmp_path / "ckpt"), batches,
+                       max_bytes_per_trigger=cap)
+    try:
+        q.processAllAvailable()  # v0 delivered; high-water mark seeded
+        batches.clear()
+        for i in range(6):
+            tx_append(_mk(spark, [i]).coalesce(1), t)  # v1..v6
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batches) >= 3, batches
+    for _ids, versions in batches:
+        assert len(versions) <= 2, batches
+    assert sorted(i for ids, _ in batches for i in ids) == list(range(6))

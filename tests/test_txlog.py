@@ -3784,3 +3784,26 @@ def test_vacuum_distributed_deletes_equal_driver_loop(spark, tmp_path,
     tx_overwrite(_mk(spark, [9]).coalesce(1), clone)
     tx_vacuum(clone, retain_versions=1, spark=spark)
     assert _ids(tx_read(spark, src)) == [0, 1, 2]  # source bytes intact
+
+
+def test_tx_optimize_small_file_bytes_signal(spark, tmp_path):
+    """Opt-in byte-exact small-file signal: commit-recorded add-file
+    sizes drive the compaction decision (Delta OPTIMIZE's minFileSize),
+    and by default the signal is off so healthy tables stay no-ops."""
+    from weather_data_warehouse_aws_spark.operators.txlog import (
+        tx_optimize,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(4):
+        tx_append(_mk(spark, [i]).coalesce(1), t)  # 4 tiny files
+    # default: off — count signal alone (4 files <= 4x target 2... no,
+    # 4 <= 8) keeps it healthy
+    res = tx_optimize(spark, t, target_files=2)
+    assert res["compacted"] is None
+    # with a generous byte floor every file is "small": compacts
+    res2 = tx_optimize(spark, t, target_files=2,
+                       small_file_bytes=1 << 30)
+    assert res2["compacted"] is not None and "under" in res2["reason"]
+    assert len(tx_snapshot(t)["files"]) <= 2
+    assert _ids(tx_read(spark, t)) == [0, 1, 2, 3]

@@ -1291,10 +1291,12 @@ _STATS_DISTRIBUTED_MIN = int(
 
 def _file_stats(path: str, rels: list[str],
                 spark: SparkSession | None = None) -> dict[str, dict]:
-    """Per-file `{rel: {"rows": n, "cols": {col: [min, max, null_count]}}}`
-    read from the parquet FOOTERS (row-group statistics) — metadata-only,
-    never a data scan, so recording stats costs O(files), not O(rows),
-    exactly as Delta computes its add-file stats during the write. With
+    """Per-file `{rel: {"rows": n, "bytes": n, "cols": {col: [min, max,
+    null_count]}}}` read from the parquet FOOTERS (row-group statistics)
+    — metadata-only, never a data scan, so recording stats costs
+    O(files), not O(rows), exactly as Delta computes its add-file stats
+    during the write (size included: admission control and compaction
+    planning consume it). With
     `spark` and at least `_STATS_DISTRIBUTED_MIN` files, the footer reads
     fan out over the executors (`_file_stats_distributed`) — identical
     dicts by construction (same per-file decode, `_footer_stats_one`).
@@ -1375,6 +1377,9 @@ def _footer_stats_one(store: "DataStore", path: str, rel: str) -> dict:
     import pyarrow.parquet as pq
 
     with store.open_input(path, rel) as f:
+        f.seek(0, 2)
+        nbytes = f.tell()  # Delta records add-file sizes: admission
+        f.seek(0)          # control + compaction planning need bytes
         md = pq.ParquetFile(f).metadata
     cols: dict[str, list] = {}
     dead: set[str] = set()
@@ -1456,7 +1461,7 @@ def _footer_stats_one(store: "DataStore", path: str, rel: str) -> dict:
                     None if prev[2] is None or nulls is None
                     else prev[2] + nulls
                 )
-    return {"rows": md.num_rows, "cols": cols}
+    return {"rows": md.num_rows, "bytes": nbytes, "cols": cols}
 
 
 # predicate conjunct ops understood by the pruner AND the reader filter.
@@ -3872,6 +3877,7 @@ def tx_optimize(
     zorder_by: list[str] | None = None,
     dv_threshold: float = 0.05,
     small_file_factor: int = 4,
+    small_file_bytes: int | None = None,
     refresh_manifest: bool = True,
 ) -> dict:
     """One maintenance entry point — the OPTIMIZE a table operator runs
@@ -3906,6 +3912,21 @@ def tx_optimize(
             f"{stats['files_total']} files > {small_file_factor}x"
             f" target {target_files}"
         )
+    if small_file_bytes:
+        # byte-exact small-file pressure from the commit-recorded
+        # add-file sizes (Delta OPTIMIZE's minFileSize signal) — opt-in
+        # because "small" is deployment-relative (128<<20 is a sane
+        # production floor; local dev files are always small). Size-less
+        # legacy adds don't count — the signal only ever under-fires.
+        sz = tx_snapshot(path)["stats"]
+        n_small = sum(
+            1 for s in sz.values()
+            if (s or {}).get("bytes") and s["bytes"] < small_file_bytes
+        )
+        if n_small > target_files:
+            reasons.append(
+                f"{n_small} file(s) under {small_file_bytes}B"
+            )
     if sort_by or zorder_by:
         reasons.append("re-cluster requested")
     v = None

@@ -628,6 +628,7 @@ class TxTableStreamReader(DataSourceStreamReader):
         # last bounded batch instead of replanning the whole backlog.
         self._max_commits = self._pos_opt(options, "max_commits_per_trigger")
         self._max_files = self._pos_opt(options, "max_files_per_trigger")
+        self._max_bytes = self._pos_opt(options, "max_bytes_per_trigger")
         # Highest version already released through latestOffset — must be
         # MONOTONE: Spark trusts sources never to regress offsets, and a
         # lower release after a higher one gets committed to the offset
@@ -693,7 +694,8 @@ class TxTableStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         snap = self._snapshot()
         latest = snap["version"] if snap else -1
-        if self._max_commits is None and self._max_files is None:
+        if (self._max_commits is None and self._max_files is None
+                and self._max_bytes is None):
             return {"version": latest}
         base = self._released
         if base is None:
@@ -711,28 +713,43 @@ class TxTableStreamReader(DataSourceStreamReader):
     def _bounded_end(self, base: int, latest: int) -> int:
         """The highest version admissible this trigger: at most
         `max_commits_per_trigger` commits past `base`, stopping early
-        once the planned file count would exceed `max_files_per_trigger`
-        — but always at least ONE commit, whatever its size, so the
-        stream can never wedge on a single huge commit (Delta's
+        once the planned file count (`max_files_per_trigger`) or added
+        byte volume (`max_bytes_per_trigger`, from the commit-recorded
+        add-file sizes; a size-less legacy add counts 0) would exceed
+        its cap — but always at least ONE commit, whatever its size, so
+        the stream can never wedge on a single huge commit (Delta's
         at-least-one-file rule)."""
         from ..operators.txlog import _load_rec, _usable_log
 
         if self._max_commits is not None:
             latest = min(latest, base + self._max_commits)
-        if self._max_files is None:
+        if self._max_files is None and self._max_bytes is None:
             return latest
         end = base
         files = 0
+        nbytes = 0
         for v in _usable_log(self.path)[0]:
             if v <= base or v > latest:
                 continue
             rec = _load_rec(self.path, v)
             n = len(rec.get("add", [])) + len(rec.get("remove", []))
-            if end > base and files + n > self._max_files:
+            b = sum(
+                int((rec.get("stats", {}).get(f) or {}).get("bytes") or 0)
+                for f in rec.get("add", [])
+            )
+            if end > base and (
+                (self._max_files is not None
+                 and files + n > self._max_files)
+                or (self._max_bytes is not None
+                    and nbytes + b > self._max_bytes)
+            ):
                 break
             files += n
+            nbytes += b
             end = v
-            if files >= self._max_files:
+            if (self._max_files is not None and files >= self._max_files) \
+                    or (self._max_bytes is not None
+                        and nbytes >= self._max_bytes):
                 break
         return max(end, base + 1)  # progress guarantee
 
