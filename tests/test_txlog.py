@@ -3807,3 +3807,49 @@ def test_tx_optimize_small_file_bytes_signal(spark, tmp_path):
     assert res2["compacted"] is not None and "under" in res2["reason"]
     assert len(tx_snapshot(t)["files"]) <= 2
     assert _ids(tx_read(spark, t)) == [0, 1, 2, 3]
+
+
+def test_multipart_checkpoint_crash_between_sidecar_and_manifest(
+        spark, tmp_path, multipart_cp, monkeypatch):
+    """A checkpoint writer dying AFTER publishing sidecar parts but
+    BEFORE the manifest leaves the table fully functional (replay walks
+    commits past the missing checkpoint), and the NEXT interval's
+    checkpoint converges — orphaned parts are never referenced and fall
+    to retention once below the floor."""
+    t = str(tmp_path / "t")
+    for i in range(4):
+        tx_append(_mk(spark, [i]).coalesce(1), t)          # v0..v3
+
+    # crash injection: the manifest put dies once
+    real_put = _tx.LocalFSLogStore.put_if_absent_bytes
+    state = {"armed": True}
+
+    def dying_put(self, log_dir, name, payload):
+        if state["armed"] and ".checkpoint.parquet" in name:
+            state["armed"] = False
+            raise RuntimeError("injected crash before manifest publish")
+        return real_put(self, log_dir, name, payload)
+
+    monkeypatch.setattr(_tx.LocalFSLogStore, "put_if_absent_bytes",
+                        dying_put)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        tx_append(_mk(spark, [100]).coalesce(1), t)        # v4 commit wins,
+    monkeypatch.setattr(_tx.LocalFSLogStore, "put_if_absent_bytes",
+                        real_put)
+    # ...but the crash hit AFTER the commit landed: v4 is real, the
+    # checkpoint is absent, sidecar orphans exist
+    assert tx_snapshot(t)["version"] == 4
+    names = set(_tx.get_log_store(t).list(_tx._log_dir(t)))
+    assert not any(".checkpoint." in n for n in names)
+    orphans = {n for n in names if n.startswith("sc-")}
+    assert orphans, "the dying writer must have published sidecars"
+    # reads are unaffected (replay has no checkpoint to lean on)
+    assert _ids(tx_read(spark, t)) == [0, 1, 2, 3, 100]
+    # the next interval checkpoint converges cleanly
+    for i in range(101, 105):
+        tx_append(_mk(spark, [i]).coalesce(1), t)          # v5..v8 -> cp8
+    st8 = _cp_state(t, 8)
+    assert st8["sidecars"], "cp8 must exist and be multi-part"
+    # cp8's parts are born at v8 — the v4 orphans are never referenced
+    assert orphans.isdisjoint(st8["sidecars"])
+    assert _ids(tx_read(spark, t)) == [0, 1, 2, 3, 100, 101, 102, 103, 104]

@@ -415,6 +415,29 @@ def main(argv: list[str] | None = None) -> int:
                     + ", ".join(f"{c}:{n}/{n_files}"
                                 for c, n in sorted(col_cov.items()))
                 )
+            # file-size profile from the commit-recorded add-file sizes
+            # (bytes land in stats since r10; older commits show unknown)
+            sizes = sorted(
+                s["bytes"] for s in snap0["stats"].values()
+                if (s or {}).get("bytes")
+            )
+            if sizes:
+                def _mb(x):
+                    return (f"{x / 1e6:.1f}MB" if x >= 1e6
+                            else f"{x / 1e3:.1f}KB")
+                med = sizes[len(sizes) // 2]
+                line = (
+                    f"file sizes: {len(sizes)}/{n_files} known — "
+                    f"min {_mb(sizes[0])}, median {_mb(med)}, "
+                    f"max {_mb(sizes[-1])}, total {_mb(sum(sizes))}"
+                )
+                if med < 16 * 1024 * 1024 and len(sizes) > 8:
+                    line += (
+                        " — RECOMMEND: tx optimize (median is "
+                        "small-file territory; pass small_file_bytes "
+                        "to make the signal byte-exact)"
+                    )
+                print(line)
             if n_files >= 1_000_000:
                 print(
                     f"planning: {n_files} live files — RECOMMEND "

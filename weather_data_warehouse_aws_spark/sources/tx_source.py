@@ -648,7 +648,13 @@ class TxTableStreamReader(DataSourceStreamReader):
 
     @staticmethod
     def _pos_opt(options: dict, name: str) -> int | None:
+        """Positive-int option; also honors the Delta camelCase spelling
+        (Spark lowercases DSv2 option keys, so `maxFilesPerTrigger`
+        arrives as `maxfilespertrigger` — exactly the snake_case name
+        with the underscores dropped)."""
         raw = options.get(name)
+        if raw is None:
+            raw = options.get(name.replace("_", ""))
         if raw is None:
             return None
         v = int(raw)
