@@ -280,3 +280,51 @@ def test_null_merge_keys_follow_sql_3vl(spark):
     dup_null = spark.createDataFrame([(None, "x", 1), (None, "y", 2)], SCHEMA)
     with pytest.raises(Exception, match="nondeterministic"):
         merge_into(target, dup_null, ["k"]).collect()
+
+
+def test_null_safe_keys_match_null_groups(spark):
+    """null_safe_keys=True flips the ON clause to <=>: NULL-keyed rows are
+    ONE group (update/delete applies) instead of a keep + insert pair —
+    the semantics a grouped-aggregate maintainer needs (GROUP BY treats
+    NULLs as equal). Non-NULL keys behave identically in both modes."""
+    target = spark.createDataFrame([(None, "t0", 1), (1, "a", 10)], SCHEMA)
+    source = spark.createDataFrame([(None, "s0", 99), (1, "A", 100)], SCHEMA)
+    out = merge_into(target, source, ["k"], null_safe_keys=True).collect()
+    rows = sorted(((r.k, r.name, r.amt) for r in out),
+                  key=lambda t: (t[0] is None, t))
+    assert rows == [(1, "A", 100), (None, "s0", 99)]
+
+
+def test_null_safe_keys_clause_matrix(spark):
+    """Delete/insert/by-source clauses all honor <=> matching, and the
+    genuine NULL key survives output assembly (no coalesce corruption)."""
+    target = spark.createDataFrame(
+        [(None, "t0", 1), (1, "a", 10), (2, "b", 20)], SCHEMA
+    )
+    source = spark.createDataFrame([(None, "s0", 0), (9, "i", 9)], SCHEMA)
+    out = merge_into(
+        target, source, ["k"],
+        null_safe_keys=True,
+        when_matched_delete=F.col("__src_amt") == 0,
+        when_not_matched_by_source_delete=F.col("amt") > 15,
+    ).collect()
+    rows = sorted(((r.k, r.name, r.amt) for r in out),
+                  key=lambda t: (t[0] is None, t))
+    # NULL group matched + deleted; k=2 deleted by-source; k=9 inserted
+    assert rows == [(1, "a", 10), (9, "i", 9)]
+
+
+def test_null_safe_update_mapping_references_src_keys(spark):
+    """A mapping update under null_safe_keys sees target cols by name and
+    source cols as __src_<col> — same contract as the default mode."""
+    target = spark.createDataFrame([(1, "a", 10), (None, "n", 5)], SCHEMA)
+    source = spark.createDataFrame([(1, "x", 7), (None, "y", 3)], SCHEMA)
+    out = merge_into(
+        target, source, ["k"],
+        null_safe_keys=True,
+        when_matched_update={"amt": F.col("amt") + F.col("__src_amt")},
+        when_not_matched_insert=False,
+    ).collect()
+    rows = sorted(((r.k, r.name, r.amt) for r in out),
+                  key=lambda t: (t[0] is None, t))
+    assert rows == [(1, "a", 17), (None, "n", 8)]

@@ -73,9 +73,18 @@ def merge_into(
     when_not_matched_insert: bool = True,
     when_not_matched_by_source_delete: Column | None = None,
     check_duplicate_source_keys: bool = True,
+    null_safe_keys: bool = False,
 ) -> DataFrame:
     """Merge `source` into `target` on `keys`; returns the post-merge state
     with exactly `target`'s columns.
+
+    `null_safe_keys=True` matches keys with SQL's `<=>` (NULL = NULL), the
+    semantics a MERGE whose ON clause is written with null-safe equality
+    has: a NULL-keyed target row and a NULL-keyed source row are ONE match
+    (update/delete applies) instead of an unrelated keep + insert pair.
+    Required whenever keys can be NULL and the merge must stay keyed —
+    e.g. maintaining a grouped aggregate where a group key is NULL. The
+    default (False) is ANSI MERGE `=`: NULL keys never match.
 
     Clause order follows SQL MERGE: for a matched key, the DELETE condition
     is tested first (over the source row's image), then UPDATE applies;
@@ -118,17 +127,35 @@ def merge_into(
         src = _guard_duplicate_keys(src, keys)
 
     # prefix-rename source payload so the joined row is unambiguous
-    src = src.select(
-        *[F.col(k) for k in keys],
-        *[
-            F.col(c).alias(f"__src_{c}")
-            for c in source.columns
-            if c not in keys
-        ],
-        F.lit(True).alias("__src_present"),
-    )
     tgt = target.withColumn("__tgt_present", F.lit(True))
-    joined = tgt.join(src, keys, "full_outer")
+    if null_safe_keys:
+        # keys rename too: the join is an explicit <=> condition, not a
+        # USING join, so both sides' key columns survive into the row
+        src = src.select(
+            *[F.col(k).alias(f"__src_{k}") for k in keys],
+            *[
+                F.col(c).alias(f"__src_{c}")
+                for c in source.columns
+                if c not in keys
+            ],
+            F.lit(True).alias("__src_present"),
+        )
+        cond = None
+        for k in keys:
+            term = F.col(k).eqNullSafe(F.col(f"__src_{k}"))
+            cond = term if cond is None else cond & term
+        joined = tgt.join(src, cond, "full_outer")
+    else:
+        src = src.select(
+            *[F.col(k) for k in keys],
+            *[
+                F.col(c).alias(f"__src_{c}")
+                for c in source.columns
+                if c not in keys
+            ],
+            F.lit(True).alias("__src_present"),
+        )
+        joined = tgt.join(src, keys, "full_outer")
 
     matched = F.col("__tgt_present").isNotNull() & F.col("__src_present").isNotNull()
     src_only = F.col("__tgt_present").isNull()
@@ -159,7 +186,15 @@ def merge_into(
     else:
         upd = dict(when_matched_update)
 
-    out_cols: list[Column] = [F.col(k).alias(k) for k in keys]
+    if null_safe_keys:
+        # a src-only row's target-side key is NULL-from-the-join; take
+        # the source image (coalesce would corrupt a genuine NULL key)
+        out_cols: list[Column] = [
+            F.when(src_only, F.col(f"__src_{k}")).otherwise(F.col(k)).alias(k)
+            for k in keys
+        ]
+    else:
+        out_cols = [F.col(k).alias(k) for k in keys]
     for c in non_key:
         src_img = (
             F.col(f"__src_{c}") if f"__src_{c}" in kept.columns else F.lit(None)

@@ -3675,6 +3675,7 @@ def tx_changes(
     to_version: int | None = None,
     *,
     update_images: bool = False,
+    skip_row_preserving: bool = False,
 ) -> DataFrame:
     """File-granular change feed: the table's columns plus
     `_change_type` ('insert' | 'delete') and `_commit_version`, covering
@@ -3706,7 +3707,15 @@ def tx_changes(
 
     The transform contract holds in both modes: treat update_preimage
     as delete and update_postimage as insert (suppressed pairs were
-    byte-identical, so their delete+insert was a no-op)."""
+    byte-identical, so their delete+insert was a no-op).
+
+    `skip_row_preserving=True` omits commits that provably do not change
+    the table's LOGICAL rows — compactions (`tx_compact`/`tx_optimize`
+    rewrite bytes and materialize already-emitted DV deletes, never rows)
+    — Delta's `dataChange=false` CDF behavior. An incremental consumer
+    (IVM, index refresh) should always pass True: a compaction of a
+    100-file table otherwise feeds 2×table of self-cancelling
+    delete+insert pairs downstream."""
     snap = tx_snapshot(path, to_version)  # validates to_version + horizon
     to_v = snap["version"]
     if from_version > to_v:
@@ -3728,6 +3737,11 @@ def tx_changes(
         if v <= from_version or v > to_v:
             continue
         rec = _load_rec(path, v)
+        if skip_row_preserving and rec.get("op") == "compact":
+            # row-preserving by construction: live rows at v == at v-1
+            # (removed files contribute only their still-visible rows,
+            # which are exactly the rewritten files' rows)
+            continue
         if prev_for != v - 1:
             prev = _replay(path, v - 1) if v > 0 else None
         cur = _replay(path, v)
@@ -4434,6 +4448,7 @@ def tx_merge(
     source: DataFrame,
     keys: list[str],
     partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
     **merge_kwargs,
 ) -> dict:
     """MERGE `source` into the txlog table: same clause semantics as
@@ -4465,6 +4480,15 @@ def tx_merge(
     overlapping keys at the application layer if full serializability is
     required.
 
+    `txn=(app, batch)` makes the merge IDEMPOTENT per (app, batch) — the
+    semantics Delta exposes as the `txnAppId`/`txnVersion` write options:
+    a replayed merge whose batch id the log already folded is a no-op
+    (version None) and its staged files are dropped. `null_safe_keys=True`
+    (forwarded to `merge_into`) matches keys with `<=>`; candidate
+    detection then joins null-safe too, and the min/max stats prune stands
+    down when the source carries NULL keys (a NULL key matches no
+    [min,max] range, but may match target rows in any file).
+
     Returns {"version", "files_rewritten", "files_skipped"}.
     """
     from .merge import _guard_duplicate_keys, merge_into
@@ -4495,24 +4519,35 @@ def tx_merge(
             lambda s: (rels, [], meta0),
             validate_remove_live=False,
             stats=stats,
+            txn=txn,
         )
+        if v is None:
+            _drop_files(path, rels)  # duplicate delivery — never referenced
         return {"version": v, "files_rewritten": 0, "files_skipped": 0}
 
     snap = tx_snapshot(path)
     live_files = snap["files"]
     pby = _resolve_partition_by(snap, partition_by, "merge")
 
+    null_safe = bool(merge_kwargs.get("null_safe_keys"))
     if merge_kwargs.get("when_not_matched_by_source_delete") is not None:
         candidates = list(live_files)
     else:
         plausible = live_files
         if len(keys) == 1:
-            b = source.agg(
-                F.min(keys[0]).alias("mn"), F.max(keys[0]).alias("mx")
-            ).first()
+            aggs = [F.min(keys[0]).alias("mn"), F.max(keys[0]).alias("mx")]
+            if null_safe:
+                aggs.append(
+                    F.count_if(F.col(keys[0]).isNull()).alias("nulls")
+                )
+            b = source.agg(*aggs).first()
+            has_null_keys = null_safe and b["nulls"] > 0
             if b["mn"] is None:
-                plausible = []  # empty source (or all-NULL keys): no matches
-            else:
+                # empty source, or all keys NULL: under `=` semantics NULL
+                # matches nothing; under <=> a NULL key can match rows in
+                # ANY file (stats ranges never bound NULLs)
+                plausible = live_files if has_null_keys else []
+            elif not has_null_keys:
                 plausible = [
                     f
                     for f in live_files
@@ -4525,13 +4560,20 @@ def tx_merge(
         if plausible:
             # __tx_rel (the _metadata-derived relpath) is captured AT
             # SCAN TIME, so it survives the join boundary
-            hit_rows = (
-                _read_live(spark, path, plausible, snap, keep_meta=True)
-                .join(source.select(*keys).distinct(), keys, "leftsemi")
-                .groupBy("__tx_rel")
-                .count()
-                .collect()
-            )
+            probe = source.select(*keys).distinct()
+            live = _read_live(spark, path, plausible, snap, keep_meta=True)
+            if null_safe:
+                probe = probe.select(
+                    *[F.col(k).alias(f"__mrg_k_{k}") for k in keys]
+                )
+                cond = None
+                for k in keys:
+                    term = F.col(k).eqNullSafe(F.col(f"__mrg_k_{k}"))
+                    cond = term if cond is None else cond & term
+                hit = live.join(probe, cond, "leftsemi")
+            else:
+                hit = live.join(probe, keys, "leftsemi")
+            hit_rows = hit.groupBy("__tx_rel").count().collect()
             candidates = sorted(row["__tx_rel"] for row in hit_rows)
 
     if candidates:
@@ -4559,10 +4601,14 @@ def tx_merge(
                 {"keys": list(keys), "schema": _evolved_schema_json(s, merged)})
 
     try:
-        v = _commit(path, "merge", _build_mg, stats=stats)
+        v = _commit(path, "merge", _build_mg, stats=stats, txn=txn)
     except TxConflict:
         _drop_files(path, rels)
         raise
+    if v is None:
+        _drop_files(path, rels)  # duplicate delivery — never referenced
+        return {"version": None, "files_rewritten": 0,
+                "files_skipped": len(live_files)}
     return {
         "version": v,
         "files_rewritten": len(candidates),
