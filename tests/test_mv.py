@@ -278,3 +278,23 @@ def test_fuzz_differential_against_recompute(spark, tmp_path_factory):
                 else:
                     assert a == b, \
                         f"divergence at fuzz step {step}: {g} vs {e}"
+
+
+def test_new_group_born_and_dying_in_one_range_never_lands(spark,
+                                                           tmp_path_factory):
+    """A group that first appears AND is fully deleted inside one refresh
+    range nets to n_rows<=0; the conditional merge insert drops it, so the
+    MV state stays minimal (no dead rows) and a later revival of the same
+    group starts clean from the insert path."""
+    src, mv = _mk(spark, tmp_path_factory, "mv_dead", BASE)
+    T.tx_append(spark.createDataFrame([("ghost", 5.0, 5)], SCHEMA), src)
+    T.tx_delete_where(spark, src, "g = 'ghost'")
+    mv_refresh(spark, mv)
+    internal = mv_read(spark, mv, internal=True)
+    assert internal.filter("g = 'ghost'").count() == 0
+    assert internal.filter("n_rows <= 0").count() == 0
+    assert _mv_rows(spark, mv) == _expected(spark, src)
+    # revival: the group returns via the insert path with fresh state
+    T.tx_append(spark.createDataFrame([("ghost", 7.0, 7)], SCHEMA), src)
+    mv_refresh(spark, mv)
+    assert _mv_rows(spark, mv) == _expected(spark, src)

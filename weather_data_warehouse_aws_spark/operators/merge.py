@@ -70,7 +70,7 @@ def merge_into(
     *,
     when_matched_update: Mapping[str, Column] | str | None = "all",
     when_matched_delete: Column | None = None,
-    when_not_matched_insert: bool = True,
+    when_not_matched_insert: bool | Column = True,
     when_not_matched_by_source_delete: Column | None = None,
     check_duplicate_source_keys: bool = True,
     null_safe_keys: bool = False,
@@ -93,6 +93,9 @@ def merge_into(
     reference source columns as ``__src_<col>`` and target columns by name),
     None keeps matched rows unchanged. Unmatched source rows insert when
     `when_not_matched_insert` (source must then carry every target column);
+    a Column makes the insert CONDITIONAL — SQL's `WHEN NOT MATCHED AND
+    <cond> THEN INSERT` — evaluated over the joined row (source columns as
+    ``__src_<col>``); unmatched rows failing it are dropped, NULL = no fire;
     target rows with no source match are kept unless
     `when_not_matched_by_source_delete` (a predicate over the target row)
     says otherwise — `F.lit(True)` makes the merge a full snapshot replace.
@@ -102,6 +105,10 @@ def merge_into(
     not an eager pre-scan.
     """
     keys = list(keys)
+    ins_cond: Column | None = None
+    if isinstance(when_not_matched_insert, Column):
+        ins_cond = when_not_matched_insert
+        when_not_matched_insert = True
     t_cols = target.columns
     non_key = [c for c in t_cols if c not in keys]
     missing = [c for c in keys if c not in source.columns]
@@ -174,6 +181,8 @@ def merge_into(
         )
     if not when_not_matched_insert:
         delete = delete | src_only
+    elif ins_cond is not None:
+        delete = delete | (src_only & ~F.coalesce(ins_cond, F.lit(False)))
     kept = joined.filter(~delete)
 
     # ---- column assembly -------------------------------------------------

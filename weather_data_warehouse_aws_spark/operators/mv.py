@@ -59,7 +59,6 @@ from pyspark.sql import functions as F
 from .txlog import (
     get_data_store,
     tx_changes,
-    tx_delete_where,
     tx_merge,
     tx_overwrite,
     tx_read,
@@ -279,7 +278,7 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
         # source at to_v and carry their min/max absolutely (__mv_abs).
         # Groups fully emptied miss the rescan — their NULL abs values
         # are dead weight behind the WHEN MATCHED DELETE clause.
-        delta = delta.cache()
+        delta = delta.localCheckpoint(eager=True)
         del_groups = delta.filter(F.col("__mv_del") == 1).select(*keys)
         cur = tx_read(spark, src, to_v)
         if spec["filter"]:
@@ -323,6 +322,10 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
     else:
         source = delta.withColumn("__mv_abs", F.lit(False)) \
                       .drop("__mv_del")
+    # |affected groups| rows: materialize ONCE so the merge's candidate
+    # probe and rewrite don't re-execute the whole change-feed plan
+    # (tx_changes unions + DV anti-joins + rescan join) per action
+    source = source.localCheckpoint(eager=True)
 
     upd = {}
     for c in spec["sum_cols"]:
@@ -347,15 +350,10 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
         null_safe_keys=True,
         when_matched_delete=(F.col("n_rows") + F.col("__src_n_rows")) <= 0,
         when_matched_update=upd,
+        # NEW groups born and fully deleted inside one refresh range net
+        # to n_rows<=0 — the conditional insert drops them, so the state
+        # never accretes dead rows (and needs no sweep commit)
+        when_not_matched_insert=F.col("__src_n_rows") > 0,
     )
-    if minmax:
-        delta.unpersist()
-    if res["version"] is not None:
-        # insert-then-fully-deleted NEW groups merge in as n_rows<=0 rows;
-        # they are invisible (mv_read filters) — sweep them so the state
-        # stays minimal. Idempotent, and a crash between the two commits
-        # leaves a consistent view.
-        tx_delete_where(spark, mv_path, "n_rows <= 0",
-                        prune=[("n_rows", "<=", 0)])
     return {"refreshed": res["version"] is not None, "from_version": last,
             "to_version": to_v, "version": res["version"]}

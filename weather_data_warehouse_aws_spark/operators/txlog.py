@@ -139,7 +139,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
@@ -4501,8 +4501,20 @@ def tx_merge(
         raise ValueError(f"tx_merge: reserved column name in input: {bad}")
     check_dups = merge_kwargs.get("check_duplicate_source_keys", True)
     if not tx_exists(path) or not tx_snapshot(path)["files"]:
-        if not merge_kwargs.get("when_not_matched_insert", True):
+        wnmi = merge_kwargs.get("when_not_matched_insert", True)
+        if wnmi is False:
             return {"version": None, "files_rewritten": 0, "files_skipped": 0}
+        if isinstance(wnmi, Column):
+            # conditional insert against an absent table: every source row
+            # is NOT MATCHED, so apply the condition directly. It may only
+            # reference source columns (as __src_<col>) — target columns
+            # do not exist yet.
+            renamed = source.select(
+                *[F.col(c).alias(f"__src_{c}") for c in source.columns]
+            )
+            source = renamed.filter(wnmi).select(
+                *[F.col(f"__src_{c}").alias(c) for c in source.columns]
+            )
         first = _guard_duplicate_keys(source, keys) if check_dups else source
         snap0 = _replay(path)
         pby0 = _resolve_partition_by(snap0, partition_by, "merge")

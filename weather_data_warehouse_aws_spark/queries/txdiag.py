@@ -12,12 +12,15 @@ the correctness claim is verified; only the driver artifact omits it.
 
 from __future__ import annotations
 
+from .ivm import ORACLE_MV_INCREMENTAL, q_mv_incremental
 from .setops import ORACLE_TX_ROUNDTRIP, q_tx_roundtrip
 
 QUERIES = {
     "tx_roundtrip": q_tx_roundtrip,
+    "mv_incremental": q_mv_incremental,
 }
 
 ORACLE = {
     "tx_roundtrip": ORACLE_TX_ROUNDTRIP,
+    "mv_incremental": ORACLE_MV_INCREMENTAL,
 }
