@@ -298,3 +298,51 @@ def test_new_group_born_and_dying_in_one_range_never_lands(spark,
     T.tx_append(spark.createDataFrame([("ghost", 7.0, 7)], SCHEMA), src)
     mv_refresh(spark, mv)
     assert _mv_rows(spark, mv) == _expected(spark, src)
+
+
+def test_mv_on_bucket_store_routes_through_seam(spark, tmp_path_factory):
+    """The whole MV loop — spec file (put_atomic/open_input), create
+    overwrite, CDF fold, merge write-back — rides the DataStore seam: under
+    the object-store emulation the view's root holds no data bytes (only
+    `_txn_log`), and the differential still holds."""
+    import os
+
+    from weather_data_warehouse_aws_spark.operators import txlog as _txmod
+
+    from tests.bucket_store import BucketFSDataStore
+
+    base = tmp_path_factory.mktemp("mv_bucket")
+    bucket = str(tmp_path_factory.mktemp("mv_bucket_bytes"))
+    prefix = str(base)
+    _txmod.register_data_store(prefix, BucketFSDataStore(bucket))
+    try:
+        src, mv = str(base / "src"), str(base / "mv")
+        T.tx_append(spark.createDataFrame(BASE, SCHEMA), src)
+        mv_create(spark, src, mv, group_by=["g"], sum_cols=["x", "y"],
+                  min_cols=["x"], max_cols=["y"])
+        T.tx_append(spark.createDataFrame([("c", 9.0, 9)], SCHEMA), src)
+        T.tx_delete_where(spark, src, "x = 3.0")
+        mv_refresh(spark, mv)
+        assert _mv_rows(spark, mv) == _expected(spark, src)
+        for dirpath, _dirs, names in os.walk(mv):
+            if "_txn_log" in dirpath:
+                continue
+            stray = [n for n in names if not n.startswith(".")]
+            assert not stray, f"data bytes under the table root: {stray}"
+        assert mv_spec(mv)["src"] == src  # spec readable through the seam
+    finally:
+        _txmod._DATA_STORES.pop(prefix, None)
+
+
+def test_mv_status_reports_staleness(spark, tmp_path_factory):
+    from weather_data_warehouse_aws_spark.operators.mv import mv_status
+
+    src, mv = _mk(spark, tmp_path_factory, "mv_status", BASE)
+    st = mv_status(mv)
+    assert st["stale_by"] == 0 and st["watermark"] == st["src_version"]
+    T.tx_append(spark.createDataFrame([("z", 1.0, 1)], SCHEMA), src)
+    T.tx_append(spark.createDataFrame([("z", 2.0, 2)], SCHEMA), src)
+    st = mv_status(mv)
+    assert st["stale_by"] == 2
+    mv_refresh(spark, mv)
+    assert mv_status(mv)["stale_by"] == 0

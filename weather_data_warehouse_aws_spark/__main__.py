@@ -168,6 +168,31 @@ def main(argv: list[str] | None = None) -> int:
                     help="merge source parquet path / clone source tx table")
     tx.add_argument("--keys", default=None, help="merge keys, comma-separated")
 
+    mvp = sub.add_parser(
+        "mv",
+        help="incremental materialized views: create / refresh / read / "
+        "status (operators/mv.py)",
+    )
+    mvp.add_argument("action", choices=["create", "refresh", "read", "status"])
+    mvp.add_argument("--table", required=True, help="the view's directory")
+    mvp.add_argument("--source", default=None,
+                     help="create: the source txlog table")
+    mvp.add_argument("--group-by", default=None,
+                     help="create: comma-separated group keys")
+    mvp.add_argument("--sum", dest="mv_sum", default=None,
+                     help="create: comma-separated SUM columns")
+    mvp.add_argument("--min", dest="mv_min", default=None,
+                     help="create: comma-separated MIN columns")
+    mvp.add_argument("--max", dest="mv_max", default=None,
+                     help="create: comma-separated MAX columns")
+    mvp.add_argument("--filter", default=None,
+                     help="create: SQL WHERE predicate over source rows")
+    mvp.add_argument("--avg", default=None,
+                     help="read: comma-separated AVG columns (must be SUMs)")
+    mvp.add_argument("--replace", action="store_true",
+                     help="create: redefine an existing view")
+    mvp.add_argument("--limit", type=int, default=20, help="read row cap")
+
     m = sub.add_parser(
         "merge",
         help="MERGE a source batch into a hive-partitioned parquet table "
@@ -204,6 +229,21 @@ def main(argv: list[str] | None = None) -> int:
         for name in sorted(qs):
             marker = "oracle" if name in oracle else "rows-only"
             print(f"{name:24s} [{marker}]")
+        return 0
+
+    if args.cmd == "mv" and args.action == "status":
+        # pure log reads — no SparkSession needed
+        from .operators.mv import mv_status
+
+        st = mv_status(args.table)
+        stale = st["stale_by"]
+        state = ("ORPHANED spec (re-create with --replace)" if stale is None
+                 else "current" if stale == 0
+                 else f"stale by {stale} commit(s)")
+        print(f"source       {st['src']}")
+        print(f"watermark    v{st['watermark']}  (source at v{st['src_version']})")
+        print(f"state        {state}")
+        print(f"definition   {st['spec']}")
         return 0
 
     if args.cmd == "tx" and args.action in (
@@ -544,6 +584,39 @@ def main(argv: list[str] | None = None) -> int:
         versions = snap.pop("versions")
         for name in sorted(snap):
             print(f"{name}: v{versions[name]}, {snap[name].count()} rows")
+        return 0
+
+    if args.cmd == "mv":
+        from .operators.mv import mv_create, mv_read, mv_refresh
+
+        def _cols(s):
+            return [c.strip() for c in s.split(",") if c.strip()] if s else []
+
+        if args.action == "create":
+            if not args.source or not args.group_by:
+                print("mv create needs --source and --group-by",
+                      file=sys.stderr)
+                return 2
+            r = mv_create(
+                spark, args.source, args.table,
+                group_by=_cols(args.group_by),
+                sum_cols=_cols(args.mv_sum),
+                min_cols=_cols(args.mv_min),
+                max_cols=_cols(args.mv_max),
+                filter=args.filter,
+                replace=args.replace,
+            )
+            print(f"materialized at source v{r['version']}: {r['spec']}")
+        elif args.action == "refresh":
+            r = mv_refresh(spark, args.table)
+            if r["refreshed"]:
+                print(f"folded source v{r['from_version']}→v{r['to_version']} "
+                      f"(view commit v{r['version']})")
+            else:
+                print(f"already current at source v{r['to_version']}")
+        elif args.action == "read":
+            mv_read(spark, args.table, avg_cols=_cols(args.avg) or None) \
+                .show(args.limit, truncate=False)
         return 0
 
     if args.cmd == "tx":

@@ -65,7 +65,7 @@ from .txlog import (
     tx_snapshot,
 )
 
-__all__ = ["mv_create", "mv_refresh", "mv_read", "mv_spec"]
+__all__ = ["mv_create", "mv_refresh", "mv_read", "mv_spec", "mv_status"]
 
 _SPEC_REL = "_mv/spec.json"
 
@@ -218,6 +218,24 @@ def mv_read(
         cols.append(F.col(f"max_{c}"))
     cols.append(F.col("n_rows"))
     return df.select(*cols)
+
+
+def mv_status(mv_path: str) -> dict:
+    """Staleness report without a SparkSession: the stored watermark (the
+    last source version folded in) vs the source's current version.
+    `stale_by` = commits the next refresh would fold (0 = current).
+    None watermark means the spec file does not match any create commit —
+    the same inconsistency mv_refresh refuses on."""
+    spec = mv_spec(mv_path)
+    wm = tx_snapshot(mv_path)["txns"].get(_mv_app(spec))
+    src_v = tx_snapshot(spec["src"])["version"]
+    return {
+        "src": spec["src"],
+        "watermark": wm,
+        "src_version": src_v,
+        "stale_by": None if wm is None else max(0, src_v - wm),
+        "spec": spec,
+    }
 
 
 def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
