@@ -3853,3 +3853,87 @@ def test_multipart_checkpoint_crash_between_sidecar_and_manifest(
     # cp8's parts are born at v8 — the v4 orphans are never referenced
     assert orphans.isdisjoint(st8["sidecars"])
     assert _ids(tx_read(spark, t)) == [0, 1, 2, 3, 100, 101, 102, 103, 104]
+
+
+# ---------------------------------------------------------------------------
+# Table features: capability gating travels IN the log (Delta's
+# table-features design). A commit that first USES a feature stamps the
+# folded set; snapshot resolution refuses feature sets this build does
+# not implement instead of silently misreading.
+# ---------------------------------------------------------------------------
+def test_table_features_fold_through_log_and_checkpoint(spark, tmp_path):
+    t = str(tmp_path / "feat")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    tx_append(df, t)
+    assert tx_snapshot(t)["features"] == []  # plain tables carry none
+
+    _txmod.tx_delete_where(spark, t, "k = 1")
+    assert tx_snapshot(t)["features"] == ["deletion-vectors"]
+    _txmod.tx_rename_column(t, "s", "name")
+    assert tx_snapshot(t)["features"] == [
+        "column-mapping", "deletion-vectors",
+    ]
+    # monotone: dropping the constraint does not retire its feature
+    _txmod.tx_set_constraint(spark, t, "k_pos", "k > 0")
+    _txmod.tx_drop_constraint(t, "k_pos")
+    assert "check-constraints" in tx_snapshot(t)["features"]
+
+    # the folded set survives a checkpoint (footer state) and gates the
+    # distributed plane's read path too
+    v = tx_snapshot(t)["version"]
+    _txmod._write_checkpoint(_txmod.get_log_store(t), t, v)
+    assert set(_txmod._checkpoint_state(t, v)["features"]) >= {
+        "deletion-vectors", "column-mapping", "check-constraints",
+    }
+    assert tx_snapshot(t)["features"] == sorted(
+        {"deletion-vectors", "column-mapping", "check-constraints"}
+    )
+    assert _txmod.tx_files_df(spark, t).count() == len(
+        tx_snapshot(t)["files"]
+    )
+
+
+def test_unknown_table_feature_refuses_read_and_write(spark, tmp_path):
+    """A log claiming a feature this build lacks must hard-fail every
+    surface — tx_read, writes, and the distributed metadata plane — with
+    the feature named, never return wrong rows."""
+    t = str(tmp_path / "feat_unknown")
+    df = spark.createDataFrame([(1, "a")], "k int, s string")
+    tx_append(df, t)
+    store = _txmod.get_log_store(t)
+    rec = {
+        "version": 1, "op": "future_op", "add": [], "remove": [],
+        "meta": {"features": ["quantum-vectors"]}, "ts": 0.0,
+    }
+    assert store.put_if_absent(
+        _txmod._log_dir(t), _txmod._commit_name(1), json.dumps(rec)
+    )
+    with pytest.raises(_txmod.TxUnsupportedFeature, match="quantum-vectors"):
+        tx_read(spark, t).collect()
+    with pytest.raises(_txmod.TxUnsupportedFeature):
+        tx_append(df, t)
+    with pytest.raises(_txmod.TxUnsupportedFeature):
+        _txmod.tx_files_df(spark, t).count()
+    # time travel BELOW the stamping commit still works: version 0
+    # never required the feature
+    assert tx_snapshot(t, version=0)["features"] == []
+
+
+def test_txn_only_commit_advances_watermark_without_files(spark, tmp_path):
+    """tx_commit_txn records an idempotence token with zero adds/removes
+    (Delta's empty-batch txn action): the app watermark advances, replay
+    of the same batch is a no-op, and the live set / data bytes are
+    untouched."""
+    t = str(tmp_path / "txnonly")
+    tx_append(spark.createDataFrame([(1,)], "k int"), t)
+    files_before = tx_snapshot(t)["files"]
+    v = _txmod.tx_commit_txn(t, "consumer", 7)
+    assert v == 1
+    snap = tx_snapshot(t)
+    assert snap["txns"] == {"consumer": 7}
+    assert snap["files"] == files_before
+    assert _txmod.tx_commit_txn(t, "consumer", 7) is None   # replay no-op
+    assert _txmod.tx_commit_txn(t, "consumer", 5) is None   # stale no-op
+    assert _txmod.tx_commit_txn(t, "consumer", 9) == 2      # advances
+    with pytest.raises(ValueError, match="no transaction log"):
+        _txmod.tx_commit_txn(str(tmp_path / "absent"), "a", 0)

@@ -426,6 +426,9 @@ def main(argv: list[str] | None = None) -> int:
             # governance + layout surface: spec, generation rules, and
             # how much of the table is still borrowed from a clone base
             snap0 = tx_snapshot(args.table)
+            if snap0.get("features"):
+                print(f"table features: {snap0['features']} "
+                      "(readers/writers without them refuse)")
             if snap0.get("partition_by"):
                 print(f"partition spec: {snap0['partition_by']}")
             for col_, gexpr_ in sorted(

@@ -46,6 +46,12 @@ Scale shape at 100 TB: a refresh reads only the change range's files
 once for the delta groupBy, rescans only delete-affected groups via a
 stats-prunable semi-join, and rewrites only the MV files those groups
 live in. Nothing is proportional to the source table except the create.
+
+The CONTINUOUS spelling of the same loop is
+`streaming/jobs.py::run_txtable_agg_foreachbatch` (the txtable stream
+source driving a maintained SUM/COUNT aggregate per micro-batch); this
+module is the scheduled/batch spelling with the full surface — MIN/MAX
+with rescan, AVG, WHERE, NULL-faithful sums, definition replace.
 """
 
 from __future__ import annotations
@@ -59,6 +65,7 @@ from pyspark.sql import functions as F
 from .txlog import (
     get_data_store,
     tx_changes,
+    tx_commit_txn,
     tx_merge,
     tx_overwrite,
     tx_read,
@@ -344,6 +351,13 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
     # probe and rewrite don't re-execute the whole change-feed plan
     # (tx_changes unions + DV anti-joins + rescan join) per action
     source = source.localCheckpoint(eager=True)
+    if source.isEmpty():
+        # the range held only row-preserving commits (compactions) or
+        # changes the filter excluded: advance the watermark with a
+        # txn-only commit — no empty data file, same exactly-once token
+        v = tx_commit_txn(mv_path, app, to_v)
+        return {"refreshed": v is not None, "from_version": last,
+                "to_version": to_v, "version": v}
 
     upd = {}
     for c in spec["sum_cols"]:

@@ -196,6 +196,52 @@ class TxCorruption(RuntimeError):
     replica or checkpoint before using the table."""
 
 
+class TxUnsupportedFeature(RuntimeError):
+    """The table's folded feature set names a capability this build does
+    not implement — reading would return wrong rows and writing would
+    corrupt invariants the unknown feature maintains, so both refuse.
+    Delta's table-features compatibility design (protocol evolution,
+    Armbrust et al. VLDB 2020 §3.1): capability gating travels IN the
+    log, not in out-of-band version coordination."""
+
+
+#: Table features this build understands. A commit that first USES a
+#: feature stamps the folded set into its record (replacement semantics,
+#: monotone — features are never dropped, Delta's rule); every snapshot
+#: resolution checks the folded set against this frozenset and raises
+#: TxUnsupportedFeature on anything unknown. Old logs carry no feature
+#: records and read as the empty set.
+_FEATURES_SUPPORTED = frozenset({
+    "deletion-vectors",     # dv_add commits / restore dv_state
+    "column-mapping",       # rename/drop without rewrite
+    "generated-columns",
+    "check-constraints",
+    "clone",                # ext<i>: rels through recorded bases
+    "partition-evolution",  # multi-era hive layouts
+})
+
+
+def _derive_features(rec: dict) -> set[str]:
+    """Features a commit RECORD uses, derived from its content — no op
+    has to remember to declare anything, and future write paths are
+    covered automatically."""
+    feats: set[str] = set()
+    meta = rec.get("meta") or {}
+    if rec.get("dv_add") or meta.get("dv_state"):
+        feats.add("deletion-vectors")
+    if meta.get("column_map") or meta.get("dropped_cols"):
+        feats.add("column-mapping")
+    if meta.get("generated"):
+        feats.add("generated-columns")
+    if meta.get("constraints"):
+        feats.add("check-constraints")
+    if meta.get("bases"):
+        feats.add("clone")
+    if rec.get("op") == "set_partition_spec":
+        feats.add("partition-evolution")
+    return feats
+
+
 # --------------------------------------------------------------------------
 # LogStore seam — the three primitives commit/replay need, exactly the
 # public Delta Lake LogStore contract (Armbrust et al. VLDB 2020 §3.2):
@@ -604,7 +650,7 @@ def _load_rec(path: str, version: int, *, checkpoint: bool = False) -> dict:
 # key-value metadata (KB-scale however large the live set grows)
 _CP_STATE_KEYS = (
     "version", "schema", "horizon", "txns", "partition_by", "constraints",
-    "column_map", "dropped_cols", "bases", "generated",
+    "column_map", "dropped_cols", "bases", "generated", "features",
 )
 
 
@@ -972,6 +1018,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
     dropped_cols: list[str] = []  # physical names of dropped columns
     bases: list[str] = []  # clone base table roots for ext<i>: rels
     generated: dict[str, str] = {}  # generated columns: name -> SQL expr
+    features: set[str] = set()  # capability gates (monotone)
     schema_json = None
     partition_by: list[str] | None = None
     if cp is not None:
@@ -987,6 +1034,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         dropped_cols = list(cp.get("dropped_cols", []))
         bases = list(cp.get("bases", []))
         generated = dict(cp.get("generated", {}))
+        features = set(cp.get("features") or [])
     for v in commits:
         if v <= base_v or v > target:
             continue
@@ -1025,9 +1073,20 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         if "generated" in rec.get("meta", {}):
             # replacement semantics, like constraints
             generated = dict(rec["meta"]["generated"])
+        if "features" in rec.get("meta", {}):
+            # replacement semantics; _commit stamps the full folded set
+            features = set(rec["meta"]["features"])
         txn = rec.get("txn")
         if txn:
             txns[txn["app"]] = max(txns.get(txn["app"], -1), int(txn["batch"]))
+    unknown = features - _FEATURES_SUPPORTED
+    if unknown:
+        raise TxUnsupportedFeature(
+            f"{path}: table requires feature(s) {sorted(unknown)} this "
+            "build does not implement — reading would return wrong rows "
+            "and writing would break the feature's invariants; upgrade "
+            f"the library (supported: {sorted(_FEATURES_SUPPORTED)})"
+        )
     return {
         "version": target,
         "files": sorted(live),
@@ -1042,6 +1101,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         "dropped_cols": dropped_cols,
         "bases": bases,
         "generated": generated,
+        "features": sorted(features),
     }
 
 
@@ -1226,6 +1286,14 @@ def _commit(
             rec["txn"] = {"app": txn[0], "batch": int(txn[1])}
         if dv_add is not None:
             rec["dv_add"] = dv_add
+        # capability gating: the first commit to USE a feature stamps the
+        # grown folded set (derived from the record itself — no op opts in)
+        folded_feats = set((snap or {}).get("features") or [])
+        new_feats = _derive_features(rec) - folded_feats
+        if new_feats:
+            rec["meta"] = {
+                **meta, "features": sorted(folded_feats | new_feats),
+            }
         if not store.put_if_absent(_log_dir(path), _commit_name(next_v), json.dumps(rec)):
             # lost the race. If the winner's entry is UNPARSEABLE the loser
             # would spin forever (replay treats a torn tail as aborted, so
@@ -1722,6 +1790,8 @@ def _tail_delta(path: str, commits: list[int], base_v: int,
             removed.discard(f)
         if "column_map" in rec.get("meta", {}):
             state["column_map"] = dict(rec["meta"]["column_map"])
+        if "features" in rec.get("meta", {}):
+            state["features"] = list(rec["meta"]["features"])
     return added, removed, state
 
 
@@ -1842,6 +1912,7 @@ def tx_files_df(spark: SparkSession, path: str,
     usable = [c for c in checkpoints if c <= target]
     cp_v = usable[-1] if usable else None
     base_df = None
+    cp_features: list[str] = []
     if cp_v is not None:
         store = get_log_store(path)
         log_dir = _log_dir(path)
@@ -1862,6 +1933,7 @@ def tx_files_df(spark: SparkSession, path: str,
             meta = pq.read_schema(uri).metadata or {}
             st = (json.loads(meta[b"txlog_state"])
                   if b"txlog_state" in meta else {})
+            cp_features = list(st.get("features") or [])
             sidecars = st.get("sidecars")
             if sidecars is None:
                 base_df = spark.read.parquet(uri).select("rel", "stats_json")
@@ -1907,6 +1979,7 @@ def tx_files_df(spark: SparkSession, path: str,
                     )
         else:  # json-era checkpoint: driver materializes (small tables)
             cp = _load_checkpoint(path, cp_v)
+            cp_features = list(cp.get("features") or [])
             cp_stats = cp.get("stats", {})
             base_df = spark.createDataFrame(
                 [(f, json.dumps(cp_stats[f]) if cp_stats.get(f) else None)
@@ -1916,6 +1989,17 @@ def tx_files_df(spark: SparkSession, path: str,
     added, removed, _state = _tail_delta(
         path, commits, cp_v if cp_v is not None else -1, target
     )
+    # capability gate, same rule as _replay: tail stamp (full folded set)
+    # replaces the checkpoint's; the distributed plane must not misread a
+    # table whose features it does not implement
+    feats = set(_state.get("features") or cp_features)
+    unknown = feats - _FEATURES_SUPPORTED
+    if unknown:
+        raise TxUnsupportedFeature(
+            f"{path}: table requires feature(s) {sorted(unknown)} this "
+            f"build does not implement (supported: "
+            f"{sorted(_FEATURES_SUPPORTED)})"
+        )
     tail_df = spark.createDataFrame(
         [(f, json.dumps(s) if s else None) for f, s in sorted(added.items())],
         _FILES_DF_SCHEMA,
@@ -1983,6 +2067,29 @@ def _prune_distributed(
     kept = sorted(r["rel"] for r in rows if r["keep"])
     skipped = sorted(r["rel"] for r in rows if not r["keep"])
     return kept, skipped
+
+
+def _write_dv(path: str, hits: DataFrame) -> tuple[list[str], list[str], int]:
+    """Write a (file, pos) deletion-vector relation as ONE part file and
+    return (dv_rels, covered files sorted, row count). The covers/count
+    metrics ride the write action itself (CollectMetrics/Observation)
+    instead of re-reading the just-written bytes — a DV commit costs one
+    Spark job, not two. `covers` is driver-side either way (the commit
+    record names the covered files); the positions themselves never
+    materialize on the driver."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    measured = hits.observe(
+        obs,
+        F.collect_set("file").alias("covers"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dv_rels, _ = _write_new_files(
+        measured, path, collect_stats=False, prefix="dv"
+    )
+    got = obs.get
+    return dv_rels, sorted(got["covers"]), int(got["n"])
 
 
 def _write_new_files(
@@ -2931,6 +3038,22 @@ def tx_append(
     return v
 
 
+def tx_commit_txn(path: str, app: str, batch: int) -> int | None:
+    """Commit ONLY an idempotence token — no files added or removed.
+    Delta allows exactly this (a streaming batch with zero rows still
+    records its txn action so the watermark advances); here it is what
+    lets an incremental consumer (mv_refresh) advance past a range of
+    row-preserving commits without writing an empty data file. Returns
+    the new version, or None when `batch` is already folded for `app`
+    (the usual idempotent-replay contract)."""
+    if not tx_exists(path):
+        raise ValueError(f"no transaction log at {path}")
+    return _commit(
+        path, "txn", lambda s: ([], [], {}),
+        validate_remove_live=False, txn=(app, int(batch)),
+    )
+
+
 def tx_overwrite(
     df: DataFrame,
     path: str,
@@ -3257,15 +3380,7 @@ def tx_delete_where(
         # into one task) shuffles only the KB-scale positions
         .repartition(1)
     )
-    dv_rels, _ = _write_new_files(hits, path, collect_stats=False, prefix="dv")
-    per_file = (
-        spark.read.parquet(*_read_uris(path, dv_rels))
-        .groupBy("file")
-        .count()
-        .collect()
-    )
-    covers = sorted(r["file"] for r in per_file)
-    rows_deleted = int(sum(r["count"] for r in per_file))
+    dv_rels, covers, rows_deleted = _write_dv(path, hits)
     if rows_deleted == 0:
         _drop_files(path, dv_rels)
         return {"version": None, "rows_deleted": 0, "files_touched": 0}
@@ -3380,16 +3495,9 @@ def tx_update_where(
         hits = matched.select(
             F.col("__tx_rel").alias("file"), F.col("__tx_pos").alias("pos")
         ).repartition(1)
-        dv_rels, _ = _write_new_files(
-            hits, path, collect_stats=False, prefix="dv"
-        )
+        dv_rels, covers, rows_updated = _write_dv(path, hits)
     finally:
         matched.unpersist()
-    per_file = (
-        spark.read.parquet(*_read_uris(path, dv_rels)).groupBy("file").count().collect()
-    )
-    covers = sorted(r["file"] for r in per_file)
-    rows_updated = int(sum(r["count"] for r in per_file))
     if rows_updated == 0:
         _drop_files(path, new_rels + dv_rels)
         return {"version": None, "rows_updated": 0, "files_touched": 0}
