@@ -155,6 +155,61 @@ def bench_planning(n: int) -> None:
     spark.stop()
 
 
+def bench_dv_commit(rows: int = 100_000) -> None:
+    """The round-10 DV-commit change, reproduced: measure a
+    tx_delete_where on a real table (its `_write_dv` rides Observation
+    metrics on the write — one Spark job) against the prior shape (write
+    the DV relation, then re-read it for covers + count — two jobs).
+    Warm best-of-3 each; needs a quiet box like bench_planning."""
+    from pyspark.sql import SparkSession, functions as F
+
+    from weather_data_warehouse_aws_spark.operators import txlog as tx
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    d = tempfile.mkdtemp()
+    t = os.path.join(d, "t")
+    tx.tx_append(
+        spark.range(rows).select(
+            F.col("id").alias("k"), (F.col("id") * 2.5).alias("v")
+        ).coalesce(8),
+        t,
+    )
+    snap = tx.tx_snapshot(t)
+
+    def hits():
+        return (
+            tx._read_live(spark, t, snap["files"], snap, keep_meta=True)
+            .filter("k % 9973 = 5")
+            .select(F.col("__tx_rel").alias("file"),
+                    F.col("__tx_pos").alias("pos"))
+            .repartition(1)
+        )
+
+    def two_jobs():
+        rels, _ = tx._write_new_files(hits(), t, collect_stats=False,
+                                      prefix="dv")
+        per = (spark.read.parquet(*tx._read_uris(t, rels))
+               .groupBy("file").count().collect())
+        tx._drop_files(t, rels)
+        return sum(r["count"] for r in per)
+
+    def one_job():
+        rels, covers, n_ = tx._write_dv(t, hits())
+        tx._drop_files(t, rels)
+        return n_
+
+    one_job()  # warm
+    t_old, n_old = _best(two_jobs)
+    t_new, n_new = _best(one_job)
+    assert n_old == n_new
+    print(f"dv commit ({rows} rows scanned, {n_new} positions): "
+          f"write+re-read {t_old:.2f}s, observed write {t_new:.2f}s "
+          f"({t_old / t_new:.1f}x)")
+    spark.stop()
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else 200_000
@@ -162,3 +217,4 @@ if __name__ == "__main__":
     bench_multipart(n)
     if "--spark" in sys.argv:
         bench_planning(n)
+        bench_dv_commit()
