@@ -326,11 +326,9 @@ def mv_refresh(spark: SparkSession, mv_path: str) -> dict:
             term = F.col(k).eqNullSafe(F.col(f"__rs_{k}"))
             cond = term if cond is None else cond & term
         joined = delta.join(rescan, cond, "left")
-        sel = list(keys)
         out_cols = [F.col(k) for k in keys]
         for c in spec["sum_cols"]:
             out_cols += [F.col(f"sum_{c}"), F.col(f"nn_{c}")]
-            sel += [f"sum_{c}", f"nn_{c}"]
         for c in spec["min_cols"]:
             out_cols.append(
                 F.when(F.col("__mv_del") == 1, F.col(f"__rs_min_{c}"))
