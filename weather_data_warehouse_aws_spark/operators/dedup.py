@@ -73,7 +73,9 @@ def fingerprint_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFra
 
 
 # ---------------------------------------------------------- n-gram Jaccard
-def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int, *, hash_fn=None
+) -> DataFrame:
     """(doc_id, shingle_hash) — one row per DISTINCT shingle per doc.
 
     Repartitions on the id first: a small corpus file reads as 1-3 splits,
@@ -81,24 +83,40 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     pre-explode shuffle moves compact text rows once; at real scale the
     source has enough splits and AQE coalesces this to a no-op-sized
     exchange.
-    """
+
+    `hash_fn`: the shingle→BIGINT hash. Defaults to the md5-prefix
+    `portable_hash60` — REQUIRED wherever the hash VALUE is semantic
+    (MinHash signatures, anything a DuckDB oracle replicates hash-for-
+    hash). Consumers that only ever test shingle EQUALITY (contamination
+    probes, Jaccard candidate keys) pass `F.xxhash64`: same results
+    (collisions aside — 64-bit xxhash collides strictly less often than
+    the 60-bit md5 prefix), ~5× less per-row CPU than the
+    md5→hex→conv(16,10) string round-trip (measured, guide §1/§4: the
+    hash runs per shingle OCCURRENCE, the single hottest expression in
+    the dedup family)."""
+    if hash_fn is None:
+        hash_fn = portable_hash60
     spread = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism, "doc_id")
     return spread.select(
         "doc_id",
         F.explode(word_shingles("__text", n)).alias("shingle"),
-    ).select("doc_id", portable_hash60(F.col("shingle")).alias("sh"))
+    ).select("doc_id", hash_fn(F.col("shingle")).alias("sh"))
 
 
 def positioned_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int, *, hash_fn=None
 ) -> DataFrame:
     """(doc_id, pos, sh, n_tok): one row per shingle OCCURRENCE with its
     1-based token position — the position-aware sibling of `shingle_table`
     (which deduplicates shingles per doc and drops positions). Used to
     localize WHERE leaked n-grams sit inside a document (contamination
     spans); run it on the SMALL side only (eval benchmarks) — positions
-    multiply row counts by ~doc length and are never needed corpus-wide."""
+    multiply row counts by ~doc length and are never needed corpus-wide.
+    `hash_fn`: see `shingle_table` — must match the relation these
+    positions will be joined against."""
+    if hash_fn is None:
+        hash_fn = portable_hash60
     toks = r"split(trim(__text), '\\s+')"
     shingles = (
         f"transform(sequence(1, greatest(size({toks}) - {n} + 1, 1)),"
@@ -117,7 +135,7 @@ def positioned_shingles(
     ).select(
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
-        portable_hash60(F.col("shingle")).alias("sh"),
+        hash_fn(F.col("shingle")).alias("sh"),
         "n_tok",
     )
 
@@ -129,6 +147,7 @@ def leak_spans(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn=None,
 ) -> DataFrame:
     """Localize leaked n-grams inside documents: given `leaked`
     (id_col, sh) — the shingle hashes known to overlap another corpus —
@@ -141,33 +160,38 @@ def leak_spans(
     Run on the small (eval) side: positions multiply rows by ~doc length.
     The answer to "is 3000100 contaminated?" is counts; the answer to
     "can I salvage it by cutting the leaked slice?" is this span."""
-    pos_sh = positioned_shingles(docs, id_col, text_col, n)
+    pos_sh = positioned_shingles(docs, id_col, text_col, n, hash_fn=hash_fn)
     leak_occ = pos_sh.join(
         leaked.select(F.col(id_col).alias("doc_id"), "sh"), ["doc_id", "sh"]
-    ).persist()
-    end = F.least(F.col("pos") + n - 1, F.col("n_tok"))
-    spans = leak_occ.groupBy("doc_id").agg(
-        F.min("pos").alias("span_start"), F.max(end).alias("span_end")
     )
-    ncov = (
-        leak_occ.select(
-            "doc_id",
-            F.explode(
-                F.expr(f"sequence(pos, least(pos + {n} - 1, n_tok))")
-            ).alias("cpos"),
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_covered_tokens"))
-    )
-    # per-doc result is small; materialize it and RELEASE the occurrence
-    # cache rather than pinning it for the session (checkpoint discipline)
+    # ONE aggregation serves all three outputs: each occurrence at pos
+    # covers tokens [pos, min(pos+n-1, n_tok)], so over the DISTINCT
+    # covered positions min(cpos) IS the first leaked position (every
+    # range starts at its pos), max(cpos) IS the envelope end, and the
+    # row count IS the coverage — the previous spans ⋈ coverage two-
+    # branch shape recomputed the occurrence join per branch (or pinned
+    # it) and paid an extra shuffle join for byte-identical results.
+    cov = leak_occ.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(pos, least(pos + {n} - 1, n_tok))")
+        ).alias("cpos"),
+    ).distinct()
+    # per-doc result is small BY CONSTRUCTION (≤ one row per leaked doc,
+    # and leak localization runs on the eval side only): fold to one
+    # partition and materialize (checkpoint discipline — callers consume
+    # it repeatedly without pinning session caches)
     out = (
-        spans.join(ncov, "doc_id")
+        cov.groupBy("doc_id")
+        .agg(
+            F.min("cpos").alias("span_start"),
+            F.max("cpos").alias("span_end"),
+            F.count("*").alias("n_covered_tokens"),
+        )
         .withColumnRenamed("doc_id", id_col)
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
-    leak_occ.unpersist()
     return out
 
 
@@ -268,6 +292,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     max_doc_freq: int | None = 10_000,
     shingles: DataFrame | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """Candidate pairs (a < b) with exact shingle-set Jaccard ≥ threshold.
 
@@ -282,8 +307,16 @@ def ngram_jaccard_pairs(
     `shingle_table` shape, distinct shingles per doc) — callers running
     several strategies over ONE corpus persist the shingle pass once and
     hand it to each, so the explode+hash scan isn't repeated per strategy.
+
+    ``hash_fn`` (ignored when ``shingles`` is given): Jaccard only ever
+    tests shingle EQUALITY — sizes and intersections count DISTINCT
+    shingle strings, which any injective-in-practice hash relabels — so
+    callers not sharing the pass with MinHash pass ``F.xxhash64`` for the
+    cheap hash (see `shingle_table`).
     """
-    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else shingle_table(
+        df, id_col, text_col, n, hash_fn=hash_fn
+    )
     if max_doc_freq is not None:
         sh = cap_hot_shingles(sh, max_doc_freq)
     # the capped shingle table feeds three consumers (sizes + both join

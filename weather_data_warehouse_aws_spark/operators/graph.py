@@ -44,6 +44,29 @@ def _truncate(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+#: iteration-shuffle sizing: rows per task for the per-round exchanges.
+#: Edge/label rows are a few dozen bytes, so 2M rows ≈ 50-100 MB per task
+#: (guide §2.2's 100 MB-1 GB window). Partition counts DERIVE from the
+#: measured relation size instead of inheriting spark.sql.shuffle
+#: .partitions: a 1.4k-edge dedup graph iterates in 1-task stages while a
+#: 10^10-edge graph gets thousands — the same code, no local-core tuning.
+_PART_ROWS = 2_000_000
+
+#: measured-size broadcast ceiling for the per-round label/rank join
+#: (guide §3.1: decide the strategy deliberately). 5M labels ≈ 100-200 MB
+#: built — comfortably inside executor memory, far under Spark's 8 GB /
+#: 512M-row broadcast cap; above it the round falls back to the shuffle
+#: join. localCheckpoint'd frames are LogicalRDDs with UNKNOWN size
+#: stats, so Spark's own auto-broadcast can never fire here — without
+#: this explicit decision every round of every iteration pays two full
+#: shuffles even on a 1k-node graph.
+_BROADCAST_MAX_NODES = 5_000_000
+
+
+def _parts(n_rows: int) -> int:
+    return max(1, -(-n_rows // _PART_ROWS))
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -64,6 +87,18 @@ def connected_components(
         .distinct()
     )
     sym = _truncate(sym)
+    # one count sizes every round: iteration exchanges are partitioned by
+    # MEASURED edge count, and labels (≤ |sym| rows, exactly n_nodes) ride
+    # the broadcast path when they provably fit
+    n_edges = sym.count()
+    p = _parts(n_edges)
+    if sym.rdd.getNumPartitions() > p:
+        # checkpointed at the upstream partitioning (often the session's
+        # shuffle width); fold small graphs down so every round's map
+        # side is p right-sized tasks, not 32 near-empty ones (narrow
+        # coalesce over the checkpointed partitions — no shuffle)
+        sym = sym.coalesce(p)
+    bcast = 2 * n_edges <= _BROADCAST_MAX_NODES  # n_nodes ≤ 2·n_edges
 
     labels = sym.select("node").distinct().withColumn("component", F.col("node"))
     labels = _truncate(labels)
@@ -76,27 +111,36 @@ def connected_components(
     # label propagation is monotone, so no two distinct labelings repeat).
     def _sig(lbls: DataFrame):
         # decimal(38,0) sum: long hashes span ±2^63, so a plain long sum
-        # overflows (ANSI mode raises); decimal38 holds ~1e38 ≫ n·2^63
-        return lbls.agg(
-            F.sum(F.xxhash64("component").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        # overflows (ANSI mode raises); decimal38 holds ~1e38 ≫ n·2^63.
+        # The row count rides the same one-row aggregate (no extra job):
+        # it sizes the next round's label exchange.
+        row = lbls.agg(
+            F.sum(F.xxhash64("component").cast("decimal(38,0)")),
+            F.count(F.lit(1)),
+        ).collect()[0]
+        return row[0], row[1]
 
-    prev_sig = _sig(labels)
+    prev_sig, n_nodes = _sig(labels)
     if prev_sig is None:  # empty edge set
         return labels
 
     for _ in range(max_iter):
-        # neighbor labels flow along edges; keep own label via the union
+        # neighbor labels flow along edges; keep own label via the union.
+        # Labels of a measured-small graph broadcast (checkpointed frames
+        # carry no size stats, so auto-broadcast can never fire here);
+        # the groupBy exchange is sized from the measured node count.
+        lbl_side = labels.withColumnRenamed("node", "nbr")
         msgs = sym.join(
-            labels.withColumnRenamed("node", "nbr"), "nbr"
+            F.broadcast(lbl_side) if bcast else lbl_side, "nbr"
         ).select("node", "component")
         new_labels = (
             labels.unionByName(msgs)
+            .repartition(_parts(n_nodes), "node")
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
         new_labels = _truncate(new_labels)
-        new_sig = _sig(new_labels)
+        new_sig, n_nodes = _sig(new_labels)
         labels = new_labels
         if new_sig == prev_sig:
             return labels
@@ -175,8 +219,18 @@ def pagerank(
     if symmetric:
         e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     e = _truncate(e.distinct())
+    # measured-size decisions, same rationale as connected_components:
+    # checkpointed frames have no size stats, so the per-round join
+    # strategy and exchange widths must be chosen HERE, deliberately
+    n_edges = e.count()
+    p = _parts(n_edges)
+    if e.rdd.getNumPartitions() > p:
+        e = e.coalesce(p)  # narrow fold of near-empty checkpoint splits
+    bcast = 2 * n_edges <= _BROADCAST_MAX_NODES  # n_nodes ≤ 2·n_edges
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = _truncate(e.join(deg, "s"))  # (s, d, outdeg), reused every round
+    ed = _truncate(e.join(F.broadcast(deg) if bcast else deg, "s"))
+    if ed.rdd.getNumPartitions() > p:
+        ed = ed.coalesce(p)  # (s, d, outdeg), reused every round
 
     # vertex set = BOTH endpoints: with directed input a pure sink (most-
     # cited node — exactly what this ranks) appears only as a destination
@@ -184,23 +238,34 @@ def pagerank(
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
+        .repartition(p, "node")
         .distinct()
     )
     ranks = _truncate(nodes.withColumn("r", F.lit(scale).cast("long")))
+    if ranks.rdd.getNumPartitions() > p:
+        ranks = ranks.coalesce(p)
+    nodes = ranks.select("node")  # reuse the checkpointed vertex set
     base = (scale * (100 - damping_pct)) // 100
 
     share = F.expr(f"(r * {damping_pct}) div (100 * outdeg)")
     for _ in range(iters):
+        rank_side = ranks.withColumnRenamed("node", "s")
         incoming = (
-            ed.join(ranks.withColumnRenamed("node", "s"), "s")
+            ed.join(F.broadcast(rank_side) if bcast else rank_side, "s")
             .select(F.col("d").alias("node"), share.alias("c"))
+            .repartition(p, "node")
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
+        inc_side = incoming
         ranks = _truncate(
-            nodes.join(incoming, "node", "left").select(
+            nodes.join(
+                F.broadcast(inc_side) if bcast else inc_side, "node", "left"
+            ).select(
                 "node",
                 (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0))).alias("r"),
             )
         )
+        if ranks.rdd.getNumPartitions() > p:
+            ranks = ranks.coalesce(p)
     return ranks.select("node", F.col("r").alias("rank_scaled"))

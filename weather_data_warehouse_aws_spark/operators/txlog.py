@@ -651,6 +651,7 @@ def _load_rec(path: str, version: int, *, checkpoint: bool = False) -> dict:
 _CP_STATE_KEYS = (
     "version", "schema", "horizon", "txns", "partition_by", "constraints",
     "column_map", "dropped_cols", "bases", "generated", "features",
+    "schema_eras",
 )
 
 
@@ -1021,6 +1022,13 @@ def _replay(path: str, version: int | None = None) -> dict | None:
     features: set[str] = set()  # capability gates (monotone)
     schema_json = None
     partition_by: list[str] | None = None
+    # distinct meta.schema jsons whose files may still be live (reset on
+    # full rewrites); None = unknown/poisoned. When this ends up exactly
+    # [schema_json], every live file provably carries the logged column
+    # set and `_read_live` pins the scan schema from the LOG instead of
+    # paying a mergeSchema footer-union Spark job per scan — O(1) vs
+    # O(live files) metadata reads per query at the 100 TB design point.
+    schema_eras: list[str] | None = []
     if cp is not None:
         base_v = cp["version"]
         cp_stats = cp.get("stats", {})
@@ -1035,6 +1043,8 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         bases = list(cp.get("bases", []))
         generated = dict(cp.get("generated", {}))
         features = set(cp.get("features") or [])
+        # pre-schema_eras checkpoints don't record the key: poisoned
+        schema_eras = cp.get("schema_eras")
     for v in commits:
         if v <= base_v or v > target:
             continue
@@ -1042,9 +1052,32 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         for f in rec.get("remove", []):
             live.pop(f, None)
             dvs.pop(f, None)  # a rewrite materializes the deletes
+        full_rewrite = not live  # every prior file gone before the adds
         rec_stats = rec.get("stats", {})
-        for f in rec.get("add", []):
+        adds = rec.get("add", [])
+        for f in adds:
             live[f] = rec_stats.get(f, {})
+        rec_meta = rec.get("meta", {})
+        if schema_eras is not None or full_rewrite:
+            m_schema = rec_meta.get("schema")
+            if full_rewrite and (adds or m_schema is not None):
+                # a full rewrite's files all carry ITS schema: reset
+                # (this also un-poisons, e.g. tx_overwrite after renames)
+                schema_eras = [m_schema] if m_schema is not None else None
+            elif schema_eras is not None:
+                if adds and m_schema is None:
+                    schema_eras = None  # files of unknown schema
+                elif m_schema is not None and m_schema not in schema_eras:
+                    schema_eras = [*schema_eras, m_schema]
+        if schema_eras is not None and (
+            rec_meta.get("column_map") or rec_meta.get("dropped_cols")
+            or rec_meta.get("bases") or "dv_state" in rec_meta
+        ):
+            # renames/drops (era jsons predate the mapping), clones
+            # (referenced files' schemas are the base table's business),
+            # restores (may resurrect pre-rewrite files): the single-era
+            # proof no longer holds — fall back to the mergeSchema scan
+            schema_eras = None
         dv_add = rec.get("dv_add")
         if dv_add:
             for f in dv_add["covers"]:
@@ -1102,6 +1135,7 @@ def _replay(path: str, version: int | None = None) -> dict | None:
         "bases": bases,
         "generated": generated,
         "features": sorted(features),
+        "schema_eras": schema_eras,
     }
 
 
@@ -2401,6 +2435,19 @@ def _read_live(
         {d for r in rels for d in dv_map.get(r, [])}
     ) if apply_dvs else []
     need_meta = keep_meta or bool(dv_rels)
+    # single-era fast path: when the log PROVES every live file was
+    # written under exactly the logged schema (`_replay` tracks the
+    # distinct commit-schema eras), pin the scan to the log and skip the
+    # mergeSchema footer-union entirely — that union is a Spark job that
+    # reads EVERY live file's footer on EVERY scan, O(files) metadata
+    # I/O per query at the 100 TB design point (and the dominant fixed
+    # cost of metadata-plane ops on small tables). Multi-era, renamed,
+    # dropped-column, cloned, and restored tables keep the union scan.
+    uniform = (
+        logged is not None
+        and (snap or {}).get("schema_eras") == [snap.get("schema")]
+        and not colmap and not dropped and not bases
+    )
 
     def _scan_home(prefix: str, full_rels: list[str]) -> DataFrame:
         home, _ = _rel_home(path, full_rels[0], bases)
@@ -2429,7 +2476,10 @@ def _read_live(
             )
             return reader.schema(pinned).parquet(*uris)
 
-        if gstring:
+        if uniform:
+            # no probe and no union: the pinned schema IS the file union
+            out = _pinned_scan([])
+        elif gstring:
             # a STRING partition column through type inference corrupts
             # numeric-looking values ('0123' → 123 → '123'): always pin.
             # The extras probe (columns only older files carry) is a

@@ -161,13 +161,21 @@ def curate_corpus(
     survivors = passed.join(F.broadcast(losers), "doc_id", "left_anti")
 
     if eval_docs is not None:
+        # the decontamination probes only test shingle EQUALITY (unlike
+        # the MinHash pass above, whose signature VALUES depend on the
+        # md5-prefix hash): hash both sides with xxhash64 — identical
+        # contamination sets at ~1/5 the per-occurrence CPU, and this
+        # hash runs once per SURVIVOR-corpus shingle occurrence, the
+        # stage's dominant linear cost (operators/dedup.shingle_table)
         eval_sh = (
-            shingle_table(eval_docs, id_col, text_col, cfg.shingle_n)
+            shingle_table(eval_docs, id_col, text_col, cfg.shingle_n,
+                          hash_fn=F.xxhash64)
             .select("sh")
             .distinct()
         )
         eval_sh = _pin(eval_sh)  # bloom build (count + bitmap) + exact probe
-        surv_sh = shingle_table(survivors, "doc_id", "text", cfg.shingle_n)
+        surv_sh = shingle_table(survivors, "doc_id", "text", cfg.shingle_n,
+                                hash_fn=F.xxhash64)
         pruned = _pin(bloom_prune(
             surv_sh, "sh", eval_sh, "sh", fpr=cfg.decontam_fpr
         ))  # cap consumes it twice (df groupBy + anti-join probe)
@@ -188,7 +196,8 @@ def curate_corpus(
 
             cont_docs = survivors.join(F.broadcast(contaminated), "doc_id")
             spans = leak_spans(
-                cont_docs, hits.distinct(), cfg.shingle_n
+                cont_docs, hits.distinct(), cfg.shingle_n,
+                hash_fn=F.xxhash64,
             )  # (doc_id, span_start, span_end, n_covered_tokens)
             light = spans.join(
                 cont_docs.select("doc_id", "n_tokens"), "doc_id"
@@ -201,7 +210,8 @@ def curate_corpus(
                 light,
             ).filter(F.col("n_tokens") >= cfg.min_tokens)
             still_hot = (
-                shingle_table(cut, "doc_id", "text", cfg.shingle_n)
+                shingle_table(cut, "doc_id", "text", cfg.shingle_n,
+                              hash_fn=F.xxhash64)
                 .join(eval_sh, "sh")
                 .select("doc_id")
                 .distinct()

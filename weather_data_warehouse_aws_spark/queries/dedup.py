@@ -310,8 +310,14 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     train = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ev = eval_benchmark(spark, sf_dir)
+    # contamination only ever tests shingle EQUALITY (counts of DISTINCT
+    # shared shingles), so both sides hash with xxhash64 — same results
+    # as the md5-prefix hash the oracle uses (both are injective in
+    # practice; 64-bit xxhash collides strictly less often than a 60-bit
+    # md5 prefix) at ~1/5 the per-occurrence CPU, and the hash runs once
+    # per TRAIN-corpus shingle occurrence, the dominant linear cost here
     eval_sh = (
-        shingle_table(ev, "doc_id", "text", SHINGLE_N)
+        shingle_table(ev, "doc_id", "text", SHINGLE_N, hash_fn=F.xxhash64)
         .withColumnRenamed("doc_id", "eval_id")
         .persist()  # reused: bloom build (count + bitmap) and the join probe
     )
@@ -320,7 +326,9 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode+hash+bloom scan, the dominant linear cost here, runs twice.
     # Post-prune rows number ~|eval ∩ train| + FPs, so the cache is small.
     pruned = bloom_prune(
-        shingle_table(train, "doc_id", "text", SHINGLE_N).withColumnRenamed(
+        shingle_table(
+            train, "doc_id", "text", SHINGLE_N, hash_fn=F.xxhash64
+        ).withColumnRenamed(
             "doc_id", "train_id"
         ),
         "sh",
@@ -355,7 +363,7 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spans = leak_spans(
         ev.withColumnRenamed("doc_id", "eval_id"),
-        leaked, SHINGLE_N, id_col="eval_id",
+        leaked, SHINGLE_N, id_col="eval_id", hash_fn=F.xxhash64,
     )
     return (
         sources.join(shared, "eval_id")
@@ -684,9 +692,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("doc_id") + CLUSTER_OFFSET).alias("doc_id"), "text")
     )
     corpus = docs.unionByName(extra)
+    # xxhash64 shingle keys: this pass is not shared with MinHash, and
+    # Jaccard counts distinct shingle STRINGS (the hash only relabels) —
+    # see operators/dedup.shingle_table
     pairs = ngram_jaccard_pairs(
         corpus, "doc_id", "text",
         n=SHINGLE_N, threshold=0.6, max_doc_freq=MAX_SHINGLE_DF,
+        hash_fn=F.xxhash64,
     ).localCheckpoint(eager=True)  # shared by both graph consumers
     zero = F.lit(0).cast("long")
     cl = dedup_clusters(pairs).select(

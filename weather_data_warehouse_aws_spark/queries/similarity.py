@@ -763,8 +763,15 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _assemble_ann_methods(tiers, inner_caches: list) -> DataFrame:
     # tiers arrive persisted AND materialized (q_ann_methods counts each
-    # inside its build thread); the assembly below only reads the caches
-    brute, ivf, lsh, q8, pq = tiers
+    # inside its build thread); the assembly below only reads the caches.
+    # Each tier is k·|queries| = 50 rows, but the caches hold them at the
+    # session's shuffle width (~33-66 near-empty partitions) — without
+    # the narrow coalesce the 9-branch union + sort below fans out to
+    # ~376 near-empty tasks (measured), pure scheduler overhead. The
+    # coalesce reads the SAME cache (no recompute, no shuffle); tier
+    # outputs are small BY CONSTRUCTION (k × query batch), independent
+    # of corpus size.
+    brute, ivf, lsh, q8, pq = (t.coalesce(1) for t in tiers)
     base = brute.select("query_id", "neighbor_id")
     qs = base.select("query_id").distinct()
 
@@ -802,7 +809,9 @@ def _assemble_ann_methods(tiers, inner_caches: list) -> DataFrame:
     # the rest of the session (ADVICE r5); the checkpointed result is
     # k·|queries|·9 rows.
     out = out.localCheckpoint(eager=True)
-    for t in (brute, ivf, lsh, q8, pq, *inner_caches):
+    # unpersist the ORIGINAL tier frames (the coalesced views above are
+    # different plans — unpersisting them would be a no-op)
+    for t in (*tiers, *inner_caches):
         t.unpersist()
     return out
 
