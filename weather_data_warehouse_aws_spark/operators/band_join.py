@@ -161,11 +161,15 @@ def band_join(
             rbucket, _REPOCH
         )
         left_types = {f.name: f.dataType for f in left.schema.fields}
-        null_extended = unmatched_r.select(
+        um_cols = set(unmatched_r.columns)
+        # one parsed select, not 3 py4j round-trips per column
+        null_extended = unmatched_r.selectExpr(
             *[
-                F.col(c)
-                if c in unmatched_r.columns  # `on` keys + right columns
-                else F.lit(None).cast(left_types[c]).alias(c)  # left-only
+                f"`{c}`"
+                if c in um_cols  # `on` keys + right columns
+                else (  # left-only
+                    f"CAST(NULL AS {left_types[c].simpleString()}) AS `{c}`"
+                )
                 for c in outer.columns
             ]
         )

@@ -359,8 +359,10 @@ def minhash_signatures(
     consts = minhash_constants(k, seed)
     base = shingles if shingles is not None else shingle_table(df, id_col, text_col, shingle_n)
     sh = base.withColumn("base", F.col("sh") % MINHASH_P)
+    # one parsed expression per hash (not ~8 py4j round-trips each):
+    # identical arithmetic, pure construction-latency savings
     aggs = [
-        F.min((F.lit(a) * F.col("base") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        F.expr(f"min(({a}L * base + {b}L) % {MINHASH_P}L) AS mh{i}")
         for i, (a, b) in enumerate(consts)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -372,14 +374,15 @@ def band_table(sig: DataFrame, *, k: int, bands: int) -> DataFrame:
     of `bands` separate self-joins + union. The band index rides inside the
     join key so different bands never collide."""
     r = k // bands
-    band_structs = F.array(
-        *[
-            F.struct(*[F.col(f"mh{band * r + j}").alias(f"c{j}") for j in range(r)])
-            for band in range(bands)
-        ]
+    band_structs = ", ".join(
+        "struct("
+        + ", ".join(f"mh{band * r + j} AS c{j}" for j in range(r))
+        + ")"
+        for band in range(bands)
     )
-    return sig.select(
-        "doc_id", F.posexplode(band_structs).alias("band_idx", "band_key")
+    return sig.selectExpr(
+        "doc_id",
+        f"posexplode(array({band_structs})) AS (band_idx, band_key)",
     )
 
 
@@ -388,15 +391,17 @@ def score_candidate_pairs(
 ) -> DataFrame:
     """Attach the signature-agreement Jaccard estimate to (id_a, id_b)
     candidates and keep pairs ≥ threshold."""
-    sig_a = sig.select(
-        F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)]
+    sig_a = sig.selectExpr(
+        "doc_id AS id_a", *[f"mh{i} AS a{i}" for i in range(k)]
     )
-    sig_b = sig.select(
-        F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)]
+    sig_b = sig.selectExpr(
+        "doc_id AS id_b", *[f"mh{i} AS b{i}" for i in range(k)]
     )
-    agreement = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k)
-    ) / F.lit(float(k))
+    agreement = F.expr(
+        "("
+        + " + ".join(f"CAST(a{i} = b{i} AS INT)" for i in range(k))
+        + f") / CAST({k} AS DOUBLE)"  # a bare 16.0 would parse as DECIMAL
+    )
     return (
         candidates.join(sig_a, "id_a")
         .join(sig_b, "id_b")
@@ -543,15 +548,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 32) -> Dat
             F.array_distinct(F.split(F.trim(F.col("__text")), r"\s+"))
         ).alias("tok"),
     ).withColumn("h", portable_hash60(F.col("tok")))
+    # per-bit aggregates and the value assembly as SQL strings: the
+    # Column-chain spelling issued ~10 py4j round-trips per bit (~1s of
+    # serial driver latency per simhash call at any cluster size); each
+    # F.expr below is ONE round-trip and parses JVM-side. Identical
+    # expressions, identical results.
     aggs = [
-        F.sum(
-            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"s{j}")
+        F.expr(f"sum((shiftright(h, {j}) & 1) * 2 - 1)").alias(f"s{j}")
         for j in range(bits)
     ]
     sums = toks.groupBy("doc_id").agg(*aggs)
-    value = sum(
-        F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)
+    value = F.expr(
+        " + ".join(
+            f"(CASE WHEN s{j} > 0 THEN {1 << j}L ELSE 0L END)"
+            for j in range(bits)
+        )
     )
     return sums.select("doc_id", value.alias("simhash"))
 

@@ -100,7 +100,12 @@ def connected_components(
         sym = sym.coalesce(p)
     bcast = 2 * n_edges <= _BROADCAST_MAX_NODES  # n_nodes ≤ 2·n_edges
 
-    labels = sym.select("node").distinct().withColumn("component", F.col("node"))
+    labels = (
+        sym.select("node")
+        .repartition(p, "node")  # size the distinct's exchange too
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
     labels = _truncate(labels)
 
     # convergence scalar: sum of label HASHES, not label values — summing a

@@ -110,12 +110,12 @@ def interval_join(
 
     def _left() -> DataFrame:
         # keys + bucket + residual all inside the join condition so an
-        # uncovered point yields exactly one null-extended row
+        # uncovered point yields exactly one null-extended row.
+        # (One withColumnsRenamed call, not one DataFrame op per key —
+        # plan construction is serial driver latency at any cluster size)
         rkeys = {k: f"__iv_r_{k}" for k in on}
         p = points.withColumn(_PBUCKET, pb)
-        iv = intervals.withColumn(_BUCKET, ivb)
-        for k, rk in rkeys.items():
-            iv = iv.withColumnRenamed(k, rk)
+        iv = intervals.withColumn(_BUCKET, ivb).withColumnsRenamed(rkeys)
         cond = (F.col(_PBUCKET) == F.col(_BUCKET)) & residual
         for k, rk in rkeys.items():
             cond = cond & (F.col(k) == F.col(rk))
@@ -134,23 +134,24 @@ def interval_join(
     # them from scan.
     iv_cols = intervals.columns
     inner_df = _inner()
-    matched_images = inner_df.select(*iv_cols).distinct()
-    img = matched_images
-    for c in iv_cols:
-        img = img.withColumnRenamed(c, f"__iv_m_{c}")
-    anti_cond = None
-    for c in iv_cols:
-        term = F.col(c).eqNullSafe(F.col(f"__iv_m_{c}"))
-        anti_cond = term if anti_cond is None else anti_cond & term
+    # single-call renames and one parsed condition string: the per-column
+    # withColumnRenamed/eqNullSafe chains cost ~6 py4j round-trips per
+    # column of pure plan-construction latency
+    img = inner_df.select(*iv_cols).distinct().toDF(
+        *[f"__iv_m_{c}" for c in iv_cols]
+    )
+    anti_cond = F.expr(
+        " AND ".join(f"`{c}` <=> `__iv_m_{c}`" for c in iv_cols)
+    )
     unmatched_iv = intervals.join(img, anti_cond, "left_anti")
 
     base = inner_df if how == "right" else _left()
     point_types = {f.name: f.dataType for f in points.schema.fields}
-    null_extended = unmatched_iv.select(
+    null_extended = unmatched_iv.selectExpr(
         *[
-            F.col(c)
-            if c in unmatched_iv.columns  # `on` keys + interval columns
-            else F.lit(None).cast(point_types[c]).alias(c)  # point-only
+            f"`{c}`"
+            if c in iv_cols or c in on  # `on` keys + interval columns
+            else f"CAST(NULL AS {point_types[c].simpleString()}) AS `{c}`"
             for c in base.columns
         ]
     )
@@ -232,23 +233,24 @@ def interval_overlap_join(
         return inner
 
     def unmatched(side: DataFrame) -> DataFrame:
+        # single-call rename + one parsed predicate (see interval_join:
+        # per-column Column chains are serial py4j latency, ~6 round
+        # trips per column, identical plan)
         cols = side.columns
-        img = inner.select(*cols).distinct()
-        for c in cols:
-            img = img.withColumnRenamed(c, f"__ov_m_{c}")
-        cond = None
-        for c in cols:
-            term = F.col(c).eqNullSafe(F.col(f"__ov_m_{c}"))
-            cond = term if cond is None else cond & term
+        img = inner.select(*cols).distinct().toDF(
+            *[f"__ov_m_{c}" for c in cols]
+        )
+        cond = F.expr(" AND ".join(f"`{c}` <=> `__ov_m_{c}`" for c in cols))
         return side.join(img, cond, "left_anti")
 
     def null_extend(rows: DataFrame, other: DataFrame) -> DataFrame:
         other_types = {f.name: f.dataType for f in other.schema.fields}
-        return rows.select(
+        rows_cols = set(rows.columns)
+        return rows.selectExpr(
             *[
-                F.col(c)
-                if c in rows.columns
-                else F.lit(None).cast(other_types[c]).alias(c)
+                f"`{c}`"
+                if c in rows_cols
+                else f"CAST(NULL AS {other_types[c].simpleString()}) AS `{c}`"
                 for c in inner.columns
             ]
         )

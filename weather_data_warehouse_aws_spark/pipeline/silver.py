@@ -187,10 +187,16 @@ def write_silver_tx(df: DataFrame, path: str, partition_col: str) -> dict:
 
     df = df.repartition(partition_col).persist()
     try:
-        dates = [r[0] for r in df.select(partition_col).distinct().collect()]
+        # ONE aggregate job yields the distinct dates AND the row count
+        # (this used to be a distinct-collect plus a separate count —
+        # two full passes over the cache where one grouped pass serves
+        # both; the write scan below is then the cache's second and
+        # final consumer)
+        per_date = df.groupBy(partition_col).count().collect()
+        dates = [r[0] for r in per_date]
         if not dates:
             return {"rows": 0, "version": None}
-        n = df.count()  # single evaluation; the write scan reuses the cache
+        n = sum(r[1] for r in per_date)
         non_null = sorted(d for d in dates if d is not None)
         conds = []
         if non_null:

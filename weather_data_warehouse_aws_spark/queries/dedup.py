@@ -340,23 +340,19 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise multiply the contamination join by its doc-frequency;
     # stop-shingles are also not contamination evidence
     train_sh = cap_hot_shingles(pruned, MAX_SHINGLE_DF)
-    # two COUNT(DISTINCT) in one agg would Expand the (large) join output
-    # 2×; instead each distinct count is its own two-level aggregate over
-    # compact int pairs, and the shared join is persisted so the shingle
-    # equi-join runs once
+    # hits is SMALL by construction (the Bloom prune means it holds the
+    # eval∩train overlap plus FPs, never corpus-scale), so BOTH distinct
+    # counts ride one aggregate — the Expand it plans doubles only this
+    # tiny cached relation, and it replaces the previous two aggregation
+    # branches + their re-join (two fewer exchanges, one fewer join)
     hits = eval_sh.join(train_sh, "sh").persist()
-    sources = (
-        hits.select("eval_id", "train_id")
-        .distinct()
-        .groupBy("eval_id")
-        .agg(F.count("*").alias("n_train_sources"))
+    stats = hits.groupBy("eval_id").agg(
+        F.count_distinct("train_id").alias("n_train_sources"),
+        F.count_distinct("sh").alias("n_shared_shingles"),
     )
-    # leaked (eval_id, sh) set feeds BOTH the shared-shingle count and the
-    # span localization below — one distinct pass
-    leaked = hits.select("eval_id", "sh").distinct().persist()
-    shared = leaked.groupBy("eval_id").agg(
-        F.count("*").alias("n_shared_shingles")
-    )
+    # leaked (eval_id, sh) feeds only the span probe now — it reads the
+    # hits cache, so it needs no pin of its own
+    leaked = hits.select("eval_id", "sh").distinct()
     # span localization (operators/dedup.py::leak_spans): WHERE do the
     # leaked n-grams sit? Positions materialize on the eval side only.
     from ..operators.dedup import leak_spans
@@ -366,8 +362,7 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         leaked, SHINGLE_N, id_col="eval_id", hash_fn=F.xxhash64,
     )
     return (
-        sources.join(shared, "eval_id")
-        .join(spans, "eval_id")
+        stats.join(spans, "eval_id")
         .orderBy("eval_id")
     )
 

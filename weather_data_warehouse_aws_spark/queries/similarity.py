@@ -801,7 +801,11 @@ def _assemble_ann_methods(tiers, inner_caches: list) -> DataFrame:
         .unionByName(recall(lsh, "lsh"))
         .unionByName(recall(q8, "q8"))
         .unionByName(recall(pq, "pq"))
-        .orderBy("method", "query_id", "rank")
+        # the union is 9 × k·|queries| rows — single-partition it and
+        # sort within (== the former global orderBy, minus the range-
+        # partitioning exchange the sort would re-fan-out over)
+        .repartition(1)
+        .sortWithinPartitions("method", "query_id", "rank")
     )
     # materialize the 9-branch union ONCE (each tier computes a single
     # time via its cache), then RELEASE the five tier caches — returning a

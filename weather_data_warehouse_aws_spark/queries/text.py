@@ -204,14 +204,18 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
     )
-    top20 = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.col("n").desc(), "token")
-        .limit(20)
-    )
+    # ONE explode+count pass serves both the top-k ranking and the CMS
+    # build: a sketch over (token, n) WEIGHTED pairs is value-identical
+    # to one over raw occurrences (each cell is Σ count of the tokens
+    # hashing into it), so the build hashes |vocabulary| rows instead of
+    # re-exploding and md5-bucketing every token occurrence in the
+    # corpus — the second full-corpus pass this query used to pay.
+    tok_counts = toks.groupBy("token").agg(F.count("*").alias("n")).persist()
+    top20 = tok_counts.orderBy(F.col("n").desc(), "token").limit(20)
     topk = top20.select(F.lit("topk").alias("variant"), "token", "n")
-    sketch = cms_build(toks, "token", width=CMS_WIDTH, depth=CMS_DEPTH)
+    sketch = cms_build(
+        tok_counts, "token", width=CMS_WIDTH, depth=CMS_DEPTH, weight_col="n"
+    )
     cms_df = cms_estimate(sketch, top20.select("token"), "token").select(
         F.lit("cms_est").alias("variant"),
         "token",
@@ -250,7 +254,10 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vocab)
         .unionByName(cms_df)
         .unionByName(enc)
-        .orderBy("variant", F.col("n").desc(), "token")
+        # ≤ 20 rows/branch by construction; the 5-way union otherwise
+        # inherits ~130 near-empty partitions into the global sort
+        .repartition(1)
+        .sortWithinPartitions("variant", F.col("n").desc(), "token")
     )
 
 

@@ -31,6 +31,18 @@ def get_spark(app_name: str = "weather_data_warehouse_aws_spark") -> SparkSessio
         .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size post-shuffle partitions by BYTES (advisory target), not by
+        # core count: parallelismFirst=true (Spark's compat default)
+        # pins small stages at defaultParallelism — 32 near-empty tasks
+        # per stage at test scale, and partition counts coupled to the
+        # local core count instead of the data at any scale. false is
+        # the setting Spark's own tuning docs recommend; the advisory
+        # size stays env-tunable for cluster deployments.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PART", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
@@ -49,6 +61,10 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # see get_spark: byte-sized post-shuffle partitions (runtime-settable)
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+    )
     # the synthetic `events` table carries TIMESTAMP(NANOS) parquet columns,
     # which vanilla Spark refuses to read; read them as long and convert in
     # the loader (sources/tables.py) — values are micro-precision in practice

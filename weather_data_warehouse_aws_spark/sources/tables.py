@@ -14,11 +14,23 @@ single-file inputs.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import ensure_session_conf
+
+# Per-session PLAN cache: building a reader + resolving its schema costs
+# ~0.1s of serial driver/py4j latency per call, and the suite calls
+# load_table dozens of times per run — pure construction overhead that is
+# identical at any cluster size. DataFrame plans are immutable, so
+# handing every caller the same object is safe; NO data is cached (each
+# action still scans the parquet), so this is not result memoization.
+# WeakKey so a retired session's entries die with it.
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 TABLES = (
     "region",
@@ -45,10 +57,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     10^18-scale epoch values). The data is micro-precision, so this is
     lossless and matches DuckDB's TIMESTAMP_NS reads.
     """
-    ensure_session_conf(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    cache = _PLAN_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    df = cache.get(key)
+    if df is None:
+        ensure_session_conf(spark)
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        cache[key] = df
     return df
 
 
