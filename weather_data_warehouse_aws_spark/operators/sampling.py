@@ -275,6 +275,7 @@ def leakage_safe_split(
     labels: Sequence[str],
     *,
     salt: str = "",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup-aware train/val/test split: `split_by_hash` keyed on each
     row's DEDUP COMPONENT representative instead of its own id, so a
@@ -288,10 +289,15 @@ def leakage_safe_split(
     (edge-sized work), rows without any near-dup keep their own id as the
     key — identical assignment to the plain split, so turning this on
     never reshuffles the non-duplicated majority of the corpus.
+
+    `components`: an optional precomputed (node, component) relation for
+    exactly these `pairs` — callers that already clustered them (e.g.
+    `pipeline/curate.py`, whose dedup stage ran the same graph) hand the
+    result over instead of paying a second full label-propagation run.
     """
     from .graph import connected_components
 
-    comp = connected_components(pairs)
+    comp = components if components is not None else connected_components(pairs)
     joined = df.join(
         F.broadcast(comp.withColumnRenamed("node", id_col)), id_col, "left"
     )

@@ -234,6 +234,13 @@ def curate_corpus(
         cfg.split_weights,
         cfg.split_labels,
         salt=cfg.split_salt,
+        # the dedup stage already clustered exactly these pairs —
+        # cluster_id IS the component label (min doc_id); handing it
+        # over skips a second full connected-components run
+        components=clusters.select(
+            F.col("doc_id").alias("node"),
+            F.col("cluster_id").alias("component"),
+        ),
     )
 
     train = split.filter(F.col("split") == cfg.split_labels[0])

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.weather import heat_index_category, is_daytime
+from ..functions.weather import HEAT_INDEX_SQL
 from ..session import ensure_session_conf
 from .schemas import BRONZE_CURRENT_SCHEMA, BRONZE_FORECAST_SCHEMA
 
@@ -67,95 +67,98 @@ def _wind_gust_col(df: DataFrame):
 
 
 def build_silver_current(bronze: DataFrame) -> DataFrame:
-    """Flatten + clean current-weather bronze (`bronze_to_silver.py:24-109`)."""
-    silver = bronze.select(
-        F.col("city_name").alias("location_name"),
-        F.col("country").alias("country_code"),
-        F.col("coord.lat").alias("latitude"),
-        F.col("coord.lon").alias("longitude"),
-        F.to_timestamp("extraction_timestamp").alias("observation_time"),
-        F.col("batch_id"),
-        F.col("main.temp").alias("temperature_celsius"),
-        F.col("main.feels_like").alias("feels_like_celsius"),
-        F.col("main.temp_min").alias("temp_min_celsius"),
-        F.col("main.temp_max").alias("temp_max_celsius"),
-        F.col("main.humidity").alias("humidity_percent"),
-        F.col("main.pressure").alias("pressure_hpa"),
-        F.col("wind.speed").alias("wind_speed_mps"),
-        F.col("wind.deg").alias("wind_direction_deg"),
-        _wind_gust_col(bronze).alias("wind_gust_mps"),
-        F.col("clouds.all").alias("cloud_cover_percent"),
-        F.coalesce(F.col("visibility"), F.lit(10000)).alias("visibility_meters"),
-        F.col("weather").getItem(0).getField("main").alias("weather_condition"),
-        F.col("weather").getItem(0).getField("description").alias("weather_description"),
-        F.col("timezone").alias("timezone_offset_seconds"),
-        F.timestamp_seconds(F.col("sys.sunrise")).alias("sunrise_time"),
-        F.timestamp_seconds(F.col("sys.sunset")).alias("sunset_time"),
-        F.current_timestamp().alias("processed_timestamp"),
+    """Flatten + clean current-weather bronze (`bronze_to_silver.py:24-109`).
+
+    Built from parsed selectExpr strings: plan construction is serial
+    driver/py4j latency the pipeline pays on EVERY run (measured ~1s for
+    this builder alone as per-column Column chains); the parsed spelling
+    is one round-trip per select with identical semantics — boolean/CASE
+    shapes mirror the when/otherwise originals exactly (NULL conditions
+    fall through to the ELSE), float literals carry the D suffix so they
+    stay DOUBLE (bare 3600.0 would parse as DECIMAL)."""
+    wind_fields = []
+    if "wind" in bronze.schema.fieldNames():
+        wind_fields = bronze.schema["wind"].dataType.fieldNames()
+    gust_sql = (
+        "coalesce(wind.gust, 0.0D)" if "gust" in wind_fields else "0.0D"
+    )
+    silver = bronze.selectExpr(
+        "city_name AS location_name",
+        "country AS country_code",
+        "coord.lat AS latitude",
+        "coord.lon AS longitude",
+        "to_timestamp(extraction_timestamp) AS observation_time",
+        "batch_id",
+        "main.temp AS temperature_celsius",
+        "main.feels_like AS feels_like_celsius",
+        "main.temp_min AS temp_min_celsius",
+        "main.temp_max AS temp_max_celsius",
+        "main.humidity AS humidity_percent",
+        "main.pressure AS pressure_hpa",
+        "wind.speed AS wind_speed_mps",
+        "wind.deg AS wind_direction_deg",
+        f"{gust_sql} AS wind_gust_mps",
+        "clouds.all AS cloud_cover_percent",
+        "coalesce(visibility, 10000) AS visibility_meters",
+        "weather[0].main AS weather_condition",
+        "weather[0].description AS weather_description",
+        "timezone AS timezone_offset_seconds",
+        "timestamp_seconds(sys.sunrise) AS sunrise_time",
+        "timestamp_seconds(sys.sunset) AS sunset_time",
+        "current_timestamp() AS processed_timestamp",
     )
 
     # data-quality gates (`bronze_to_silver.py:82-88`)
-    silver = (
-        silver.filter(F.col("temperature_celsius").isNotNull())
-        .filter(F.col("temperature_celsius").between(-50, 60))
-        .filter(F.col("humidity_percent").between(0, 100))
-        .dropDuplicates(["location_name", "observation_time"])
-    )
+    silver = silver.filter(
+        "temperature_celsius IS NOT NULL"
+        " AND temperature_celsius BETWEEN -50 AND 60"
+        " AND humidity_percent BETWEEN 0 AND 100"
+    ).dropDuplicates(["location_name", "observation_time"])
 
     # derived fields (`bronze_to_silver.py:90-109`)
-    return (
-        silver.withColumn("observation_date", F.to_date("observation_time"))
-        .withColumn(
-            "is_daytime",
-            is_daytime(F.col("observation_time"), F.col("sunrise_time"), F.col("sunset_time")),
-        )
-        .withColumn(
-            "heat_index_category",
-            heat_index_category(F.col("feels_like_celsius")),
-        )
+    return silver.selectExpr(
+        "*",
+        "to_date(observation_time) AS observation_date",
+        "CASE WHEN observation_time BETWEEN sunrise_time AND sunset_time"
+        " THEN TRUE ELSE FALSE END AS is_daytime",
+        HEAT_INDEX_SQL.format(c="feels_like_celsius")
+        + " AS heat_index_category",
     )
 
 
 def build_silver_forecast(bronze: DataFrame) -> DataFrame:
-    """Explode + flatten forecast bronze (`bronze_to_silver.py:124-179`)."""
-    exploded = bronze.select(
-        F.col("city_name").alias("location_name"),
-        F.col("country").alias("country_code"),
-        F.to_timestamp("extraction_timestamp").alias("forecast_created_time"),
-        F.col("batch_id"),
-        F.explode("list").alias("fp"),
+    """Explode + flatten forecast bronze (`bronze_to_silver.py:124-179`).
+
+    Parsed selectExpr spelling, same rationale (and same semantics
+    guards) as `build_silver_current`."""
+    exploded = bronze.selectExpr(
+        "city_name AS location_name",
+        "country AS country_code",
+        "to_timestamp(extraction_timestamp) AS forecast_created_time",
+        "batch_id",
+        "explode(list) AS fp",
     )
-    silver = exploded.select(
+    return exploded.selectExpr(
         "location_name",
         "country_code",
         "forecast_created_time",
         "batch_id",
-        F.timestamp_seconds(F.col("fp.dt")).alias("forecast_for_time"),
-        F.col("fp.main.temp").alias("temperature_celsius_forecast"),
-        F.col("fp.main.feels_like").alias("feels_like_celsius_forecast"),
-        F.col("fp.main.humidity").alias("humidity_percent_forecast"),
-        F.col("fp.main.pressure").alias("pressure_hpa_forecast"),
-        F.col("fp.wind.speed").alias("wind_speed_mps_forecast"),
-        F.col("fp.wind.deg").alias("wind_direction_deg_forecast"),
-        F.col("fp.clouds.all").alias("cloud_cover_percent_forecast"),
-        F.coalesce(F.col("fp.pop"), F.lit(0.0)).alias("precipitation_probability"),
-        F.col("fp.weather").getItem(0).getField("main").alias("weather_condition_forecast"),
-        F.current_timestamp().alias("processed_timestamp"),
-    )
-    return (
-        silver.withColumn("forecast_for_date", F.to_date("forecast_for_time"))
-        .withColumn("forecast_created_date", F.to_date("forecast_created_time"))
-        .withColumn(
-            "forecast_horizon_hours",
-            F.round(
-                (
-                    F.unix_timestamp("forecast_for_time")
-                    - F.unix_timestamp("forecast_created_time")
-                )
-                / 3600.0,
-                1,
-            ),
-        )
+        "timestamp_seconds(fp.dt) AS forecast_for_time",
+        "fp.main.temp AS temperature_celsius_forecast",
+        "fp.main.feels_like AS feels_like_celsius_forecast",
+        "fp.main.humidity AS humidity_percent_forecast",
+        "fp.main.pressure AS pressure_hpa_forecast",
+        "fp.wind.speed AS wind_speed_mps_forecast",
+        "fp.wind.deg AS wind_direction_deg_forecast",
+        "fp.clouds.all AS cloud_cover_percent_forecast",
+        "coalesce(fp.pop, 0.0D) AS precipitation_probability",
+        "fp.weather[0].main AS weather_condition_forecast",
+        "current_timestamp() AS processed_timestamp",
+        "to_date(timestamp_seconds(fp.dt)) AS forecast_for_date",
+        "to_date(forecast_created_time) AS forecast_created_date",
+        "round((unix_timestamp(timestamp_seconds(fp.dt))"
+        " - unix_timestamp(forecast_created_time)) / 3600.0D, 1)"
+        " AS forecast_horizon_hours",
     )
 
 
