@@ -342,13 +342,18 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_sh = cap_hot_shingles(pruned, MAX_SHINGLE_DF)
     # hits is SMALL by construction (the Bloom prune means it holds the
     # eval∩train overlap plus FPs, never corpus-scale), so BOTH distinct
-    # counts ride one aggregate — the Expand it plans doubles only this
-    # tiny cached relation, and it replaces the previous two aggregation
-    # branches + their re-join (two fewer exchanges, one fewer join)
+    # counts ride one aggregate. Spelled as size(collect_set(·)) rather
+    # than two count_distinct's: multiple exact COUNT(DISTINCT) in one agg
+    # plans Catalyst's Expand (input ×2 per distinct group — the shape
+    # tests/test_plans.py bans for this query), while collect_set plans a
+    # single-pass ObjectHashAggregate. Set memory is bounded by the same
+    # argument that bounds hits itself (eval∩train overlap + Bloom FPs,
+    # never corpus-scale). Values are identical: both count distinct
+    # non-null keys per group; the cast pins count_distinct's LONG type.
     hits = eval_sh.join(train_sh, "sh").persist()
     stats = hits.groupBy("eval_id").agg(
-        F.count_distinct("train_id").alias("n_train_sources"),
-        F.count_distinct("sh").alias("n_shared_shingles"),
+        F.size(F.collect_set("train_id")).cast("long").alias("n_train_sources"),
+        F.size(F.collect_set("sh")).cast("long").alias("n_shared_shingles"),
     )
     # leaked (eval_id, sh) feeds only the span probe now — it reads the
     # hits cache, so it needs no pin of its own
