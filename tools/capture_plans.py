@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for registry queries into plans/r10/.
+"""Capture .explain("formatted") for registry queries into plans/<round>/
+(round via $SPARK_GRAFT_PLAN_ROUND, default r11).
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
-Writes plans/r10/<name>_<suffix>.txt for each named query (default: a
+Writes plans/<round>/<name>_<suffix>.txt for each named query (default: a
 fixed heavy-entry list). Diagnostic entries that run real filesystem
 commits (mv_incremental, tx_roundtrip) return localCheckpoint()ed
 results whose plans are opaque; they are captured anyway for the record.
@@ -32,7 +33,8 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or HEAVY
     outdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r10")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r11"))
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("wdwa-plans")
     spark.sparkContext.setLogLevel("ERROR")

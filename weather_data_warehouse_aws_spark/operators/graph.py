@@ -39,9 +39,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _truncate(df: DataFrame) -> DataFrame:
-    """Materialize + cut lineage between iterations (see module docstring)."""
-    return df.localCheckpoint(eager=True)
+def _truncate(df: DataFrame, *, eager: bool = True) -> DataFrame:
+    """Cut lineage between iterations (see module docstring). `eager=False`
+    defers materialization to the NEXT action over the frame (the
+    convergence signature, a count, or the caller's own action), so an
+    iteration pays ONE job instead of checkpoint-job + action-job — the
+    round-cadence cost at any cluster size is job count, not data. The
+    logical plan is truncated either way (LogicalRDD)."""
+    return df.localCheckpoint(eager=eager)
 
 
 #: iteration-shuffle sizing: rows per task for the per-round exchanges.
@@ -53,14 +58,17 @@ def _truncate(df: DataFrame) -> DataFrame:
 _PART_ROWS = 2_000_000
 
 #: measured-size broadcast ceiling for the per-round label/rank join
-#: (guide §3.1: decide the strategy deliberately). 5M labels ≈ 100-200 MB
-#: built — comfortably inside executor memory, far under Spark's 8 GB /
-#: 512M-row broadcast cap; above it the round falls back to the shuffle
-#: join. localCheckpoint'd frames are LogicalRDDs with UNKNOWN size
-#: stats, so Spark's own auto-broadcast can never fire here — without
-#: this explicit decision every round of every iteration pays two full
-#: shuffles even on a 1k-node graph.
-_BROADCAST_MAX_NODES = 5_000_000
+#: (guide §3.1: decide the strategy deliberately). 1M labels ≈ 20-40 MB
+#: built — well inside executor memory even with several rounds' stale
+#: broadcast blocks awaiting driver GC (explicit F.broadcast bypasses
+#: autoBroadcastJoinThreshold, and an iterative loop re-broadcasts every
+#: round, so the ceiling is deliberately far below the one-shot comfort
+#: zone); above it the round falls back to the shuffle join.
+#: localCheckpoint'd frames are LogicalRDDs with UNKNOWN size stats, so
+#: Spark's own auto-broadcast can never fire here — without this explicit
+#: decision every round of every iteration pays two full shuffles even on
+#: a 1k-node graph.
+_BROADCAST_MAX_NODES = 1_000_000
 
 
 def _parts(n_rows: int) -> int:
@@ -86,7 +94,9 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
         .distinct()
     )
-    sym = _truncate(sym)
+    # lazy truncate: the sizing count right below is the materializing
+    # action, so setup costs one job here, not two
+    sym = _truncate(sym, eager=False)
     # one count sizes every round: iteration exchanges are partitioned by
     # MEASURED edge count, and labels (≤ |sym| rows, exactly n_nodes) ride
     # the broadcast path when they provably fit
@@ -106,7 +116,8 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    labels = _truncate(labels)
+    # lazy: the first _sig below materializes it (one job, not two)
+    labels = _truncate(labels, eager=False)
 
     # convergence scalar: sum of label HASHES, not label values — summing a
     # string component column would cast to double, yield all-NULL, and be
@@ -144,7 +155,12 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        new_labels = _truncate(new_labels)
+        # lazy truncate + signature in ONE action: the convergence
+        # aggregate is the job that materializes (and persists) this
+        # round's labels — previously every round paid an eager
+        # checkpoint job AND the signature collect (measured: 2 jobs →
+        # 1 job per round; same labels, same fixpoint)
+        new_labels = _truncate(new_labels, eager=False)
         new_sig, n_nodes = _sig(new_labels)
         labels = new_labels
         if new_sig == prev_sig:
@@ -223,7 +239,8 @@ def pagerank(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if symmetric:
         e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    e = _truncate(e.distinct())
+    # lazy truncate: the sizing count is the materializing action
+    e = _truncate(e.distinct(), eager=False)
     # measured-size decisions, same rationale as connected_components:
     # checkpointed frames have no size stats, so the per-round join
     # strategy and exchange widths must be chosen HERE, deliberately
@@ -233,7 +250,9 @@ def pagerank(
         e = e.coalesce(p)  # narrow fold of near-empty checkpoint splits
     bcast = 2 * n_edges <= _BROADCAST_MAX_NODES  # n_nodes ≤ 2·n_edges
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = _truncate(e.join(F.broadcast(deg) if bcast else deg, "s"))
+    # lazy: round 1's join materializes (and persists) it
+    ed = _truncate(e.join(F.broadcast(deg) if bcast else deg, "s"),
+                   eager=False)
     if ed.rdd.getNumPartitions() > p:
         ed = ed.coalesce(p)  # (s, d, outdeg), reused every round
 
@@ -246,7 +265,8 @@ def pagerank(
         .repartition(p, "node")
         .distinct()
     )
-    ranks = _truncate(nodes.withColumn("r", F.lit(scale).cast("long")))
+    ranks = _truncate(nodes.withColumn("r", F.lit(scale).cast("long")),
+                      eager=False)
     if ranks.rdd.getNumPartitions() > p:
         ranks = ranks.coalesce(p)
     nodes = ranks.select("node")  # reuse the checkpointed vertex set
@@ -263,13 +283,18 @@ def pagerank(
             .agg(F.sum("c").alias("inflow"))
         )
         inc_side = incoming
+        # lazy: no per-round action at all — the caller's action (or the
+        # next round's broadcast build) materializes each round's ranks;
+        # lineage is still cut every round (LogicalRDD), so plan size
+        # stays constant across iterations
         ranks = _truncate(
             nodes.join(
                 F.broadcast(inc_side) if bcast else inc_side, "node", "left"
             ).select(
                 "node",
                 (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0))).alias("r"),
-            )
+            ),
+            eager=False,
         )
         if ranks.rdd.getNumPartitions() > p:
             ranks = ranks.coalesce(p)

@@ -36,6 +36,14 @@ from pyspark.sql.window import Window
 HIGH_DATE = "9999-12-31"
 
 
+def _qid(name: str) -> str:
+    """Backtick-quote an identifier for interpolation into parsed SQL.
+    Embedded backticks are escaped (`` is a literal ` inside quotes), so a
+    caller-supplied column name can never break out of the identifier —
+    the Column-API immunity the parsed-string spelling must preserve."""
+    return f"`{name.replace('`', '``')}`"
+
+
 def scd2_initial_load(
     updates: DataFrame,
     natural_key: Sequence[str],
@@ -117,11 +125,11 @@ def scd2_merge(
     current = existing.filter(F.col("is_current"))
     history = existing.filter(~F.col("is_current"))
 
-    nk = [f"`{k}`" for k in natural_key]
+    nk = [_qid(k) for k in natural_key]
     cur = current.selectExpr(
         *nk,
-        *[f"`{c}` AS `c_{c}`" for c in attr_cols],
-        f"`{key_col}` AS c_key",
+        *[f"{_qid(c)} AS {_qid('c_' + c)}" for c in attr_cols],
+        f"{_qid(key_col)} AS c_key",
         "effective_from_date AS c_from",
         "version AS c_version",
         "created_timestamp AS c_created",
@@ -135,7 +143,7 @@ def scd2_merge(
     nk_str = ", ".join(f"CAST({k} AS STRING)" for k in nk)
     upd = updates.selectExpr(
         *nk,
-        *[f"`{c}` AS `u_{c}`" for c in attr_cols],
+        *[f"{_qid(c)} AS {_qid('u_' + c)}" for c in attr_cols],
         f"""CASE WHEN count(1) OVER (PARTITION BY {", ".join(nk)}) > 1
             THEN CAST(raise_error(concat(
                 'scd2_merge: updates snapshot has duplicate rows for natural key (',
@@ -146,16 +154,18 @@ def scd2_merge(
     j = cur.join(upd, list(natural_key), "full_outer")
 
     changed = F.expr(
-        " OR ".join(f"NOT (`c_{t}` <=> `u_{t}`)" for t in tracked)
+        " OR ".join(
+            f"NOT ({_qid('c_' + t)} <=> {_qid('u_' + t)})" for t in tracked
+        )
         if tracked else "FALSE"
     )
     matched = F.col("c_exists").isNotNull() & F.col("u_exists").isNotNull()
 
     def _current_row(df: DataFrame, *, expire: bool) -> DataFrame:
         return df.selectExpr(
-            f"c_key AS `{key_col}`",
+            f"c_key AS {_qid(key_col)}",
             *nk,
-            *[f"`c_{c}` AS `{c}`" for c in attr_cols],
+            *[f"{_qid('c_' + c)} AS {_qid(c)}" for c in attr_cols],
             "c_from AS effective_from_date",
             (
                 f"{eff_sql} AS effective_to_date"
@@ -183,7 +193,7 @@ def scd2_merge(
 
     inserts = j.filter((matched & changed) | F.col("c_exists").isNull()).selectExpr(
         *nk,
-        *[f"`u_{c}` AS `{c}`" for c in attr_cols],
+        *[f"{_qid('u_' + c)} AS {_qid(c)}" for c in attr_cols],
         "coalesce(c_version, 0) + 1 AS version",
     )
     if key_strategy == "hash":
@@ -197,9 +207,9 @@ def scd2_merge(
         raise ValueError(f"unknown key_strategy: {key_strategy}")
 
     inserted = inserts.selectExpr(
-        f"`{key_col}`",
+        _qid(key_col),
         *nk,
-        *[f"`{c}`" for c in attr_cols],
+        *[_qid(c) for c in attr_cols],
         f"{eff_sql} AS effective_from_date",
         f"DATE'{HIGH_DATE}' AS effective_to_date",
         "TRUE AS is_current",

@@ -58,11 +58,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     lossless and matches DuckDB's TIMESTAMP_NS reads.
     """
     cache = _PLAN_CACHE.setdefault(spark, {})
-    key = (os.path.abspath(sf_dir), name)
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    # staleness guard: the cached reader pins its file listing + inferred
+    # schema at first load, so a regenerated/extended table would read
+    # stale through the cache. Keying on the path's (mtime, size) makes a
+    # rewrite (file replaced) or a directory add/remove (dir mtime bumps)
+    # miss the cache instead of silently reading old metadata; one stat()
+    # per call is noise next to the ~0.1s reader construction it saves.
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, None, None)  # let the reader raise its own error
     df = cache.get(key)
     if df is None:
         ensure_session_conf(spark)
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = spark.read.parquet(path)
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
