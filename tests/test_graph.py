@@ -50,9 +50,43 @@ def test_empty_edges(spark):
     assert set(comp.columns) == {"node", "component"}
 
 
-def test_max_iter_guard(spark):
+def test_max_iter_guard(spark, monkeypatch):
+    # the guard lives in the distributed loop; force past the driver path
+    from weather_data_warehouse_aws_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "_DRIVER_MAX_EDGES", 0)
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(_edges(spark, [(i, i + 1) for i in range(6)]), max_iter=2)
+
+
+def test_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """The measured-size driver loop (union-find / driver power iteration)
+    must produce bit-identical output to the distributed rounds — same
+    labels, same exact-integer ranks."""
+    import random
+
+    from weather_data_warehouse_aws_spark.operators import graph as G
+
+    rnd = random.Random(13)
+    pairs = [(rnd.randrange(60), rnd.randrange(60)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = _edges(spark, pairs)
+    sedges = spark.createDataFrame(
+        [(f"d{a}", f"d{b}") for a, b in pairs], "id_a string, id_b string"
+    )
+
+    cc_drv = sorted(map(tuple, G.connected_components(edges).collect()))
+    pr_drv = sorted(map(tuple, G.pagerank(edges, iters=4).collect()))
+    cc_drv_s = sorted(map(tuple, G.connected_components(sedges).collect()))
+
+    monkeypatch.setattr(G, "_DRIVER_MAX_EDGES", 0)
+    cc_dist = sorted(map(tuple, G.connected_components(edges).collect()))
+    pr_dist = sorted(map(tuple, G.pagerank(edges, iters=4).collect()))
+    cc_dist_s = sorted(map(tuple, G.connected_components(sedges).collect()))
+
+    assert cc_drv == cc_dist
+    assert pr_drv == pr_dist
+    assert cc_drv_s == cc_dist_s
 
 
 def test_dedup_clusters_canonicals(spark):

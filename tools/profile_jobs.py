@@ -33,21 +33,30 @@ def main() -> None:
     from weather_data_warehouse_aws_spark.session import get_spark
 
     # same confs as get_spark, but with the UI on for the REST job dump
-    SparkSession.builder.config("spark.ui.enabled", "true")
+    cpus = os.environ["SPARK_GRAFT_CPUS"]
     spark = (
         SparkSession.builder.appName("wdwa-profile")
-        .master(f"local[{os.environ['SPARK_GRAFT_CPUS']}]")
+        .master(f"local[{cpus}]")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4099")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PART", "64m"),
+        )
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .getOrCreate()
     )
     from weather_data_warehouse_aws_spark.session import ensure_session_conf
 
     ensure_session_conf(spark)
-    spark.conf.set(
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        os.environ.get("SPARK_GRAFT_ADVISORY_PART", "64m"),
-    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod

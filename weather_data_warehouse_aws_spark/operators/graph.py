@@ -71,8 +71,62 @@ _PART_ROWS = 2_000_000
 _BROADCAST_MAX_NODES = 1_000_000
 
 
+#: measured-size DRIVER ceiling: below this many (symmetrized, distinct)
+#: edge rows the whole iteration runs as a driver-side loop over collected
+#: edges — the same "loop on the driver over small state" shape as Lloyd
+#: centroid refinement (operators/similarity.py), applied to the graph
+#: itself when the graph IS small state. 200k edge rows ≈ a few MB
+#: collected, far under driver memory; a dedup pair graph at corpus scale
+#: that exceeds it falls through to the distributed rounds unchanged.
+#: Rationale (guide §1.2/§5): each distributed round costs jobs, not data,
+#: at this size — the fixpoint loop over a 1k-edge graph paid ~10 tiny
+#: jobs for work a union-find does in microseconds.
+_DRIVER_MAX_EDGES = 200_000
+
+
 def _parts(n_rows: int) -> int:
     return max(1, -(-n_rows // _PART_ROWS))
+
+
+def _driver_components(spark, sym_rows, node_type) -> DataFrame:
+    """Union-find over collected (node, nbr) rows; returns the same
+    (node, component=min reachable id) relation the distributed fixpoint
+    produces — min-label propagation and union-find compute the identical
+    labeling, so the result is path-independent."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] is not root:
+            root = parent[root]
+        while parent[x] is not root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in sym_rows:
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra is not rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([
+        StructField("node", node_type, False),
+        StructField("component", node_type, False),
+    ])
+    return spark.createDataFrame(
+        [(n, comp_min[find(n)]) for n in parent], schema
+    )
 
 
 def connected_components(
@@ -101,6 +155,13 @@ def connected_components(
     # MEASURED edge count, and labels (≤ |sym| rows, exactly n_nodes) ride
     # the broadcast path when they provably fit
     n_edges = sym.count()
+    if n_edges <= _DRIVER_MAX_EDGES:
+        # measured-small graph: one collect + one createDataFrame replace
+        # the whole per-round job cadence (see _DRIVER_MAX_EDGES). The
+        # collect reads the partitions the count just materialized.
+        return _driver_components(
+            edges.sparkSession, sym.collect(), sym.schema["node"].dataType
+        )
     p = _parts(n_edges)
     if sym.rdd.getNumPartitions() > p:
         # checkpointed at the upstream partitioning (often the session's
@@ -245,6 +306,38 @@ def pagerank(
     # checkpointed frames have no size stats, so the per-round join
     # strategy and exchange widths must be chosen HERE, deliberately
     n_edges = e.count()
+    if n_edges <= _DRIVER_MAX_EDGES:
+        # measured-small graph: the power iteration is a driver loop over
+        # collected edges (see _DRIVER_MAX_EDGES). All arithmetic below is
+        # the same 64-bit-exact integer algebra as the distributed rounds
+        # — Python ints on positive operands reproduce BIGINT `div` and
+        # `sum` bit-for-bit — so ranks are identical either way.
+        rows = e.collect()
+        base = (scale * (100 - damping_pct)) // 100
+        outdeg: dict = {}
+        node_set = set()
+        for r in rows:
+            outdeg[r[0]] = outdeg.get(r[0], 0) + 1
+            node_set.add(r[0])
+            node_set.add(r[1])
+        ranks_d = {n: scale for n in node_set}
+        for _ in range(iters):
+            inflow: dict = {}
+            for r in rows:
+                s, d = r[0], r[1]
+                c = (ranks_d[s] * damping_pct) // (100 * outdeg[s])
+                inflow[d] = inflow.get(d, 0) + c
+            ranks_d = {n: base + inflow.get(n, 0) for n in node_set}
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        node_type = e.schema["s"].dataType
+        schema = StructType([
+            StructField("node", node_type, False),
+            StructField("rank_scaled", LongType(), False),
+        ])
+        return edges.sparkSession.createDataFrame(
+            sorted(ranks_d.items()), schema
+        )
     p = _parts(n_edges)
     if e.rdd.getNumPartitions() > p:
         e = e.coalesce(p)  # narrow fold of near-empty checkpoint splits

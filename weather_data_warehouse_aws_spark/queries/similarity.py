@@ -126,10 +126,18 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stripe(ids):
         return F.pmod(portable_hash60(ids.cast("string")), F.lit(SEM_CELLS))
 
-    cells = semantic_cells(allv, n_cells=SEM_CELLS, stripe_fn=stripe)
+    # persist the assignment: cells feeds the within-cell pair join AND the
+    # census below — without the pin the census re-runs the whole
+    # centroid-seed + broadcast nearest-centroid pass (a second full
+    # corpus × centroids scoring scan, measured as the query's second-
+    # largest job). Corpus (id, vec, cell) rows only — small at any SF
+    # relative to the pair join it feeds.
+    cells = semantic_cells(allv, n_cells=SEM_CELLS, stripe_fn=stripe).persist()
+    # pairs feeds the sem branch AND the census's dropped-id set — persist
+    # or the quadratic within-cell join runs twice
     pairs = blocked_neardup(
         cells, block_col="cell_id", threshold=NEARDUP_THRESHOLD, max_block_rows=None
-    )
+    ).persist()
     sem = pairs.select(
         F.lit("semdedup").alias("variant"),
         F.col("cell_id").cast("bigint").alias("block"),

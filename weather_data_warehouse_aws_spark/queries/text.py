@@ -210,6 +210,13 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashing into it), so the build hashes |vocabulary| rows instead of
     # re-exploding and md5-bucketing every token occurrence in the
     # corpus — the second full-corpus pass this query used to pay.
+    # persist, deliberately NOT an eager localCheckpoint: the r10 ADVICE
+    # asked to materialize + release this cache, but every eager variant
+    # measured +0.3s on the entry (a separate query execution + job for
+    # work the lazy count folds into one concurrent-stage query), and the
+    # pin is vocabulary-sized (~31 distinct tokens in the synthetic
+    # corpus). Long-lived sessions reclaim it with clearCache(), which
+    # the bench already runs between queries.
     tok_counts = toks.groupBy("token").agg(F.count("*").alias("n")).persist()
     top20 = tok_counts.orderBy(F.col("n").desc(), "token").limit(20)
     topk = top20.select(F.lit("topk").alias("variant"), "token", "n")
